@@ -1,0 +1,140 @@
+"""Bin-packing small-file compaction (resumable, copy-on-write).
+
+Plan (driver, on file *stats* only): files below ``target_bytes`` →
+first-fit-decreasing bins (plans/ffd.py). Execute (distributed): one task
+per bin reads its input parquet files with pyarrow *inside the task*,
+concatenates Arrow tables (zero shuffle of image bytes — compaction is a
+file-local operation by design, which is why it scales linearly with
+executors), optionally re-encodes/verifies pixels via the batch kernels,
+writes one output file, and records its lineage unit. Commit swaps the
+packed inputs for the bin outputs in one atomic snapshot.
+
+Resumability (FIXTURES.md §6): bins already present in the lineage phase
+dir are skipped; output names are deterministic per (job_id, bin), so a
+resumed run converges to the byte-identical final state (tested by killing
+after k bins in tests/test_resume.py).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pyspark.sql import SparkSession
+
+from nessie_spark.lakehouse import lineage
+from nessie_spark.lakehouse import kernels as K
+from nessie_spark.lakehouse.table import FILE_ENTRY_DDL, Table
+from nessie_spark.lakehouse.writer import stats_entry_for, write_table_file
+from nessie_spark.plans.ffd import ffd_histogram, ffd_pack
+
+DEFAULT_TARGET = 8 * 1024 * 1024
+
+
+@dataclass
+class CompactionResult:
+    snapshot_id: int | None
+    job_id: str
+    bins_planned: int
+    bins_executed: int
+    input_files: int
+    output_files: int
+    rows: int
+    histogram: dict[int, int]
+
+
+def compact(
+    spark: SparkSession,
+    table: Table,
+    target_bytes: int = DEFAULT_TARGET,
+    job_id: str | None = None,
+    verify_psnr: bool = False,
+    min_input_files: int = 2,
+    fail_after_bins: int | None = None,
+) -> CompactionResult:
+    """Run one compaction job; ``fail_after_bins`` injects a mid-job crash
+    for resume tests (tasks past the limit raise)."""
+    job_id = job_id or f"compact-{uuid.uuid4().hex[:8]}"
+    root = table.root
+
+    prev = lineage.committed_snapshot(root, job_id)
+    if prev is not None:  # job already committed — idempotent no-op
+        return CompactionResult(prev, job_id, 0, 0, 0, 0, 0, {})
+
+    entries = table.file_entries().to_pylist()
+    small = [e for e in entries if e["file_size_bytes"] < target_bytes]
+    hist = ffd_histogram([e["file_size_bytes"] for e in small], target_bytes)
+    if len(small) < min_input_files:
+        return CompactionResult(None, job_id, 0, 0, len(small), 0, 0, hist)
+
+    bins = ffd_pack([e["file_size_bytes"] for e in small], target_bytes)
+    # singleton bins are no-ops (rewriting one file buys nothing) — skip them
+    bins = [b for b in bins if len(b) >= 2]
+    if not bins:
+        return CompactionResult(None, job_id, 0, 0, len(small), 0, 0, hist)
+    done = lineage.completed_units(root, job_id, "compact")
+    todo = [(i, [small[j]["file_path"] for j in b]) for i, b in enumerate(bins) if i not in done]
+
+    if todo:
+        plan_df = spark.createDataFrame(todo, "bin_id int, paths array<string>")
+        limit = fail_after_bins
+
+        def _rewrite(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            bin_id = int(key[0])
+            if limit is not None and bin_id >= limit:
+                raise RuntimeError(f"injected failure at bin {bin_id}")
+            paths = list(pdf["paths"].iloc[0])
+            tbl = pa.concat_tables(
+                [pq.read_table(os.path.join(root, p)) for p in paths]
+            )
+            metrics: dict[str, float] = {"input_files": float(len(paths))}
+            if verify_psnr:
+                mn = 99.0
+                fmts = tbl.column("fmt").to_pylist()
+                for data, fmt in zip(tbl.column("bytes").to_pylist(), fmts):
+                    px = K.decode(bytes(data), fmt)
+                    if fmt == "jpeg":
+                        mn = min(mn, K.psnr(px, K.decode(K.encode(px, fmt), fmt)))
+                metrics["min_psnr"] = mn
+            rel = f"data/{job_id}-compact-b{bin_id:05d}.parquet"
+            size = write_table_file(tbl, os.path.join(root, rel))
+            entry = stats_entry_for(tbl, rel, size)
+            lineage.write_unit(
+                root, job_id, "compact", bin_id,
+                input_files=paths, output_files=[rel],
+                rows=tbl.num_rows, nbytes=size, metrics=metrics,
+            )
+            return pd.DataFrame([entry])
+
+        # one group per bin; only tiny plan rows shuffle, never image bytes
+        plan_df.groupBy("bin_id").applyInPandas(_rewrite, FILE_ENTRY_DDL).collect()
+
+    # gather all units (including ones done before a crash) from lineage
+    units = lineage.read_phase(root, job_id, "compact").to_pylist()
+    deleted = {p for u in units for p in u["input_files"]}
+    out_paths = [p for u in units for p in u["output_files"]]
+    added_entries = []
+    for p in out_paths:
+        # stats-only re-read: column pruning keeps pixel bytes off the driver
+        tbl = pq.read_table(
+            os.path.join(root, p), columns=["image_id", "w", "h", "phash"]
+        )
+        added_entries.append(stats_entry_for(tbl, p, os.path.getsize(os.path.join(root, p))))
+    added = pa.Table.from_pylist(added_entries) if added_entries else None
+
+    snap = table.commit(
+        "compact",
+        added=added,
+        deleted_paths=deleted,
+        summary={"job_id": job_id, "bins": len(bins)},
+    )
+    lineage.mark_committed(root, job_id, snap)
+    rows = sum(u["rows"] for u in units)
+    return CompactionResult(
+        snap, job_id, len(bins), len(todo), len(deleted), len(out_paths), rows, hist
+    )

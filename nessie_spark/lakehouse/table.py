@@ -1,0 +1,269 @@
+"""Iceberg-*style* table metadata (native, no iceberg-spark runtime jar).
+
+Layout under ``<root>/``:
+- ``data/*.parquet``                 immutable data files
+- ``metadata/v{N}.json``             table metadata versions (atomic commits)
+- ``metadata/version-hint.text``     best-effort pointer to latest N
+- ``metadata/snap-{id}-manifest-list.parquet``  one row per manifest
+- ``metadata/manifest-*.parquet``    file entries with per-file min/max stats
+- ``_lineage/{job_id}/{phase}/``     checkpoint manifest (see lineage.py)
+
+Snapshot isolation (SURVEY.md §4.2): data + metadata files are immutable;
+a commit is an atomic ``O_CREAT|O_EXCL`` create of ``v{N+1}.json`` with
+optimistic retry — readers pin a snapshot_id and never observe partial
+state. Single-writer-per-table is assumed in-sandbox (documented limitation;
+a real deployment swaps this for a catalog putIfAbsent).
+
+Manifest entries carry the FIXTURES.md §2 stats schema plus min/max
+image_id for MERGE matched-file pruning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+
+FILE_ENTRY_SCHEMA = pa.schema(
+    [
+        ("file_path", pa.string()),
+        ("file_format", pa.string()),
+        ("partition", pa.string()),
+        ("record_count", pa.int64()),
+        ("file_size_bytes", pa.int64()),
+        ("min_phash", pa.int64()),
+        ("max_phash", pa.int64()),
+        ("min_wh", pa.int32()),
+        ("max_wh", pa.int32()),
+        ("zorder_lo", pa.int64()),
+        ("zorder_hi", pa.int64()),
+        ("min_key", pa.string()),
+        ("max_key", pa.string()),
+        ("added_snapshot_id", pa.int64()),
+    ]
+)
+
+FILE_ENTRY_DDL = (
+    "file_path string, file_format string, partition string, record_count long, "
+    "file_size_bytes long, min_phash long, max_phash long, min_wh int, max_wh int, "
+    "zorder_lo long, zorder_hi long, min_key string, max_key string, "
+    "added_snapshot_id long"
+)
+
+MANIFEST_LIST_SCHEMA = pa.schema(
+    [
+        ("manifest_path", pa.string()),
+        ("n_entries", pa.int64()),
+        ("record_count", pa.int64()),
+        ("file_size_bytes", pa.int64()),
+        ("min_key", pa.string()),
+        ("max_key", pa.string()),
+    ]
+)
+
+
+class CommitConflict(Exception):
+    pass
+
+
+class Table:
+    def __init__(self, root: str, meta: dict, version: int):
+        self.root = root
+        self.meta = meta
+        self.version = version
+
+    # -- lifecycle ---------------------------------------------------------
+
+    @staticmethod
+    def create(root: str, schema_ddl: str, properties: dict | None = None) -> "Table":
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
+        meta = {
+            "format_version": 1,
+            "table_uuid": str(uuid.uuid4()),
+            "location": root,
+            "schema": schema_ddl,
+            "properties": properties or {},
+            "current_snapshot_id": None,
+            "snapshots": [],
+        }
+        t = Table(root, meta, version=0)
+        t._write_version(1, meta)
+        t.version = 1
+        return t
+
+    @staticmethod
+    def load(root: str) -> "Table":
+        mdir = os.path.join(root, "metadata")
+        versions = [
+            int(f[1:-5]) for f in os.listdir(mdir) if f.startswith("v") and f.endswith(".json")
+        ]
+        if not versions:
+            raise FileNotFoundError(f"no metadata versions under {mdir}")
+        v = max(versions)
+        with open(os.path.join(mdir, f"v{v}.json")) as fh:
+            return Table(root, json.load(fh), v)
+
+    def refresh(self) -> "Table":
+        return Table.load(self.root)
+
+    # -- snapshot accessors -------------------------------------------------
+
+    @property
+    def current_snapshot_id(self) -> int | None:
+        return self.meta["current_snapshot_id"]
+
+    def snapshot(self, snapshot_id: int | None = None) -> dict | None:
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id
+        if sid is None:
+            return None
+        for s in self.meta["snapshots"]:
+            if s["snapshot_id"] == sid:
+                return s
+        raise KeyError(f"snapshot {sid} not found")
+
+    def manifest_paths(self, snapshot_id: int | None = None) -> list[str]:
+        snap = self.snapshot(snapshot_id)
+        if snap is None:
+            return []
+        mlist = pq.read_table(os.path.join(self.root, snap["manifest_list"]))
+        return [os.path.join(self.root, p) for p in mlist.column("manifest_path").to_pylist()]
+
+    def files_df(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        """Live file entries of a snapshot as a DataFrame (manifest scan).
+
+        Distributed: manifests are parquet, read by Spark directly — at
+        10^12-image scale (millions of manifest entries) this stays off the
+        driver.
+        """
+        paths = self.manifest_paths(snapshot_id)
+        if not paths:
+            return spark.createDataFrame([], FILE_ENTRY_DDL)
+        return spark.read.schema(FILE_ENTRY_DDL).parquet(*paths)
+
+    def file_entries(self, snapshot_id: int | None = None) -> pa.Table:
+        """Driver-side arrow view of the live entries (small-metadata path)."""
+        paths = self.manifest_paths(snapshot_id)
+        if not paths:
+            return FILE_ENTRY_SCHEMA.empty_table()
+        return pa.concat_tables([pq.read_table(p, schema=FILE_ENTRY_SCHEMA) for p in paths])
+
+    # -- commit -------------------------------------------------------------
+
+    def _write_version(self, v: int, meta: dict) -> None:
+        path = os.path.join(self.root, "metadata", f"v{v}.json")
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)  # put-if-absent
+        with os.fdopen(fd, "w") as fh:
+            json.dump(meta, fh, indent=1)
+        hint = os.path.join(self.root, "metadata", "version-hint.text")
+        tmp = hint + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            fh.write(str(v))
+        os.replace(tmp, hint)
+
+    def write_manifest(self, entries: pa.Table, tag: str = "m") -> tuple[str, dict]:
+        """Write one manifest parquet; returns (relpath, summary stats)."""
+        entries = entries.cast(FILE_ENTRY_SCHEMA)
+        rel = f"metadata/manifest-{tag}-{uuid.uuid4().hex[:12]}.parquet"
+        pq.write_table(entries, os.path.join(self.root, rel))
+        mins = entries.column("min_key").to_pylist()
+        maxs = entries.column("max_key").to_pylist()
+        summary = {
+            "manifest_path": rel,
+            "n_entries": entries.num_rows,
+            "record_count": sum(entries.column("record_count").to_pylist() or [0]),
+            "file_size_bytes": sum(entries.column("file_size_bytes").to_pylist() or [0]),
+            "min_key": min([m for m in mins if m is not None], default=None),
+            "max_key": max([m for m in maxs if m is not None], default=None),
+        }
+        return rel, summary
+
+    def commit(
+        self,
+        operation: str,
+        added: pa.Table | None = None,
+        deleted_paths: set[str] | None = None,
+        carried_manifest_summaries: list[dict] | None = None,
+        summary: dict | None = None,
+        max_retries: int = 5,
+    ) -> int:
+        """Commit a new snapshot.
+
+        ``added``: new file entries (one new manifest is written).
+        ``deleted_paths``: data-file paths removed from the live set; any
+        carried-forward manifest containing one is rewritten without them.
+        ``carried_manifest_summaries``: pre-built manifest summaries (used by
+        the manifest-rewrite job); default = parent's manifests, filtered.
+        """
+        deleted_paths = deleted_paths or set()
+        for attempt in range(max_retries):
+            t = self.refresh() if attempt else self
+            parent = t.snapshot()
+            snapshot_id = (parent["snapshot_id"] + 1) if parent else 1
+
+            manifests: list[dict] = []
+            if carried_manifest_summaries is not None:
+                manifests.extend(carried_manifest_summaries)
+            elif parent is not None:
+                prior = pq.read_table(os.path.join(t.root, parent["manifest_list"]))
+                for row in prior.to_pylist():
+                    mpath = os.path.join(t.root, row["manifest_path"])
+                    entries = pq.read_table(mpath, schema=FILE_ENTRY_SCHEMA)
+                    paths_in = set(entries.column("file_path").to_pylist())
+                    hit = paths_in & deleted_paths
+                    if not hit:
+                        manifests.append(row)
+                        continue
+                    keep = entries.filter(
+                        pa.compute.invert(
+                            pa.compute.is_in(
+                                entries.column("file_path"), value_set=pa.array(deleted_paths)
+                            )
+                        )
+                    )
+                    if keep.num_rows:
+                        _, msum = t.write_manifest(keep, tag=f"s{snapshot_id}-rw")
+                        manifests.append(msum)
+
+            if added is not None and added.num_rows:
+                added = added.set_column(
+                    added.schema.get_field_index("added_snapshot_id"),
+                    "added_snapshot_id",
+                    pa.array([snapshot_id] * added.num_rows, pa.int64()),
+                )
+                _, msum = t.write_manifest(added, tag=f"s{snapshot_id}-add")
+                manifests.append(msum)
+
+            mlist_rel = f"metadata/snap-{snapshot_id}-manifest-list.parquet"
+            pq.write_table(
+                pa.Table.from_pylist(manifests, schema=MANIFEST_LIST_SCHEMA),
+                os.path.join(t.root, mlist_rel),
+            )
+
+            snap = {
+                "snapshot_id": snapshot_id,
+                "parent_id": parent["snapshot_id"] if parent else None,
+                "ts_millis": int(time.time() * 1000),
+                "operation": operation,
+                "manifest_list": mlist_rel,
+                "summary": dict(
+                    summary or {},
+                    added_files=int(added.num_rows if added is not None else 0),
+                    deleted_files=len(deleted_paths),
+                ),
+            }
+            meta = dict(t.meta)
+            meta["snapshots"] = list(t.meta["snapshots"]) + [snap]
+            meta["current_snapshot_id"] = snapshot_id
+            try:
+                t._write_version(t.version + 1, meta)
+            except FileExistsError:
+                continue  # optimistic retry against a concurrent commit
+            self.meta, self.version = meta, t.version + 1
+            return snapshot_id
+        raise CommitConflict(f"could not commit after {max_retries} retries")

@@ -1,0 +1,128 @@
+"""Distributed data-file writer.
+
+One parquet data file per Spark partition, written *inside* the task with
+pyarrow (``mapInArrow`` — Arrow batches end-to-end, no row-at-a-time Python).
+The task emits exactly one manifest-entry stats row per written file; the
+driver only ever sees the (tiny) stats, never pixel bytes.
+
+Determinism/resumability: file names are pure functions of
+``(job_id, phase, partition_id)`` and writes go to a temp name + atomic
+``os.replace`` — task retries and job re-runs land byte-stable on the same
+paths (pairs with lineage.py skip logic).
+
+Scale note: on a real cluster ``table_root`` is an object-store URI and the
+``os``-level rename swaps for a conditional PUT; the Spark topology
+(partition → file, stats → driver) is unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from collections.abc import Iterator
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+from pyspark import TaskContext
+from pyspark.sql import DataFrame
+
+from nessie_spark.lakehouse.table import FILE_ENTRY_DDL, FILE_ENTRY_SCHEMA
+
+DATA_COLUMNS = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+
+IMAGES_ARROW = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("fmt", pa.string()),
+        ("caption", pa.string()),
+        ("phash", pa.int64()),
+    ]
+)
+
+
+def stats_entry_for(tbl: pa.Table, path: str, size_bytes: int) -> dict:
+    """Manifest-entry stats for one written file (FIXTURES.md §2 goldens:
+    min/max must actually bound the file's rows — asserted in tests)."""
+    wh = pc.multiply(tbl.column("w").cast(pa.int64()), tbl.column("h").cast(pa.int64()))
+    has_z = "zkey" in tbl.schema.names
+    return {
+        "file_path": path,
+        "file_format": "parquet",
+        "partition": "",
+        "record_count": tbl.num_rows,
+        "file_size_bytes": size_bytes,
+        "min_phash": pc.min(tbl.column("phash")).as_py(),
+        "max_phash": pc.max(tbl.column("phash")).as_py(),
+        "min_wh": pc.min(wh).as_py(),
+        "max_wh": pc.max(wh).as_py(),
+        "zorder_lo": pc.min(tbl.column("zkey")).as_py() if has_z else None,
+        "zorder_hi": pc.max(tbl.column("zkey")).as_py() if has_z else None,
+        "min_key": pc.min(tbl.column("image_id")).as_py(),
+        "max_key": pc.max(tbl.column("image_id")).as_py(),
+        "added_snapshot_id": -1,
+    }
+
+
+def write_table_file(tbl: pa.Table, abs_path: str) -> int:
+    """Atomic parquet write; returns file size in bytes."""
+    os.makedirs(os.path.dirname(abs_path), exist_ok=True)
+    tmp = abs_path + f".tmp-{uuid.uuid4().hex[:8]}"
+    pq.write_table(tbl, tmp, compression="snappy")
+    os.replace(tmp, abs_path)
+    return os.path.getsize(abs_path)
+
+
+def write_partition_files(
+    df: DataFrame, table_root: str, job_id: str, phase: str
+) -> DataFrame:
+    """Write each partition of ``df`` as one data file; return stats DF.
+
+    ``df`` must carry the images schema (optionally plus ``zkey``, which is
+    recorded in stats but dropped from the data file).
+    """
+
+    def _write(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        pid = TaskContext.get().partitionId()
+        rows = list(batches)
+        if not rows:
+            return
+        tbl = pa.Table.from_batches(rows)
+        if tbl.num_rows == 0:
+            return
+        rel = f"data/{job_id}-{phase}-p{pid:05d}.parquet"
+        abs_path = os.path.join(table_root, rel)
+        data_tbl = tbl.select([c for c in DATA_COLUMNS if c in tbl.schema.names])
+        size = write_table_file(data_tbl, abs_path)
+        entry = stats_entry_for(tbl, rel, size)
+        yield pa.RecordBatch.from_pylist([entry], schema=FILE_ENTRY_SCHEMA)
+
+    return df.mapInArrow(_write, FILE_ENTRY_DDL)
+
+
+def write_grouped_files(
+    df: DataFrame, table_root: str, job_id: str, phase: str, group_col: str = "file_id"
+) -> DataFrame:
+    """Write exactly one data file per distinct ``group_col`` value.
+
+    Used for controlled physical layouts (the deliberately-small-file
+    fixture, FIXTURES.md §1.1) where file↔rows assignment must be exact —
+    ``groupBy().applyInPandas`` guarantees one group per file regardless of
+    hash collisions. Group size is bounded by the layout (≤ target file
+    size), so the pandas materialization is safe.
+    """
+    import pandas as pd
+
+    def _write(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        gid = int(key[0])
+        tbl = pa.Table.from_pandas(
+            pdf[DATA_COLUMNS], schema=IMAGES_ARROW, preserve_index=False
+        )
+        rel = f"data/{job_id}-{phase}-g{gid:05d}.parquet"
+        size = write_table_file(tbl, os.path.join(table_root, rel))
+        return pd.DataFrame([stats_entry_for(tbl, rel, size)])
+
+    return df.groupBy(group_col).applyInPandas(_write, FILE_ENTRY_DDL)

@@ -1,0 +1,65 @@
+"""SparkSession factory for the engine.
+
+Design notes (scale-first):
+- AQE on: runtime coalescing of shuffle partitions + skew-join backstop.
+- Arrow on: every pandas UDF / mapInArrow crossing is batched, never per-row.
+- ``spark.sql.ansi.enabled=false`` for *engine* sessions only: the engine's
+  hash / bit-interleave arithmetic relies on wrap-around int64 semantics
+  (xxhash64-derived keys, Morton interleaves). Query operators in
+  ``nessie_spark.operators`` are written ANSI-safe regardless, because the
+  correctness driver supplies its own session.
+- Arrow batch size bounded by records; for binary image payloads the writer
+  path additionally re-batches by bytes (see lakehouse.kernels).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    app_name: str = "nessie_spark",
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a local SparkSession tuned for the engine.
+
+    ``cores`` defaults to $SPARK_GRAFT_CPUS or all cores. On a real cluster
+    the same settings apply; only ``master`` changes (spark-submit supplies
+    it), so we never override master if one is already configured.
+    """
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 8
+    if shuffle_partitions is None:
+        shuffle_partitions = max(32, cores)
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("NESSIE_SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    # Only set master when none is configured (spark-submit / driver harness
+    # may have set one already).
+    if not os.environ.get("SPARK_MASTER") and "SPARK_SUBMIT" not in os.environ:
+        b = b.master(f"local[{cores}]")
+    if extra_conf:
+        for k, v in extra_conf.items():
+            b = b.config(k, v)
+    return b.getOrCreate()
+
+
+def stop_spark() -> None:
+    s = SparkSession.getActiveSession()
+    if s is not None:
+        s.stop()
