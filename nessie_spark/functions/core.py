@@ -167,10 +167,25 @@ def morton32(a: Column, b: Column) -> Column:
 def fold32(c: Column) -> Column:
     """Fold an int64 (e.g. phash) to 31 bits: xor of hi/lo halves, masked.
 
-    Keeps locality of the low bits while mixing in the high half.
+    Keeps locality of the low bits while mixing in the high half. NOT
+    order-preserving — use :func:`order31` for clustering dimensions whose
+    raw min/max stats must stay narrow per file.
     """
     x = c.cast("long")
     return x.bitwiseXOR(F.shiftright(x, 31)).bitwiseAND(F.lit(0x7FFFFFFF))
+
+
+def order31(c: Column) -> Column:
+    """Monotonic projection of a signed int64 onto 31 bits.
+
+    Flip the sign bit (signed order → unsigned order), then take the top 31
+    bits. Values that compare `<` as signed int64 map to `<=` 31-bit keys, so
+    Z-order clustering on this dimension yields *contiguous raw min/max
+    ranges per file* — the property manifest-stats data skipping relies on
+    (SURVEY.md §4.2 row: per-file min/max stats + data skipping).
+    """
+    x = c.cast("long").bitwiseXOR(F.lit(-0x8000000000000000))
+    return F.shiftrightunsigned(x, 33)
 
 
 def hilbert_key_udf():

@@ -1,0 +1,137 @@
+"""Snapshot expiry (BFS over the snapshot DAG) + orphan-file GC.
+
+north_star (BASELINE.json:6): "snapshot expiry via BFS reachability over the
+snapshot DAG with orphan-file GC".
+
+- The DAG walk runs on the driver: snapshots are metadata (thousands at
+  most), never data.
+- File reachability is computed distributed: manifests of retained
+  snapshots are parquet read by Spark; the keep-set is a LEFT SEMI and the
+  delete-set a LEFT ANTI join (SURVEY.md §2.6) — at 10^12-image scale the
+  file inventory is far too big for the driver.
+- ``dry_run`` reports without deleting (golden DAG fixtures, FIXTURES.md §3).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from nessie_spark.lakehouse.table import Table
+
+
+@dataclass
+class ExpiryReport:
+    retained_snapshots: list[int]
+    expired_snapshots: list[int]
+    deleted_data_files: list[str] = field(default_factory=list)
+    deleted_orphans: list[str] = field(default_factory=list)
+    dry_run: bool = False
+
+
+def reachable_snapshots(table: Table, heads: list[int]) -> set[int]:
+    """BFS from the given head snapshot ids over parent pointers."""
+    parents = {s["snapshot_id"]: s["parent_id"] for s in table.meta["snapshots"]}
+    seen: set[int] = set()
+    frontier = [h for h in heads if h in parents]
+    while frontier:
+        sid = frontier.pop()
+        if sid in seen:
+            continue
+        seen.add(sid)
+        p = parents.get(sid)
+        if p is not None and p not in seen:
+            frontier.append(p)
+    return seen
+
+
+def _live_paths_df(spark: SparkSession, table: Table, snapshot_ids: set[int]):
+    paths = []
+    for sid in snapshot_ids:
+        paths.extend(table.manifest_paths(sid))
+    if not paths:
+        return spark.createDataFrame([], "file_path string")
+    return (
+        spark.read.parquet(*sorted(set(paths))).select("file_path").distinct()
+    )
+
+
+def expire_snapshots(
+    spark: SparkSession,
+    table: Table,
+    keep_heads: list[int] | None = None,
+    dry_run: bool = False,
+) -> ExpiryReport:
+    """Retain ``keep_heads`` (default: current) and all their ancestors'
+    *metadata*; expire every other snapshot and delete data files referenced
+    only by expired snapshots.
+
+    Note on semantics: ancestors of a retained head stay readable (time
+    travel along the retained lineage); snapshots on abandoned branches — not
+    reachable from any head — are expired together with their unique files.
+    """
+    heads = keep_heads or ([table.current_snapshot_id] if table.current_snapshot_id else [])
+    retained = reachable_snapshots(table, heads)
+    all_ids = {s["snapshot_id"] for s in table.meta["snapshots"]}
+    expired = sorted(all_ids - retained)
+
+    keep_df = _live_paths_df(spark, table, retained)
+    drop_df = _live_paths_df(spark, table, set(expired))
+    # files referenced by an expired snapshot but by NO retained snapshot
+    doomed = [
+        r.file_path
+        for r in drop_df.join(keep_df, "file_path", "left_anti").collect()
+    ]
+
+    report = ExpiryReport(sorted(retained), expired, doomed, [], dry_run)
+    if not dry_run:
+        for rel in doomed:
+            p = os.path.join(table.root, rel)
+            if os.path.exists(p):
+                os.remove(p)
+        # drop expired snapshots (and their manifest lists) from metadata
+        meta = dict(table.meta)
+        kept_snaps = [s for s in meta["snapshots"] if s["snapshot_id"] in retained]
+        for s in meta["snapshots"]:
+            if s["snapshot_id"] in retained:
+                continue
+            ml = os.path.join(table.root, s["manifest_list"])
+            if os.path.exists(ml):
+                os.remove(ml)
+        meta["snapshots"] = kept_snaps
+        table._write_version(table.version + 1, meta)
+        table.meta, table.version = meta, table.version + 1
+    return report
+
+
+def gc_orphans(
+    spark: SparkSession, table: Table, dry_run: bool = False
+) -> list[str]:
+    """Delete data files not referenced by ANY snapshot's manifests.
+
+    Filesystem listing LEFT ANTI JOIN reachable-file set. The listing is
+    produced driver-side here (local fs); on object storage this becomes a
+    distributed listing DataFrame — the join shape is unchanged.
+    """
+    data_dir = os.path.join(table.root, "data")
+    listing = [
+        os.path.join("data", f) for f in os.listdir(data_dir)
+    ] if os.path.isdir(data_dir) else []
+    if not listing:
+        return []
+    all_ids = {s["snapshot_id"] for s in table.meta["snapshots"]}
+    reachable = _live_paths_df(spark, table, all_ids)
+    listing_df = spark.createDataFrame([(p,) for p in listing], "file_path string")
+    orphans = [
+        r.file_path
+        for r in listing_df.join(reachable, "file_path", "left_anti")
+        .where(~F.col("file_path").contains(".tmp-"))
+        .collect()
+    ]
+    if not dry_run:
+        for rel in orphans:
+            os.remove(os.path.join(table.root, rel))
+    return sorted(orphans)

@@ -28,7 +28,7 @@ from dataclasses import dataclass
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from nessie_spark.functions.core import fold32, hilbert_key_udf, morton32
+from nessie_spark.functions.core import hilbert_key_udf, morton32, order31
 from nessie_spark.lakehouse import lineage
 from nessie_spark.lakehouse.scan import scan
 from nessie_spark.lakehouse.table import Table
@@ -51,11 +51,13 @@ def zorder_key(strategy: str = "morton"):
     """Column builder: (phash, w, h) -> space-filling-curve key."""
     if strategy == "morton":
         return lambda phash, w, h: morton32(
-            fold32(phash), fold32(w.cast("long") * h.cast("long"))
+            order31(phash), (w.cast("long") * h.cast("long")).bitwiseAND(F.lit(0x7FFFFFFF))
         )
     if strategy == "hilbert":
         udf = hilbert_key_udf()
-        return lambda phash, w, h: udf(fold32(phash), fold32(w.cast("long") * h.cast("long")))
+        return lambda phash, w, h: udf(
+            order31(phash), (w.cast("long") * h.cast("long")).bitwiseAND(F.lit(0x7FFFFFFF))
+        )
     raise NotImplementedError(f"unknown clustering strategy {strategy!r}")
 
 

@@ -49,7 +49,10 @@ def make_pixels(seed: int, i: int, h: int, w: int) -> np.ndarray:
     """Low-frequency gradient + seeded noise so lossy re-encode holds PSNR>=40."""
     rng = np.random.default_rng(_h(seed, i, "px") % (2**63))
     yy, xx = np.mgrid[0:h, 0:w]
-    base = ((yy * 255) // max(h, 1) + (xx * 255) // max(w, 1)) // 2
+    # per-image low-frequency structure: seeded gradient direction + phase,
+    # so phash genuinely varies per image and survives lossy re-encode
+    ay, ax, phase = rng.integers(1, 5), rng.integers(1, 5), rng.integers(0, 256)
+    base = ((yy * ay * 255) // max(h, 1) + (xx * ax * 255) // max(w, 1) + phase) // 2 % 256
     px = np.stack([base, 255 - base, (base * 2) % 256], axis=2).astype(np.int32)
     px = (px + rng.integers(-8, 9, px.shape)).clip(0, 255).astype(np.uint8)
     return px

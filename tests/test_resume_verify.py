@@ -1,0 +1,123 @@
+"""Resumability (kill-and-resume, FIXTURES.md §6) and the grafted
+verification flaggers/scorers (SURVEY.md §2.9)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from nessie_spark import synth
+from nessie_spark.lakehouse import compact, lineage, verify, zorder
+from nessie_spark.lakehouse.scan import scan
+from tests.conftest import make_table
+
+
+def test_compact_kill_and_resume_identical(spark, tmp_path):
+    """Kill after 3 bins; resume must skip completed bins and converge to a
+    state equal to an uninterrupted run (same rows, same file names)."""
+    rootA = str(tmp_path / "A")
+    rootB = str(tmp_path / "B")
+    tA, _ = make_table(spark, rootA, n=256)
+    tB, _ = make_table(spark, rootB, n=256)
+
+    # A: crash after 3 bins
+    with pytest.raises(Exception):
+        compact.compact(spark, tA, target_bytes=256 * 1024, job_id="cj", fail_after_bins=3)
+    done = lineage.completed_units(rootA + "", "cj", "compact")
+    assert 0 < len(done)
+    assert lineage.committed_snapshot(rootA, "cj") is None
+    # resume
+    resA = compact.compact(spark, tA, target_bytes=256 * 1024, job_id="cj")
+    assert resA.snapshot_id is not None
+    assert resA.bins_executed < resA.bins_planned  # skipped the done ones
+
+    # B: uninterrupted
+    resB = compact.compact(spark, tB, target_bytes=256 * 1024, job_id="cj")
+
+    tA, tB = tA.refresh(), tB.refresh()
+    filesA = sorted(e["file_path"] for e in tA.file_entries().to_pylist())
+    filesB = sorted(e["file_path"] for e in tB.file_entries().to_pylist())
+    assert filesA == filesB
+    rowsA = sorted(r.image_id for r in scan(spark, tA).select("image_id").collect())
+    rowsB = sorted(r.image_id for r in scan(spark, tB).select("image_id").collect())
+    assert rowsA == rowsB
+
+
+def test_lineage_records_inputs_outputs(spark, tmp_path):
+    t, _ = make_table(spark, str(tmp_path / "tb"), n=128)
+    compact.compact(spark, t, target_bytes=256 * 1024, job_id="cl")
+    units = lineage.read_phase(t.root, "cl", "compact").to_pylist()
+    assert units
+    for u in units:
+        assert u["input_files"] and u["output_files"]
+        assert u["rows"] > 0 and u["bytes"] > 0
+        assert dict(u["metrics"])["input_files"] == float(len(u["input_files"]))
+
+
+def test_snapshot_rowset_equal_after_maintenance(spark, tmp_path):
+    t, s0 = make_table(spark, str(tmp_path / "tb"), n=128)
+    compact.compact(spark, t, target_bytes=256 * 1024, job_id="c")
+    t = t.refresh()
+    zorder.cluster(spark, t, target_bytes=256 * 1024, job_id="z")
+    t = t.refresh()
+    s2 = t.current_snapshot_id
+    diff = verify.snapshot_rowset_diff(spark, t, s0, s2)
+    assert diff.count() == 0  # BASELINE.json:6 identical row sets
+
+
+def test_caption_and_pixels_survive_maintenance(spark, tmp_path):
+    t, s0 = make_table(spark, str(tmp_path / "tb"), n=128)
+    compact.compact(spark, t, target_bytes=256 * 1024, job_id="c")
+    t = t.refresh()
+    s1 = t.current_snapshot_id
+    cf = verify.caption_flags(spark, t, s0, s1)
+    assert verify.percentage_flagged(cf) == 0.0
+    pv = verify.pixel_verify(spark, t, s0, s1)
+    bad = pv.where(~F.col("ok"))
+    assert bad.count() == 0
+    # pure file-concat maintenance: bytes identical → psnr sentinel
+    assert pv.agg(F.min("psnr")).collect()[0][0] == 99.0
+
+
+def test_corruption_flag_rate_matches_p(spark):
+    """Noise-injection property test (graft of
+    /root/reference/tests/test_noise.py:8-18): flag rate ≈ p."""
+    import pandas as pd
+
+    n, p = 400, 0.05
+    rows = []
+    for i in range(n):
+        r = synth.row_for(42, i, hot_pct=0)
+        if i % int(1 / p) == 0:  # deterministic 5%
+            r["bytes"] = bytearray(synth.corrupt_bytes(bytes(r["bytes"]), seed=9, i=i))
+        rows.append(r)
+    df = spark.createDataFrame(pd.DataFrame(rows), schema=synth.IMAGES_SCHEMA)
+    flags = verify.corruption_flags(df)
+    rate = verify.percentage_flagged(flags)
+    assert abs(rate - p) <= 0.02
+    flagged_ids = {r.image_id for r in flags.where("flag").collect()}
+    expected = {f"img_{i:012d}" for i in range(0, n, int(1 / p))}
+    assert flagged_ids == expected  # flags exactly the corrupted ids
+
+
+def test_duplicate_phash_flags(spark):
+    import pandas as pd
+
+    rows = [synth.row_for(42, i, hot_pct=0) for i in range(40)]
+    # plant a duplicate-phash group with one deviant shape
+    for r in rows[:6]:
+        r["phash"] = 12345
+    rows[0]["w"], rows[0]["h"] = 9, 9  # minority member
+    for r in rows[1:6]:
+        r["w"], r["h"] = 20, 20
+    df = spark.createDataFrame(pd.DataFrame(rows), schema=synth.IMAGES_SCHEMA)
+    flags = verify.duplicate_phash_flags(df)
+    flagged = {r.image_id for r in flags.where("flag").collect()}
+    assert flagged == {rows[0]["image_id"]}
+
+
+def test_salted_count_matches_plain(spark):
+    df = synth.images_df(spark, 200, seed=42, hot_pct=10)
+    from nessie_spark.plans.skew import salted_count
+
+    plain = {r.phash: r["count"] for r in df.groupBy("phash").count().collect()}
+    salted = {r.phash: r["count"] for r in salted_count(df, "phash", 8).collect()}
+    assert plain == salted

