@@ -16,10 +16,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _registry() -> dict[str, tuple]:
-    from nessie_spark.operators import analytics
+    from nessie_spark.operators import analytics, detectors, probability
 
     reg: dict[str, tuple] = {}
-    for mod in (analytics,):
+    for mod in (analytics, detectors, probability):
         for name, pair in mod.QUERIES.items():
             assert name not in reg, f"duplicate query name {name}"
             reg[name] = pair

@@ -1,0 +1,375 @@
+"""Annotation-error-detection operators, re-expressed Spark-first.
+
+Each operator is the faithful graft of a reference detector (file:line in
+each docstring) onto the testdata: ``documents.lang`` plays the noisy label,
+``documents.source`` the surface form / group, ``embeddings`` the feature
+space. All detectors return per-instance flag/score DataFrames joined by id
+— never positional.
+
+Scale shapes: every operator here is (groupBy → broadcast join-back) or a
+window — one shuffle each, dimension side tiny, exactly the EP3 lifecycle of
+SURVEY.md §3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from nessie_spark.operators.common import T
+
+
+def majority_label_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MajorityLabelBaseline (/root/reference/nessie/detectors/baselines.py:11-46):
+    global mode of labels; flag every instance whose label ≠ mode.
+    Spark: count-desc/label-asc argmax + broadcast crossJoin."""
+    docs = T(spark, sf_dir, "documents")
+    mode = (
+        docs.groupBy("lang")
+        .count()
+        .orderBy(F.desc("count"), F.asc("lang"))
+        .limit(1)
+        .select(F.col("lang").alias("mode_lang"))
+    )
+    return (
+        docs.crossJoin(F.broadcast(mode))
+        .select(
+            "doc_id",
+            "lang",
+            (F.col("lang") != F.col("mode_lang")).alias("flag"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+MAJORITY_LABEL_SQL = """
+WITH mode AS (
+  SELECT lang AS mode_lang FROM documents
+  GROUP BY lang ORDER BY COUNT(*) DESC, lang ASC LIMIT 1
+)
+SELECT doc_id, lang, lang != mode_lang AS flag
+FROM documents CROSS JOIN mode
+ORDER BY doc_id
+"""
+
+
+def majority_per_surface_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MajorityLabelPerSurfaceFormBaseline (baselines.py:49-96): mode per
+    group (source ≙ lowercased surface form); flag minority members;
+    ``corrected`` = the group mode (the reference's correct(), Retag-shape
+    P2 retag.py:39-40)."""
+    docs = T(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "lang").count()
+    w = Window.partitionBy("source").orderBy(F.desc("count"), F.asc("lang"))
+    modal = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("source", F.col("lang").alias("corrected"))
+    )
+    return (
+        docs.join(F.broadcast(modal), "source")
+        .select(
+            "doc_id",
+            "lang",
+            "corrected",
+            (F.col("lang") != F.col("corrected")).alias("flag"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+MAJORITY_PER_SURFACE_SQL = """
+WITH counts AS (
+  SELECT source, lang, COUNT(*) AS cnt FROM documents GROUP BY source, lang
+), modal AS (
+  SELECT source, lang AS corrected
+  FROM (SELECT source, lang, ROW_NUMBER() OVER
+          (PARTITION BY source ORDER BY cnt DESC, lang ASC) AS rk FROM counts)
+  WHERE rk = 1
+)
+SELECT d.doc_id, d.lang, m.corrected, d.lang != m.corrected AS flag
+FROM documents d JOIN modal m USING (source)
+ORDER BY d.doc_id
+"""
+
+
+def label_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LabelEntropy (/root/reference/nessie/detectors/label_entropy.py:21-67):
+    per-surface label-distribution entropy (base 2); the surface's majority
+    label scores 0; final score = 1 − minmax-rescaled. Two-level aggregation
+    + window mode + global min/max broadcast — no Python loop (the reference
+    loops per surface, label_entropy.py:37-62)."""
+    docs = T(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = counts.groupBy("source").agg(F.sum("cnt").alias("tot"))
+    ent = (
+        counts.join(tot, "source")
+        .groupBy("source")
+        .agg(
+            (-F.sum(
+                (F.col("cnt") / F.col("tot"))
+                * F.log2(F.col("cnt") / F.col("tot"))
+            )).alias("entropy")
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("lang"))
+    modal = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("source", F.col("lang").alias("modal_lang"))
+    )
+    raw = (
+        docs.join(F.broadcast(ent), "source")
+        .join(F.broadcast(modal), "source")
+        .select(
+            "doc_id",
+            F.when(F.col("lang") == F.col("modal_lang"), F.lit(0.0))
+            .otherwise(F.col("entropy"))
+            .alias("raw"),
+        )
+    )
+    mm = raw.agg(F.min("raw").alias("mn"), F.max("raw").alias("mx"))
+    return (
+        raw.crossJoin(F.broadcast(mm))
+        .select(
+            "doc_id",
+            F.round(
+                1
+                - F.when(F.col("mx") > F.col("mn"), (F.col("raw") - F.col("mn")) / (F.col("mx") - F.col("mn")))
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+LABEL_ENTROPY_SQL = """
+WITH counts AS (
+  SELECT source, lang, COUNT(*) AS cnt FROM documents GROUP BY source, lang
+), tot AS (
+  SELECT source, SUM(cnt) AS tot FROM counts GROUP BY source
+), ent AS (
+  SELECT counts.source,
+         -SUM((cnt / tot) * log2(cnt / tot)) AS entropy
+  FROM counts JOIN tot ON counts.source = tot.source
+  GROUP BY counts.source
+), modal AS (
+  SELECT source, lang AS modal_lang
+  FROM (SELECT source, lang, ROW_NUMBER() OVER
+          (PARTITION BY source ORDER BY cnt DESC, lang ASC) AS rk FROM counts)
+  WHERE rk = 1
+), raw AS (
+  SELECT d.doc_id,
+         CASE WHEN d.lang = m.modal_lang THEN 0.0 ELSE e.entropy END AS raw
+  FROM documents d
+  JOIN ent e ON d.source = e.source
+  JOIN modal m ON d.source = m.source
+), mm AS (
+  SELECT MIN(raw) AS mn, MAX(raw) AS mx FROM raw
+)
+SELECT doc_id,
+       ROUND(1 - CASE WHEN mx > mn THEN (raw - mn) / (mx - mn) ELSE 0.0 END, 6) AS score
+FROM raw CROSS JOIN mm
+ORDER BY doc_id
+"""
+
+
+def weighted_discrepancy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WeightedDiscrepancy (/root/reference/nessie/detectors/
+    weighted_discrepancy.py:17-63): per surface s with label counts c:
+    raw = (max(c) − min(c)) / |distinct labels| * n_s for minority rows,
+    0 for majority rows; minmax-scaled."""
+    docs = T(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = counts.groupBy("source").agg(
+        F.max("cnt").alias("cmax"),
+        F.min("cnt").alias("cmin"),
+        F.sum("cnt").alias("n_s"),
+        F.count(F.lit(1)).alias("n_labels"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("lang"))
+    modal = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("source", F.col("lang").alias("modal_lang"))
+    )
+    raw = (
+        docs.join(F.broadcast(stats), "source")
+        .join(F.broadcast(modal), "source")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("lang") != F.col("modal_lang"),
+                (F.col("cmax") - F.col("cmin"))
+                / F.col("n_labels").cast("double")
+                * F.col("n_s"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("raw"),
+        )
+    )
+    mm = raw.agg(F.min("raw").alias("mn"), F.max("raw").alias("mx"))
+    return (
+        raw.crossJoin(F.broadcast(mm))
+        .select(
+            "doc_id",
+            F.round(
+                F.when(F.col("mx") > F.col("mn"), (F.col("raw") - F.col("mn")) / (F.col("mx") - F.col("mn")))
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+WEIGHTED_DISCREPANCY_SQL = """
+WITH counts AS (
+  SELECT source, lang, COUNT(*) AS cnt FROM documents GROUP BY source, lang
+), stats AS (
+  SELECT source, MAX(cnt) AS cmax, MIN(cnt) AS cmin, SUM(cnt) AS n_s,
+         COUNT(*) AS n_labels
+  FROM counts GROUP BY source
+), modal AS (
+  SELECT source, lang AS modal_lang
+  FROM (SELECT source, lang, ROW_NUMBER() OVER
+          (PARTITION BY source ORDER BY cnt DESC, lang ASC) AS rk FROM counts)
+  WHERE rk = 1
+), raw AS (
+  SELECT d.doc_id,
+         CASE WHEN d.lang != m.modal_lang
+              THEN (s.cmax - s.cmin) / CAST(s.n_labels AS DOUBLE) * s.n_s
+              ELSE 0.0 END AS raw
+  FROM documents d
+  JOIN stats s ON d.source = s.source
+  JOIN modal m ON d.source = m.source
+), mm AS (SELECT MIN(raw) AS mn, MAX(raw) AS mx FROM raw)
+SELECT doc_id,
+       ROUND(CASE WHEN mx > mn THEN (raw - mn) / (mx - mn) ELSE 0.0 END, 6) AS score
+FROM raw CROSS JOIN mm
+ORDER BY doc_id
+"""
+
+
+def borda_count_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BordaCount (/root/reference/nessie/detectors/borda_count.py:21-37):
+    ordinal rank per scorer, summed across scorers. Scorers here are three
+    deterministic document statistics (all integers → exact oracle). The
+    reference's only ranking operator: row_number window + aggregation."""
+    docs = T(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("s1"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("s2"),
+        F.size(F.array_distinct(F.split(F.trim("text"), r"\s+"))).cast("long").alias("s3"),
+    )
+    long = scored.selectExpr(
+        "doc_id", "stack(3, 's1', s1, 's2', s2, 's3', s3) AS (scorer, score)"
+    )
+    w = Window.partitionBy("scorer").orderBy(F.asc("score"), F.asc("doc_id"))
+    return (
+        long.withColumn("rk", F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(F.sum("rk").alias("borda"))
+        .orderBy("doc_id")
+    )
+
+
+BORDA_SQL = """
+WITH scored AS (
+  SELECT doc_id,
+         CAST(n_chars AS BIGINT) AS s1,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS s2,
+         CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS s3
+  FROM documents
+), long AS (
+  SELECT doc_id, 's1' AS scorer, s1 AS score FROM scored
+  UNION ALL SELECT doc_id, 's2', s2 FROM scored
+  UNION ALL SELECT doc_id, 's3', s3 FROM scored
+), ranked AS (
+  SELECT doc_id, ROW_NUMBER() OVER
+           (PARTITION BY scorer ORDER BY score ASC, doc_id ASC) AS rk
+  FROM long
+)
+SELECT doc_id, SUM(rk) AS borda FROM ranked GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def variation_ngrams_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VariationNGrams (/root/reference/nessie/detectors/
+    variational_principle.py:16-143), Spark-native rewrite per SURVEY.md
+    §2.4 J6: the suffix-tree "maximal repeats" become a bounded n-gram
+    inventory — explode word bigrams, group, keep repeats with >1 distinct
+    label across occurrences, majority-vote a label, flag the documents on
+    the minority side. Output: one row per (bigram, majority)."""
+    docs = T(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.split(F.trim("text"), r"\s+").alias("ts")
+    )
+    grams = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.when(
+                F.size("ts") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ts") - 2),
+                    lambda i: F.concat_ws(" ", F.get(F.col("ts"), i), F.get(F.col("ts"), i + 1)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    ).distinct()  # one vote per (doc, gram)
+    counts = grams.groupBy("gram", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = counts.groupBy("gram").agg(
+        F.sum("cnt").alias("n_docs"), F.count(F.lit(1)).alias("n_langs")
+    )
+    w = Window.partitionBy("gram").orderBy(F.desc("cnt"), F.asc("lang"))
+    modal = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("gram", F.col("lang").alias("majority_lang"), F.col("cnt").alias("majority_cnt"))
+    )
+    return (
+        stats.where((F.col("n_docs") >= 2) & (F.col("n_langs") >= 2))
+        .join(modal, "gram")
+        .select("gram", "n_docs", "n_langs", "majority_lang", "majority_cnt")
+        .orderBy("gram")
+    )
+
+
+VARIATION_NGRAMS_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS ts
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, lang,
+         ts[i] || ' ' || ts[i+1] AS gram
+  FROM toks, UNNEST(range(1, len(ts))) AS t(i)
+  WHERE len(ts) >= 2
+), counts AS (
+  SELECT gram, lang, COUNT(*) AS cnt FROM grams GROUP BY gram, lang
+), stats AS (
+  SELECT gram, SUM(cnt) AS n_docs, COUNT(*) AS n_langs FROM counts GROUP BY gram
+), modal AS (
+  SELECT gram, lang AS majority_lang, cnt AS majority_cnt
+  FROM (SELECT gram, lang, cnt, ROW_NUMBER() OVER
+          (PARTITION BY gram ORDER BY cnt DESC, lang ASC) AS rk FROM counts)
+  WHERE rk = 1
+)
+SELECT s.gram, s.n_docs, s.n_langs, m.majority_lang, m.majority_cnt
+FROM stats s JOIN modal m USING (gram)
+WHERE s.n_docs >= 2 AND s.n_langs >= 2
+ORDER BY s.gram
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "majority_label_flags": (majority_label_flags, MAJORITY_LABEL_SQL),
+    "majority_per_surface_flags": (majority_per_surface_flags, MAJORITY_PER_SURFACE_SQL),
+    "label_entropy_scores": (label_entropy_scores, LABEL_ENTROPY_SQL),
+    "weighted_discrepancy_scores": (weighted_discrepancy_scores, WEIGHTED_DISCREPANCY_SQL),
+    "borda_count_scores": (borda_count_scores, BORDA_SQL),
+    "variation_ngrams_flags": (variation_ngrams_flags, VARIATION_NGRAMS_SQL),
+}
