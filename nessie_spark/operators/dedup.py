@@ -1,0 +1,318 @@
+"""Deduplication operators for training-data pipelines (task brief §dedup).
+
+All hashes derive from the shared md5-based ``h64`` primitive
+(functions/core.py) so every stage — minhash signatures, simhash bits, LSH
+band keys — is bit-identical in the DuckDB oracle.
+
+Scale notes:
+- exact dedup: one groupBy on the content hash (map-side combine free);
+- minhash LSH: signatures are per-row array math; candidates come from a
+  groupBy on (band, band_key) — the only shuffle — then exact-Jaccard
+  verification joins only the candidate pairs, never all pairs;
+- simhash: per-row bit aggregation; near-dup candidates = equality join on
+  rotated 16-bit bands (guarantees recall for hamming ≤ 3);
+- ngram-jaccard: shingle-inverted-index self-join (the J6 n-gram pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from nessie_spark.functions.core import h64
+from nessie_spark.operators.common import T, h64_sql
+
+N_MINHASH = 32
+N_BANDS = 8  # 4 rows per band
+JACCARD_T = 0.5
+
+
+def _shingles(col):
+    """3-word shingles, distinct, from whitespace tokens."""
+    ts = F.split(F.trim(col), r"\s+")
+    return F.array_distinct(
+        F.when(
+            F.size(ts) >= 3,
+            F.transform(
+                F.sequence(F.lit(0), F.size(ts) - 3),
+                lambda i: F.concat_ws(
+                    " ", F.get(ts, i), F.get(ts, i + 1), F.get(ts, i + 2)
+                ),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", ts)))
+    )
+
+
+_SHINGLES_SQL = """
+  SELECT doc_id,
+         CASE WHEN len(ts) >= 3
+              THEN list_distinct([ ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                   for i in range(1, len(ts) - 1) ])
+              ELSE [array_to_string(ts, ' ')] END AS sh
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM documents)
+"""
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5(content) groupBy; canonical id = min doc_id.
+
+    One shuffle over (hash → [ids]); at 100 TB this is the cheapest pass and
+    runs first in any dedup pipeline."""
+    docs = T(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5(F.col("text")).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("dup_count"))
+        .orderBy("canonical_id")
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id,
+       COUNT(*) AS dup_count
+FROM documents GROUP BY md5(text) ORDER BY canonical_id
+"""
+
+
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (first 4 of 32 hash families exposed; exact oracle
+    over the md5-derived hash family). The per-row signature is
+    min(h_seed(shingle)) — array math, no shuffle."""
+    docs = T(spark, sf_dir, "documents")
+    sh = _shingles(F.col("text"))
+    d = docs.select("doc_id", sh.alias("sh"))
+    cols = [
+        F.array_min(
+            F.transform(F.col("sh"), lambda s: h64(F.concat(F.lit(f"mh{i}|"), s)))
+        ).alias(f"mh{i}")
+        for i in range(4)
+    ]
+    return d.select("doc_id", *cols).orderBy("doc_id")
+
+
+DEDUP_MINHASH_SIG_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL})
+SELECT doc_id,
+       list_min([ {h64_sql(x="'mh0|' || s")} for s in sh ]) AS mh0,
+       list_min([ {h64_sql(x="'mh1|' || s")} for s in sh ]) AS mh1,
+       list_min([ {h64_sql(x="'mh2|' || s")} for s in sh ]) AS mh2,
+       list_min([ {h64_sql(x="'mh3|' || s")} for s in sh ]) AS mh3
+FROM sh ORDER BY doc_id
+"""
+
+
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding + exact-Jaccard verification.
+
+    Pipeline: 32 minhashes → 8 bands of 4 → band-bucket groupBy → candidate
+    pairs → exact Jaccard on distinct shingles ≥ 0.5. The oracle computes
+    exact all-pairs Jaccard: identical minhash signatures (J=1 pairs) are
+    always caught by banding, and near-pairs at this threshold/banding have
+    recall ≈ 1 at test scale — verified by the gate itself."""
+    docs = T(spark, sf_dir, "documents")
+    d = docs.select("doc_id", _shingles(F.col("text")).alias("sh"))
+    sig = d.select(
+        "doc_id",
+        "sh",
+        F.array(
+            *[
+                F.array_min(
+                    F.transform(F.col("sh"), lambda s, i=i: h64(F.concat(F.lit(f"mh{i}|"), s)))
+                )
+                for i in range(N_MINHASH)
+            ]
+        ).alias("sig"),
+    )
+    rows_per_band = N_MINHASH // N_BANDS
+    banded = sig.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= JACCARD_T)
+        .orderBy("id_a", "id_b")
+    )
+
+
+DEDUP_MINHASH_LSH_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= {JACCARD_T}
+ORDER BY id_a, id_b
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints: 60-bit, token-frequency weighted.
+
+    bit b of simhash = 1 iff Σ_tokens (2·bit_b(h64(token)) − 1) > 0.
+    Pure integer math → exact oracle. Near-dup candidates at scale come from
+    equality joins on the 4×15-bit bands (pigeonhole: hamming ≤ 3 ⇒ some
+    band equal); the fingerprint itself is the per-row output here."""
+    docs = T(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    )
+    th = toks.select("doc_id", h64(F.col("tok")).alias("h"))
+    bits = th.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("b"),
+        "h",
+    ).select(
+        "doc_id",
+        "b",
+        (F.expr("shiftright(h, cast(b as int)) & 1") * 2 - 1).alias("v"),
+    )
+    return (
+        bits.groupBy("doc_id", "b")
+        .agg(F.sum("v").alias("sv"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("sv") > 0, F.expr("shiftleft(1L, cast(b as int))"))
+                .otherwise(F.lit(0).cast("long"))
+            ).alias("simhash")
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_SIMHASH_SQL = f"""
+WITH th AS (
+  SELECT doc_id, {h64_sql(x="t.tok")} AS h
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents) t
+), bits AS (
+  SELECT doc_id, b.b AS b,
+         SUM(((h >> CAST(b.b AS INT)) & 1) * 2 - 1) AS sv
+  FROM th, (SELECT unnest(range(60)) AS b) b
+  GROUP BY doc_id, b.b
+)
+SELECT doc_id,
+       SUM(CASE WHEN sv > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS simhash
+FROM bits GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def ngram_jaccard_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document nearest neighbor by 3-shingle Jaccard, via the inverted
+    shingle index (no all-pairs): explode shingles → self-join on shingle →
+    per-pair intersection counts → Jaccard → window top-1.
+
+    The Spark-native rewrite of suffix-tree repeat mining (SURVEY.md J6)."""
+    docs = T(spark, sf_dir, "documents")
+    d = docs.select("doc_id", _shingles(F.col("text")).alias("sh"))
+    sizes = d.select("doc_id", F.size("sh").alias("n"))
+    inv = d.select("doc_id", F.explode("sh").alias("s"))
+    pair_inter = (
+        inv.alias("a")
+        .join(inv.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = (
+        pair_inter.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")), 6).alias("jaccard"),
+        )
+    )
+    both = jac.unionByName(
+        jac.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"), "jaccard"
+        )
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("jaccard"), F.asc("id_b"))
+    return (
+        both.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(F.col("id_a").alias("doc_id"), F.col("id_b").alias("nearest_id"), "jaccard")
+        .orderBy("doc_id")
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+inv AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
+pair_inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+jac AS (
+  SELECT id_a, id_b,
+         ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+  FROM pair_inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+),
+allpairs AS (
+  SELECT id_a, id_b, jaccard FROM jac
+  UNION ALL SELECT id_b, id_a, jaccard FROM jac
+),
+ranked AS (
+  SELECT id_a, id_b, jaccard,
+         ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY jaccard DESC, id_b ASC) AS rk
+  FROM allpairs
+)
+SELECT id_a AS doc_id, id_b AS nearest_id, jaccard FROM ranked WHERE rk = 1
+ORDER BY doc_id
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_minhash_signatures": (dedup_minhash_signatures, DEDUP_MINHASH_SIG_SQL),
+    "dedup_minhash_lsh_pairs": (dedup_minhash_lsh_pairs, DEDUP_MINHASH_LSH_SQL),
+    "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
+    "ngram_jaccard_top1": (ngram_jaccard_top1, NGRAM_JACCARD_SQL),
+}

@@ -1,0 +1,195 @@
+"""Similarity search over the embeddings table (task brief §similarity).
+
+- ``ann_cosine_topk``: brute-force cosine top-k — the correctness baseline
+  (crossJoin + in-row array math, all JVM-side).
+- ``ann_lsh_topk``: the scale path — random-hyperplane LSH buckets prune the
+  candidate set before exact scoring: candidates share at least one of 3
+  sign-pattern bands (8 hyperplanes each, md5-derived → oracle-computable);
+  at 10^9 vectors the bucket join replaces the O(n²) cross product.
+
+Both rank by (round(cos, 6) DESC, neighbor id) so ties are deterministic
+across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from nessie_spark.functions.core import cosine_sim, h64
+from nessie_spark.operators.common import T, h64_sql
+
+TOP_K = 5
+N_QUERIES = 20  # vec_id < 20 are the query vectors
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("e")
+    )
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors for the first N_QUERIES vectors."""
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(emb.select(F.col("vec_id").alias("nid"), F.col("e").alias("ne")))
+        .where(F.col("qid") != F.col("nid"))
+        .select(
+            "qid", "nid", F.round(cosine_sim(F.col("qe"), F.col("ne")), 6).alias("cos")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select("qid", "rk", "nid", "cos")
+        .orderBy("qid", "rk")
+    )
+
+
+_COS_SQL = """
+      ROUND(
+        list_sum([ x[1] * x[2] for x in list_zip(a.e, b.e) ])
+        / (sqrt(list_sum([ y * y for y in a.e ])) * sqrt(list_sum([ z * z for z in b.e ]))),
+      6)
+"""
+
+ANN_COSINE_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid, {_COS_SQL} AS cos
+  FROM emb a JOIN emb b ON a.vec_id < {N_QUERIES} AND a.vec_id != b.vec_id
+), ranked AS (
+  SELECT qid, nid, cos,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rk
+  FROM pairs
+)
+SELECT qid, rk, nid, cos FROM ranked WHERE rk <= {TOP_K} ORDER BY qid, rk
+"""
+
+
+N_PLANES = 8
+N_BANDS = 3
+
+
+def _sign_band_cols(e: Column) -> list[Column]:
+    """Sign-pattern band keys from deterministic hyperplanes: plane[d] =
+    h64('b{band}p{p}d{d}') − 2^59 (centered). The oracle reproduces the
+    identical planes via the shared md5 hash primitive."""
+    cols = []
+    for band in range(N_BANDS):
+        bits = []
+        for p in range(N_PLANES):
+            # dot(e, plane) where plane[d] = h64('b{band}p{p}d{d}') - 2^59
+            dot = F.aggregate(
+                F.zip_with(
+                    e,
+                    F.array(
+                        *[
+                            (
+                                h64(F.lit(f"b{band}p{p}d{d}")) - F.lit(2**59)
+                            ).cast("double")
+                            for d in range(64)
+                        ]
+                    ),
+                    lambda x, w: x * w,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bits.append(F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)))
+        key = bits[0]
+        for b_ in bits[1:]:
+            key = key * 2 + b_
+        cols.append(key.alias(f"band{band}"))
+    return cols
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-pruned cosine top-k: random-hyperplane sign bands → candidate
+    union over bands → exact cosine only on candidates. At test scale the
+    result set is the candidates' true ranking (oracle reproduces the same
+    bands exactly, so the comparison is apples-to-apples)."""
+    emb = _emb(spark, sf_dir)
+    banded = emb.select("vec_id", "e", *_sign_band_cols(F.col("e")))
+    q = banded.where(F.col("vec_id") < N_QUERIES)
+    cand = None
+    for band in range(N_BANDS):
+        c = (
+            q.select(
+                F.col("vec_id").alias("qid"), F.col("e").alias("qe"), F.col(f"band{band}").alias("bk")
+            )
+            .join(
+                banded.select(
+                    F.col("vec_id").alias("nid"), F.col("e").alias("ne"), F.col(f"band{band}").alias("bk")
+                ),
+                "bk",
+            )
+            .where(F.col("qid") != F.col("nid"))
+            .select("qid", "qe", "nid", "ne")
+        )
+        cand = c if cand is None else cand.unionByName(c)
+    cand = cand.dropDuplicates(["qid", "nid"])
+    scored = cand.select(
+        "qid", "nid", F.round(cosine_sim(F.col("qe"), F.col("ne")), 6).alias("cos")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select("qid", "rk", "nid", "cos")
+        .orderBy("qid", "rk")
+    )
+
+
+def _planes_sql() -> str:
+    """Per-band sign-key expression for the oracle (same h64 planes)."""
+    bands = []
+    for band in range(N_BANDS):
+        bits = []
+        for p in range(N_PLANES):
+            terms = " + ".join(
+                f"e[{d + 1}] * CAST({h64_sql(x=repr(f'b{band}p{p}d{d}'))} - 576460752303423488 AS DOUBLE)"
+                for d in range(64)
+            )
+            bits.append(f"(CASE WHEN ({terms}) > 0 THEN 1 ELSE 0 END)")
+        key = bits[0]
+        for b_ in bits[1:]:
+            key = f"({key} * 2 + {b_})"
+        bands.append(f"{key} AS band{band}")
+    return ", ".join(bands)
+
+
+ANN_LSH_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e FROM embeddings
+), banded AS (
+  SELECT vec_id, e, {_planes_sql()} FROM emb
+), cand AS (
+  SELECT DISTINCT a.vec_id AS qid, a.e AS qe, b.vec_id AS nid, b.e AS ne
+  FROM banded a JOIN banded b
+    ON a.vec_id < {N_QUERIES} AND a.vec_id != b.vec_id
+   AND (a.band0 = b.band0 OR a.band1 = b.band1 OR a.band2 = b.band2)
+), scored AS (
+  SELECT qid, nid, {_COS_SQL.replace("a.e", "qe").replace("b.e", "ne")} AS cos
+  FROM cand a
+), ranked AS (
+  SELECT qid, nid, cos,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rk
+  FROM scored
+)
+SELECT qid, rk, nid, cos FROM ranked WHERE rk <= {TOP_K} ORDER BY qid, rk
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "ann_cosine_topk": (ann_cosine_topk, ANN_COSINE_SQL),
+    "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
+}
