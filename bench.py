@@ -1,0 +1,207 @@
+"""Benchmark harness (BASELINE.md protocol).
+
+Primary metric (BASELINE.json:2): images/sec for the compaction (FFD,
+with pixel decode + PSNR verify) + Z-order rewrite end-to-end job on the
+deterministic synthetic image+caption table — run at TWO parallelism levels
+(local[N] and local[4N]) on the SAME input bytes, reporting throughput at
+both and scaling efficiency = thr(4N) / (4 · thr(N)).
+
+Also times the headline analytics/dedup/similarity/text queries at
+$SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line; also refreshes BENCH/BASELINE.md with the scaling
+report.
+
+Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (the 4N level, default 32),
+NESSIE_BENCH_N (images, default 49152), NESSIE_BENCH_FAST=1 (CI smoke).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+FAST = os.environ.get("NESSIE_BENCH_FAST") == "1"
+N_IMAGES = int(os.environ.get("NESSIE_BENCH_N", "8192" if FAST else "196608"))
+TARGET = 512 * 1024
+WORK = os.environ.get("NESSIE_BENCH_DIR", "/tmp/nessie_bench")
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "top_customers_per_nation",
+    "order_priority_counts",
+    "events_hourly",
+    "events_sessionize",
+    "majority_per_surface_flags",
+    "label_entropy_scores",
+    "borda_count_scores",
+    "variation_ngrams_flags",
+    "classification_entropy_scores",
+    "mean_distance_scores",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash",
+    "ngram_jaccard_top1",
+    "ann_cosine_topk",
+    "quality_scores",
+    "token_counts",
+    "doc_fingerprints",
+    "lang_id_markers",
+]
+
+
+def make_session(cores: int):
+    from nessie_spark.session import get_spark
+
+    return get_spark(
+        cores=cores, shuffle_partitions=max(32, cores * 2), app_name=f"bench-{cores}"
+    )
+
+
+def build_table(spark, root: str) -> None:
+    from nessie_spark import synth
+    from nessie_spark.lakehouse import jobs
+
+    shutil.rmtree(root, ignore_errors=True)
+    t = jobs.create_images_table(root)
+    df = synth.images_df(spark, N_IMAGES, seed=42)
+    bounds = synth.lognormal_file_boundaries(N_IMAGES, seed=42, mean_rows=24)
+    jobs.append(spark, t, df, job_id="ingest", file_boundaries=bounds)
+
+
+def warm_up(spark) -> None:
+    """Warm Python workers (imports run once per worker process; at
+    local[32] that is 4× the cold-start of local[8] and would bias the
+    scaling measurement — BASELINE.md protocol runs 1 warm-up first)."""
+    import pyarrow as pa
+
+    def _touch(batches):
+        import nessie_spark.lakehouse.writer  # noqa: F401 — preload per worker
+
+        yield from batches
+
+    spark.range(0, 10_000, 1, 64).mapInArrow(_touch, "id long").count()
+
+
+def run_maintenance(spark, root: str) -> float:
+    """The timed job: FFD compaction (decode + PSNR verify) + Z-order
+    rewrite + stats + commits. Returns elapsed seconds."""
+    from nessie_spark.lakehouse import compact, zorder
+    from nessie_spark.lakehouse.table import Table
+
+    warm_up(spark)
+    t = Table.load(root)
+    t0 = time.time()
+    compact.compact(spark, t, target_bytes=TARGET, job_id="bench-compact", verify_psnr=True)
+    t = t.refresh()
+    zorder.cluster(spark, t, target_bytes=TARGET, job_id="bench-zorder")
+    return time.time() - t0
+
+
+def time_queries(spark) -> dict[str, float]:
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    out = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    low = max(2, CPUS // 4)
+    os.makedirs(WORK, exist_ok=True)
+    base = os.path.join(WORK, "base", "images")
+
+    # --- build input once at full parallelism (not timed)
+    spark = make_session(CPUS)
+    build_table(spark, base)
+    spark.stop()
+
+    # --- same input bytes for both levels
+    runs = {}
+    for cores in (low, CPUS):
+        root = os.path.join(WORK, f"run{cores}", "images")
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+        shutil.copytree(os.path.dirname(base), os.path.dirname(root))
+        s = make_session(cores)
+        elapsed = run_maintenance(s, root)
+        s.stop()
+        runs[cores] = elapsed
+
+    thr_low = N_IMAGES / runs[low]
+    thr_high = N_IMAGES / runs[CPUS]
+    efficiency = thr_high / ((CPUS / low) * thr_low)
+
+    # --- headline queries at full parallelism
+    spark = make_session(CPUS)
+    queries = time_queries(spark)
+    spark.stop()
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    result = {
+        "metric": "images/sec (compaction + Z-order rewrite end-to-end)",
+        "value": round(runs[CPUS], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "images": N_IMAGES,
+        "images_per_sec": round(thr_high, 1),
+        "scaling": {
+            "cores_low": low,
+            "cores_high": CPUS,
+            "sec_low": round(runs[low], 3),
+            "sec_high": round(runs[CPUS], 3),
+            "images_per_sec_low": round(thr_low, 1),
+            "images_per_sec_high": round(thr_high, 1),
+            "efficiency": round(efficiency, 3),
+            "passes_0_8": efficiency >= 0.8,
+        },
+    }
+    _write_report(result)
+    print(json.dumps(result))
+
+
+def _write_report(r: dict) -> None:
+    os.makedirs("BENCH", exist_ok=True)
+    s = r["scaling"]
+    with open("BENCH/BASELINE.md", "w") as fh:
+        fh.write(
+            f"""# BENCH — compaction + Z-order scaling report
+
+Input: {r["images"]} synthetic images (seed 42, lognormal small-file
+layout), identical bytes for both runs. Job = FFD compaction with pixel
+decode + PSNR verification, then Morton Z-order rewrite with per-file
+min/max stats and snapshot commits.
+
+| parallelism | elapsed (s) | images/sec |
+|---|---|---|
+| local[{s["cores_low"]}] | {s["sec_low"]} | {s["images_per_sec_low"]} |
+| local[{s["cores_high"]}] | {s["sec_high"]} | {s["images_per_sec_high"]} |
+
+**Scaling efficiency (N → 4N cores): {s["efficiency"]}** —
+{"PASSES" if s["passes_0_8"] else "BELOW"} the ≥ 0.8 gate (BASELINE.json).
+
+Caveat (BASELINE.md protocol): both levels share one machine's memory
+bandwidth and disk; this is a lower-bound proxy for true executor scaling
+on the shuffle-light compaction path.
+
+Headline query timings at sf={r["sf"]} (local[{s["cores_high"]}]): see the
+`queries` object in the driver-recorded BENCH JSON.
+"""
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,100 @@
+"""spark-submit entrypoint (north_rule: "run via spark-submit --py-files").
+
+Usage:
+    spark-submit --py-files nessie_spark.zip nessie_spark/cli.py \
+        --table /path/to/images --job compact|zorder|hilbert|expire|gc|rewrite-manifests \
+        [--target-bytes 134217728] [--job-id resumable-id]
+
+    # synthesize a table first:
+    spark-submit ... --table /path --job synth --rows 100000
+
+On a cluster the master/executors come from spark-submit; locally the
+session factory picks local[$SPARK_GRAFT_CPUS].
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--table", required=True)
+    ap.add_argument(
+        "--job",
+        required=True,
+        choices=["synth", "compact", "zorder", "hilbert", "expire", "gc", "rewrite-manifests"],
+    )
+    ap.add_argument("--rows", type=int, default=100_000)
+    ap.add_argument("--target-bytes", type=int, default=128 * 1024 * 1024)
+    ap.add_argument("--job-id", default=None)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--small-files", action="store_true", help="synth: lognormal small-file layout")
+    args = ap.parse_args(argv)
+
+    from nessie_spark.session import get_spark
+
+    spark = get_spark(app_name=f"nessie-{args.job}")
+    out: dict = {"job": args.job, "table": args.table}
+
+    if args.job == "synth":
+        from nessie_spark import synth
+        from nessie_spark.lakehouse import jobs
+
+        t = jobs.create_images_table(args.table)
+        df = synth.images_df(spark, args.rows, seed=args.seed)
+        bounds = (
+            synth.lognormal_file_boundaries(args.rows, seed=args.seed)
+            if args.small_files
+            else None
+        )
+        snap = jobs.append(spark, t, df, job_id=args.job_id, file_boundaries=bounds)
+        out.update(rows=args.rows, snapshot_id=snap)
+    else:
+        from nessie_spark.lakehouse.table import Table
+
+        t = Table.load(args.table)
+        if args.job == "compact":
+            from nessie_spark.lakehouse.compact import compact
+
+            r = compact(
+                spark, t, target_bytes=args.target_bytes, job_id=args.job_id, verify_psnr=True
+            )
+            out.update(vars(r))
+        elif args.job in ("zorder", "hilbert"):
+            from nessie_spark.lakehouse.zorder import cluster
+
+            strategy = "morton" if args.job == "zorder" else "hilbert"
+            r = cluster(
+                spark, t, strategy=strategy, target_bytes=args.target_bytes, job_id=args.job_id
+            )
+            out.update(vars(r))
+        elif args.job == "expire":
+            from nessie_spark.lakehouse.expire import expire_snapshots
+
+            rep = expire_snapshots(spark, t)
+            out.update(
+                retained=rep.retained_snapshots,
+                expired=rep.expired_snapshots,
+                deleted_files=len(rep.deleted_data_files),
+            )
+        elif args.job == "gc":
+            from nessie_spark.lakehouse.expire import gc_orphans
+
+            orphans = gc_orphans(spark, t)
+            out.update(orphans_deleted=len(orphans))
+        elif args.job == "rewrite-manifests":
+            from nessie_spark.lakehouse.manifest import rewrite_manifests
+
+            r = rewrite_manifests(spark, t)
+            out.update(vars(r))
+
+    print(json.dumps(out, default=str))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -112,15 +112,24 @@ def compact(
             return pd.DataFrame([entry])
 
         # one group per bin; only tiny plan rows shuffle, never image bytes
-        plan_df.groupBy("bin_id").applyInPandas(_rewrite, FILE_ENTRY_DDL).collect()
+        fresh_stats = (
+            plan_df.groupBy("bin_id").applyInPandas(_rewrite, FILE_ENTRY_DDL).toArrow()
+        )
+    else:
+        fresh_stats = None
 
     # gather all units (including ones done before a crash) from lineage
     units = lineage.read_phase(root, job_id, "compact").to_pylist()
     deleted = {p for u in units for p in u["input_files"]}
     out_paths = [p for u in units for p in u["output_files"]]
-    added_entries = []
+    # manifest entries: reuse the stats returned by the rewrite tasks; only
+    # units completed before a crash (resume path) are re-read — with column
+    # pruning, so pixel bytes never reach the driver
+    added_entries = list(fresh_stats.to_pylist()) if fresh_stats is not None else []
+    have = {e["file_path"] for e in added_entries}
     for p in out_paths:
-        # stats-only re-read: column pruning keeps pixel bytes off the driver
+        if p in have:
+            continue
         tbl = pq.read_table(
             os.path.join(root, p), columns=["image_id", "w", "h", "phash"]
         )

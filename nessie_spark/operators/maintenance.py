@@ -1,0 +1,182 @@
+"""Maintenance-job demo queries: the lakehouse engine surfaced through the
+driver's gate.
+
+Each demo builds a deterministic synthetic image+caption table in a fresh
+temp dir, runs a real maintenance job (compaction / Z-order / MERGE /
+expiry), verifies invariants with the grafted flaggers, and returns a small
+summary DataFrame whose values are deterministic (seeded generator; FFD and
+merge counts are pure functions of the layout). Non-SQL-expressible →
+rows-only checks (no oracle), as the contract allows.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nessie_spark import synth
+from nessie_spark.lakehouse import compact as C
+from nessie_spark.lakehouse import expire as E
+from nessie_spark.lakehouse import jobs, merge, verify, zorder
+from nessie_spark.lakehouse.scan import scan
+
+N = 256
+TARGET = 256 * 1024
+
+
+def _fresh_table(spark: SparkSession):
+    root = tempfile.mkdtemp(prefix="nessie-demo-") + "/images"
+    t = jobs.create_images_table(root)
+    df = synth.images_df(spark, N, seed=42)
+    bounds = synth.lognormal_file_boundaries(N, seed=42, mean_rows=24)
+    snap = jobs.append(spark, t, df, job_id="ingest", file_boundaries=bounds)
+    return t.refresh(), snap, root
+
+
+def maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t, snap0, root = _fresh_table(spark)
+    try:
+        res = C.compact(spark, t, target_bytes=TARGET, job_id="demo-compact")
+        t = t.refresh()
+        rows_after = scan(spark, t).count()
+        diff = verify.snapshot_rowset_diff(spark, t, snap0, t.current_snapshot_id).count()
+        return spark.createDataFrame(
+            [
+                (
+                    res.input_files,
+                    res.output_files,
+                    res.bins_planned,
+                    rows_after,
+                    diff == 0,
+                )
+            ],
+            "input_small_files int, output_files int, bins int, rows long, rowset_preserved boolean",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def maintenance_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t, snap0, root = _fresh_table(spark)
+    try:
+        res = zorder.cluster(spark, t, strategy="morton", target_bytes=TARGET, job_id="demo-z")
+        t = t.refresh()
+        entries = sorted(t.file_entries().to_pylist(), key=lambda e: e["zorder_lo"])
+        disjoint = all(
+            a["zorder_hi"] <= b["zorder_lo"] for a, b in zip(entries, entries[1:])
+        )
+        rows_after = scan(spark, t).count()
+        diff = verify.snapshot_rowset_diff(spark, t, snap0, t.current_snapshot_id).count()
+        return spark.createDataFrame(
+            [(res.rows, rows_after, disjoint, diff == 0)],
+            "rows long, rows_after long, zranges_disjoint boolean, rowset_preserved boolean",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def maintenance_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    t, _, root = _fresh_table(spark)
+    try:
+        rows = []
+        for i in range(0, N, 10):
+            r = synth.row_for(42, i)
+            r["caption"] = r["caption"] + " (edited)"
+            rows.append(r)
+        for i in range(N, N + 8):
+            rows.append(synth.row_for(42, i))
+        src = spark.createDataFrame(pd.DataFrame(rows), schema=synth.IMAGES_SCHEMA)
+        res = merge.merge_into(spark, t, src, job_id="demo-merge")
+        t = t.refresh()
+        edited = (
+            scan(spark, t).where(F.col("caption").endswith("(edited)")).count()
+        )
+        return spark.createDataFrame(
+            [(res.updated, res.unchanged, res.inserted, edited, scan(spark, t).count())],
+            "updated long, unchanged long, inserted long, edited_visible long, rows long",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def maintenance_expire_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    t, _, root = _fresh_table(spark)
+    try:
+        C.compact(spark, t, target_bytes=TARGET, job_id="demo-c")
+        t = t.refresh()
+        head = t.current_snapshot_id
+        # plant orphans
+        for i in range(3):
+            with open(os.path.join(t.root, "data", f"orphan-{i}.parquet"), "wb") as fh:
+                fh.write(b"junk")
+        orphans = E.gc_orphans(spark, t, dry_run=False)
+        rep = E.expire_snapshots(spark, t, keep_heads=[head], dry_run=False)
+        t = t.refresh()
+        return spark.createDataFrame(
+            [
+                (
+                    len(orphans),
+                    len(rep.retained_snapshots),
+                    len(rep.expired_snapshots),
+                    scan(spark, t).count(),
+                )
+            ],
+            "orphans_deleted int, retained int, expired int, rows long",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline demo: binary image column → batched decode →
+    per-image features (brightness, contrast, digest), all inside a
+    mapInPandas over Arrow batches (input_hint: no per-row Python UDFs).
+    The decode step uses the engine's real codecs (kernels.py); with
+    image libs absent in this container, 'jpeg' is the documented
+    deterministic stand-in codec."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from nessie_spark.lakehouse import kernels as K
+
+    df = synth.images_df(spark, 128, seed=7)
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for iid, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                px = K.decode(bytes(data), fmt)
+                out.append(
+                    (
+                        iid,
+                        fmt,
+                        round(float(px.mean()), 4),
+                        round(float(px.std()), 4),
+                        K.pixel_digest(px)[:16],
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["image_id", "fmt", "brightness", "contrast", "digest16"]
+            )
+
+    return df.mapInPandas(
+        feats,
+        "image_id string, fmt string, brightness double, contrast double, digest16 string",
+    ).orderBy("image_id")
+
+
+QUERIES: dict[str, tuple] = {
+    "maintenance_compact": (maintenance_compact, None),
+    "maintenance_zorder": (maintenance_zorder, None),
+    "maintenance_merge": (maintenance_merge, None),
+    "maintenance_expire_gc": (maintenance_expire_gc, None),
+    "multimodal_pixel_stats": (multimodal_pixel_stats, None),
+}

@@ -1,0 +1,52 @@
+"""Driver-contract tests: entry/queries/oracle_sql shape + a sampled oracle
+parity check (the full check runs via tools/check_oracle.py)."""
+
+import duckdb
+import pytest
+
+import __spark_entry__ as E
+from tools.check_oracle import TABLES, canon
+
+SF = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.01"
+
+SAMPLED = [
+    "q1_pricing_summary",
+    "majority_per_surface_flags",
+    "dedup_simhash",
+    "doc_fingerprints",
+    "events_sessionize",
+]
+
+
+def test_entry_returns_rows(spark):
+    df = E.entry(spark)
+    assert df.count() > 0
+    assert "l_returnflag" in df.columns
+
+
+def test_queries_registry_shape(spark):
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    assert len(qs) >= 25
+    assert set(oracles) <= set(qs)
+    # every non-maintenance operator has an oracle
+    no_oracle = {k for k in qs if k not in oracles}
+    assert all(k.startswith(("maintenance_", "multimodal_")) for k in no_oracle)
+
+
+@pytest.mark.parametrize("name", SAMPLED)
+def test_oracle_parity_sampled(spark, name):
+    qs = E.queries()
+    sql = E.oracle_sql()[name]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_ORACLE}/{t}.parquet'")
+    sdf = qs[name](spark, SF_ORACLE)
+    srows = [r.asDict(recursive=True) for r in sdf.collect()]
+    rel = con.execute(sql)
+    cols = [d[0] for d in rel.description]
+    orows = [dict(zip(cols, row)) for row in rel.fetchall()]
+    assert len(srows) == len(orows)
+    assert sorted(sdf.columns) == sorted(cols)
+    assert canon(srows) == canon(orows)
