@@ -54,11 +54,18 @@ def compact(
     target_bytes: int = DEFAULT_TARGET,
     job_id: str | None = None,
     verify_psnr: bool = False,
+    reencode: bool = False,
     min_input_files: int = 2,
     fail_after_bins: int | None = None,
 ) -> CompactionResult:
-    """Run one compaction job; ``fail_after_bins`` injects a mid-job crash
-    for resume tests (tasks past the limit raise)."""
+    """Run one compaction job.
+
+    ``verify_psnr``: decode every image; PSNR-check lossy re-encodes.
+    ``reencode``: full pixel path per the north star — decode, re-encode in
+    the stored format, PSNR-verify against the original decode (>= 40 dB
+    lossy, exact for lossless), store the re-encoded bytes. All inside the
+    per-bin Arrow batch task.
+    ``fail_after_bins`` injects a mid-job crash for resume tests."""
     job_id = job_id or f"compact-{uuid.uuid4().hex[:8]}"
     root = table.root
 
@@ -93,7 +100,24 @@ def compact(
                 [pq.read_table(os.path.join(root, p)) for p in paths]
             )
             metrics: dict[str, float] = {"input_files": float(len(paths))}
-            if verify_psnr:
+            if reencode:
+                mn = 99.0
+                new_bytes = []
+                for data, fmt in zip(
+                    tbl.column("bytes").to_pylist(), tbl.column("fmt").to_pylist()
+                ):
+                    px = K.decode(bytes(data), fmt)
+                    enc = K.encode(px, fmt)
+                    p_db = K.psnr(px, K.decode(enc, fmt))
+                    mn = min(mn, p_db)
+                    assert p_db >= (40.0 if fmt == "jpeg" else 99.0), "PSNR gate"
+                    new_bytes.append(enc)
+                tbl = tbl.set_column(
+                    tbl.schema.get_field_index("bytes"), "bytes",
+                    pa.array(new_bytes, pa.binary()),
+                )
+                metrics["min_psnr"] = mn
+            elif verify_psnr:
                 mn = 99.0
                 fmts = tbl.column("fmt").to_pylist()
                 for data, fmt in zip(tbl.column("bytes").to_pylist(), fmts):
@@ -111,10 +135,15 @@ def compact(
             )
             return pd.DataFrame([entry])
 
-        # one group per bin; only tiny plan rows shuffle, never image bytes
-        fresh_stats = (
-            plan_df.groupBy("bin_id").applyInPandas(_rewrite, FILE_ENTRY_DDL).toArrow()
-        )
+        # one group per bin; only tiny plan rows shuffle, never image bytes.
+        # AQE must not coalesce this stage (plan rows are KBs; the real work
+        # is per-bin IO/CPU inside the task) — see session.no_coalesce.
+        from nessie_spark.session import no_coalesce
+
+        with no_coalesce(spark):
+            fresh_stats = (
+                plan_df.groupBy("bin_id").applyInPandas(_rewrite, FILE_ENTRY_DDL).toArrow()
+            )
     else:
         fresh_stats = None
 

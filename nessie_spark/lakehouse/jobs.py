@@ -51,10 +51,12 @@ def append(
 
         dfg = df.withColumn("file_id", file_id_of(df[id_col]))
         stats = write_grouped_files(dfg, table.root, job_id, "append")
+        from nessie_spark.lakehouse.writer import collect_grouped_stats
+
+        entries = collect_grouped_stats(spark, stats)
     else:
         stats = write_partition_files(df, table.root, job_id, "append")
-
-    entries = stats.toArrow()
+        entries = stats.toArrow()
     rows = int(sum(entries.column("record_count").to_pylist() or [0]))
     snap_id = table.commit("append", added=entries, summary={"job_id": job_id})
     lineage.write_unit(

@@ -84,9 +84,12 @@ def rewrite_manifests(
             ]
         )
 
-    summaries = (
-        bucketed.groupBy("bucket").applyInPandas(_write_bucket, SUMMARY_DDL).collect()
-    )
+    from nessie_spark.session import no_coalesce
+
+    with no_coalesce(spark):
+        summaries = (
+            bucketed.groupBy("bucket").applyInPandas(_write_bucket, SUMMARY_DDL).collect()
+        )
     carried = [r.asDict() for r in summaries]
     snap = table.commit(
         "rewrite-manifests",

@@ -126,3 +126,12 @@ def write_grouped_files(
         return pd.DataFrame([stats_entry_for(tbl, rel, size)])
 
     return df.groupBy(group_col).applyInPandas(_write, FILE_ENTRY_DDL)
+
+
+def collect_grouped_stats(spark, grouped_writer_df: DataFrame):
+    """Run a grouped writer with AQE coalescing pinned off (tiny shuffle
+    rows, heavy per-group work — see session.no_coalesce)."""
+    from nessie_spark.session import no_coalesce
+
+    with no_coalesce(spark):
+        return grouped_writer_df.toArrow()

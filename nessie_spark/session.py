@@ -63,3 +63,25 @@ def stop_spark() -> None:
     s = SparkSession.getActiveSession()
     if s is not None:
         s.stop()
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def no_coalesce(spark: SparkSession):
+    """Disable AQE shuffle-partition coalescing for the enclosed action.
+
+    Grouped-map maintenance jobs (one applyInPandas group per file/bin) carry
+    tiny *plan* rows through the shuffle while the real work (reading/writing
+    image bytes) happens inside the task. AQE sizes partitions by shuffle
+    bytes, sees a few KB, and coalesces the whole stage into one task —
+    serializing the job. Around these actions we pin the partitioning.
+    """
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)

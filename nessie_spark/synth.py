@@ -58,10 +58,13 @@ def make_pixels(seed: int, i: int, h: int, w: int) -> np.ndarray:
     return px
 
 
-def row_for(seed: int, i: int, hot_pct: int = 5) -> dict:
-    """Materialize one image row — pure function of (seed, i)."""
-    w = 16 + (_h(seed, i, "w") % 49)
-    h = 16 + (_h(seed, i, "h") % 49)
+def row_for(
+    seed: int, i: int, hot_pct: int = 5, wh: tuple[int, int] = (16, 64)
+) -> dict:
+    """Materialize one image row — pure function of (seed, i, wh)."""
+    lo, hi = wh
+    w = lo + (_h(seed, i, "w") % (hi - lo + 1))
+    h = lo + (_h(seed, i, "h") % (hi - lo + 1))
     fmt = "png" if (_h(seed, i, "f") % 10) < 8 else "jpeg"
     px = make_pixels(seed, i, h, w)
     data = K.encode(px, fmt)
@@ -93,13 +96,14 @@ def images_df(
     seed: int = 42,
     hot_pct: int = 5,
     partitions: int | None = None,
+    wh: tuple[int, int] = (16, 64),
 ) -> DataFrame:
     """Distributed deterministic images DataFrame (no driver materialization)."""
     parts = partitions or max(8, n // 2048)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            rows = [row_for(seed, int(i), hot_pct) for i in b["id"]]
+            rows = [row_for(seed, int(i), hot_pct, wh) for i in b["id"]]
             yield pd.DataFrame(rows)
 
     return spark.range(0, n, 1, parts).mapInPandas(gen, IMAGES_SCHEMA)
