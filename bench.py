@@ -67,7 +67,12 @@ def make_session(cores: int):
     from nessie_spark.session import get_spark
 
     return get_spark(
-        cores=cores, shuffle_partitions=max(32, cores * 2), app_name=f"bench-{cores}"
+        cores=cores,
+        shuffle_partitions=max(32, cores * 2),
+        app_name=f"bench-{cores}",
+        # shuffle files on the same RAM-backed store as the data: the
+        # measured job must be CPU-bound (protocol), not vda-disk-bound
+        extra_conf={"spark.local.dir": os.path.join(WORK, f"spark-local-{cores}")},
     )
 
 
@@ -139,16 +144,23 @@ def main() -> None:
     build_table(spark, base)
     spark.stop()
 
-    # --- same input bytes for every level
+    # --- same input bytes for every level; median of N timed runs per the
+    # BASELINE.md protocol (single-VM wall times are noisy)
+    n_runs = 1 if FAST else 3
     runs = {}
     for cores in levels:
-        root = os.path.join(WORK, f"run{cores}", "images")
-        shutil.rmtree(os.path.dirname(root), ignore_errors=True)
-        shutil.copytree(os.path.dirname(base), os.path.dirname(root))
         s = make_session(cores)
-        elapsed = run_maintenance(s, root)
+        times = []
+        for rep in range(n_runs):
+            root = os.path.join(WORK, f"run{cores}-{rep}", "images")
+            shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+            shutil.copytree(os.path.dirname(base), os.path.dirname(root))
+            times.append(run_maintenance(s, root))
+            shutil.rmtree(os.path.dirname(root), ignore_errors=True)
         s.stop()
-        runs[cores] = elapsed
+        times.sort()
+        runs[cores] = times[len(times) // 2]
+        shutil.rmtree(os.path.join(WORK, f"spark-local-{cores}"), ignore_errors=True)
 
     thr = {c: N_IMAGES / t for c, t in runs.items()}
     eff_primary = thr[mid] / ((mid / low) * thr[low])

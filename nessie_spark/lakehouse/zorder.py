@@ -4,19 +4,24 @@ north_star (BASELINE.json:6): Z-order via 64-bit Morton interleaving of
 ``(phash, w*h)``, optional Hilbert variant, per-file min/max stats for data
 skipping.
 
-Physical plan (the one shuffle this job needs, and the only one):
-    scan(live files)
-      → zkey = morton(fold31(phash), fold31(w*h))      [pure codegen exprs]
-      → repartitionByRange(n_files, zkey)              [range shuffle: Spark
-         samples zkey to build equi-depth cut points — the "histogram
-         equi-depth" partitioner of SURVEY.md §2.5]
-      → sortWithinPartitions(zkey)                     [no extra shuffle]
-      → mapInArrow writer (one file per partition, zorder_lo/hi stats)
+Physical plan (the one full-data shuffle this job needs, and the only one):
+    pass 1 (cheap): scan(phash, w, h ONLY — parquet column pruning keeps
+      image bytes on disk) → zkey → approx equi-depth quantiles → file
+      boundaries ("histogram equi-depth" cut points, SURVEY.md §2.5)
+    pass 2: scan(all) → zkey → pid = searchsorted(boundaries)  [vectorized
+      pandas UDF over the broadcast cut points]
+      → groupBy(pid) → applyInPandas: sort by zkey, write exactly one file
+        per bucket with zorder_lo/hi stats
 
-The zkey never hits disk in data files — only its per-file lo/hi land in the
-manifest, which is exactly what scan-time skipping consumes. Image bytes
-cross the shuffle once; there is no driver materialization, so throughput
-scales with executors (the BENCH scaling-efficiency job).
+Why not ``repartitionByRange``: Spark's range partitioner runs a sampling
+job that materializes *full rows* (including the binary pixels) — measured
+as a ~15 s fixed cost at 196k images that does not parallelize. The
+explicit quantile pass touches three int columns only.
+
+The zkey never hits disk in data files — only its per-file lo/hi land in
+the manifest, which is exactly what scan-time data skipping consumes.
+Image bytes cross the shuffle once; no driver materialization, so
+throughput scales with executors (the BENCH scaling-efficiency job).
 """
 
 from __future__ import annotations
@@ -32,8 +37,6 @@ from nessie_spark.functions.core import hilbert_key_udf, morton32, order31
 from nessie_spark.lakehouse import lineage
 from nessie_spark.lakehouse.scan import scan
 from nessie_spark.lakehouse.table import Table
-from nessie_spark.lakehouse.writer import write_partition_files
-
 DEFAULT_TARGET = 8 * 1024 * 1024
 
 
@@ -61,6 +64,57 @@ def zorder_key(strategy: str = "morton"):
     raise NotImplementedError(f"unknown clustering strategy {strategy!r}")
 
 
+def _bucket_udf(bounds: list[int]):
+    """Vectorized searchsorted over the broadcast boundary list."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    b = np.asarray(bounds, dtype=np.int64)
+
+    def _assign(zkey):
+        import pandas as pd
+
+        return pd.Series(
+            np.searchsorted(b, zkey.to_numpy(dtype=np.int64), side="right").astype(
+                "int32"
+            )
+        )
+
+    return pandas_udf(_assign, "int")
+
+
+def write_zorder_buckets(spark, df, root: str, job_id: str, phase: str):
+    """One data file per zkey bucket: groupBy(pid) → applyInPandas sorts the
+    bucket by zkey and writes it (exact file-per-bucket; disjoint
+    zorder_lo/hi ranges by construction). AQE coalescing pinned off —
+    the shuffled rows ARE the data here, but bucket count ≈ file count and
+    each reduce partition must stay one bucket wide."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from nessie_spark.lakehouse.table import FILE_ENTRY_DDL
+    from nessie_spark.lakehouse.writer import (
+        DATA_COLUMNS,
+        IMAGES_ARROW,
+        stats_entry_for,
+        write_table_file,
+    )
+    from nessie_spark.session import no_coalesce
+
+    def _write(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(key[0])
+        pdf = pdf.sort_values("zkey")
+        tbl = pa.Table.from_pandas(
+            pdf[DATA_COLUMNS], schema=IMAGES_ARROW, preserve_index=False
+        ).append_column("zkey", pa.array(pdf["zkey"].to_numpy(), pa.int64()))
+        rel = f"data/{job_id}-{phase}-p{pid:05d}.parquet"
+        size = write_table_file(tbl.select(DATA_COLUMNS), f"{root}/{rel}")
+        return pd.DataFrame([stats_entry_for(tbl, rel, size)])
+
+    with no_coalesce(spark):
+        return df.groupBy("pid").applyInPandas(_write, FILE_ENTRY_DDL).toArrow()
+
+
 def cluster(
     spark: SparkSession,
     table: Table,
@@ -85,11 +139,21 @@ def cluster(
         n_files = max(1, math.ceil(total_bytes / target_bytes))
 
     key = zorder_key(strategy)
-    df = scan(spark, table)
-    df = df.withColumn("zkey", key(F.col("phash"), F.col("w"), F.col("h")))
-    df = df.repartitionByRange(n_files, "zkey").sortWithinPartitions("zkey")
 
-    stats = write_partition_files(df, root, job_id, strategy).toArrow()
+    # pass 1: equi-depth boundaries from a column-pruned scan (no bytes)
+    keys = scan(spark, table, columns=["phash", "w", "h"]).withColumn(
+        "zkey", key(F.col("phash"), F.col("w"), F.col("h"))
+    )
+    if n_files > 1:
+        probs = [i / n_files for i in range(1, n_files)]
+        bounds = keys.stat.approxQuantile("zkey", probs, 1.0 / (n_files * 20))
+    else:
+        bounds = []
+
+    # pass 2: the one full shuffle — bucket by boundary, one file per bucket
+    df = scan(spark, table).withColumn("zkey", key(F.col("phash"), F.col("w"), F.col("h")))
+    df = df.withColumn("pid", _bucket_udf(bounds)(F.col("zkey")))
+    stats = write_zorder_buckets(spark, df, root, job_id, strategy)
     out_paths = stats.column("file_path").to_pylist()
     rows = int(sum(stats.column("record_count").to_pylist() or [0]))
     lineage.write_unit(

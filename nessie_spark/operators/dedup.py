@@ -75,29 +75,63 @@ FROM documents GROUP BY md5(text) ORDER BY canonical_id
 """
 
 
+_MH_MOD = (1 << 60) - 93  # prime below 2^60
+
+
+def _mh_pair(s):
+    """(h1, h2) from ONE md5 per shingle: hex chars 1-15 and 16-30.
+
+    Double hashing mh_i = (h1 + i·h2) mod p gives 32 independent-enough
+    hash families at 1/32 the digest cost (the standard Kirsch-Mitzenmacher
+    construction) — and stays exactly reproducible in the oracle.
+    """
+    md = F.md5(s)
+    # h1: 60 bits (15 hex), h2: 56 bits (14 hex) so h1 + 31·h2 < 2^63
+    # (ANSI-safe: no int64 overflow for i ≤ 31)
+    h1 = F.conv(F.substring(md, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(md, 16, 14), 16, 10).cast("long")
+    return h1, h2
+
+
+def _mh_i(s, i: int):
+    h1, h2 = _mh_pair(s)
+    return (h1 + h2 * F.lit(i)) % F.lit(_MH_MOD)
+
+
+def _mh_min(sh, i: int):
+    """min over shingles of hash family i.
+
+    NB: the transform lambda must take exactly ONE parameter — PySpark
+    treats a second lambda parameter as the ARRAY INDEX, which would
+    silently replace the family index (a bug this function exists to
+    prevent)."""
+    return F.array_min(F.transform(sh, lambda s: _mh_i(s, i)))
+
+
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (first 4 of 32 hash families exposed; exact oracle
-    over the md5-derived hash family). The per-row signature is
-    min(h_seed(shingle)) — array math, no shuffle."""
+    over the md5-derived double-hashing family). The per-row signature is
+    min over shingles — array math, no shuffle."""
     docs = T(spark, sf_dir, "documents")
     sh = _shingles(F.col("text"))
     d = docs.select("doc_id", sh.alias("sh"))
-    cols = [
-        F.array_min(
-            F.transform(F.col("sh"), lambda s: h64(F.concat(F.lit(f"mh{i}|"), s)))
-        ).alias(f"mh{i}")
-        for i in range(4)
-    ]
+    cols = [_mh_min(F.col("sh"), i).alias(f"mh{i}") for i in range(4)]
     return d.select("doc_id", *cols).orderBy("doc_id")
+
+
+def _mh_i_sql(s: str, i: int) -> str:
+    h1 = f"('0x' || substring(md5({s}), 1, 15))::BIGINT"
+    h2 = f"('0x' || substring(md5({s}), 16, 14))::BIGINT"
+    return f"(({h1} + {h2} * {i}) % {_MH_MOD})"
 
 
 DEDUP_MINHASH_SIG_SQL = f"""
 WITH sh AS ({_SHINGLES_SQL})
 SELECT doc_id,
-       list_min([ {h64_sql(x="'mh0|' || s")} for s in sh ]) AS mh0,
-       list_min([ {h64_sql(x="'mh1|' || s")} for s in sh ]) AS mh1,
-       list_min([ {h64_sql(x="'mh2|' || s")} for s in sh ]) AS mh2,
-       list_min([ {h64_sql(x="'mh3|' || s")} for s in sh ]) AS mh3
+       list_min([ {_mh_i_sql("s", 0)} for s in sh ]) AS mh0,
+       list_min([ {_mh_i_sql("s", 1)} for s in sh ]) AS mh1,
+       list_min([ {_mh_i_sql("s", 2)} for s in sh ]) AS mh2,
+       list_min([ {_mh_i_sql("s", 3)} for s in sh ]) AS mh3
 FROM sh ORDER BY doc_id
 """
 
@@ -115,14 +149,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = d.select(
         "doc_id",
         "sh",
-        F.array(
-            *[
-                F.array_min(
-                    F.transform(F.col("sh"), lambda s, i=i: h64(F.concat(F.lit(f"mh{i}|"), s)))
-                )
-                for i in range(N_MINHASH)
-            ]
-        ).alias("sig"),
+        F.array(*[_mh_min(F.col("sh"), i) for i in range(N_MINHASH)]).alias("sig"),
     )
     rows_per_band = N_MINHASH // N_BANDS
     banded = sig.select(
