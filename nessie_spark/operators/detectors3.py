@@ -1,0 +1,380 @@
+"""Third detector suite (SURVEY.md §2.2 P7/P10, §2.3 A10, §2.7 O9).
+
+Same cross-engine float discipline as the other operator modules: integer
+count aggregates wherever sums cross a shuffle (order-independent, exact),
+fixed per-row multiplication order for double products, round(·, 6) on any
+emitted float. The 3 deterministic "models" are the embedding-slice argmax
+voters shared with ensemble_majority_flags (probability.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from nessie_spark.functions.core import entropy_ln, softmax_arr
+from nessie_spark.operators.common import T
+
+N_CLASSES = 4
+
+
+def _slice(lo: int) -> Column:
+    return F.transform(
+        F.slice("embedding", lo, N_CLASSES), lambda v: v.cast("double")
+    )
+
+
+def _pred(lo: int) -> Column:
+    sl = _slice(lo)
+    return (F.array_position(sl, F.array_max(sl)) - 1).cast("int")
+
+
+def dropout_uncertainty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DropoutUncertainty, entropy formulation (/root/reference/nessie/
+    detectors/dropout_uncertainty.py:28-51, 79-91): H(mean of T repeated
+    distributions). T=3 repeats = softmax over embedding slices — the
+    deterministic twin of MC-dropout passes (helper.py:373-415).
+
+    All in-row array math (zip_with / transform / aggregate): whole-stage
+    codegen, zero shuffle — at 100 TB this is a pure map over the scan."""
+    emb = T(spark, sf_dir, "embeddings")
+    p1, p2, p3 = (softmax_arr(_slice(lo)) for lo in (1, 5, 9))
+    mean = F.transform(
+        F.zip_with(F.zip_with(p1, p2, lambda a, b: a + b), p3, lambda s, c: s + c),
+        lambda v: v / F.lit(3.0),
+    )
+    return emb.select(
+        "vec_id", F.round(entropy_ln(mean), 6).alias("score")
+    ).orderBy("vec_id")
+
+
+def _softmax_sql(lo: int, hi: int) -> str:
+    return f"""
+      (SELECT list_transform(
+         list_transform(e, x -> exp(x - list_max(e))),
+         x -> x / list_sum(list_transform(e, y -> exp(y - list_max(e)))))
+       FROM (SELECT list_transform(embedding[{lo}:{hi}], v -> CAST(v AS DOUBLE)) AS e))
+    """
+
+
+DROPOUT_UNCERTAINTY_SQL = f"""
+WITH p AS (
+  SELECT vec_id,
+         {_softmax_sql(1, 4)} AS p1,
+         {_softmax_sql(5, 8)} AS p2,
+         {_softmax_sql(9, 12)} AS p3
+  FROM embeddings
+), m AS (
+  SELECT vec_id,
+         list_transform(list_zip(p1, p2, p3),
+                        t -> ((t[1] + t[2]) + t[3]) / 3.0) AS mean
+  FROM p
+)
+SELECT vec_id,
+       ROUND(-list_sum(list_transform(mean,
+             x -> CASE WHEN x > 0 THEN x * ln(x) ELSE 0.0 END)), 6) AS score
+FROM m ORDER BY vec_id
+"""
+
+
+def token_featurizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Handcrafted token featurizer (/root/reference/nessie/models/tagging/
+    util.py:5-44): per-token surface features + a ±1 context window via
+    lag/lead over (doc, position) — the reference's prev/next-word features.
+
+    Scale shape: posexplode then two window functions over the SAME
+    (doc_id, pos) ordering — one shuffle, both windows share the exchange."""
+    docs = T(spark, sf_dir, "documents")
+    ts = F.split(F.trim("text"), r"\s+")
+    ex = docs.select("doc_id", F.posexplode(ts).alias("pos", "word"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return ex.select(
+        "doc_id",
+        "pos",
+        "word",
+        F.lower("word").alias("w_lower"),
+        F.left("word", F.lit(3)).alias("prefix3"),
+        F.right("word", F.lit(3)).alias("suffix3"),
+        F.col("word").rlike("^[0-9]+$").alias("is_digit"),
+        F.col("word").rlike("^[A-Z]").alias("is_cap"),
+        F.lag("word").over(w).alias("prev_word"),
+        F.lead("word").over(w).alias("next_word"),
+    ).orderBy("doc_id", "pos")
+
+
+TOKEN_FEATURIZER_SQL = """
+WITH ex AS (
+  SELECT doc_id,
+         generate_subscripts(ts, 1) - 1 AS pos,
+         unnest(ts) AS word
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+        FROM documents)
+)
+SELECT doc_id, pos, word,
+       lower(word) AS w_lower,
+       left(word, 3) AS prefix3,
+       right(word, 3) AS suffix3,
+       regexp_matches(word, '^[0-9]+$') AS is_digit,
+       regexp_matches(word, '^[A-Z]') AS is_cap,
+       LAG(word)  OVER (PARTITION BY doc_id ORDER BY pos) AS prev_word,
+       LEAD(word) OVER (PARTITION BY doc_id ORDER BY pos) AS next_word
+FROM ex ORDER BY doc_id, pos
+"""
+
+
+def _votes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, noisy, v1, v2, v3): the 3 deterministic voters."""
+    emb = T(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        (F.col("label") % N_CLASSES).alias("noisy"),
+        _pred(1).alias("v1"),
+        _pred(5).alias("v2"),
+        _pred(9).alias("v3"),
+    )
+
+
+_VOTES_SQL = """
+  SELECT vec_id, label % 4 AS noisy,
+         CAST(list_position(s1, list_max(s1)) - 1 AS INT) AS v1,
+         CAST(list_position(s2, list_max(s2)) - 1 AS INT) AS v2,
+         CAST(list_position(s3, list_max(s3)) - 1 AS INT) AS v3
+  FROM (SELECT vec_id, label,
+               list_transform(embedding[1:4],  v -> CAST(v AS DOUBLE)) AS s1,
+               list_transform(embedding[5:8],  v -> CAST(v AS DOUBLE)) AS s2,
+               list_transform(embedding[9:12], v -> CAST(v AS DOUBLE)) AS s3
+        FROM embeddings)
+"""
+
+
+def item_discrimination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ItemResponseTheoryFlagger analog (/root/reference/nessie/detectors/
+    irt.py:29-123): the reference fits a 2PL IRT model and flags items with
+    negative discrimination. Engine twin: the classical point-biserial
+    item-discrimination index — corr across the k=3 models between item
+    correctness and model ability (mean correctness) — flag disc < 0.
+
+    Ability sums are integer counts (order-independent across the shuffle);
+    the per-item Pearson is a fixed-order scalar expression, so the result
+    is bit-stable against the DuckDB oracle."""
+    v = _votes(spark, sf_dir)
+    c = v.select(
+        "vec_id",
+        (F.col("v1") == F.col("noisy")).cast("int").alias("c1"),
+        (F.col("v2") == F.col("noisy")).cast("int").alias("c2"),
+        (F.col("v3") == F.col("noisy")).cast("int").alias("c3"),
+    )
+    ab = c.agg(
+        F.sum("c1").alias("s1"),
+        F.sum("c2").alias("s2"),
+        F.sum("c3").alias("s3"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        (F.col("s1") / F.col("n")).alias("a1"),
+        (F.col("s2") / F.col("n")).alias("a2"),
+        (F.col("s3") / F.col("n")).alias("a3"),
+    )
+    j = c.crossJoin(F.broadcast(ab))
+    mc = (F.col("c1") + F.col("c2") + F.col("c3")) / F.lit(3.0)
+    ma = (F.col("a1") + F.col("a2") + F.col("a3")) / F.lit(3.0)
+    cov = (
+        (F.col("c1") - mc) * (F.col("a1") - ma)
+        + (F.col("c2") - mc) * (F.col("a2") - ma)
+        + (F.col("c3") - mc) * (F.col("a3") - ma)
+    )
+    varc = (
+        (F.col("c1") - mc) * (F.col("c1") - mc)
+        + (F.col("c2") - mc) * (F.col("c2") - mc)
+        + (F.col("c3") - mc) * (F.col("c3") - mc)
+    )
+    vara = (
+        (F.col("a1") - ma) * (F.col("a1") - ma)
+        + (F.col("a2") - ma) * (F.col("a2") - ma)
+        + (F.col("a3") - ma) * (F.col("a3") - ma)
+    )
+    disc = F.when(varc * vara == 0, F.lit(0.0)).otherwise(
+        cov / F.sqrt(varc * vara)
+    )
+    return j.select(
+        "vec_id", F.round(disc, 6).alias("disc"), (disc < 0).alias("flag")
+    ).orderBy("vec_id")
+
+
+ITEM_DISCRIMINATION_SQL = f"""
+WITH v AS ({_VOTES_SQL}),
+c AS (
+  SELECT vec_id,
+         CAST(v1 = noisy AS INT) AS c1,
+         CAST(v2 = noisy AS INT) AS c2,
+         CAST(v3 = noisy AS INT) AS c3
+  FROM v
+), ab AS (
+  SELECT SUM(c1) * 1.0 / COUNT(*) AS a1,
+         SUM(c2) * 1.0 / COUNT(*) AS a2,
+         SUM(c3) * 1.0 / COUNT(*) AS a3
+  FROM c
+), j AS (SELECT * FROM c CROSS JOIN ab),
+d AS (
+  SELECT vec_id,
+         (c1 + c2 + c3) / 3.0 AS mc, (a1 + a2 + a3) / 3.0 AS ma,
+         c1, c2, c3, a1, a2, a3
+  FROM j
+), e AS (
+  SELECT vec_id,
+         ((c1 - mc) * (a1 - ma) + (c2 - mc) * (a2 - ma) + (c3 - mc) * (a3 - ma)) AS cov,
+         ((c1 - mc) * (c1 - mc) + (c2 - mc) * (c2 - mc) + (c3 - mc) * (c3 - mc)) AS varc,
+         ((a1 - ma) * (a1 - ma) + (a2 - ma) * (a2 - ma) + (a3 - ma) * (a3 - ma)) AS vara
+  FROM d
+)
+SELECT vec_id,
+       ROUND(CASE WHEN varc * vara = 0 THEN 0.0
+                  ELSE cov / sqrt(varc * vara) END, 6) AS disc,
+       (CASE WHEN varc * vara = 0 THEN 0.0
+             ELSE cov / sqrt(varc * vara) END) < 0 AS flag
+FROM e ORDER BY vec_id
+"""
+
+
+def dawid_skene_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LabelAggregation (/root/reference/nessie/detectors/
+    label_aggregation.py:22-80): Dawid–Skene adjudication over the worker
+    votes; flag label ≠ adjudicated. One EM iteration from the majority-vote
+    initialization (the reference runs crowd-kit's 100; each iteration is
+    the same distributed shape — m-step groupBy + e-step broadcast join).
+
+    Float discipline: both m-step aggregates (class prior, per-worker
+    confusion matrix) are INTEGER count sums — exact and shuffle-order-
+    independent — normalized by one division; the e-step score is a
+    fixed-order 4-term product per row. θ uses Laplace α=1 smoothing."""
+    v = _votes(spark, sf_dir)
+    classes = spark.range(N_CLASSES).select(F.col("id").cast("int").alias("c"))
+
+    # m-step numerators: cnt(i,c) = #votes for c on task i (0..3)
+    vc = v.crossJoin(F.broadcast(classes)).select(
+        "vec_id", "noisy", "v1", "v2", "v3", "c",
+        (
+            (F.col("v1") == F.col("c")).cast("int")
+            + (F.col("v2") == F.col("c")).cast("int")
+            + (F.col("v3") == F.col("c")).cast("int")
+        ).alias("cnt"),
+    )
+    # class prior numerator P(c) = Σ_i cnt(i,c); total mass = 3N
+    prior = vc.groupBy("c").agg(F.sum("cnt").alias("pc"))
+    total = v.count() * 3
+    # confusion: Θ_w(c,k) = Σ_i cnt(i,c)·[v_w(i)=k]  (integer)
+    longv = vc.select(
+        "vec_id", "c", "cnt",
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("w"), F.col("v1").alias("k")),
+                F.struct(F.lit(2).alias("w"), F.col("v2").alias("k")),
+                F.struct(F.lit(3).alias("w"), F.col("v3").alias("k")),
+            )
+        ).alias("wk"),
+    ).select("vec_id", "c", "cnt", F.col("wk.w").alias("w"), F.col("wk.k").alias("k"))
+    theta_num = longv.groupBy("w", "c", "k").agg(F.sum("cnt").alias("t"))
+    # θ_w(c→k) = (Θ + 1) / (P(c) + 4)   — dense over the 3×4×4 grid
+    grid = (
+        spark.range(3).select((F.col("id") + 1).cast("int").alias("w"))
+        .crossJoin(classes)
+        .crossJoin(classes.select(F.col("c").alias("k")))
+    )
+    theta = (
+        grid.join(theta_num, ["w", "c", "k"], "left")
+        .join(prior, "c")
+        .select(
+            "w", "c", "k",
+            (
+                (F.coalesce(F.col("t"), F.lit(0)) + 1).cast("double")
+                / (F.col("pc") + N_CLASSES).cast("double")
+            ).alias("th"),
+        )
+    )
+    th = {
+        w: theta.where(F.col("w") == w).select(
+            F.col("c").alias(f"c{w}"), F.col("k").alias(f"k{w}"), F.col("th").alias(f"th{w}")
+        )
+        for w in (1, 2, 3)
+    }
+    pri = prior.select(
+        "c", (F.col("pc").cast("double") / F.lit(float(total))).alias("pi")
+    )
+    # e-step: s(i,c) = π(c)·θ1(c→v1)·θ2(c→v2)·θ3(c→v3), fixed order
+    scored = (
+        v.crossJoin(F.broadcast(classes))
+        .join(F.broadcast(pri), "c")
+        .join(F.broadcast(th[1]), (F.col("c") == F.col("c1")) & (F.col("v1") == F.col("k1")))
+        .join(F.broadcast(th[2]), (F.col("c") == F.col("c2")) & (F.col("v2") == F.col("k2")))
+        .join(F.broadcast(th[3]), (F.col("c") == F.col("c3")) & (F.col("v3") == F.col("k3")))
+        .select(
+            "vec_id", "noisy", "c",
+            (((F.col("pi") * F.col("th1")) * F.col("th2")) * F.col("th3")).alias("s"),
+        )
+    )
+    win = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("c"))
+    return (
+        scored.withColumn("rk", F.row_number().over(win))
+        .where(F.col("rk") == 1)
+        .select(
+            "vec_id", "noisy",
+            F.col("c").alias("adjudicated"),
+            (F.col("c") != F.col("noisy")).alias("flag"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+DAWID_SKENE_SQL = f"""
+WITH v AS ({_VOTES_SQL}),
+classes AS (SELECT UNNEST([0, 1, 2, 3]) AS c),
+vc AS (
+  SELECT v.vec_id, v.noisy, v.v1, v.v2, v.v3, classes.c,
+         CAST(v1 = c AS INT) + CAST(v2 = c AS INT) + CAST(v3 = c AS INT) AS cnt
+  FROM v CROSS JOIN classes
+),
+prior AS (SELECT c, SUM(cnt) AS pc FROM vc GROUP BY c),
+total AS (SELECT COUNT(*) * 3 AS m FROM v),
+longv AS (
+  SELECT vec_id, c, cnt, 1 AS w, v1 AS k FROM vc
+  UNION ALL SELECT vec_id, c, cnt, 2, v2 FROM vc
+  UNION ALL SELECT vec_id, c, cnt, 3, v3 FROM vc
+),
+theta_num AS (SELECT w, c, k, SUM(cnt) AS t FROM longv GROUP BY w, c, k),
+grid AS (
+  SELECT w, a.c AS c, b.c AS k
+  FROM (SELECT UNNEST([1, 2, 3]) AS w) CROSS JOIN classes a CROSS JOIN classes b
+),
+theta AS (
+  SELECT grid.w, grid.c, grid.k,
+         CAST(COALESCE(t, 0) + 1 AS DOUBLE) / CAST(pc + 4 AS DOUBLE) AS th
+  FROM grid
+  LEFT JOIN theta_num ON grid.w = theta_num.w AND grid.c = theta_num.c AND grid.k = theta_num.k
+  JOIN prior ON grid.c = prior.c
+),
+scored AS (
+  SELECT v.vec_id, v.noisy, classes.c,
+         ((CAST(pc AS DOUBLE) / CAST(m AS DOUBLE) * t1.th) * t2.th) * t3.th AS s
+  FROM v CROSS JOIN classes
+  JOIN prior ON classes.c = prior.c
+  CROSS JOIN total
+  JOIN theta t1 ON t1.w = 1 AND t1.c = classes.c AND t1.k = v.v1
+  JOIN theta t2 ON t2.w = 2 AND t2.c = classes.c AND t2.k = v.v2
+  JOIN theta t3 ON t3.w = 3 AND t3.c = classes.c AND t3.k = v.v3
+),
+ranked AS (
+  SELECT vec_id, noisy, c,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rk
+  FROM scored
+)
+SELECT vec_id, noisy, c AS adjudicated, c != noisy AS flag
+FROM ranked WHERE rk = 1 ORDER BY vec_id
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "dropout_uncertainty_scores": (dropout_uncertainty_scores, DROPOUT_UNCERTAINTY_SQL),
+    "token_featurizer": (token_featurizer, TOKEN_FEATURIZER_SQL),
+    "item_discrimination_flags": (item_discrimination_flags, ITEM_DISCRIMINATION_SQL),
+    "dawid_skene_labels": (dawid_skene_labels, DAWID_SKENE_SQL),
+}

@@ -16,6 +16,8 @@ SAMPLED = [
     "dedup_simhash",
     "doc_fingerprints",
     "events_sessionize",
+    "dawid_skene_labels",
+    "dedup_embedding_cosine",
 ]
 
 
