@@ -56,6 +56,9 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "ngram_jaccard_top1",
     "ann_cosine_topk",
+    "token_featurizer",
+    "dawid_skene_labels",
+    "span_alignment",
     "quality_scores",
     "token_counts",
     "doc_fingerprints",
@@ -112,7 +115,7 @@ def run_maintenance(spark, root: str) -> float:
     t0 = time.time()
     compact.compact(spark, t, target_bytes=TARGET, job_id="bench-compact", reencode=True)
     t = t.refresh()
-    zorder.cluster(spark, t, target_bytes=TARGET, job_id="bench-zorder")
+    zorder.cluster(spark, t, target_bytes=TARGET, job_id="bench-zorder", reencode=True)
     return time.time() - t0
 
 
@@ -134,8 +137,7 @@ def main() -> None:
     # 32-hardware-thread host it spans the SMT/memory-bandwidth ceiling
     # (even a pure zlib burn caps at ~0.78 there), so it is a secondary,
     # caveated number (BASELINE.md protocol caveat).
-    low, mid = (2, 8) if not FAST else (2, 8)
-    levels = [low, mid] + ([CPUS] if CPUS > mid else [])
+    low, mid = 2, 8
     os.makedirs(WORK, exist_ok=True)
     base = os.path.join(WORK, "base", "images")
 
@@ -144,26 +146,37 @@ def main() -> None:
     build_table(spark, base)
     spark.stop()
 
-    # --- same input bytes for every level; median of N timed runs per the
-    # BASELINE.md protocol (single-VM wall times are noisy)
+    # --- same input bytes for every level. The VM's effective CPU drifts
+    # over hours (shared-host noisy neighbors, measured 1.7× on a pure-zlib
+    # burn), so scaling efficiency is computed from INTERLEAVED (low, high)
+    # reps — each rep's ratio sees the same host conditions — and the median
+    # per-rep efficiency is reported (BASELINE.md protocol).
     n_runs = 1 if FAST else 3
-    runs = {}
-    for cores in levels:
+
+    def one_run(cores: int, rep: int) -> float:
         s = make_session(cores)
-        times = []
-        for rep in range(n_runs):
-            root = os.path.join(WORK, f"run{cores}-{rep}", "images")
-            shutil.rmtree(os.path.dirname(root), ignore_errors=True)
-            shutil.copytree(os.path.dirname(base), os.path.dirname(root))
-            times.append(run_maintenance(s, root))
-            shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+        root = os.path.join(WORK, f"run{cores}-{rep}", "images")
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+        shutil.copytree(os.path.dirname(base), os.path.dirname(root))
+        el = run_maintenance(s, root)
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)
         s.stop()
-        times.sort()
-        runs[cores] = times[len(times) // 2]
         shutil.rmtree(os.path.join(WORK, f"spark-local-{cores}"), ignore_errors=True)
+        return el
+
+    rep_times: list[tuple[float, float]] = []
+    for rep in range(n_runs):
+        t_low = one_run(low, rep)
+        t_high = one_run(mid, rep)
+        rep_times.append((t_low, t_high))
+    effs = sorted(tl / ((mid / low) * th) for tl, th in rep_times)
+    eff_primary = effs[len(effs) // 2]
+    med = sorted(rep_times, key=lambda p: p[0] / p[1])[len(rep_times) // 2]
+    runs = {low: med[0], mid: med[1]}
+    if CPUS > mid:
+        runs[CPUS] = one_run(CPUS, 0)
 
     thr = {c: N_IMAGES / t for c, t in runs.items()}
-    eff_primary = thr[mid] / ((mid / low) * thr[low])
     eff_smt = (
         thr[CPUS] / ((CPUS / mid) * thr[mid]) if CPUS in runs and CPUS != mid else None
     )
@@ -220,8 +233,12 @@ def _write_report(r: dict) -> None:
 Input: {r["images"]} synthetic images (seed 42, 32-128 px, lognormal
 small-file layout), identical bytes for both runs, RAM-backed storage so
 pixel work dominates disk. Job = FFD compaction with full decode →
-re-encode → PSNR verification, then Morton Z-order rewrite with per-file
-min/max stats and snapshot commits (8 MB file target).
+re-encode → PSNR verification, then Morton Z-order rewrite (also decode →
+re-encode → PSNR per the north star) with per-file min/max stats and
+snapshot commits (8 MB file target). The two parallelism levels run
+INTERLEAVED per repetition and efficiency is the median per-rep ratio —
+this cancels the shared-VM CPU drift (measured 1.7× across hours on a
+pure-zlib burn), which absolute throughputs are subject to.
 
 | parallelism | elapsed (s) | images/sec |
 |---|---|---|

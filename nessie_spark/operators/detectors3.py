@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from nessie_spark.functions.core import entropy_ln, softmax_arr
-from nessie_spark.operators.common import T
+from nessie_spark.operators.common import T, h64_sql
 
 N_CLASSES = 4
 
@@ -372,8 +372,378 @@ FROM ranked WHERE rk = 1 ORDER BY vec_id
 """
 
 
+def span_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """align_span_labeling_data (/root/reference/nessie/task_support/
+    span_labeling.py:117-185): left-outer alignment of noisy spans onto gold
+    spans by maximal token overlap, emitting UNALIGNED for misses — the J2
+    join of SURVEY.md §2.4. Span extraction from per-token predicates is the
+    BIO→span step (seqeval get_entities, span_labeling.py:248-252) recast as
+    gaps-and-islands: boundary flags → running-sum segment ids.
+
+    Deterministic synthetic spans: gold = maximal runs of words of length
+    ≥ 4; noisy = maximal runs of words of length ≥ 5 (the corpus is
+    lowercase, so length is the casing-free predicate). The candidate stage
+    is the interval-overlap join (n.start < g.end AND g.start < n.end) —
+    at scale it stays partition-local on doc_id (one shuffle, shared by the
+    two window passes and the join)."""
+    docs = T(spark, sf_dir, "documents")
+    ts = F.split(F.trim("text"), r"\s+")
+    ex = docs.select("doc_id", F.posexplode(ts).alias("pos", "word"))
+
+    def runs(flag: Column, a: str, b: str) -> DataFrame:
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        f = ex.withColumn("fl", flag)
+        chg = F.when(
+            F.lag("fl").over(w).isNull() | (F.lag("fl").over(w) != F.col("fl")), 1
+        ).otherwise(0)
+        g = f.withColumn(
+            "grp",
+            F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        return (
+            g.where(F.col("fl"))
+            .groupBy("doc_id", "grp")
+            .agg(F.min("pos").alias(a), (F.max("pos") + 1).alias(b))
+            .drop("grp")
+        )
+
+    gold = runs(F.length("word") >= 4, "g_start", "g_end")
+    noisy = runs(F.length("word") >= 5, "n_start", "n_end")
+    cand = noisy.join(
+        gold,
+        (noisy["doc_id"] == gold["doc_id"])
+        & (F.col("n_start") < F.col("g_end"))
+        & (F.col("g_start") < F.col("n_end")),
+        "left",
+    ).select(
+        noisy["doc_id"], "n_start", "n_end", "g_start", "g_end",
+        F.when(
+            F.col("g_start").isNotNull(),
+            F.least("n_end", "g_end") - F.greatest("n_start", "g_start"),
+        ).alias("overlap"),
+    )
+    w = Window.partitionBy("doc_id", "n_start").orderBy(
+        F.desc_nulls_last("overlap"), F.asc_nulls_last("g_start")
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "doc_id", "n_start", "n_end", "g_start", "g_end", "overlap",
+            F.when(F.col("g_start").isNotNull(), F.lit("ENT"))
+            .otherwise(F.lit("UNALIGNED"))
+            .alias("aligned_label"),
+        )
+        .orderBy("doc_id", "n_start")
+    )
+
+
+SPAN_ALIGNMENT_SQL = """
+WITH ex AS (
+  SELECT doc_id,
+         generate_subscripts(ts, 1) - 1 AS pos,
+         unnest(ts) AS word
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+        FROM documents)
+),
+gold_f AS (
+  SELECT doc_id, pos, length(word) >= 4 AS fl FROM ex
+),
+gold_c AS (
+  SELECT doc_id, pos, fl,
+         CASE WHEN LAG(fl) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                OR LAG(fl) OVER (PARTITION BY doc_id ORDER BY pos) != fl
+              THEN 1 ELSE 0 END AS chg
+  FROM gold_f
+),
+gold_g AS (
+  SELECT doc_id, pos, fl,
+         SUM(chg) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS grp
+  FROM gold_c
+),
+gold AS (
+  SELECT doc_id, MIN(pos) AS g_start, MAX(pos) + 1 AS g_end
+  FROM gold_g WHERE fl GROUP BY doc_id, grp
+),
+noisy_f AS (
+  SELECT doc_id, pos, length(word) >= 5 AS fl FROM ex
+),
+noisy_c AS (
+  SELECT doc_id, pos, fl,
+         CASE WHEN LAG(fl) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                OR LAG(fl) OVER (PARTITION BY doc_id ORDER BY pos) != fl
+              THEN 1 ELSE 0 END AS chg
+  FROM noisy_f
+),
+noisy_g AS (
+  SELECT doc_id, pos, fl,
+         SUM(chg) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS grp
+  FROM noisy_c
+),
+noisy AS (
+  SELECT doc_id, MIN(pos) AS n_start, MAX(pos) + 1 AS n_end
+  FROM noisy_g WHERE fl GROUP BY doc_id, grp
+),
+cand AS (
+  SELECT n.doc_id, n.n_start, n.n_end, g.g_start, g.g_end,
+         CASE WHEN g.g_start IS NULL THEN NULL
+              ELSE least(n.n_end, g.g_end) - greatest(n.n_start, g.g_start)
+         END AS overlap
+  FROM noisy n
+  LEFT JOIN gold g
+    ON n.doc_id = g.doc_id AND n.n_start < g.g_end AND g.g_start < n.n_end
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY doc_id, n_start
+      ORDER BY overlap DESC NULLS LAST, g_start ASC NULLS LAST) AS rk
+  FROM cand
+)
+SELECT doc_id, n_start, n_end, g_start, g_end, overlap,
+       CASE WHEN g_start IS NOT NULL THEN 'ENT' ELSE 'UNALIGNED' END AS aligned_label
+FROM ranked WHERE rk = 1 ORDER BY doc_id, n_start
+"""
+
+
+def variation_ngrams_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VariationNGramsSpan (/root/reference/nessie/detectors/
+    variational_principle.py:146-245), the J7 span-context equi-join:
+    each span occurrence is keyed by (left context word | span surface |
+    right context word); keys seen with >1 distinct label get a majority
+    vote and minority occurrences are flagged.
+
+    Spans = maximal runs of words of length ≥ 6; occurrence label = the
+    document's lang (the engine's noisy-label analog, as in
+    variation_ngrams_flags). Two shuffles at scale: the span window pass on
+    doc_id, then the groupBy on the context key."""
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split(F.trim("text"), r"\s+").alias("ts")
+    )
+    ex = docs.select("doc_id", F.posexplode("ts").alias("pos", "word"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    fl = ex.withColumn("fl", F.length("word") >= 6)
+    chg = F.when(
+        F.lag("fl").over(w).isNull() | (F.lag("fl").over(w) != F.col("fl")), 1
+    ).otherwise(0)
+    spans = (
+        fl.withColumn("grp", F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .where(F.col("fl"))
+        .groupBy("doc_id", "grp")
+        .agg(F.min("pos").alias("start"), (F.max("pos") + 1).alias("end"))
+        .drop("grp")
+    )
+    occ = spans.join(docs, "doc_id").select(
+        "doc_id", "start", "lang",
+        F.concat_ws(
+            "|",
+            F.coalesce(F.get("ts", F.col("start") - 1), F.lit("^")),
+            F.array_join(F.slice("ts", F.col("start") + 1, F.col("end") - F.col("start")), " "),
+            F.coalesce(F.get("ts", F.col("end")), F.lit("$")),
+        ).alias("key"),
+    )
+    counts = occ.groupBy("key", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = counts.groupBy("key").agg(
+        F.sum("cnt").alias("n_occ"), F.count(F.lit(1)).alias("n_langs")
+    )
+    mw = Window.partitionBy("key").orderBy(F.desc("cnt"), F.asc("lang"))
+    modal = (
+        counts.withColumn("rk", F.row_number().over(mw))
+        .where(F.col("rk") == 1)
+        .select("key", F.col("lang").alias("majority_lang"))
+    )
+    return (
+        occ.join(stats.where((F.col("n_occ") >= 2) & (F.col("n_langs") >= 2)), "key")
+        .join(modal, "key")
+        .select(
+            "key", "doc_id", "start", "lang", "majority_lang",
+            (F.col("lang") != F.col("majority_lang")).alias("flag"),
+        )
+        .orderBy("key", "doc_id", "start")
+    )
+
+
+VARIATION_NGRAMS_SPAN_SQL = """
+WITH docs AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS ts
+  FROM documents
+), ex AS (
+  SELECT doc_id, generate_subscripts(ts, 1) - 1 AS pos, unnest(ts) AS word
+  FROM docs
+), flg AS (
+  SELECT doc_id, pos, length(word) >= 6 AS fl FROM ex
+), segc AS (
+  SELECT doc_id, pos, fl,
+         CASE WHEN LAG(fl) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                OR LAG(fl) OVER (PARTITION BY doc_id ORDER BY pos) != fl
+              THEN 1 ELSE 0 END AS chg
+  FROM flg
+), seg AS (
+  SELECT doc_id, pos, fl,
+         SUM(chg) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS grp
+  FROM segc
+), spans AS (
+  SELECT doc_id, MIN(pos) AS start, MAX(pos) + 1 AS "end"
+  FROM seg WHERE fl GROUP BY doc_id, grp
+), occ AS (
+  SELECT s.doc_id, s.start, d.lang,
+         COALESCE(d.ts[s.start], '^') || '|' ||
+         array_to_string(d.ts[s.start + 1 : s."end"], ' ') || '|' ||
+         COALESCE(d.ts[s."end" + 1], '$') AS key
+  FROM spans s JOIN docs d USING (doc_id)
+), counts AS (
+  SELECT key, lang, COUNT(*) AS cnt FROM occ GROUP BY key, lang
+), stats AS (
+  SELECT key, SUM(cnt) AS n_occ, COUNT(*) AS n_langs FROM counts GROUP BY key
+), modal AS (
+  SELECT key, lang AS majority_lang
+  FROM (SELECT key, lang, ROW_NUMBER() OVER
+          (PARTITION BY key ORDER BY cnt DESC, lang ASC) AS rk FROM counts)
+  WHERE rk = 1
+)
+SELECT occ.key, occ.doc_id, occ.start, occ.lang, modal.majority_lang,
+       occ.lang != modal.majority_lang AS flag
+FROM occ
+JOIN stats ON occ.key = stats.key AND stats.n_occ >= 2 AND stats.n_langs >= 2
+JOIN modal ON occ.key = modal.key
+ORDER BY occ.key, occ.doc_id, occ.start
+"""
+
+
+def percentage_flagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentage_flagged_score (/root/reference/nessie/evaluation/
+    metrics.py:4-5): sum(flags)/N over the Retag-style flags of voter 1
+    (retag.py:18-34: noisy != prediction). Integer count sums → exact."""
+    v = _votes(spark, sf_dir)
+    return v.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum((F.col("v1") != F.col("noisy")).cast("int"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("flagged_fraction"),
+    )
+
+
+PERCENTAGE_FLAGGED_SQL = f"""
+WITH v AS ({_VOTES_SQL})
+SELECT COUNT(*) AS n,
+       ROUND(SUM(CAST(v1 != noisy AS INT)) * 1.0 / COUNT(*), 6) AS flagged_fraction
+FROM v
+"""
+
+
+N_PROJ_MODELS = 3
+
+
+def projection_ensemble_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MaxEntProjectionEnsemble (/root/reference/nessie/detectors/
+    projection_ensemble.py:17-131): a grid of random-projection models
+    votes; flag = majority vote ≠ noisy label. The reference trains
+    LogisticRegressions on Gaussian projections in parallel processes; the
+    engine twin is k=3 deterministic sign-projection linear models —
+    logit(m,c) = Σ_j sign(md5(m,c,j))·e_j — the same embarrassingly
+    parallel fan-out, expressed as one posexplode + broadcast grid join +
+    groupBy (the O8 `parallelize(combinations)` pattern, SURVEY.md §2.7).
+
+    Float discipline: per-(vec,model,class) logit sums cross the shuffle →
+    round(·, 6) before argmax; ties break on class asc."""
+    emb = T(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        (F.col("label") % N_CLASSES).alias("noisy"),
+        F.posexplode(F.transform("embedding", lambda v: v.cast("double"))).alias(
+            "j", "e"
+        ),
+    )
+    grid = (
+        spark.range(N_PROJ_MODELS)
+        .select((F.col("id") + 1).cast("int").alias("m"))
+        .crossJoin(spark.range(N_CLASSES).select(F.col("id").cast("int").alias("c")))
+    )
+    from nessie_spark.functions.core import h64
+
+    sgn = F.when(
+        F.pmod(
+            h64(F.concat_ws("_", F.lit("proj"), "m", "c", "j")), F.lit(2)
+        )
+        == 0,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    logits = (
+        ex.crossJoin(F.broadcast(grid))
+        .groupBy("vec_id", "noisy", "m", "c")
+        .agg(F.round(F.sum(sgn * F.col("e")), 6).alias("logit"))
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(F.desc("logit"), F.asc("c"))
+    preds = (
+        logits.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .groupBy("vec_id", "noisy")
+        .pivot("m", [1, 2, 3])
+        .agg(F.first("c"))
+        .withColumnsRenamed({"1": "p1", "2": "p2", "3": "p3"})
+    )
+    vote = (
+        F.when((F.col("p1") == F.col("p2")) | (F.col("p1") == F.col("p3")), F.col("p1"))
+        .when(F.col("p2") == F.col("p3"), F.col("p2"))
+        .otherwise(F.least("p1", "p2", "p3"))
+    )
+    return preds.select(
+        "vec_id", "noisy",
+        vote.alias("vote"),
+        (vote != F.col("noisy")).alias("flag"),
+    ).orderBy("vec_id")
+
+
+PROJECTION_ENSEMBLE_SQL = f"""
+WITH ex AS (
+  SELECT vec_id, label % 4 AS noisy,
+         generate_subscripts(e, 1) - 1 AS j,
+         unnest(e) AS e
+  FROM (SELECT vec_id, label,
+               list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+        FROM embeddings)
+), grid AS (
+  SELECT m, c
+  FROM (SELECT UNNEST([1, 2, 3]) AS m) CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS c)
+), logits AS (
+  SELECT vec_id, noisy, m, c,
+         ROUND(SUM(
+           (CASE WHEN {h64_sql("'proj' || '_' || m || '_' || c || '_' || j")} % 2 = 0
+                 THEN 1.0 ELSE -1.0 END) * e), 6) AS logit
+  FROM ex CROSS JOIN grid
+  GROUP BY vec_id, noisy, m, c
+), preds_l AS (
+  SELECT vec_id, noisy, m, c,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY logit DESC, c ASC) AS rk
+  FROM logits
+), preds AS (
+  SELECT vec_id, noisy,
+         MAX(CASE WHEN m = 1 THEN c END) AS p1,
+         MAX(CASE WHEN m = 2 THEN c END) AS p2,
+         MAX(CASE WHEN m = 3 THEN c END) AS p3
+  FROM preds_l WHERE rk = 1 GROUP BY vec_id, noisy
+)
+SELECT vec_id, noisy,
+       CASE WHEN p1 = p2 OR p1 = p3 THEN p1
+            WHEN p2 = p3 THEN p2
+            ELSE least(p1, p2, p3) END AS vote,
+       (CASE WHEN p1 = p2 OR p1 = p3 THEN p1
+             WHEN p2 = p3 THEN p2
+             ELSE least(p1, p2, p3) END) != noisy AS flag
+FROM preds ORDER BY vec_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "dropout_uncertainty_scores": (dropout_uncertainty_scores, DROPOUT_UNCERTAINTY_SQL),
+    "span_alignment": (span_alignment, SPAN_ALIGNMENT_SQL),
+    "variation_ngrams_span": (variation_ngrams_span, VARIATION_NGRAMS_SPAN_SQL),
+    "percentage_flagged": (percentage_flagged, PERCENTAGE_FLAGGED_SQL),
+    "projection_ensemble_flags": (projection_ensemble_flags, PROJECTION_ENSEMBLE_SQL),
     "token_featurizer": (token_featurizer, TOKEN_FEATURIZER_SQL),
     "item_discrimination_flags": (item_discrimination_flags, ITEM_DISCRIMINATION_SQL),
     "dawid_skene_labels": (dawid_skene_labels, DAWID_SKENE_SQL),

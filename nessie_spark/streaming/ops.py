@@ -22,6 +22,71 @@ def dedup_stream(
     return events.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
 
 
+def sessionize_stateful(events: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """Custom stateful sessionizer via ``applyInPandasWithState`` — the
+    streaming twin of operators/events.events_sessionize (gap-based, same
+    per-user outputs), for when ``session_window`` can't express the logic
+    (here: running max session duration across the user's whole history).
+
+    State per user_id is O(1) — six longs (closed-session aggregates + the
+    open session) — NOT the event buffer; at 10^9 users the state store
+    stays bounded and each micro-batch is a single shuffle on user_id.
+    Events must arrive per-user in ts order across micro-batches (upstream
+    watermark/sort contract); within a batch we sort in-kernel.
+
+    Input: DataFrame[user_id long, t long (epoch seconds)], streaming.
+    Output (update mode): user_id, n_sessions, n_events, max_session_s.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id long, n_sessions long, n_events long, max_session_s long"
+    )
+    state_schema = (
+        "n_sessions long, n_events long, max_closed long, "
+        "cur_start long, cur_last long"
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        ts: list[int] = []
+        for pdf in pdfs:
+            ts.extend(int(x) for x in pdf["t"])
+        ts.sort()
+        if state.exists:
+            n_sessions, n_events, max_closed, cur_start, cur_last = state.get
+        else:
+            n_sessions, n_events, max_closed, cur_start, cur_last = 0, 0, 0, -1, -1
+        for t in ts:
+            n_events += 1
+            if cur_start < 0:
+                n_sessions += 1
+                cur_start = cur_last = t
+            elif t - cur_last > gap_s:
+                max_closed = max(max_closed, cur_last - cur_start)
+                n_sessions += 1
+                cur_start = cur_last = t
+            else:
+                cur_last = t
+        state.update((n_sessions, n_events, max_closed, cur_start, cur_last))
+        cur_dur = (cur_last - cur_start) if cur_start >= 0 else 0
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": user_id,
+                    "n_sessions": n_sessions,
+                    "n_events": n_events,
+                    "max_session_s": max(max_closed, cur_dur),
+                }
+            ]
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def hourly_rollup_stream(
     events: DataFrame, ts_col: str = "ts", watermark: str = "2 hours"
 ) -> DataFrame:

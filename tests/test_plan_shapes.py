@@ -1,0 +1,87 @@
+"""Physical-plan regression tests: the properties that matter at 100 TB
+(SURVEY.md §4) must be visible in the optimized plan, not assumed —
+predicate pushdown to the parquet scan, column pruning, broadcast joins for
+dimensions, and map-side partial aggregation."""
+
+import pyspark.sql.functions as F
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushed_to_parquet_scan(spark):
+    df = E.queries()["q1_pricing_summary"](spark, SF)
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    """q1 touches 7 lineitem columns; the scan must not read the wide rest
+    (l_comment is the canary)."""
+    df = E.queries()["q1_pricing_summary"](spark, SF)
+    plan = _plan(df)
+    assert "l_comment" not in plan
+    assert "ReadSchema" in plan
+
+
+def test_dimension_join_is_broadcast(spark):
+    """top_customers_per_nation joins the tiny nation table — must be a
+    BroadcastHashJoin, never a shuffle-both-sides sort-merge."""
+    df = E.queries()["top_customers_per_nation"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_aggregation_has_partial_final_split(spark):
+    """events_hourly must combine map-side (partial_count/partial HashAggregate)
+    before the exchange — the shuffle carries groups, not rows."""
+    df = E.queries()["events_hourly"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("HashAggregate") >= 2
+    aggpos = plan.find("HashAggregate")
+    assert aggpos != -1
+
+
+def test_scorers_stay_jvm_side(spark):
+    """The array-expression scorers are pure projections over the scan —
+    JVM expression trees (higher-order functions), never Python eval nodes,
+    and no exchange besides the final presentation sort."""
+    df = E.queries()["classification_entropy_scores"](spark, SF)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count(") Exchange") <= 1  # only the orderBy("vec_id")
+    assert "Scan parquet" in plan and "Project" in plan
+
+
+def test_zorder_scan_prunes_files(spark, tmp_path):
+    """After Z-order clustering, a phash-range scan must prune whole files
+    via manifest min/max stats before Spark ever lists them."""
+    from nessie_spark import synth
+    from nessie_spark.lakehouse import jobs, scan as scan_mod, zorder
+    from nessie_spark.lakehouse.table import Table
+
+    root = str(tmp_path / "images")
+    t = jobs.create_images_table(root)
+    df = synth.images_df(spark, 400, seed=7, wh=(16, 32))
+    jobs.append(spark, t, df, job_id="ingest",
+                file_boundaries=synth.lognormal_file_boundaries(400, seed=7, mean_rows=40))
+    t = t.refresh()
+    zorder.cluster(spark, t, target_bytes=64 * 1024, job_id="z")
+    t = t.refresh()
+
+    all_files = scan_mod.plan_files(t)
+    lo = min(f["min_phash"] for f in all_files)
+    pruned = scan_mod.plan_files(t, phash_range=(lo, lo))
+    assert len(all_files) > 1
+    assert len(pruned) < len(all_files)

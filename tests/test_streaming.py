@@ -69,3 +69,69 @@ def test_dedup_stream_drops_duplicates(spark, tmp_path):
     q.awaitTermination(120)
     n = spark.sql("select count(distinct event_id) c, count(*) n from dedup_test").collect()[0]
     assert n.c == n.n == 500
+
+
+def test_sessionize_stateful_matches_batch_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState sessionizer == batch events_sessionize, with
+    the input split time-wise into 2 files processed as separate
+    micro-batches (maxFilesPerTrigger=1) so state must carry across."""
+    from nessie_spark.streaming import sessionize_stateful
+
+    src = str(tmp_path / "ssrc")
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .limit(2000)
+        .select("user_id", F.unix_timestamp("ts").alias("t"))
+    )
+    ev.cache()
+    cut = ev.agg(F.percentile_approx("t", 0.5).alias("m")).collect()[0].m
+    ev.where(F.col("t") <= cut).coalesce(1).write.parquet(f"{src}/b=0")
+    ev.where(F.col("t") > cut).coalesce(1).write.parquet(f"{src}/b=1")
+
+    stream = (
+        spark.readStream.schema("user_id long, t long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b=*")
+    )
+    q = (
+        sessionize_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("sess_state_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # update mode emits once per user per batch — the final emission is the
+    # one with the largest n_events (monotone across batches; sink row order
+    # is not contractual)
+    got = {}
+    for r in spark.sql("select * from sess_state_test").collect():
+        cur = got.get(r.user_id)
+        if cur is None or r.n_events > cur[1]:
+            got[r.user_id] = (r.n_sessions, r.n_events, r.max_session_s)
+
+    w = __import__("pyspark.sql.window", fromlist=["Window"]).Window
+    win = w.partitionBy("user_id").orderBy("t")
+    sess = ev.withColumn(
+        "is_new",
+        F.when(F.col("t") - F.lag("t").over(win) > 1800, 1).otherwise(0),
+    ).withColumn(
+        "sid", F.sum("is_new").over(win.rowsBetween(w.unboundedPreceding, 0))
+    )
+    expect = {
+        r.user_id: (r.n_sessions, r.n_events, r.max_session_s)
+        for r in (
+            sess.groupBy("user_id", "sid")
+            .agg(F.count(F.lit(1)).alias("n"), (F.max("t") - F.min("t")).alias("d"))
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_sessions"),
+                F.sum("n").alias("n_events"),
+                F.max("d").alias("max_session_s"),
+            )
+            .collect()
+        )
+    }
+    ev.unpersist()
+    assert got == expect
