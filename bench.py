@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "ngram_jaccard_top1",
     "ann_cosine_topk",
+    "dedup_embedding_cosine",
     "token_featurizer",
     "dawid_skene_labels",
     "span_alignment",

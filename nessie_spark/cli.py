@@ -25,7 +25,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "--job",
         required=True,
-        choices=["synth", "compact", "zorder", "hilbert", "expire", "gc", "rewrite-manifests"],
+        choices=[
+            "synth", "compact", "zorder", "hilbert", "expire", "gc",
+            "rewrite-manifests", "merge",
+        ],
     )
     ap.add_argument("--rows", type=int, default=100_000)
     ap.add_argument("--target-bytes", type=int, default=128 * 1024 * 1024)
@@ -89,6 +92,29 @@ def main(argv: list[str] | None = None) -> int:
             from nessie_spark.lakehouse.manifest import rewrite_manifests
 
             r = rewrite_manifests(spark, t)
+            out.update(vars(r))
+        elif args.job == "merge":
+            # CoW MERGE INTO demo: source = a deterministic re-caption of
+            # `--rows` existing images plus `--rows` brand-new ones (the
+            # matched-files interval join + salted row join path end-to-end)
+            from pyspark.sql import functions as F
+
+            from nessie_spark import synth
+            from nessie_spark.lakehouse.merge import merge_into
+            from nessie_spark.lakehouse.scan import scan
+
+            n_src = min(args.rows, 1000)
+            updates = (
+                scan(spark, t)
+                .limit(n_src)
+                .withColumn("caption", F.concat(F.col("caption"), F.lit(" [merged]")))
+            )
+            inserts = synth.images_df(spark, n_src, seed=args.seed + 1).withColumn(
+                "image_id", F.concat(F.lit("merge-new-"), F.col("image_id"))
+            )
+            r = merge_into(
+                spark, t, updates.unionByName(inserts), job_id=args.job_id
+            )
             out.update(vars(r))
 
     print(json.dumps(out, default=str))
