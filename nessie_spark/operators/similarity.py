@@ -79,64 +79,85 @@ N_PLANES = 8
 N_BANDS = 3
 
 
-def _sign_band_cols(e: Column) -> list[Column]:
-    """Sign-pattern band keys from deterministic hyperplanes: plane[d] =
-    h64('b{band}p{p}d{d}') − 2^59 (centered). The oracle reproduces the
-    identical planes via the shared md5 hash primitive."""
-    cols = []
-    for band in range(N_BANDS):
-        bits = []
-        for p in range(N_PLANES):
-            # dot(e, plane) where plane[d] = h64('b{band}p{p}d{d}') - 2^59
-            dot = F.aggregate(
-                F.zip_with(
-                    e,
-                    F.array(
-                        *[
-                            (
-                                h64(F.lit(f"b{band}p{p}d{d}")) - F.lit(2**59)
-                            ).cast("double")
-                            for d in range(64)
-                        ]
-                    ),
-                    lambda x, w: x * w,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            bits.append(F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)))
-        key = bits[0]
-        for b_ in bits[1:]:
-            key = key * 2 + b_
-        cols.append(key.alias(f"band{band}"))
-    return cols
+def _plane_weights(band: int, p: int) -> list[float]:
+    """Deterministic hyperplane weights: h64('b{band}p{p}d{d}') − 2^59
+    (centered), computed with hashlib at PLAN-BUILD time. Spark's md5 of the
+    same literal would produce identical values, but folding 3×8×64 md5
+    chains (×8 plan copies through the old union-of-joins) made Catalyst
+    spend ~15 s on constant folding + codegen for a 500-row input."""
+    import hashlib
+
+    return [
+        float(
+            int(hashlib.md5(f"b{band}p{p}d{d}".encode()).hexdigest()[:15], 16) - 2**59
+        )
+        for d in range(64)
+    ]
+
+
+def _band_keys_udf():
+    """All band keys in one vectorized pandas UDF: a (rows × 64) @ (64 × 24)
+    matmul, signs packed into N_BANDS integer keys. The expression-tree
+    formulation (24 aggregate/zip_with folds over 64 literals each, ~1.5k
+    plan nodes PER JOIN SIDE) spent more time in Catalyst/codegen than in
+    data; the numpy path is exact — thresholding dot > 0 with the same
+    float64 weights — and at 10^9 rows it is the Arrow-batched hot path.
+
+    Exactness note: the fold sums left-to-right, numpy may sum pairwise;
+    sign(dot) only differs if |dot| < 1e-10·scale, and the weights are
+    ~2^59-magnitude integers — ties are impossible for nonzero float
+    embeddings, so the keys are bit-identical to the oracle's."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    W = np.array(
+        [
+            _plane_weights(band, p)
+            for band in range(N_BANDS)
+            for p in range(N_PLANES)
+        ],
+        dtype=np.float64,
+    )  # (N_BANDS*N_PLANES, 64)
+
+    def _keys(e):
+        import pandas as pd
+
+        E = np.stack(e.to_numpy())  # (n, 64) float64
+        bits = (E @ W.T) > 0  # (n, 24)
+        keys = np.zeros((E.shape[0], N_BANDS), dtype=np.int64)
+        for band in range(N_BANDS):
+            for p in range(N_PLANES):
+                keys[:, band] = keys[:, band] * 2 + bits[:, band * N_PLANES + p]
+        return pd.Series(list(keys))
+
+    return pandas_udf(_keys, "array<long>")
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-pruned cosine top-k: random-hyperplane sign bands → candidate
-    union over bands → exact cosine only on candidates. At test scale the
-    result set is the candidates' true ranking (oracle reproduces the same
-    bands exactly, so the comparison is apples-to-apples)."""
+    """LSH-pruned cosine top-k: random-hyperplane sign bands → one exploded
+    (band, key) equi-join for candidates → exact cosine only on candidates.
+    At test scale the result set is the candidates' true ranking (oracle
+    reproduces the same bands exactly, so the comparison is
+    apples-to-apples). One self-join on the bucket key replaces the old
+    union of per-band joins (8 copies of the band subplan)."""
     emb = _emb(spark, sf_dir)
-    banded = emb.select("vec_id", "e", *_sign_band_cols(F.col("e")))
-    q = banded.where(F.col("vec_id") < N_QUERIES)
-    cand = None
-    for band in range(N_BANDS):
-        c = (
-            q.select(
-                F.col("vec_id").alias("qid"), F.col("e").alias("qe"), F.col(f"band{band}").alias("bk")
-            )
-            .join(
-                banded.select(
-                    F.col("vec_id").alias("nid"), F.col("e").alias("ne"), F.col(f"band{band}").alias("bk")
-                ),
-                "bk",
-            )
-            .where(F.col("qid") != F.col("nid"))
-            .select("qid", "qe", "nid", "ne")
+    banded = emb.select(
+        "vec_id", "e", F.posexplode(_band_keys_udf()(F.col("e"))).alias("band", "bk")
+    )
+    cand = (
+        banded.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("qid"), F.col("e").alias("qe"), "band", "bk"
         )
-        cand = c if cand is None else cand.unionByName(c)
-    cand = cand.dropDuplicates(["qid", "nid"])
+        .join(
+            banded.select(
+                F.col("vec_id").alias("nid"), F.col("e").alias("ne"), "band", "bk"
+            ),
+            ["band", "bk"],
+        )
+        .where(F.col("qid") != F.col("nid"))
+        .dropDuplicates(["qid", "nid"])
+    )
     scored = cand.select(
         "qid", "nid", F.round(cosine_sim(F.col("qe"), F.col("ne")), 6).alias("cos")
     )
