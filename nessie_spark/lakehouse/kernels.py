@@ -160,3 +160,67 @@ def pixel_digest(pixels: np.ndarray) -> str:
     import hashlib
 
     return hashlib.sha256(pixels.tobytes()).hexdigest()
+
+
+def resize_block_mean(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """(h, w, 3) uint8 -> (out_h, out_w, 3) uint8 block-mean downsample.
+
+    The engine's real resize kernel (task brief §multimodal): exact integer
+    bucket assignment, no interpolation libraries needed. Runs inside
+    mapInPandas batches only — never per-row Spark UDFs."""
+    h, w, c = pixels.shape
+    ys = (np.arange(h) * out_h) // h
+    xs = (np.arange(w) * out_w) // w
+    acc = np.zeros((out_h, out_w, c), dtype=np.float64)
+    cnt = np.zeros((out_h, out_w, 1), dtype=np.float64)
+    yy = ys[:, None].repeat(w, 1)
+    xx = xs[None, :].repeat(h, 0)
+    np.add.at(acc, (yy, xx), pixels.astype(np.float64))
+    np.add.at(cnt, (yy, xx), 1.0)
+    return np.clip(acc / np.maximum(cnt, 1.0), 0, 255).astype(np.uint8)
+
+
+_NVID_MAGIC = b"NVID"
+
+
+def encode_video(frames: list[np.ndarray]) -> bytes:
+    """Deterministic fake video container (task brief §multimodal: real
+    codecs are absent in this container, so the DECODE STEP IS A
+    DETERMINISTIC FAKE — clearly marked; the Spark-side plumbing, schema,
+    batch shape and frame-sampling logic are real). Layout: magic,
+    frame count, then length-prefixed PNG frames."""
+    parts = [_NVID_MAGIC, struct.pack(">I", len(frames))]
+    for f in frames:
+        png = encode_png(f)
+        parts.append(struct.pack(">I", len(png)))
+        parts.append(png)
+    return b"".join(parts)
+
+
+def decode_video_frames(data: bytes, every_k: int = 1) -> list[np.ndarray]:
+    """Frame-sample the fake container: every k-th frame, decoded.
+    Real video formats are out of scope in this container:"""
+    if data[:4] != _NVID_MAGIC:
+        raise NotImplementedError(
+            "real video codecs unavailable in this container; only the "
+            "deterministic NVID stand-in is decodable"
+        )
+    (n,) = struct.unpack(">I", data[4:8])
+    pos = 8
+    out = []
+    for i in range(n):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        pos += 4
+        if i % every_k == 0:
+            out.append(decode_png(data[pos : pos + ln]))
+        pos += ln
+    return out
+
+
+def audio_features(pcm: np.ndarray) -> tuple[float, int]:
+    """(n,) float32 PCM -> (rms, zero_crossings). Real audio decode (mp3,
+    flac) is NotImplementedError-gated the same way as video; synthetic
+    PCM keeps the feature plumbing testable."""
+    rms = float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2)))
+    zc = int(np.sum(np.signbit(pcm[1:]) != np.signbit(pcm[:-1])))
+    return rms, zc

@@ -173,10 +173,126 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("image_id")
 
 
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize op (task brief §multimodal): binary image column →
+    batched decode → block-mean resize to 16×16 → re-encode PNG, all inside
+    one mapInPandas pass. Output digests are deterministic (seeded synth +
+    exact integer resize), so the rows-only check is stable across runs."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from nessie_spark.lakehouse import kernels as K
+
+    df = synth.images_df(spark, 128, seed=7)
+
+    def rz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for iid, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                px = K.decode(bytes(data), fmt)
+                small = K.resize_block_mean(px, 16, 16)
+                enc = K.encode_png(small)
+                out.append((iid, px.shape[1], px.shape[0], 16, 16,
+                            len(enc), K.pixel_digest(small)[:16]))
+            yield pd.DataFrame(
+                out,
+                columns=["image_id", "in_w", "in_h", "out_w", "out_h",
+                         "out_bytes", "digest16"],
+            )
+
+    return df.mapInPandas(
+        rz,
+        "image_id string, in_w int, in_h int, out_w int, out_h int, "
+        "out_bytes int, digest16 string",
+    ).orderBy("image_id")
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (task brief §multimodal): synthesize
+    deterministic fake NVID containers (real codecs absent — the decode is
+    a CLEARLY-MARKED deterministic stand-in, kernels.decode_video_frames
+    raises NotImplementedError on anything else), then sample every 3rd
+    frame and emit per-frame digests via mapInPandas."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from nessie_spark.lakehouse import kernels as K
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for vid in pdf["id"]:
+                rng = np.random.default_rng(int(vid) + 1000)
+                n_frames = 4 + int(vid) % 5
+                frames = [
+                    rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+                    for _ in range(n_frames)
+                ]
+                out.append((f"vid-{int(vid):05d}", K.encode_video(frames), n_frames))
+            yield pd.DataFrame(out, columns=["video_id", "data", "n_frames"])
+
+    vids = spark.range(0, 64, 1, 8).mapInPandas(
+        gen, "video_id string, data binary, n_frames int"
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for vid, data, n in zip(pdf["video_id"], pdf["data"], pdf["n_frames"]):
+                frames = K.decode_video_frames(bytes(data), every_k=3)
+                out.append(
+                    (vid, int(n), len(frames),
+                     [K.pixel_digest(f)[:12] for f in frames])
+                )
+            yield pd.DataFrame(
+                out, columns=["video_id", "n_frames", "n_sampled", "digests"]
+            )
+
+    return vids.mapInPandas(
+        sample,
+        "video_id string, n_frames int, n_sampled int, digests array<string>",
+    ).orderBy("video_id")
+
+
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature plumbing (task brief §multimodal): deterministic
+    synthetic PCM per id (real audio decode is NotImplementedError-gated in
+    kernels), RMS + zero-crossing features in one mapInPandas pass."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from nessie_spark.lakehouse import kernels as K
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for aid in pdf["id"]:
+                t = np.arange(4000, dtype=np.float64)
+                freq = 0.01 + (int(aid) % 17) * 0.003
+                pcm = np.sin(2 * np.pi * freq * t) * (0.2 + (int(aid) % 5) * 0.15)
+                rms, zc = K.audio_features(pcm.astype(np.float32))
+                out.append((f"aud-{int(aid):05d}", round(rms, 6), zc))
+            yield pd.DataFrame(out, columns=["audio_id", "rms", "zero_crossings"])
+
+    return (
+        spark.range(0, 64, 1, 8)
+        .mapInPandas(feats, "audio_id string, rms double, zero_crossings int")
+        .orderBy("audio_id")
+    )
+
+
 QUERIES: dict[str, tuple] = {
     "maintenance_compact": (maintenance_compact, None),
     "maintenance_zorder": (maintenance_zorder, None),
     "maintenance_merge": (maintenance_merge, None),
     "maintenance_expire_gc": (maintenance_expire_gc, None),
     "multimodal_pixel_stats": (multimodal_pixel_stats, None),
+    "multimodal_resize": (multimodal_resize, None),
+    "multimodal_frame_sample": (multimodal_frame_sample, None),
+    "multimodal_audio_features": (multimodal_audio_features, None),
 }

@@ -90,3 +90,43 @@ def test_synth_hot_keys():
 def test_pixel_digest_stable():
     px = _pixels()
     assert K.pixel_digest(px) == K.pixel_digest(px.copy())
+
+
+def test_resize_block_mean_exact():
+    import numpy as np
+
+    from nessie_spark.lakehouse import kernels as K
+
+    # 4x4 -> 2x2: each output cell is the mean of a 2x2 block
+    px = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    out = K.resize_block_mean(px, 2, 2)
+    assert out.shape == (2, 2, 3)
+    block = px[:2, :2, :].astype(float).mean(axis=(0, 1))
+    assert np.allclose(out[0, 0], block.astype(np.uint8))
+
+
+def test_video_container_roundtrip_and_gate():
+    import numpy as np
+    import pytest
+
+    from nessie_spark.lakehouse import kernels as K
+
+    rng = np.random.default_rng(3)
+    frames = [rng.integers(0, 256, (6, 5, 3), dtype=np.uint8) for _ in range(7)]
+    data = K.encode_video(frames)
+    sampled = K.decode_video_frames(data, every_k=3)
+    assert len(sampled) == 3  # frames 0, 3, 6
+    assert np.array_equal(sampled[1], frames[3])
+    with pytest.raises(NotImplementedError):
+        K.decode_video_frames(b"\x00\x01\x02\x03real-mp4-bytes")
+
+
+def test_audio_features_deterministic():
+    import numpy as np
+
+    from nessie_spark.lakehouse import kernels as K
+
+    pcm = np.sin(np.linspace(0, 40 * np.pi, 4000)).astype(np.float32)
+    rms, zc = K.audio_features(pcm)
+    assert abs(rms - 0.7071) < 0.01
+    assert zc == 39  # 40 half-periods; the t=0 sample is exactly 0.0

@@ -121,3 +121,59 @@ def test_salted_count_matches_plain(spark):
     plain = {r.phash: r["count"] for r in df.groupBy("phash").count().collect()}
     salted = {r.phash: r["count"] for r in salted_count(df, "phash", 8).collect()}
     assert plain == salted
+
+
+def test_zorder_crash_resume_converges(spark, tmp_path):
+    """Z-order resume-by-redo: a crash mid-write leaves torn .tmp files and
+    some completed bucket files but NO commit marker; re-running the same
+    job_id overwrites deterministically-named outputs (atomic replace),
+    commits once, and the scan equals the ingest row set. A re-run after
+    commit is a short-circuit no-op."""
+    import os
+
+    from nessie_spark import synth
+    from nessie_spark.lakehouse import jobs, zorder
+    from nessie_spark.lakehouse.scan import scan
+    from nessie_spark.lakehouse.table import Table
+
+    def build(root):
+        t = jobs.create_images_table(root)
+        df = synth.images_df(spark, 300, seed=11, wh=(16, 32))
+        jobs.append(spark, t, df, job_id="ingest",
+                    file_boundaries=synth.lognormal_file_boundaries(300, seed=11, mean_rows=40))
+        return t.refresh()
+
+    root_a = str(tmp_path / "a" / "images")
+    root_b = str(tmp_path / "b" / "images")
+    ta, tb = build(root_a), build(root_b)
+    ids_before = sorted(r.image_id for r in scan(spark, ta).select("image_id").collect())
+
+    # simulate the crash debris on A: a torn tmp and a bogus "completed"
+    # bucket file under the deterministic name the redo must overwrite
+    data_dir = os.path.join(root_a, "data")
+    with open(os.path.join(data_dir, "zj-morton-p00000.parquet.tmp-dead"), "wb") as fh:
+        fh.write(b"torn")
+    with open(os.path.join(data_dir, "zj-morton-p00000.parquet"), "wb") as fh:
+        fh.write(b"bogus partial output from the crashed attempt")
+
+    r_a = zorder.cluster(spark, ta, target_bytes=64 * 1024, job_id="zj")
+    r_b = zorder.cluster(spark, tb, target_bytes=64 * 1024, job_id="zj")
+    assert r_a.snapshot_id is not None
+
+    files_a = sorted(f for f in os.listdir(data_dir) if f.startswith("zj-") and f.endswith(".parquet"))
+    files_b = sorted(f for f in os.listdir(os.path.join(root_b, "data"))
+                     if f.startswith("zj-") and f.endswith(".parquet"))
+    assert files_a == files_b  # deterministic names, independent of debris
+
+    ta2 = Table.load(root_a)
+    ids_after = sorted(r.image_id for r in scan(spark, ta2).select("image_id").collect())
+    assert ids_after == ids_before  # identical row set per snapshot contract
+
+    # the bogus partial was atomically replaced by a valid parquet file
+    import pyarrow.parquet as pq
+
+    assert pq.read_table(os.path.join(data_dir, "zj-morton-p00000.parquet")).num_rows > 0
+
+    # idempotent re-run after commit: short-circuit, nothing rewritten
+    r3 = zorder.cluster(spark, ta2, target_bytes=64 * 1024, job_id="zj")
+    assert r3.input_files == 0 and r3.output_files == 0
