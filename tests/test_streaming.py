@@ -135,3 +135,56 @@ def test_sessionize_stateful_matches_batch_across_microbatches(spark, tmp_path):
     }
     ev.unpersist()
     assert got == expect
+
+
+def test_hourly_rollup_drops_late_rows(spark, tmp_path):
+    """Watermark contract: in append mode, a row arriving after the
+    watermark has passed its window is dropped (bounded state — the 100 TB
+    streaming failure mode the ops module documents)."""
+    from pyspark.sql import Row
+
+    from nessie_spark.streaming import hourly_rollup_stream
+
+    src = str(tmp_path / "late")
+    h0 = 1_700_000_000 - (1_700_000_000 % 3600)
+
+    def ev(eid, ts_s, val):
+        return Row(event_id=eid, ts=ts_s, user_id=1, event_type="x",
+                   value=float(val), props="")
+
+    b0 = spark.createDataFrame(
+        [ev(1, h0 + 10, 1.0), ev(2, h0 + 20, 1.0),
+         ev(3, h0 + 36000, 1.0)]  # clock-advancer: +10 h
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    b1 = spark.createDataFrame(
+        [ev(4, h0 + 30, 100.0),   # LATE: watermark is h0+8h by now
+         ev(5, h0 + 36010, 1.0)]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    b0.coalesce(1).write.parquet(f"{src}/b=0")
+    b1.coalesce(1).write.parquet(f"{src}/b=1")
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b=*")
+    )
+    q = (
+        hourly_rollup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.hour_epoch: (r.n_events, r.sum_value)
+        for r in spark.sql("select * from late_test").collect()
+    }
+    # h0's window finalized with only the two on-time rows; the late
+    # value=100 row must not appear anywhere
+    assert got.get(h0) == (2, 2.0)
+    assert all(abs(v[1]) < 50 for v in got.values())
