@@ -26,6 +26,7 @@ from nessie_spark.operators.common import T, h64_sql
 N_MINHASH = 32
 N_BANDS = 8  # 4 rows per band
 JACCARD_T = 0.5
+DF_CAP = 64  # ngram_jaccard stop-shingle cutoff (max k² join fanout per shingle)
 
 
 def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
@@ -260,33 +261,40 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit b of simhash = 1 iff Σ_tokens (2·bit_b(h64(token)) − 1) > 0.
     Pure integer math → exact oracle. Near-dup candidates at scale come from
     equality joins on the 4×15-bit bands (pigeonhole: hamming ≤ 3 ⇒ some
-    band equal); the fingerprint itself is the per-row output here."""
+    band equal); the fingerprint itself is the per-row output here.
+
+    Physical plan: ALL per-row — one ``aggregate`` folds the token-hash
+    array into a 60-slot bit-sum array (``transform`` with the positional
+    lambda), a second fold packs the signs into the fingerprint. ZERO
+    shuffles except the final presentation orderBy. (r1 exploded
+    tokens×60 bit-rows through two shuffled groupBys — a 60× row tax at
+    10^12 rows for arithmetic each row can do locally.)"""
     docs = T(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
-    )
-    th = toks.select("doc_id", h64(F.col("tok")).alias("h"))
-    bits = th.select(
+    th = docs.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("b"),
-        "h",
-    ).select(
+        F.transform(
+            F.split(F.trim("text"), r"\s+"), lambda t: h64(t)
+        ).alias("hs"),
+    )
+    # SQL-expr form: shiftright/shiftleft with a COLUMN shift amount is only
+    # expressible in SQL (the Python DSL requires a literal int).
+    sv = th.select(
         "doc_id",
-        "b",
-        (F.expr("shiftright(h, cast(b as int)) & 1") * 2 - 1).alias("v"),
+        F.expr(
+            "aggregate(hs, array_repeat(cast(0 as long), 60),"
+            " (acc, h) -> zip_with(acc, sequence(0, 59),"
+            "   (a, b) -> a + (shiftright(h, cast(b as int)) & 1) * 2 - 1))"
+        ).alias("sv"),
     )
-    return (
-        bits.groupBy("doc_id", "b")
-        .agg(F.sum("v").alias("sv"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("sv") > 0, F.expr("shiftleft(1L, cast(b as int))"))
-                .otherwise(F.lit(0).cast("long"))
-            ).alias("simhash")
-        )
-        .orderBy("doc_id")
-    )
+    return sv.select(
+        "doc_id",
+        F.expr(
+            "aggregate(zip_with(sv, sequence(0, 59),"
+            "   (v, b) -> if(v > 0, shiftleft(cast(1 as long), cast(b as int)),"
+            "             cast(0 as long))),"
+            " cast(0 as long), (a, v) -> a + v)"
+        ).alias("simhash"),
+    ).orderBy("doc_id")
 
 
 DEDUP_SIMHASH_SQL = f"""
@@ -300,8 +308,11 @@ WITH th AS (
   FROM th, (SELECT unnest(range(60)) AS b) b
   GROUP BY doc_id, b.b
 )
+-- CAST: DuckDB SUM(int) yields HUGEINT; pandas-converted HUGEINT degrades to
+-- float64 (lossy above 2^53 — simhash is 60-bit) and broke the r1 driver hash.
 SELECT doc_id,
-       SUM(CASE WHEN sv > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS simhash
+       CAST(SUM(CASE WHEN sv > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END)
+            AS BIGINT) AS simhash
 FROM bits GROUP BY doc_id ORDER BY doc_id
 """
 
@@ -311,11 +322,28 @@ def ngram_jaccard_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle index (no all-pairs): explode shingles → self-join on shingle →
     per-pair intersection counts → Jaccard → window top-1.
 
-    The Spark-native rewrite of suffix-tree repeat mining (SURVEY.md J6)."""
+    The Spark-native rewrite of suffix-tree repeat mining (SURVEY.md J6).
+
+    Stop-shingle cutoff: a shingle appearing in k documents emits k² pairs
+    through the self-join — unbounded fanout at 10^12 docs (r1 weakness).
+    Shingles with document frequency > DF_CAP are dropped from BOTH the
+    index and the per-doc sizes (Jaccard over non-stop shingles — the
+    standard dedup semantic; such shingles carry no top-1 signal anyway).
+    The oracle applies the identical cutoff; at the synthetic fixture's max
+    df of 7 the cap changes nothing, it exists for the heavy tail. The df
+    join keys on the shingle — the same key as the self-join — so both
+    consume one shuffle partitioning."""
     docs = _spread(spark, T(spark, sf_dir, "documents"))
     d = docs.select("doc_id", _shingles(F.col("text")).alias("sh"))
-    sizes = d.select("doc_id", F.size("sh").alias("n"))
-    inv = d.select("doc_id", F.explode("sh").alias("s"))
+    inv_all = d.select("doc_id", F.explode("sh").alias("s"))
+    keep = (
+        inv_all.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))  # shingles are distinct per doc
+        .where(F.col("df") <= DF_CAP)
+        .select("s")
+    )
+    inv = inv_all.join(keep, "s")
+    sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     pair_inter = (
         inv.alias("a")
         .join(inv.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -347,8 +375,10 @@ def ngram_jaccard_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NGRAM_JACCARD_SQL = f"""
 WITH sh AS ({_SHINGLES_SQL}),
-inv AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
+inv0 AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+keep AS (SELECT s FROM inv0 GROUP BY s HAVING COUNT(*) <= {DF_CAP}),
+inv AS (SELECT doc_id, s FROM inv0 JOIN keep USING (s)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM inv GROUP BY doc_id),
 pair_inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
   FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -378,21 +408,30 @@ ORDER BY doc_id
 COS_T = 0.35  # near-dup threshold calibrated to the synthetic embeddings
 
 
+EMB_BANDS, EMB_PLANES = 8, 8  # 2^8 buckets/band; recall ~0.99 at cos≥0.95
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup (task brief §dedup): single-pass canonical
-    assignment — canon_id = min(vec_id of any neighbor with cosine ≥ τ,
+    """Embedding-cosine near-dup (task brief §dedup): canonical assignment —
+    canon_id = min(vec_id of any LSH-candidate neighbor with cosine ≥ τ,
     including self); is_dup marks rows that collapse onto an earlier row.
 
-    Physical plan: broadcast the (id, normalized-vector) matrix, stream the
-    probe side through ``mapInPandas`` doing one BLAS matmul per Arrow
-    batch — the vectorized-pandas-UDF path the task brief mandates for
-    embedding math. One broadcast + one narrow map; the per-pair
-    ``zip_with`` fold it replaces measured 65 s vs ~4 s at sf0.1. Exactness:
-    cosine is rounded to 6 dp before the ≥ τ compare, same as the oracle.
-    At 10^9 vectors the broadcast side swaps for the random-hyperplane LSH
-    buckets of similarity.py (same bucket-join shape as
-    dedup_minhash_lsh_pairs); this matrix path is the per-bucket kernel."""
-    import numpy as np
+    Physical plan (the 10^9-vector shape — NO driver collect, r1's
+    ``emb.collect()`` was a driver OOM at scale): random-hyperplane sign
+    bands (similarity.band_keys_udf, one vectorized matmul per Arrow batch)
+    → one exploded (band, key) equi-join for candidates → exact JVM-side
+    cosine on candidates only → min-aggregate. Duplicate candidate pairs
+    from multiple agreeing bands are NOT deduped before the aggregate: MIN
+    is idempotent and map-side partial aggregation absorbs them — cheaper
+    than a distinct shuffle.
+
+    Recall contract: candidates require one agreeing 8-plane band of 8;
+    P(candidate | cos) = 1-(1-p^8)^8 with p = 1-acos(cos)/π — ≈0.99 at
+    cos 0.95 (true near-dups), lower near the τ boundary. The oracle
+    computes the SAME banded candidate set, so the gate checks the
+    algorithm exactly rather than relying on fixture luck (ADVICE r1)."""
+    from nessie_spark.functions.core import cosine_sim
+    from nessie_spark.operators.similarity import band_keys_udf
 
     emb = _spread(
         spark,
@@ -400,43 +439,52 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("e")
         ),
     )
-    rows = emb.collect()  # dimension side: ids + 64-dim floats, driver-safe
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    mat = np.array([r.e for r in rows], dtype=np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
-
-    def _scan(pdfs):
-        import pandas as pd
-
-        M, I = b_mat.value, b_ids.value
-        for pdf in pdfs:
-            q = np.stack(pdf["e"].to_numpy())
-            q = q / np.linalg.norm(q, axis=1, keepdims=True)
-            sims = np.round(q @ M.T, 6)
-            out = []
-            for k, vid in enumerate(pdf["vec_id"]):
-                mask = sims[k] >= COS_T
-                neigh = I[mask]
-                canon = int(min(int(neigh.min()), int(vid))) if neigh.size else int(vid)
-                out.append((int(vid), canon))
-            yield pd.DataFrame(out, columns=["vec_id", "canon_id"])
-
-    canon = emb.mapInPandas(_scan, "vec_id long, canon_id long")
-    return canon.select(
+    banded = emb.select(
         "vec_id",
-        "canon_id",
-        (F.col("canon_id") < F.col("vec_id")).alias("is_dup"),
-    ).orderBy("vec_id")
+        "e",
+        F.posexplode(band_keys_udf(EMB_BANDS, EMB_PLANES)(F.col("e"))).alias(
+            "band", "bk"
+        ),
+    )
+    cand = (
+        banded.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), "band", "bk")
+        .join(
+            banded.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"), "band", "bk"),
+            ["band", "bk"],
+        )
+        .where(F.col("id_a") != F.col("id_b"))
+    )
+    neigh = (
+        cand.where(F.round(cosine_sim(F.col("ea"), F.col("eb")), 6) >= COS_T)
+        .groupBy("id_a")
+        .agg(F.min("id_b").alias("min_n"))
+    )
+    return (
+        emb.select("vec_id")
+        .join(neigh.withColumnRenamed("id_a", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.least(F.col("vec_id"), F.coalesce("min_n", F.col("vec_id"))).alias(
+                "canon_id"
+            ),
+        )
+        .withColumn("is_dup", F.col("canon_id") < F.col("vec_id"))
+        .orderBy("vec_id")
+    )
 
 
-DEDUP_EMBEDDING_COSINE_SQL = f"""
+def _emb_cos_sql() -> str:
+    from nessie_spark.operators.similarity import planes_sql
+
+    band_eq = " OR ".join(f"a.band{b} = b.band{b}" for b in range(EMB_BANDS))
+    return f"""
 WITH emb AS (
   SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e FROM embeddings
+), banded AS (
+  SELECT vec_id, e, {planes_sql(EMB_BANDS, EMB_PLANES)} FROM emb
 ), pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM emb a JOIN emb b ON a.vec_id != b.vec_id
+  FROM banded a JOIN banded b ON a.vec_id != b.vec_id AND ({band_eq})
   WHERE ROUND(
           list_sum([ x[1] * x[2] for x in list_zip(a.e, b.e) ])
           / (sqrt(list_sum([ y * y for y in a.e ])) * sqrt(list_sum([ z * z for z in b.e ]))),
@@ -448,6 +496,9 @@ WITH emb AS (
 SELECT id_a AS vec_id, MIN(id_b) AS canon_id, MIN(id_b) < id_a AS is_dup
 FROM with_self GROUP BY id_a ORDER BY vec_id
 """
+
+
+DEDUP_EMBEDDING_COSINE_SQL = _emb_cos_sql()
 
 
 QUERIES: dict[str, tuple] = {

@@ -293,7 +293,11 @@ WITH scored AS (
            (PARTITION BY scorer ORDER BY score ASC, doc_id ASC) AS rk
   FROM long
 )
-SELECT doc_id, SUM(rk) AS borda FROM ranked GROUP BY doc_id ORDER BY doc_id
+-- CAST: DuckDB SUM(int) returns HUGEINT (int128); the driver gate converts
+-- results via pandas, where HUGEINT degrades to float64/object and the
+-- value-hash diverges from Spark's int64 (r1 driver hash FAIL root cause).
+SELECT doc_id, CAST(SUM(rk) AS BIGINT) AS borda
+FROM ranked GROUP BY doc_id ORDER BY doc_id
 """
 
 
@@ -351,7 +355,9 @@ WITH toks AS (
 ), counts AS (
   SELECT gram, lang, COUNT(*) AS cnt FROM grams GROUP BY gram, lang
 ), stats AS (
-  SELECT gram, SUM(cnt) AS n_docs, COUNT(*) AS n_langs FROM counts GROUP BY gram
+  -- CAST: avoid HUGEINT in an output column (r1 driver hash FAIL cause)
+  SELECT gram, CAST(SUM(cnt) AS BIGINT) AS n_docs, COUNT(*) AS n_langs
+  FROM counts GROUP BY gram
 ), modal AS (
   SELECT gram, lang AS majority_lang, cnt AS majority_cnt
   FROM (SELECT gram, lang, cnt, ROW_NUMBER() OVER

@@ -4,10 +4,8 @@ Covers: noise injection (P9), DataMap confidence (A7), calibration ECE (O7),
 Confident Learning thresholds (A9), stratified CV fold assignment (O1), and
 the interval-alignment join (J1) as a mutual-best-overlap matching.
 
-Dawid–Skene label aggregation (A10) is intentionally not grafted: its
-iterative EM needs per-iteration driver loops that the testdata's single
-prediction source cannot exercise meaningfully; the ensemble-vote operator
-(probability.ensemble_majority_flags) covers the adjudication shape.
+Dawid–Skene label aggregation (A10) lives in detectors3.dawid_skene_labels
+(iterative EM over the synthetic 3-voter panel).
 """
 
 from __future__ import annotations

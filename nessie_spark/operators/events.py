@@ -103,7 +103,8 @@ WITH t AS (
          MAX(t) - MIN(t) AS duration_s
   FROM sess GROUP BY user_id, session_idx
 )
-SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
+-- CAST: avoid HUGEINT in an output column (r1 driver hash FAIL cause)
+SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n_events) AS BIGINT) AS n_events,
        MAX(duration_s) AS max_session_s
 FROM per_session GROUP BY user_id ORDER BY user_id
 """

@@ -151,45 +151,193 @@ FROM d ORDER BY vec_id
 """
 
 
-def mean_distance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MeanDistance (/root/reference/nessie/detectors/mean_distance.py:25-103):
-    per-class centroid, score = squared-euclidean distance of each instance
-    to its own class centroid. Spark shape: posexplode → two-level agg →
-    broadcast join-back (the J5 pattern), no UDF."""
-    emb = T(spark, sf_dir, "embeddings")
+def _centroid_arrays(emb: DataFrame) -> DataFrame:
+    """Per-label centroid as an ordered array<double> column ``cvec``.
+
+    Shape: posexplode → groupBy(label, pos) avg — map-side partial
+    aggregation shrinks the shuffle to n_partitions × n_labels × 64 rows
+    (tiny) — then collect_list re-assembled in pos order. The result is a
+    n_labels-row frame, always broadcastable."""
     ex = emb.select(
-        "vec_id", "label", F.posexplode(F.col("embedding")).alias("pos", "val")
-    ).withColumn("val", F.col("val").cast("double"))
+        "label", F.posexplode(F.col("e")).alias("pos", "val")
+    )
     cent = ex.groupBy("label", "pos").agg(F.avg("val").alias("c"))
     return (
-        ex.join(F.broadcast(cent), ["label", "pos"])
-        .groupBy("vec_id", "label")
-        .agg(F.sum((F.col("val") - F.col("c")) ** 2).alias("d2"))
-        .select("vec_id", "label", F.round("d2", 6).alias("score"))
-        .orderBy("vec_id")
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("ps"))
+        .select("label", F.transform("ps", lambda s: s["c"]).alias("cvec"))
     )
 
 
-MEAN_DISTANCE_SQL = """
-WITH ex AS (
+def _emb_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.transform("embedding", lambda v: v.cast("double")).alias("e")
+    )
+
+
+_CENT_SQL = """
+ex AS (
   SELECT vec_id, label,
          generate_subscripts(embedding, 1) - 1 AS pos,
          CAST(unnest(embedding) AS DOUBLE) AS val
   FROM embeddings
 ), cent AS (
   SELECT label, pos, AVG(val) AS c FROM ex GROUP BY label, pos
+), cvecs AS (
+  SELECT label, list(c ORDER BY pos) AS cvec FROM cent GROUP BY label
+), emb AS (
+  SELECT vec_id, label, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+  FROM embeddings
+), joined AS (
+  SELECT emb.vec_id, emb.label, emb.e, cvecs.cvec
+  FROM emb JOIN cvecs USING (label)
 )
-SELECT ex.vec_id, ex.label, ROUND(SUM((ex.val - cent.c)^2), 6) AS score
-FROM ex JOIN cent ON ex.label = cent.label AND ex.pos = cent.pos
-GROUP BY ex.vec_id, ex.label
-ORDER BY ex.vec_id
 """
 
 
-def _knn_pairs(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+def mean_distance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MeanDistance (/root/reference/nessie/detectors/mean_distance.py:25-103):
+    per-class centroid, score = euclidean distance of each instance to its
+    own class centroid (scipy.spatial.distance.euclidean, mean_distance.py:63).
+
+    Physical plan (r2): the tiny per-label centroid-ARRAY frame broadcasts
+    and the distance is one ordered ``zip_with``/``aggregate`` fold per row
+    — no N-row join-back + re-aggregation shuffle (r1 pushed 64×N rows
+    through a second shuffle). The ordered fold is also float-safer than a
+    group-sum: both engines add in pos order."""
+    emb = _emb_labeled(spark, sf_dir)
+    d2 = F.aggregate(
+        F.zip_with("e", "cvec", lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    return (
+        emb.join(F.broadcast(_centroid_arrays(emb)), "label")
+        .select("vec_id", "label", F.round(F.sqrt(d2), 6).alias("score"))
+        .orderBy("vec_id")
+    )
+
+
+MEAN_DISTANCE_SQL = f"""
+WITH {_CENT_SQL}
+SELECT vec_id, label,
+       ROUND(sqrt(list_sum([ (x[1] - x[2]) * (x[1] - x[2]) for x in list_zip(e, cvec) ])), 6) AS score
+FROM joined ORDER BY vec_id
+"""
+
+
+def mean_distance_cosine_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MeanDistance(metric='cosine') (mean_distance.py:65-66 →
+    scipy.spatial.distance.cosine): score = 1 − e·c / (|e||c|)."""
+    from nessie_spark.functions.core import cosine_sim
+
+    emb = _emb_labeled(spark, sf_dir)
+    return (
+        emb.join(F.broadcast(_centroid_arrays(emb)), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.round(F.lit(1.0) - cosine_sim(F.col("e"), F.col("cvec")), 6).alias("score"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+MEAN_DISTANCE_COSINE_SQL = f"""
+WITH {_CENT_SQL}
+SELECT vec_id, label,
+       ROUND(1.0 - list_sum([ x[1] * x[2] for x in list_zip(e, cvec) ])
+             / (sqrt(list_sum([ y * y for y in e ])) * sqrt(list_sum([ z * z for z in cvec ]))),
+             6) AS score
+FROM joined ORDER BY vec_id
+"""
+
+
+def mean_distance_dot_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MeanDistance(metric='dot') (mean_distance.py:68-70): score = −e·c."""
+    emb = _emb_labeled(spark, sf_dir)
+    dot = F.aggregate(
+        F.zip_with("e", "cvec", lambda x, c: x * c), F.lit(0.0), lambda a, v: a + v
+    )
+    return (
+        emb.join(F.broadcast(_centroid_arrays(emb)), "label")
+        .select("vec_id", "label", F.round(-dot, 6).alias("score"))
+        .orderBy("vec_id")
+    )
+
+
+MEAN_DISTANCE_DOT_SQL = f"""
+WITH {_CENT_SQL}
+SELECT vec_id, label,
+       ROUND(-list_sum([ x[1] * x[2] for x in list_zip(e, cvec) ]), 6) AS score
+FROM joined ORDER BY vec_id
+"""
+
+
+LOF_K = 20  # sklearn LocalOutlierFactor default n_neighbors
+
+
+def mean_distance_lof_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MeanDistance(metric='lof') (mean_distance.py:95-103): per-class
+    LocalOutlierFactor, score = −negative_outlier_factor_ (i.e. the LOF
+    ratio, ≈1 for inliers, ≫1 for outliers). sklearn is not in this
+    container, so the LOF definition (Breunig et al. 2000, as implemented
+    by sklearn with n_neighbors=20) is computed directly in numpy inside a
+    per-class ``applyInPandas`` grouped map — the reference's exact
+    per-class fit shape (one task per class; classes are the natural
+    partition and each fits in memory by the reference's own contract).
+
+    k-distance neighborhoods INCLUDE ties at the k-th distance, matching
+    the LOF paper and sklearn. No SQL oracle (iterative/neighborhood logic;
+    driver records rows-only) — semantics are pytest-golden-tested against
+    hand-verifiable fixtures in tests/test_lof.py."""
+    import numpy as np
+    import pandas as pd
+
+    emb = _emb_labeled(spark, sf_dir)
+
+    def _lof(pdf: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack(pdf["e"].to_numpy())  # (n, d)
+        n = len(X)
+        k = min(LOF_K, n - 1)
+        # pairwise euclidean distances
+        sq = ((X[:, None, :] - X[None, :, :]) ** 2).sum(-1)
+        D = np.sqrt(np.maximum(sq, 0.0))
+        np.fill_diagonal(D, np.inf)
+        order = np.argsort(D, axis=1)
+        kdist = D[np.arange(n), order[:, k - 1]]  # k-th NN distance
+        # neighborhoods: all points within k-distance (ties included)
+        lrd = np.empty(n)
+        neigh: list[np.ndarray] = []
+        for i in range(n):
+            Ni = np.where(D[i] <= kdist[i])[0]
+            neigh.append(Ni)
+            reach = np.maximum(kdist[Ni], D[i, Ni])
+            lrd[i] = len(Ni) / reach.sum()
+        lof = np.array([lrd[neigh[i]].mean() / lrd[i] for i in range(n)])
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "label": pdf["label"].to_numpy(),
+                "score": np.round(lof, 6),
+            }
+        )
+
+    return (
+        emb.groupBy("label")
+        .applyInPandas(_lof, "vec_id long, label int, score double")
+        .orderBy("vec_id")
+    )
+
+
+KNN_BANDS, KNN_PLANES = 16, 5  # 2^5 buckets/band; every fixture point keeps ≥5 candidates
+
+
+def _knn_pairs_exact(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     """Exact k-NN self-join (brute force): the correctness baseline for
     KnnErrorDetector (/root/reference/nessie/detectors/knn_entropy.py:64-74,
-    faiss IndexFlatL2). Scale path = LSH bucketing (similarity.py).
+    faiss IndexFlatL2). Kept ONLY as the pytest oracle twin — it is O(N²)
+    (CartesianProduct); the shipped queries use _knn_pairs (LSH candidates).
     Ranking ties broken by (round(dist,4), neighbor id) in both engines."""
     emb = T(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.transform("embedding", lambda v: v.cast("double")).alias("e")
@@ -214,18 +362,78 @@ def _knn_pairs(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     return pairs.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
 
 
-_KNN_PAIRS_SQL = """
+def _knn_pairs(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """k-NN pairs, LSH-bucketed (the 10^9-row shape — r1's crossJoin was a
+    scale-killer): random-hyperplane sign bands → one exploded (band, key)
+    equi-join for candidates → exact L2 on candidates → top-k. The fixture
+    embeddings are unit-norm, so d² = 2−2·cos and sign-LSH (a cosine
+    family) is the correct bucketing for L2 too. The oracle computes the
+    SAME banded candidate set, so the gate is exact; approximate-kNN recall
+    (top-5 ≈ 0.76 on the near-uniform synthetic fixture, higher on real
+    clustered data) is the standard LSH contract — the exact twin stays in
+    _knn_pairs_exact for pytest comparison.
+
+    Candidate pairs appearing in several bands are deduped on (qid, nid)
+    BEFORE ranking — a duplicated neighbor would occupy two top-k slots."""
+    from nessie_spark.operators.similarity import band_keys_udf
+
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.transform("embedding", lambda v: v.cast("double")).alias("e")
+    )
+    banded = emb.select(
+        "vec_id",
+        "label",
+        "e",
+        F.posexplode(band_keys_udf(KNN_BANDS, KNN_PLANES)(F.col("e"))).alias("band", "bk"),
+    )
+    cand = (
+        banded.select(
+            F.col("vec_id").alias("qid"), F.col("label").alias("qlabel"),
+            F.col("e").alias("qe"), "band", "bk",
+        )
+        .join(
+            banded.select(
+                F.col("vec_id").alias("nid"), F.col("label").alias("nlabel"),
+                F.col("e").alias("ne"), "band", "bk",
+            ),
+            ["band", "bk"],
+        )
+        .where(F.col("qid") != F.col("nid"))
+        .dropDuplicates(["qid", "nid"])
+    )
+    d2 = F.aggregate(
+        F.zip_with("qe", "ne", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    pairs = cand.select("qid", "qlabel", "nid", "nlabel", F.round(d2, 4).alias("dist"))
+    w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("nid"))
+    return pairs.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
+def _knn_pairs_sql() -> str:
+    from nessie_spark.operators.similarity import planes_sql
+
+    band_eq = " OR ".join(f"a.band{b} = b.band{b}" for b in range(KNN_BANDS))
+    return f"""
   SELECT qid, qlabel, nid, nlabel, dist,
          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS rk
   FROM (
     SELECT a.vec_id AS qid, a.label AS qlabel, b.vec_id AS nid, b.label AS nlabel,
            ROUND(list_sum([ (x[1] - x[2]) * (x[1] - x[2])
                             for x in list_zip(a.e, b.e) ]), 4) AS dist
-    FROM (SELECT vec_id, label, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e FROM embeddings) a
-    JOIN (SELECT vec_id, label, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e FROM embeddings) b
-      ON a.vec_id != b.vec_id
+    FROM (SELECT vec_id, label, e, {planes_sql(KNN_BANDS, KNN_PLANES)}
+          FROM (SELECT vec_id, label, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+                FROM embeddings)) a
+    JOIN (SELECT vec_id, label, e, {planes_sql(KNN_BANDS, KNN_PLANES)}
+          FROM (SELECT vec_id, label, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+                FROM embeddings)) b
+      ON a.vec_id != b.vec_id AND ({band_eq})
   )
 """
+
+
+_KNN_PAIRS_SQL = _knn_pairs_sql()
 
 
 def knn_flagger_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -293,6 +501,9 @@ QUERIES: dict[str, tuple] = {
     ),
     "ensemble_majority_flags": (ensemble_majority_flags, ENSEMBLE_SQL),
     "mean_distance_scores": (mean_distance_scores, MEAN_DISTANCE_SQL),
+    "mean_distance_cosine_scores": (mean_distance_cosine_scores, MEAN_DISTANCE_COSINE_SQL),
+    "mean_distance_dot_scores": (mean_distance_dot_scores, MEAN_DISTANCE_DOT_SQL),
+    "mean_distance_lof_scores": (mean_distance_lof_scores, None),  # rows-only (see docstring)
     "knn_flagger_flags": (knn_flagger_flags, KNN_FLAGGER_SQL),
     "knn_entropy_scores": (knn_entropy_scores, KNN_ENTROPY_SQL),
 }

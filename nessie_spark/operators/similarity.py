@@ -95,13 +95,19 @@ def _plane_weights(band: int, p: int) -> list[float]:
     ]
 
 
-def _band_keys_udf():
-    """All band keys in one vectorized pandas UDF: a (rows × 64) @ (64 × 24)
-    matmul, signs packed into N_BANDS integer keys. The expression-tree
-    formulation (24 aggregate/zip_with folds over 64 literals each, ~1.5k
-    plan nodes PER JOIN SIDE) spent more time in Catalyst/codegen than in
-    data; the numpy path is exact — thresholding dot > 0 with the same
-    float64 weights — and at 10^9 rows it is the Arrow-batched hot path.
+def band_keys_udf(n_bands: int = N_BANDS, n_planes: int = N_PLANES):
+    """All band keys in one vectorized pandas UDF: a (rows × 64) @
+    (64 × n_bands·n_planes) matmul, signs packed into n_bands integer keys.
+    The expression-tree formulation (24 aggregate/zip_with folds over 64
+    literals each, ~1.5k plan nodes PER JOIN SIDE) spent more time in
+    Catalyst/codegen than in data; the numpy path is exact — thresholding
+    dot > 0 with the same float64 weights — and at 10^9 rows it is the
+    Arrow-batched hot path.
+
+    Parameterized so each caller picks its recall/bucket-size point:
+    bucket count per band = 2^n_planes (more planes → smaller buckets but
+    lower per-band recall; add bands to compensate). ann_lsh_topk uses
+    3×8; dedup_embedding_cosine uses 8×8.
 
     Exactness note: the fold sums left-to-right, numpy may sum pairwise;
     sign(dot) only differs if |dot| < 1e-10·scale, and the weights are
@@ -113,24 +119,29 @@ def _band_keys_udf():
     W = np.array(
         [
             _plane_weights(band, p)
-            for band in range(N_BANDS)
-            for p in range(N_PLANES)
+            for band in range(n_bands)
+            for p in range(n_planes)
         ],
         dtype=np.float64,
-    )  # (N_BANDS*N_PLANES, 64)
+    )  # (n_bands*n_planes, 64)
 
     def _keys(e):
         import pandas as pd
 
+        if len(e) == 0:  # empty Arrow batch: np.stack would raise
+            return pd.Series([], dtype=object)
         E = np.stack(e.to_numpy())  # (n, 64) float64
-        bits = (E @ W.T) > 0  # (n, 24)
-        keys = np.zeros((E.shape[0], N_BANDS), dtype=np.int64)
-        for band in range(N_BANDS):
-            for p in range(N_PLANES):
-                keys[:, band] = keys[:, band] * 2 + bits[:, band * N_PLANES + p]
+        bits = (E @ W.T) > 0  # (n, n_bands*n_planes)
+        keys = np.zeros((E.shape[0], n_bands), dtype=np.int64)
+        for band in range(n_bands):
+            for p in range(n_planes):
+                keys[:, band] = keys[:, band] * 2 + bits[:, band * n_planes + p]
         return pd.Series(list(keys))
 
     return pandas_udf(_keys, "array<long>")
+
+
+_band_keys_udf = band_keys_udf  # back-compat alias
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -170,16 +181,20 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _planes_sql() -> str:
-    """Per-band sign-key expression for the oracle (same h64 planes)."""
+def planes_sql(n_bands: int = N_BANDS, n_planes: int = N_PLANES) -> str:
+    """Per-band sign-key expression for the oracle. The hyperplane weights
+    are PLAN-TIME constants (md5-derived, see _plane_weights), so they are
+    inlined as float literals — repr() round-trips float64 exactly, and the
+    left-to-right `+` fold matches the docstring contract of band_keys_udf.
+    (The previous form re-derived each weight with an inline md5 expression:
+    same values, but ~150 KB of SQL for 3×8 bands and most of the oracle's
+    runtime spent parsing.)"""
     bands = []
-    for band in range(N_BANDS):
+    for band in range(n_bands):
         bits = []
-        for p in range(N_PLANES):
-            terms = " + ".join(
-                f"e[{d + 1}] * CAST({h64_sql(x=repr(f'b{band}p{p}d{d}'))} - 576460752303423488 AS DOUBLE)"
-                for d in range(64)
-            )
+        for p in range(n_planes):
+            w = _plane_weights(band, p)
+            terms = " + ".join(f"e[{d + 1}] * {w[d]!r}" for d in range(64))
             bits.append(f"(CASE WHEN ({terms}) > 0 THEN 1 ELSE 0 END)")
         key = bits[0]
         for b_ in bits[1:]:
@@ -192,7 +207,7 @@ ANN_LSH_SQL = f"""
 WITH emb AS (
   SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e FROM embeddings
 ), banded AS (
-  SELECT vec_id, e, {_planes_sql()} FROM emb
+  SELECT vec_id, e, {planes_sql()} FROM emb
 ), cand AS (
   SELECT DISTINCT a.vec_id AS qid, a.e AS qe, b.vec_id AS nid, b.e AS ne
   FROM banded a JOIN banded b

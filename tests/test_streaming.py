@@ -160,26 +160,27 @@ def test_hourly_rollup_drops_late_rows(spark, tmp_path):
         [ev(4, h0 + 30, 100.0),   # LATE: watermark is h0+8h by now
          ev(5, h0 + 36010, 1.0)]
     ).withColumn("ts", F.col("ts").cast("timestamp"))
-    b0.coalesce(1).write.parquet(f"{src}/b=0")
-    b1.coalesce(1).write.parquet(f"{src}/b=1")
-
-    stream = (
-        spark.readStream.schema(
-            "event_id long, ts timestamp, user_id long, event_type string, "
-            "value double, props string"
-        )
-        .option("maxFilesPerTrigger", 1)
-        .parquet(f"{src}/b=*")
-    )
+    # Feed the two micro-batches EXPLICITLY: write b0, drain, then write b1
+    # and drain again. (The previous maxFilesPerTrigger=1 form raced on
+    # file-stream modtime ordering — both files written in the same second
+    # could land in one batch / reversed order, so the watermark never
+    # advanced before the late row arrived.)
+    b0.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(src)
     q = (
         hourly_rollup_stream(stream)
         .writeStream.format("memory")
         .queryName("late_test")
         .outputMode("append")
-        .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.processAllAvailable()  # batch 1: watermark advances to h0+10h-2h
+    b1.coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()  # batch 2: late row < watermark -> dropped
+    q.stop()
     got = {
         r.hour_epoch: (r.n_events, r.sum_value)
         for r in spark.sql("select * from late_test").collect()

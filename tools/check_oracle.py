@@ -69,9 +69,16 @@ def main(names: list[str]) -> int:
             print(f"  {name:36s} rows={len(srows):6d} (no oracle — rows-only) {el_s:5.1f}s")
             continue
         t0 = time.time()
-        orel = con.execute(oracles[name])
-        ocols_raw = [d[0] for d in orel.description]
-        orows = [dict(zip(ocols_raw, row)) for row in orel.fetchall()]
+        # Fetch via pandas, NOT fetchall(): the driver gate converts DuckDB
+        # results through pandas, where HUGEINT (e.g. SUM over integers)
+        # degrades to float64/object while fetchall() yields exact Python
+        # ints. r1 shipped 4 driver hash FAILs that fetchall() masked.
+        opdf = con.execute(oracles[name]).df()
+        ocols_raw = list(opdf.columns)
+        orows = [
+            {k: (v.item() if hasattr(v, "item") else v) for k, v in rec.items()}
+            for rec in opdf.to_dict("records")
+        ]
         el_d = time.time() - t0
         ocols = sorted(ocols_raw)
         ok_rows = len(srows) == len(orows)
