@@ -88,22 +88,59 @@ def expire_snapshots(
 
     report = ExpiryReport(sorted(retained), expired, doomed, [], dry_run)
     if not dry_run:
+        # manifest-file reachability, same rule as data files: manifests
+        # referenced ONLY by expired snapshots are deleted too (r1 leaked
+        # them forever — gc_orphans only scans data/)
+        kept_manifests: set[str] = set()
+        for sid in retained:
+            kept_manifests.update(table.manifest_paths(sid))
+        doomed_manifests: set[str] = set()
+        for sid in expired:
+            doomed_manifests.update(table.manifest_paths(sid))
+
+        # metadata update FIRST, through the same optimistic-retry
+        # discipline as Table.commit — a concurrent commit between our load
+        # and write must neither be clobbered nor crash us with
+        # FileExistsError (r1 ADVICE); file deletions only run after the
+        # new version is durable, so a crash mid-expiry never leaves live
+        # metadata pointing at deleted files.
+        t = table
+        mlists: list[str] = []
+        for _ in range(5):
+            meta = dict(t.meta)
+            kept_snaps = [s for s in meta["snapshots"] if s["snapshot_id"] in retained]
+            mlists = [
+                os.path.join(t.root, s["manifest_list"])
+                for s in meta["snapshots"]
+                if s["snapshot_id"] not in retained
+            ]
+            meta["snapshots"] = kept_snaps
+            try:
+                t._write_version(t.version + 1, meta)
+            except FileExistsError:
+                base_ids = {x["snapshot_id"] for x in table.meta["snapshots"]}
+                t = t.refresh()
+                # snapshots committed concurrently are implicitly retained
+                retained.update(
+                    s["snapshot_id"] for s in t.meta["snapshots"]
+                    if s["snapshot_id"] not in base_ids
+                )
+                continue
+            table.meta, table.version = meta, t.version + 1
+            break
+        else:
+            raise RuntimeError("expire_snapshots: metadata update lost 5 races")
+
         for rel in doomed:
             p = os.path.join(table.root, rel)
             if os.path.exists(p):
                 os.remove(p)
-        # drop expired snapshots (and their manifest lists) from metadata
-        meta = dict(table.meta)
-        kept_snaps = [s for s in meta["snapshots"] if s["snapshot_id"] in retained]
-        for s in meta["snapshots"]:
-            if s["snapshot_id"] in retained:
-                continue
-            ml = os.path.join(table.root, s["manifest_list"])
+        for mp in sorted(doomed_manifests - kept_manifests):
+            if os.path.exists(mp):
+                os.remove(mp)
+        for ml in mlists:
             if os.path.exists(ml):
                 os.remove(ml)
-        meta["snapshots"] = kept_snaps
-        table._write_version(table.version + 1, meta)
-        table.meta, table.version = meta, table.version + 1
     return report
 
 

@@ -39,6 +39,12 @@ def append(
     deterministic, shuffle = one hash partitioning by file_id.
     """
     job_id = job_id or f"append-{uuid.uuid4().hex[:8]}"
+    # Idempotency guard (same contract as compact/merge): re-running a
+    # committed job_id must be a no-op, not an overwrite of live data files
+    # at the deterministic data/{job_id}-append-* paths (r1 ADVICE).
+    prior = lineage.committed_snapshot(table.root, job_id)
+    if prior is not None:
+        return prior
     if file_boundaries is not None:
         import numpy as np
 

@@ -100,8 +100,36 @@ def mark_committed(root: str, job_id: str, snapshot_id: int) -> None:
 
 
 def committed_snapshot(root: str, job_id: str) -> int | None:
+    """Snapshot id already committed under this job_id, else None.
+
+    Two sources, checked in order:
+    1. the COMMITTED marker (fast path);
+    2. the table metadata itself — every job commit records its job_id in
+       the snapshot summary, so the COMMIT is the authoritative idempotency
+       record. This closes the commit→mark_committed crash window: a job
+       that died between the two would otherwise re-run and double-add its
+       already-live outputs (r1 ADVICE). A hit backfills the marker."""
+    import json
+
     p = os.path.join(root, "_lineage", job_id, "COMMITTED")
     if os.path.exists(p):
         with open(p) as fh:
             return int(fh.read().strip())
+    mdir = os.path.join(root, "metadata")
+    try:
+        versions = [
+            int(f[1:-5])
+            for f in os.listdir(mdir)
+            if f.startswith("v") and f.endswith(".json")
+        ]
+        if not versions:
+            return None
+        with open(os.path.join(mdir, f"v{max(versions)}.json")) as fh:
+            meta = json.load(fh)
+    except OSError:
+        return None
+    for snap in reversed(meta.get("snapshots", [])):
+        if snap.get("summary", {}).get("job_id") == job_id:
+            mark_committed(root, job_id, snap["snapshot_id"])
+            return snap["snapshot_id"]
     return None

@@ -96,6 +96,20 @@ def merge_into(
     else:
         target = spark.createDataFrame([], IMAGES_DDL)
 
+    # Duplicate source keys would produce duplicate rows in the rewritten
+    # table (r1 ADVICE); SQL MERGE makes them an error — we dedupe
+    # deterministically instead (max row per key under a total column
+    # order), one shuffle of the (small) source side.
+    from pyspark.sql.window import Window
+
+    wdup = Window.partitionBy("image_id").orderBy(
+        *[F.desc(c) for c in DATA_COLUMNS if c != "image_id"]
+    )
+    source = (
+        source.withColumn("_rn", F.row_number().over(wdup))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     n_src = source.count()
     src = source.select(*DATA_COLUMNS)
     small_src = n_src <= broadcast_threshold_rows
@@ -152,29 +166,57 @@ def merge_into(
     for p in parts[1:]:
         merged = merged.unionByName(p)
 
-    # one pass for the action histogram, one pass for the rewrite
-    counts_src = updated_rows.select("_action").unionByName(
-        unchanged_rows.select("_action")
-    ).unionByName(inserted_rows.select("_action"))
-    counts = {r["_action"]: r["count"] for r in counts_src.groupBy("_action").count().collect()}
-    n_updated = int(counts.get("update", 0))
-    n_unchanged = int(counts.get("unchanged", 0))
-    n_inserted = int(counts.get("insert", 0)) if when_not_matched == "insert" else 0
-
     new_rows = merged.select(*DATA_COLUMNS)
 
     # --- phase 3: rewrite matched scope + commit
+    # Output sizing: matched bytes + an estimate for inserts. bytes/row
+    # comes from the matched files, falling back to the whole-table average
+    # so an insert-only merge (matched_bytes = 0, r1 funneled it through ONE
+    # file) still fans out. n_src bounds the insert count (exact counting
+    # would execute the join twice — see histogram note below).
     matched_bytes = sum(e["file_size_bytes"] for e in entries if e["file_path"] in matched_set)
-    est_bytes = matched_bytes + (matched_bytes / max(n_unchanged + n_updated, 1)) * n_inserted
+    matched_rows = sum(e["record_count"] for e in entries if e["file_path"] in matched_set)
+    tot_bytes = sum(e["file_size_bytes"] for e in entries)
+    tot_rows = sum(e["record_count"] for e in entries)
+    bytes_per_row = (
+        matched_bytes / matched_rows
+        if matched_rows
+        else (tot_bytes / tot_rows if tot_rows else 256 * 1024)
+    )
+    est_bytes = matched_bytes + bytes_per_row * n_src
     n_files = max(1, math.ceil(est_bytes / target_bytes))
     new_rows = new_rows.repartition(n_files, "image_id")
 
     stats = write_partition_files(new_rows, root, job_id, "merge").toArrow()
+    total_written = int(sum(stats.column("record_count").to_pylist() or [0]))
+
+    # Action histogram DERIVED from already-known counts — the r1 version
+    # ran the merge join twice (once for groupBy(_action).count(), once for
+    # the rewrite), a 2× tax on the dominant stage at scale. With
+    # when_matched='update': written = matched_rows + inserted, and
+    # updated + inserted = n_src, so all three follow from the write stats.
+    # With when_matched='delete' the updated rows are absent from the
+    # output: deleted = matched_rows − unchanged = matched_rows −
+    # (written − inserted); one slim count on source keys ⋉ target keys
+    # resolves it (ids only — not the full row join).
+    if when_matched == "update" and when_not_matched == "insert":
+        n_inserted = max(0, total_written - matched_rows)
+        n_updated = n_src - n_inserted
+        n_unchanged = matched_rows - n_updated
+    else:
+        n_updated = (
+            src.select("image_id")
+            .join(target.select("image_id"), "image_id", "left_semi")
+            .count()
+        )
+        n_inserted = (n_src - n_updated) if when_not_matched == "insert" else 0
+        n_unchanged = matched_rows - n_updated
+
     lineage.write_unit(
         root, job_id, "merge", 0,
         input_files=matched_paths,
         output_files=stats.column("file_path").to_pylist(),
-        rows=int(sum(stats.column("record_count").to_pylist() or [0])),
+        rows=total_written,
         nbytes=int(sum(stats.column("file_size_bytes").to_pylist() or [0])),
         metrics={
             "updated": float(n_updated),

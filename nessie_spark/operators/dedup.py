@@ -178,9 +178,11 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pipeline: 32 minhashes → 8 bands of 4 → band-bucket groupBy → candidate
     pairs → exact Jaccard on distinct shingles ≥ 0.5. The oracle computes
-    exact all-pairs Jaccard: identical minhash signatures (J=1 pairs) are
-    always caught by banding, and near-pairs at this threshold/banding have
-    recall ≈ 1 at test scale — verified by the gate itself."""
+    the SAME banded candidate set from the same md5 hash family before the
+    exact-Jaccard filter, so the gate checks the algorithm exactly on any
+    data (r1 gated against exact all-pairs, which held only because the
+    fixture's planted dups have J ≈ 1 — a pair at the 0.5 threshold is
+    banding-missed with p ≈ 0.6 and would have failed the gate; ADVICE r1)."""
     docs = _spread(spark, T(spark, sf_dir, "documents"))
     d = docs.select("doc_id", _shingles(F.col("text")).alias("sh"))
     sig = d.select(
@@ -243,14 +245,37 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mh_band_keys_sql() -> str:
+    """Band-key expressions over the 32 md5-derived minhashes — the same
+    8×4 banding the Spark side joins on, so the oracle's candidate set is
+    identical by construction (key format differs, equality semantics do
+    not: keys are equal iff the band's 4 minhash values are equal)."""
+    rows_per_band = N_MINHASH // N_BANDS
+    keys = []
+    for b_ in range(N_BANDS):
+        parts = [
+            f"CAST(list_min([ {_mh_i_sql('s', b_ * rows_per_band + r_)} for s in sh ]) AS VARCHAR)"
+            for r_ in range(rows_per_band)
+        ]
+        keys.append(" || ',' || ".join(parts) + f" AS k{b_}")
+    return ", ".join(keys)
+
+
 DEDUP_MINHASH_LSH_SQL = f"""
-WITH sh AS ({_SHINGLES_SQL})
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= {JACCARD_T}
+WITH sh AS ({_SHINGLES_SQL}),
+banded AS (SELECT doc_id, sh, {_mh_band_keys_sql()} FROM sh),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+  FROM banded a JOIN banded b
+    ON a.doc_id < b.doc_id
+   AND ({" OR ".join(f"a.k{b_} = b.k{b_}" for b_ in range(N_BANDS))})
+)
+SELECT id_a, id_b,
+       ROUND(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+             / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 6) AS jaccard
+FROM cand
+WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+      / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= {JACCARD_T}
 ORDER BY id_a, id_b
 """
 

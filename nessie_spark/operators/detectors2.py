@@ -290,6 +290,133 @@ def interval_mutual_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hungarian_min(cost) -> list[tuple[int, int]]:
+    """O(n³) Hungarian algorithm (potentials formulation — the classical
+    Kuhn–Munkres as presented in standard references, e.g. cp-algorithms),
+    minimizing total cost of a full assignment of the smaller side.
+    scipy.optimize.linear_sum_assignment is not in this container, so the
+    solver is implemented directly in numpy/python. Requires n_rows ≤
+    n_cols; callers transpose as needed. Returns [(row, col), ...]."""
+    import numpy as np
+
+    a = np.asarray(cost, dtype=np.float64)
+    n, m = a.shape
+    assert n <= m
+    INF = float("inf")
+    u = [0.0] * (n + 1)
+    v = [0.0] * (m + 1)
+    p = [0] * (m + 1)  # p[j] = row matched to column j (1-based; 0 = free)
+    way = [0] * (m + 1)
+    for i in range(1, n + 1):
+        p[0] = i
+        j0 = 0
+        minv = [INF] * (m + 1)
+        used = [False] * (m + 1)
+        while True:
+            used[j0] = True
+            i0 = p[j0]
+            delta = INF
+            j1 = -1
+            for j in range(1, m + 1):
+                if not used[j]:
+                    cur = a[i0 - 1][j - 1] - u[i0] - v[j]
+                    if cur < minv[j]:
+                        minv[j] = cur
+                        way[j] = j0
+                    if minv[j] < delta:
+                        delta = minv[j]
+                        j1 = j
+            for j in range(m + 1):
+                if used[j]:
+                    u[p[j]] += delta
+                    v[j] -= delta
+                else:
+                    minv[j] -= delta
+            j0 = j1
+            if p[j0] == 0:
+                break
+        while True:
+            j1 = way[j0]
+            p[j0] = p[j1]
+            j0 = j1
+            if j0 == 0:
+                break
+    return [(p[j] - 1, j - 1) for j in range(1, m + 1) if p[j] != 0]
+
+
+def interval_optimal_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 with the TRUE optimal assignment (/root/reference/nessie/
+    task_support/span_labeling.py:65-114: scipy linear_sum_assignment over
+    the negated-overlap cost matrix, zero-overlap assignments dropped) —
+    exact on crossing interval sets where the mutual-best-overlap join
+    (interval_mutual_best_match) is only a heuristic.
+
+    Shape: per-user grouped map (``applyInPandas``) running the O(n³)
+    Hungarian solver on that user's A×B overlap matrix — users are the
+    natural partition and per-user session counts are small by
+    construction (the reference solves per sentence, same contract).
+    No SQL oracle (assignment is not SQL-expressible); optimality is
+    pytest-verified against permutation brute force (tests/test_hungarian.py)."""
+    import numpy as np
+    import pandas as pd
+
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("t")
+    )
+
+    def sessions(kinds: list[str], side: str) -> DataFrame:
+        e = ev.where(F.col("event_type").isin(kinds))
+        w = Window.partitionBy("user_id").orderBy("t")
+        s = e.withColumn(
+            "is_new", F.when(F.col("t") - F.lag("t").over(w) > 1800, 1).otherwise(0)
+        ).withColumn(
+            "sid", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        return s.groupBy("user_id", "sid").agg(
+            F.min("t").alias("start"), F.max("t").alias("end")
+        ).select("user_id", F.lit(side).alias("side"), "start", "end")
+
+    both = sessions(["click", "view"], "a").unionByName(
+        sessions(["purchase", "signup"], "b")
+    )
+
+    def _solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        A = pdf[pdf["side"] == "a"].sort_values("start")[["start", "end"]].to_numpy()
+        B = pdf[pdf["side"] == "b"].sort_values("start")[["start", "end"]].to_numpy()
+        if len(A) == 0 or len(B) == 0:
+            return pd.DataFrame(
+                columns=["user_id", "a_start", "a_end", "b_start", "b_end", "ov"]
+            )
+        ov = np.maximum(
+            0,
+            np.minimum(A[:, None, 1], B[None, :, 1])
+            - np.maximum(A[:, None, 0], B[None, :, 0])
+            + 1,
+        )
+        if len(A) <= len(B):
+            pairs = _hungarian_min(-ov)
+        else:
+            pairs = [(i, j) for j, i in _hungarian_min(-ov.T)]
+        uid = pdf["user_id"].iloc[0]
+        rows = [
+            (uid, int(A[i][0]), int(A[i][1]), int(B[j][0]), int(B[j][1]), int(ov[i][j]))
+            for i, j in pairs
+            if ov[i][j] > 0  # reference drops disjoint assignments
+        ]
+        return pd.DataFrame(
+            rows, columns=["user_id", "a_start", "a_end", "b_start", "b_end", "ov"]
+        )
+
+    return (
+        both.groupBy("user_id")
+        .applyInPandas(
+            _solve,
+            "user_id long, a_start long, a_end long, b_start long, b_end long, ov long",
+        )
+        .orderBy("user_id", "a_start", "b_start")
+    )
+
+
 INTERVAL_MATCH_SQL = """
 WITH ev AS (
   SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events
@@ -341,11 +468,274 @@ ORDER BY user_id, a_start, b_start
 """
 
 
+def _confident_jstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared confident-joint assignment (cleanlab count_matrix semantics,
+    /root/reference/nessie/detectors/confident_learning.py:22-60 →
+    cleanlab.filter.find_label_issues): per-class threshold t_j = mean
+    self-confidence of examples labeled j; an example joins cell
+    (noisy, j*) where j* = argmax_j {p_j : p_j ≥ t_j} (ties → smallest j);
+    examples with no class above threshold join no cell (confident NULL).
+
+    Set-based argmax (explode candidates → window top-1): comparisons only,
+    so the oracle is exact without float-fold concerns. Output:
+    (vec_id, noisy, confident nullable)."""
+    emb = T(spark, sf_dir, "embeddings")
+    e4 = F.transform(F.slice("embedding", 1, 4), lambda v: v.cast("double"))
+    d = emb.select(
+        "vec_id",
+        (F.col("label") % 4).cast("int").alias("noisy"),
+        softmax_arr(e4).alias("p"),
+    )
+    thr = (
+        d.select("noisy", F.get("p", F.col("noisy")).alias("sc"))
+        .groupBy("noisy")
+        .agg(F.avg("sc").alias("t"))
+    )
+    tarr = thr.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("noisy", "t"))).alias("ts")
+    ).select(F.transform("ts", lambda s: s["t"]).alias("tarr"))
+    cand = (
+        d.crossJoin(F.broadcast(tarr))
+        .select(
+            "vec_id", "noisy", "p",
+            F.filter(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda j: F.get("p", j) >= F.get("tarr", j),
+            ).alias("cands"),
+        )
+        .select("vec_id", "noisy", "p", F.explode_outer("cands").alias("j"))
+        .select(
+            "vec_id", "noisy", "j",
+            F.when(F.col("j").isNotNull(), F.get("p", F.col("j"))).alias("pj"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc_nulls_last("pj"), F.asc_nulls_last("j")
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "noisy", F.col("j").cast("int").alias("confident"))
+    )
+
+
+_CONFIDENT_JSTAR_SQL = """
+  WITH d AS (
+    SELECT vec_id, CAST(label % 4 AS INT) AS noisy, {sm} AS p
+    FROM (SELECT vec_id, label,
+                 list_transform(embedding[1:4], v -> CAST(v AS DOUBLE)) AS e0
+          FROM embeddings)
+  ), thr AS (
+    SELECT noisy, AVG(p[noisy + 1]) AS t FROM d GROUP BY noisy
+  ), tarr AS (
+    SELECT list(t ORDER BY noisy) AS tarr FROM thr
+  ), cand AS (
+    SELECT vec_id, noisy, p,
+           [j for j in [0, 1, 2, 3] if p[j + 1] >= tarr[j + 1]] AS cands
+    FROM d CROSS JOIN tarr
+  ), expl AS (
+    SELECT vec_id, noisy, u.j AS j, p[u.j + 1] AS pj
+    FROM cand, UNNEST(cands) AS u(j)
+    UNION ALL
+    SELECT vec_id, noisy, NULL, NULL FROM cand WHERE len(cands) = 0
+  ), ranked AS (
+    SELECT vec_id, noisy, j, ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY pj DESC NULLS LAST, j ASC NULLS LAST) AS rk
+    FROM expl
+  )
+  SELECT vec_id, noisy, CAST(j AS INT) AS confident FROM ranked WHERE rk = 1
+"""
+
+
+def confident_joint_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The confident joint C[noisy][confident] (cleanlab count.py semantics
+    via confident_learning.py:22-60): integer counts per cell — the
+    distribution-of-label-noise estimate. Cells with no members omitted."""
+    j = _confident_jstar(spark, sf_dir)
+    return (
+        j.where(F.col("confident").isNotNull())
+        .groupBy("noisy", "confident")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("noisy", "confident")
+    )
+
+
+CONFIDENT_JOINT_SQL = f"""
+WITH jstar AS ({_CONFIDENT_JSTAR_SQL.format(sm=_SM.format(e=0))})
+SELECT noisy, confident, COUNT(*) AS cnt
+FROM jstar WHERE confident IS NOT NULL
+GROUP BY noisy, confident ORDER BY noisy, confident
+"""
+
+
+def confident_learning_prune_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """find_label_issues(filter_by='prune_by_noise_rate') semantics: flag
+    the members of off-diagonal confident-joint cells — examples that
+    confidently belong to a class other than their given label
+    (confident_learning.py:56-58)."""
+    j = _confident_jstar(spark, sf_dir)
+    return j.select(
+        "vec_id",
+        "noisy",
+        "confident",
+        (
+            F.col("confident").isNotNull() & (F.col("confident") != F.col("noisy"))
+        ).alias("flag"),
+    ).orderBy("vec_id")
+
+
+CONFIDENT_PRUNE_SQL = f"""
+WITH jstar AS ({_CONFIDENT_JSTAR_SQL.format(sm=_SM.format(e=0))})
+SELECT vec_id, noisy, confident,
+       confident IS NOT NULL AND confident != noisy AS flag
+FROM jstar ORDER BY vec_id
+"""
+
+
+N_CAL_FOLDS = 5
+
+
+def _conf_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared input for the calibrator ops: (vec_id, fold, conf, correct).
+    conf = max softmax prob of the slice-1:4 voter, fold = vec_id mod 5,
+    correct = argmax == noisy label."""
+    emb = T(spark, sf_dir, "embeddings")
+    e4 = F.transform(F.slice("embedding", 1, 4), lambda v: v.cast("double"))
+    probs = softmax_arr(e4)
+    return emb.select(
+        "vec_id",
+        F.pmod("vec_id", F.lit(N_CAL_FOLDS)).cast("int").alias("fold"),
+        (F.col("label") % 4).cast("int").alias("noisy"),
+        probs.alias("p"),
+    ).select(
+        "vec_id",
+        "fold",
+        F.array_max("p").alias("conf"),
+        (
+            (F.array_position("p", F.array_max("p")) - 1).cast("int")
+            == F.col("noisy")
+        ).cast("int").alias("correct"),
+    )
+
+
+_CONF_FOLDS_SQL = f"""
+  SELECT vec_id,
+         CAST(vec_id % {N_CAL_FOLDS} AS INT) AS fold,
+         list_max(p) AS conf,
+         CAST(CAST(list_position(p, list_max(p)) - 1 AS INT) = noisy AS INT) AS correct
+  FROM (SELECT vec_id, CAST(label % 4 AS INT) AS noisy, {_SM.format(e=0)} AS p
+        FROM (SELECT vec_id, label,
+                     list_transform(embedding[1:4], v -> CAST(v AS DOUBLE)) AS e0
+              FROM embeddings))
+"""
+
+
+def calibration_binned_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibrator fit + transform, per CV fold (/root/reference/nessie/
+    calibration.py:49-70: the CalibrationCallback fits a netcal calibrator
+    on each fold's eval split and transforms that split's probas). Grafted
+    calibrator: netcal-style HistogramBinning (10 equal-width bins) — its
+    fit is closed-form (per-bin accuracy), so the whole fit+transform is
+    exact integer/ratio math with a DuckDB oracle, unlike iterative Platt
+    (see calibration_platt_transform for that shape).
+
+    Plan: one groupBy (fold, bin) for the fit (map-side combine; the model
+    is 5×10 rows), broadcast join-back to transform — fit tables stay tiny
+    no matter the data scale."""
+    d = _conf_folds(spark, sf_dir).withColumn(
+        "bin", F.least(F.floor(F.col("conf") * 10), F.lit(9)).cast("int")
+    )
+    fit = d.groupBy("fold", "bin").agg(
+        (F.sum("correct").cast("double") / F.count(F.lit(1))).alias("conf_cal")
+    )
+    return (
+        d.join(F.broadcast(fit), ["fold", "bin"])
+        .select(
+            "vec_id",
+            "fold",
+            F.round("conf", 6).alias("conf"),
+            F.round("conf_cal", 6).alias("conf_cal"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+CALIBRATION_BINNED_SQL = f"""
+WITH d AS (
+  SELECT *, CAST(least(floor(conf * 10), 9) AS INT) AS bin
+  FROM ({_CONF_FOLDS_SQL})
+), fit AS (
+  SELECT fold, bin,
+         CAST(SUM(correct) AS DOUBLE) / COUNT(*) AS conf_cal
+  FROM d GROUP BY fold, bin
+)
+SELECT d.vec_id, d.fold, ROUND(d.conf, 6) AS conf, ROUND(fit.conf_cal, 6) AS conf_cal
+FROM d JOIN fit ON d.fold = fit.fold AND d.bin = fit.bin
+ORDER BY d.vec_id
+"""
+
+
+def calibration_platt_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-fold LOGISTIC calibration fit + transform (/root/reference/
+    nessie/calibration.py:49-70 with netcal LogisticCalibration): the
+    grouped-map fit-transform shape — ``applyInPandas`` per fold, each task
+    fits sigmoid(a·conf + b) ≈ P(correct) by 25 Newton/IRLS steps in numpy
+    (deterministic: fixed init a=1, b=0, fixed iteration count, float64)
+    and emits the fold's calibrated confidences.
+
+    No SQL oracle (iterative optimization); gated by tests/test_calibration.py:
+    ECE(after) < ECE(before) on the fixture + run-to-run determinism."""
+    import numpy as np
+    import pandas as pd
+
+    d = _conf_folds(spark, sf_dir)
+
+    def _fit_transform(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")  # fixed fold order -> deterministic sums
+        x = pdf["conf"].to_numpy(dtype=np.float64)
+        y = pdf["correct"].to_numpy(dtype=np.float64)
+        a, b = 1.0, 0.0
+        for _ in range(25):
+            z = a * x + b
+            p = 1.0 / (1.0 + np.exp(-z))
+            w = np.maximum(p * (1.0 - p), 1e-12)
+            g = np.array([((p - y) * x).sum(), (p - y).sum()])
+            h00 = (w * x * x).sum()
+            h01 = (w * x).sum()
+            h11 = w.sum()
+            det = h00 * h11 - h01 * h01
+            if abs(det) < 1e-12:
+                break
+            da = (h11 * g[0] - h01 * g[1]) / det
+            db = (h00 * g[1] - h01 * g[0]) / det
+            a, b = a - da, b - db
+        cal = 1.0 / (1.0 + np.exp(-(a * x + b)))
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "fold": pdf["fold"].to_numpy(),
+                "conf": np.round(x, 6),
+                "conf_cal": np.round(cal, 6),
+            }
+        )
+
+    return (
+        d.groupBy("fold")
+        .applyInPandas(_fit_transform, "vec_id long, fold int, conf double, conf_cal double")
+        .orderBy("vec_id")
+    )
+
+
 QUERIES: dict[str, tuple] = {
+    "calibration_binned_transform": (calibration_binned_transform, CALIBRATION_BINNED_SQL),
+    "calibration_platt_transform": (calibration_platt_transform, None),  # pytest-gated
     "noise_flipped_labels": (noise_flipped_labels, NOISE_SQL),
     "datamap_confidence_scores": (datamap_confidence_scores, DATAMAP_SQL),
     "calibration_ece": (calibration_ece, CALIBRATION_SQL),
     "confident_learning_flags": (confident_learning_flags, CONFIDENT_LEARNING_SQL),
+    "confident_joint_counts": (confident_joint_counts, CONFIDENT_JOINT_SQL),
+    "confident_learning_prune_flags": (confident_learning_prune_flags, CONFIDENT_PRUNE_SQL),
     "cv_fold_assignment": (cv_fold_assignment, CV_FOLD_SQL),
     "interval_mutual_best_match": (interval_mutual_best_match, INTERVAL_MATCH_SQL),
+    "interval_optimal_match": (interval_optimal_match, None),  # pytest-gated (Hungarian)
 }

@@ -236,21 +236,33 @@ FROM e ORDER BY vec_id
 """
 
 
+DS_ITERS = 5  # EM iterations (hard-EM converges in <5 on the fixture)
+
+
 def dawid_skene_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LabelAggregation (/root/reference/nessie/detectors/
     label_aggregation.py:22-80): Dawid–Skene adjudication over the worker
-    votes; flag label ≠ adjudicated. One EM iteration from the majority-vote
-    initialization (the reference runs crowd-kit's 100; each iteration is
-    the same distributed shape — m-step groupBy + e-step broadcast join).
+    votes; flag label ≠ adjudicated. The reference runs crowd-kit's soft EM
+    for 100 iterations; this is the hard-EM (Viterbi-EM) variant run for
+    DS_ITERS driver-looped iterations from the majority-vote init — chosen
+    because every m-step aggregate is then an INTEGER count (exact and
+    shuffle-order-independent across engines), while keeping the genuinely
+    distributed loop shape: per iteration one groupBy for the class prior,
+    one for the 3×4×4 confusion grid, then an e-step broadcast join + argmax.
 
-    Float discipline: both m-step aggregates (class prior, per-worker
-    confusion matrix) are INTEGER count sums — exact and shuffle-order-
-    independent — normalized by one division; the e-step score is a
-    fixed-order 4-term product per row. θ uses Laplace α=1 smoothing."""
+    Float discipline: θ and π are single divisions of integers (identical
+    doubles in both engines); the e-step score is a fixed-order 4-term
+    product; argmax ties break by class asc. θ_w(c→k) = (n_wck+1)/(n_c+4),
+    π(c) = (n_c+1)/(N+4) (Laplace α=1 keeps empty classes live).
+
+    Each iteration's assignment is localCheckpoint-ed: at 10^9 tasks an
+    iterative plan must not accrete 5 rounds of joins into one Catalyst
+    tree (lineage truncation is the standard iterative-algorithm pattern)."""
     v = _votes(spark, sf_dir)
     classes = spark.range(N_CLASSES).select(F.col("id").cast("int").alias("c"))
+    n_tasks = v.count()
 
-    # m-step numerators: cnt(i,c) = #votes for c on task i (0..3)
+    # z0: majority vote, ties -> smallest class
     vc = v.crossJoin(F.broadcast(classes)).select(
         "vec_id", "noisy", "v1", "v2", "v3", "c",
         (
@@ -259,117 +271,151 @@ def dawid_skene_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             + (F.col("v3") == F.col("c")).cast("int")
         ).alias("cnt"),
     )
-    # class prior numerator P(c) = Σ_i cnt(i,c); total mass = 3N
-    prior = vc.groupBy("c").agg(F.sum("cnt").alias("pc"))
-    total = v.count() * 3
-    # confusion: Θ_w(c,k) = Σ_i cnt(i,c)·[v_w(i)=k]  (integer)
-    longv = vc.select(
-        "vec_id", "c", "cnt",
-        F.explode(
-            F.array(
-                F.struct(F.lit(1).alias("w"), F.col("v1").alias("k")),
-                F.struct(F.lit(2).alias("w"), F.col("v2").alias("k")),
-                F.struct(F.lit(3).alias("w"), F.col("v3").alias("k")),
-            )
-        ).alias("wk"),
-    ).select("vec_id", "c", "cnt", F.col("wk.w").alias("w"), F.col("wk.k").alias("k"))
-    theta_num = longv.groupBy("w", "c", "k").agg(F.sum("cnt").alias("t"))
-    # θ_w(c→k) = (Θ + 1) / (P(c) + 4)   — dense over the 3×4×4 grid
+    w0 = Window.partitionBy("vec_id").orderBy(F.desc("cnt"), F.asc("c"))
+    z = (
+        vc.withColumn("rk", F.row_number().over(w0))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "noisy", "v1", "v2", "v3", F.col("c").alias("z"))
+    )
+
     grid = (
         spark.range(3).select((F.col("id") + 1).cast("int").alias("w"))
         .crossJoin(classes)
         .crossJoin(classes.select(F.col("c").alias("k")))
     )
-    theta = (
-        grid.join(theta_num, ["w", "c", "k"], "left")
-        .join(prior, "c")
-        .select(
-            "w", "c", "k",
+    for _ in range(DS_ITERS):
+        z = z.localCheckpoint()
+        # m-step (integer counts): prior n_c and confusion n_w(c,k)
+        prior = z.groupBy(F.col("z").alias("c")).agg(F.count(F.lit(1)).alias("pc"))
+        longv = z.select(
+            "z",
+            F.explode(
+                F.array(
+                    F.struct(F.lit(1).alias("w"), F.col("v1").alias("k")),
+                    F.struct(F.lit(2).alias("w"), F.col("v2").alias("k")),
+                    F.struct(F.lit(3).alias("w"), F.col("v3").alias("k")),
+                )
+            ).alias("wk"),
+        ).select(F.col("z").alias("c"), F.col("wk.w").alias("w"), F.col("wk.k").alias("k"))
+        theta_num = longv.groupBy("w", "c", "k").agg(F.count(F.lit(1)).alias("t"))
+        theta = (
+            grid.join(theta_num, ["w", "c", "k"], "left")
+            .join(prior, "c", "left")
+            .select(
+                "w", "c", "k",
+                (
+                    (F.coalesce(F.col("t"), F.lit(0)) + 1).cast("double")
+                    / (F.coalesce(F.col("pc"), F.lit(0)) + N_CLASSES).cast("double")
+                ).alias("th"),
+            )
+        )
+        th = {
+            w: theta.where(F.col("w") == w).select(
+                F.col("c").alias(f"c{w}"), F.col("k").alias(f"k{w}"), F.col("th").alias(f"th{w}")
+            )
+            for w in (1, 2, 3)
+        }
+        pri = classes.join(prior, "c", "left").select(
+            "c",
             (
-                (F.coalesce(F.col("t"), F.lit(0)) + 1).cast("double")
-                / (F.col("pc") + N_CLASSES).cast("double")
-            ).alias("th"),
+                (F.coalesce(F.col("pc"), F.lit(0)) + 1).cast("double")
+                / F.lit(float(n_tasks + N_CLASSES))
+            ).alias("pi"),
         )
-    )
-    th = {
-        w: theta.where(F.col("w") == w).select(
-            F.col("c").alias(f"c{w}"), F.col("k").alias(f"k{w}"), F.col("th").alias(f"th{w}")
+        # e-step: s(i,c) = π(c)·θ1(c→v1)·θ2(c→v2)·θ3(c→v3), fixed order
+        scored = (
+            v.crossJoin(F.broadcast(classes))
+            .join(F.broadcast(pri), "c")
+            .join(F.broadcast(th[1]), (F.col("c") == F.col("c1")) & (F.col("v1") == F.col("k1")))
+            .join(F.broadcast(th[2]), (F.col("c") == F.col("c2")) & (F.col("v2") == F.col("k2")))
+            .join(F.broadcast(th[3]), (F.col("c") == F.col("c3")) & (F.col("v3") == F.col("k3")))
+            .select(
+                "vec_id", "noisy", "v1", "v2", "v3", "c",
+                (((F.col("pi") * F.col("th1")) * F.col("th2")) * F.col("th3")).alias("s"),
+            )
         )
-        for w in (1, 2, 3)
-    }
-    pri = prior.select(
-        "c", (F.col("pc").cast("double") / F.lit(float(total))).alias("pi")
-    )
-    # e-step: s(i,c) = π(c)·θ1(c→v1)·θ2(c→v2)·θ3(c→v3), fixed order
-    scored = (
-        v.crossJoin(F.broadcast(classes))
-        .join(F.broadcast(pri), "c")
-        .join(F.broadcast(th[1]), (F.col("c") == F.col("c1")) & (F.col("v1") == F.col("k1")))
-        .join(F.broadcast(th[2]), (F.col("c") == F.col("c2")) & (F.col("v2") == F.col("k2")))
-        .join(F.broadcast(th[3]), (F.col("c") == F.col("c3")) & (F.col("v3") == F.col("k3")))
-        .select(
-            "vec_id", "noisy", "c",
-            (((F.col("pi") * F.col("th1")) * F.col("th2")) * F.col("th3")).alias("s"),
+        win = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("c"))
+        z = (
+            scored.withColumn("rk", F.row_number().over(win))
+            .where(F.col("rk") == 1)
+            .select("vec_id", "noisy", "v1", "v2", "v3", F.col("c").alias("z"))
         )
-    )
-    win = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("c"))
-    return (
-        scored.withColumn("rk", F.row_number().over(win))
-        .where(F.col("rk") == 1)
-        .select(
-            "vec_id", "noisy",
-            F.col("c").alias("adjudicated"),
-            (F.col("c") != F.col("noisy")).alias("flag"),
-        )
-        .orderBy("vec_id")
-    )
+    return z.select(
+        "vec_id", "noisy",
+        F.col("z").alias("adjudicated"),
+        (F.col("z") != F.col("noisy")).alias("flag"),
+    ).orderBy("vec_id")
 
 
-DAWID_SKENE_SQL = f"""
-WITH v AS ({_VOTES_SQL}),
-classes AS (SELECT UNNEST([0, 1, 2, 3]) AS c),
-vc AS (
+def _dawid_skene_sql() -> str:
+    """Oracle: the same hard-EM iterations UNROLLED into one SQL chain —
+    each round's CTEs (prior_i, theta_i, scored_i, z_i) are generated by the
+    same loop count DS_ITERS the Spark side runs."""
+    parts = [
+        f"WITH v AS MATERIALIZED ({_VOTES_SQL}),",
+        "classes AS (SELECT UNNEST([0, 1, 2, 3]) AS c),",
+        "total AS (SELECT COUNT(*) AS n FROM v),",
+        """grid AS (
+  SELECT w, a.c AS c, b.c AS k
+  FROM (SELECT UNNEST([1, 2, 3]) AS w) CROSS JOIN classes a CROSS JOIN classes b
+),""",
+        """vc AS (
   SELECT v.vec_id, v.noisy, v.v1, v.v2, v.v3, classes.c,
          CAST(v1 = c AS INT) + CAST(v2 = c AS INT) + CAST(v3 = c AS INT) AS cnt
   FROM v CROSS JOIN classes
+),""",
+        """z0 AS MATERIALIZED (
+  SELECT vec_id, noisy, v1, v2, v3, c AS z
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cnt DESC, c ASC) AS rk FROM vc)
+  WHERE rk = 1
+),""",
+    ]
+    for i in range(1, DS_ITERS + 1):
+        p = i - 1
+        parts.append(
+            f"""prior{i} AS MATERIALIZED (SELECT z AS c, COUNT(*) AS pc FROM z{p} GROUP BY z),
+longv{i} AS (
+  SELECT z AS c, 1 AS w, v1 AS k FROM z{p}
+  UNION ALL SELECT z, 2, v2 FROM z{p}
+  UNION ALL SELECT z, 3, v3 FROM z{p}
 ),
-prior AS (SELECT c, SUM(cnt) AS pc FROM vc GROUP BY c),
-total AS (SELECT COUNT(*) * 3 AS m FROM v),
-longv AS (
-  SELECT vec_id, c, cnt, 1 AS w, v1 AS k FROM vc
-  UNION ALL SELECT vec_id, c, cnt, 2, v2 FROM vc
-  UNION ALL SELECT vec_id, c, cnt, 3, v3 FROM vc
-),
-theta_num AS (SELECT w, c, k, SUM(cnt) AS t FROM longv GROUP BY w, c, k),
-grid AS (
-  SELECT w, a.c AS c, b.c AS k
-  FROM (SELECT UNNEST([1, 2, 3]) AS w) CROSS JOIN classes a CROSS JOIN classes b
-),
-theta AS (
+tn{i} AS (SELECT w, c, k, COUNT(*) AS t FROM longv{i} GROUP BY w, c, k),
+theta{i} AS (
   SELECT grid.w, grid.c, grid.k,
-         CAST(COALESCE(t, 0) + 1 AS DOUBLE) / CAST(pc + 4 AS DOUBLE) AS th
+         CAST(COALESCE(t, 0) + 1 AS DOUBLE) / CAST(COALESCE(pc, 0) + 4 AS DOUBLE) AS th
   FROM grid
-  LEFT JOIN theta_num ON grid.w = theta_num.w AND grid.c = theta_num.c AND grid.k = theta_num.k
-  JOIN prior ON grid.c = prior.c
+  LEFT JOIN tn{i} ON grid.w = tn{i}.w AND grid.c = tn{i}.c AND grid.k = tn{i}.k
+  LEFT JOIN prior{i} ON grid.c = prior{i}.c
 ),
-scored AS (
-  SELECT v.vec_id, v.noisy, classes.c,
-         ((CAST(pc AS DOUBLE) / CAST(m AS DOUBLE) * t1.th) * t2.th) * t3.th AS s
+pri{i} AS (
+  SELECT classes.c,
+         CAST(COALESCE(pc, 0) + 1 AS DOUBLE) / CAST(n + 4 AS DOUBLE) AS pi
+  FROM classes LEFT JOIN prior{i} ON classes.c = prior{i}.c CROSS JOIN total
+),
+scored{i} AS (
+  SELECT v.vec_id, v.noisy, v.v1, v.v2, v.v3, classes.c,
+         ((pi * t1.th) * t2.th) * t3.th AS s
   FROM v CROSS JOIN classes
-  JOIN prior ON classes.c = prior.c
-  CROSS JOIN total
-  JOIN theta t1 ON t1.w = 1 AND t1.c = classes.c AND t1.k = v.v1
-  JOIN theta t2 ON t2.w = 2 AND t2.c = classes.c AND t2.k = v.v2
-  JOIN theta t3 ON t3.w = 3 AND t3.c = classes.c AND t3.k = v.v3
+  JOIN pri{i} ON classes.c = pri{i}.c
+  JOIN theta{i} t1 ON t1.w = 1 AND t1.c = classes.c AND t1.k = v.v1
+  JOIN theta{i} t2 ON t2.w = 2 AND t2.c = classes.c AND t2.k = v.v2
+  JOIN theta{i} t3 ON t3.w = 3 AND t3.c = classes.c AND t3.k = v.v3
 ),
-ranked AS (
-  SELECT vec_id, noisy, c,
-         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rk
-  FROM scored
-)
-SELECT vec_id, noisy, c AS adjudicated, c != noisy AS flag
-FROM ranked WHERE rk = 1 ORDER BY vec_id
-"""
+z{i} AS MATERIALIZED (
+  SELECT vec_id, noisy, v1, v2, v3, c AS z
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rk FROM scored{i})
+  WHERE rk = 1
+),"""
+        )
+    parts.append(
+        f"""final AS (SELECT * FROM z{DS_ITERS})
+SELECT vec_id, noisy, z AS adjudicated, z != noisy AS flag
+FROM final ORDER BY vec_id"""
+    )
+    return "\n".join(parts)
+
+
+DAWID_SKENE_SQL = _dawid_skene_sql()
 
 
 def span_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -438,8 +484,7 @@ def span_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SPAN_ALIGNMENT_SQL = """
-WITH ex AS (
+_SPAN_CTES = """ex AS (
   SELECT doc_id,
          generate_subscripts(ts, 1) - 1 AS pos,
          unnest(ts) AS word
@@ -500,10 +545,136 @@ ranked AS (
       PARTITION BY doc_id, n_start
       ORDER BY overlap DESC NULLS LAST, g_start ASC NULLS LAST) AS rk
   FROM cand
-)
+)"""
+
+SPAN_ALIGNMENT_SQL = f"""
+WITH {_SPAN_CTES}
 SELECT doc_id, n_start, n_end, g_start, g_end, overlap,
        CASE WHEN g_start IS NOT NULL THEN 'ENT' ELSE 'UNALIGNED' END AS aligned_label
 FROM ranked WHERE rk = 1 ORDER BY doc_id, n_start
+"""
+
+
+def span_prob_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """align_for_span_labeling (/root/reference/nessie/task_support/
+    span_labeling.py:194-331) + BIO→type reduction (:334-365) — the J3 graft:
+    per-token BIO-tag probabilities are MEAN-aggregated over each aligned
+    span's token range (span_aggregator=np.mean, :244), then the BIO tag
+    axis reduces to entity types via label_map (PER ← {{B-PER, I-PER}},
+    function_aggregator=np.mean, :336-346). Unaligned spans keep their own
+    range (:268-271) and the UNALIGNED label.
+
+    Token probabilities here are the deterministic softmax over BIO logits
+    derived from word length + run position (the engine's model-free stand-
+    in; the reference takes them from a tagger). Float discipline: the
+    over-tokens mean folds an array collected in pos order (Spark
+    ``aggregate`` over ``array_sort(collect_list)``; DuckDB ``list_sum``
+    over ``list(... ORDER BY pos)``) — sequential left-to-right adds in
+    both engines, so the oracle is exact.
+
+    Scale shape: the token→span range join and both window passes all key
+    on doc_id — one shuffle shared end-to-end."""
+    docs = T(spark, sf_dir, "documents")
+    ts = F.split(F.trim("text"), r"\s+")
+    ex = docs.select("doc_id", F.posexplode(ts).alias("pos", "word"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    L = F.length("word").cast("double")
+    fl = F.length("word") >= 4
+    prev = F.lag(fl.cast("int")).over(w)
+    start = fl & (prev.isNull() | (prev == 0))
+    toks = ex.select(
+        "doc_id",
+        "pos",
+        (F.lit(4.0) - L).alias("lO"),
+        ((L - F.lit(4.0)) + F.when(start, F.lit(1.0)).otherwise(F.lit(-1.0))).alias("lB"),
+        ((L - F.lit(4.0)) + F.when(fl & ~start, F.lit(1.0)).otherwise(F.lit(-1.0))).alias("lI"),
+    )
+    mx = F.greatest("lO", "lB", "lI")
+    eO, eB, eI = (F.exp(F.col(c) - mx) for c in ("lO", "lB", "lI"))
+    den = (eO + eB) + eI
+    probs = toks.select(
+        "doc_id", "pos", (eO / den).alias("pO"), (eB / den).alias("pB"), (eI / den).alias("pI")
+    )
+    spans = span_alignment(spark, sf_dir).select(
+        "doc_id",
+        "n_start",
+        "n_end",
+        "aligned_label",
+        F.coalesce("g_start", "n_start").alias("p_start"),
+        F.coalesce("g_end", "n_end").alias("p_end"),
+    )
+    j = spans.join(probs, "doc_id").where(
+        (F.col("pos") >= F.col("p_start")) & (F.col("pos") < F.col("p_end"))
+    )
+    agg = j.groupBy("doc_id", "n_start", "n_end", "aligned_label").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "pO", "pB", "pI"))).alias("arr")
+    )
+
+    def _mean(field: str):
+        vals = F.transform("arr", lambda s: s[field])
+        return F.aggregate(vals, F.lit(0.0), lambda a, v: a + v) / F.size("arr")
+
+    mO, mB, mI = _mean("pO"), _mean("pB"), _mean("pI")
+    return agg.select(
+        "doc_id",
+        "n_start",
+        "n_end",
+        "aligned_label",
+        F.round(mO, 6).alias("p_o"),
+        F.round((mB + mI) / F.lit(2.0), 6).alias("p_ent"),
+    ).orderBy("doc_id", "n_start")
+
+
+SPAN_PROB_AGG_SQL = f"""
+WITH {_SPAN_CTES},
+spans AS (
+  SELECT doc_id, n_start, n_end,
+         CASE WHEN g_start IS NOT NULL THEN 'ENT' ELSE 'UNALIGNED' END AS aligned_label,
+         COALESCE(g_start, n_start) AS p_start,
+         COALESCE(g_end, n_end) AS p_end
+  FROM ranked WHERE rk = 1
+),
+tok_l AS (
+  SELECT doc_id, pos,
+         4.0 - CAST(length(word) AS DOUBLE) AS lO,
+         (CAST(length(word) AS DOUBLE) - 4.0)
+           + CASE WHEN length(word) >= 4
+                   AND COALESCE(LAG(CAST(length(word) >= 4 AS INT))
+                                OVER (PARTITION BY doc_id ORDER BY pos), 0) = 0
+                  THEN 1.0 ELSE -1.0 END AS lB,
+         (CAST(length(word) AS DOUBLE) - 4.0)
+           + CASE WHEN length(word) >= 4
+                   AND COALESCE(LAG(CAST(length(word) >= 4 AS INT))
+                                OVER (PARTITION BY doc_id ORDER BY pos), 0) = 1
+                  THEN 1.0 ELSE -1.0 END AS lI
+  FROM ex
+),
+probs AS (
+  SELECT doc_id, pos,
+         exp(lO - greatest(lO, lB, lI))
+           / ((exp(lO - greatest(lO, lB, lI)) + exp(lB - greatest(lO, lB, lI)))
+              + exp(lI - greatest(lO, lB, lI))) AS pO,
+         exp(lB - greatest(lO, lB, lI))
+           / ((exp(lO - greatest(lO, lB, lI)) + exp(lB - greatest(lO, lB, lI)))
+              + exp(lI - greatest(lO, lB, lI))) AS pB,
+         exp(lI - greatest(lO, lB, lI))
+           / ((exp(lO - greatest(lO, lB, lI)) + exp(lB - greatest(lO, lB, lI)))
+              + exp(lI - greatest(lO, lB, lI))) AS pI
+  FROM tok_l
+),
+agg AS (
+  SELECT s.doc_id, s.n_start, s.n_end, s.aligned_label,
+         list_sum(list(p.pO ORDER BY p.pos)) / COUNT(*) AS mO,
+         list_sum(list(p.pB ORDER BY p.pos)) / COUNT(*) AS mB,
+         list_sum(list(p.pI ORDER BY p.pos)) / COUNT(*) AS mI
+  FROM spans s
+  JOIN probs p ON s.doc_id = p.doc_id AND p.pos >= s.p_start AND p.pos < s.p_end
+  GROUP BY s.doc_id, s.n_start, s.n_end, s.aligned_label
+)
+SELECT doc_id, n_start, n_end, aligned_label,
+       ROUND(mO, 6) AS p_o,
+       ROUND((mB + mI) / 2.0, 6) AS p_ent
+FROM agg ORDER BY doc_id, n_start
 """
 
 
@@ -741,6 +912,7 @@ FROM preds ORDER BY vec_id
 QUERIES: dict[str, tuple] = {
     "dropout_uncertainty_scores": (dropout_uncertainty_scores, DROPOUT_UNCERTAINTY_SQL),
     "span_alignment": (span_alignment, SPAN_ALIGNMENT_SQL),
+    "span_prob_aggregation": (span_prob_aggregation, SPAN_PROB_AGG_SQL),
     "variation_ngrams_span": (variation_ngrams_span, VARIATION_NGRAMS_SPAN_SQL),
     "percentage_flagged": (percentage_flagged, PERCENTAGE_FLAGGED_SQL),
     "projection_ensemble_flags": (projection_ensemble_flags, PROJECTION_ENSEMBLE_SQL),

@@ -492,6 +492,108 @@ FROM counts GROUP BY qid ORDER BY vec_id
 """
 
 
+def _knn_softmax_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-softmax label distribution over the k nearest neighbors —
+    Eq. 2 of the kNN-LM interpolation as grafted by the reference
+    (/root/reference/nessie/detectors/knn_entropy.py:99-150, logsumexp
+    form): P(c) = Σ_{i: label_i=c} e^{−d_i} / Σ_i e^{−d_i}.
+
+    Float discipline: neighbors are folded in rank order from a sorted
+    array; the max-shift (min distance) cancels exactly in the ratio; class
+    sums add a literal 0.0 for non-matching slots so both engines perform
+    the identical ordered float adds. Returns (vec_id, label, probs[4])."""
+    nn = _knn_pairs(spark, sf_dir, k=5)
+    agg = nn.groupBy(
+        F.col("qid").alias("vec_id"), F.col("qlabel").alias("label")
+    ).agg(F.array_sort(F.collect_list(F.struct("rk", "dist", "nlabel"))).alias("arr"))
+    dists = F.transform("arr", lambda s: s["dist"])
+    labs = F.transform("arr", lambda s: s["nlabel"])
+    m = F.array_min(dists)
+    sc = F.transform(
+        F.sequence(F.lit(0), F.lit(3)),  # N_CLASSES=4 (detectors3)
+        lambda c: F.aggregate(
+            F.zip_with(dists, labs, lambda d, l: F.when(l == c, F.exp(m - d)).otherwise(F.lit(0.0))),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ),
+    )
+    S = F.aggregate(
+        F.transform(dists, lambda d: F.exp(m - d)), F.lit(0.0), lambda a, v: a + v
+    )
+    return agg.select(
+        "vec_id", "label", F.transform(sc, lambda s: s / S).alias("probs")
+    )
+
+
+_KNN_SOFTMAX_SQL_BODY = f"""
+nn AS (SELECT * FROM ({{pairs}}) WHERE rk <= 5),
+agg AS (
+  SELECT qid AS vec_id, qlabel AS label,
+         list(dist ORDER BY rk) AS dists,
+         list(nlabel ORDER BY rk) AS labs
+  FROM nn GROUP BY qid, qlabel
+),
+sm AS (
+  SELECT vec_id, label, dists, labs, list_min(dists) AS m,
+         list_sum(list_transform(dists, d -> exp(list_min(dists) - d))) AS s
+  FROM agg
+),
+probs AS (
+  SELECT vec_id, label,
+         list_transform([0, 1, 2, 3],
+           c -> list_sum(list_transform(list_zip(dists, labs),
+                  t -> CASE WHEN t[2] = c THEN exp(m - t[1]) ELSE 0.0 END)) / s) AS p
+  FROM sm
+)
+"""
+
+
+def knn_softmax_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KnnEntropy with the distance-softmax interpolation
+    (knn_entropy.py:16-96 + 99-150): entropy of P_knn instead of the
+    count-based c/k distribution."""
+    from nessie_spark.functions.core import entropy_ln
+
+    p = _knn_softmax_probs(spark, sf_dir)
+    return p.select(
+        "vec_id", F.round(entropy_ln(F.col("probs")), 6).alias("score")
+    ).orderBy("vec_id")
+
+
+KNN_SOFTMAX_ENTROPY_SQL = f"""
+WITH {_KNN_SOFTMAX_SQL_BODY.format(pairs=_KNN_PAIRS_SQL)}
+SELECT vec_id,
+       -- 0.0 -  (not unary minus): a one-label neighborhood sums to 0.0 and
+       -- -0.0 would hash-differ from Spark's +0.0 fold
+       ROUND(0.0 - list_sum(list_transform(p,
+             x -> CASE WHEN x > 0 THEN x * ln(x) ELSE 0.0 END)), 6) AS score
+FROM probs ORDER BY vec_id
+"""
+
+
+def knn_softmax_flagger_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KnnFlagger under the distance-softmax distribution
+    (knn_entropy.py:90-96): flag = own label ≠ argmax_c P_knn(c); argmax
+    ties break to the smallest class (first max position) in both engines."""
+    p = _knn_softmax_probs(spark, sf_dir)
+    knn_label = (F.array_position("probs", F.array_max("probs")) - 1).cast("int")
+    return p.select(
+        "vec_id",
+        "label",
+        knn_label.alias("knn_label"),
+        (F.col("label") != knn_label).alias("flag"),
+    ).orderBy("vec_id")
+
+
+KNN_SOFTMAX_FLAGGER_SQL = f"""
+WITH {_KNN_SOFTMAX_SQL_BODY.format(pairs=_KNN_PAIRS_SQL)}
+SELECT vec_id, label,
+       CAST(list_position(p, list_max(p)) - 1 AS INT) AS knn_label,
+       label != CAST(list_position(p, list_max(p)) - 1 AS INT) AS flag
+FROM probs ORDER BY vec_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "classification_entropy_scores": (classification_entropy_scores, CLASSIFICATION_ENTROPY_SQL),
     "prediction_margin_scores": (prediction_margin_scores, PREDICTION_MARGIN_SQL),
@@ -506,4 +608,6 @@ QUERIES: dict[str, tuple] = {
     "mean_distance_lof_scores": (mean_distance_lof_scores, None),  # rows-only (see docstring)
     "knn_flagger_flags": (knn_flagger_flags, KNN_FLAGGER_SQL),
     "knn_entropy_scores": (knn_entropy_scores, KNN_ENTROPY_SQL),
+    "knn_softmax_entropy_scores": (knn_softmax_entropy_scores, KNN_SOFTMAX_ENTROPY_SQL),
+    "knn_softmax_flagger_flags": (knn_softmax_flagger_flags, KNN_SOFTMAX_FLAGGER_SQL),
 }

@@ -64,6 +64,33 @@ def test_scorers_stay_jvm_side(spark):
     assert "Scan parquet" in plan and "Project" in plan
 
 
+def test_knn_has_no_cartesian_product(spark):
+    """The shipped kNN detectors use LSH-bucketed candidates — the plan must
+    contain an equi-join on (band, key) and NEVER a CartesianProduct /
+    BroadcastNestedLoopJoin (the r1 crossJoin scale-killer)."""
+    for q in ("knn_flagger_flags", "knn_entropy_scores", "knn_softmax_entropy_scores"):
+        plan = _plan(E.queries()[q](spark, SF))
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
+
+
+def test_embedding_dedup_is_bucket_join(spark):
+    """dedup_embedding_cosine: banded bucket self-join, no cross product,
+    no driver-side collect (the plan is a single lazy DataFrame)."""
+    plan = _plan(E.queries()["dedup_embedding_cosine"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_simhash_is_shuffle_free(spark):
+    """dedup_simhash is per-row array math — the only exchange allowed is
+    the presentation orderBy (r1 exploded 60× rows through two groupBys)."""
+    plan = _plan(E.queries()["dedup_simhash"](spark, SF))
+    assert plan.count(") Exchange") <= 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_zorder_scan_prunes_files(spark, tmp_path):
     """After Z-order clustering, a phash-range scan must prune whole files
     via manifest min/max stats before Spark ever lists them."""
