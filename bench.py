@@ -30,7 +30,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 FAST = os.environ.get("NESSIE_BENCH_FAST") == "1"
-N_IMAGES = int(os.environ.get("NESSIE_BENCH_N", "8192" if FAST else "98304"))
+# 196608 (not smaller): the 2-core run must be long enough (~3 min) that the
+# per-job serial fraction (plan/commit/driver phases, ~2-3 s per level) stays
+# under ~2% — at 98k the same code measures ~0.79 efficiency on an idle host
+# purely from amortization, at 196k ~0.85 (r1 protocol).
+N_IMAGES = int(os.environ.get("NESSIE_BENCH_N", "8192" if FAST else "196608"))
 TARGET = 8 * 1024 * 1024
 CHILD_TIMEOUT = int(os.environ.get("NESSIE_BENCH_CHILD_TIMEOUT", "2400"))
 
@@ -79,7 +83,12 @@ BENCH_QUERIES = [
     "dedup_embedding_cosine",
     "token_featurizer",
     "dawid_skene_labels",
+    "knn_flagger_flags",
+    "knn_softmax_entropy_scores",
+    "curriculum_spotter_scores",
     "span_alignment",
+    "span_prob_aggregation",
+    "calibration_binned_transform",
     "quality_scores",
     "token_counts",
     "doc_fingerprints",
@@ -159,7 +168,8 @@ def warm_up(spark) -> None:
 
 def run_maintenance(spark, root: str) -> float:
     """The timed job: FFD compaction (decode + PSNR verify) + Z-order
-    rewrite + stats + commits. Returns elapsed seconds."""
+    rewrite + stats + commits. Returns elapsed seconds; prints per-phase
+    timings to stderr (diagnosing WHICH phase loses scaling efficiency)."""
     from nessie_spark.lakehouse import compact, zorder
     from nessie_spark.lakehouse.table import Table
 
@@ -167,9 +177,12 @@ def run_maintenance(spark, root: str) -> float:
     t = Table.load(root)
     t0 = time.time()
     compact.compact(spark, t, target_bytes=TARGET, job_id="bench-compact", reencode=True)
+    t1 = time.time()
     t = t.refresh()
     zorder.cluster(spark, t, target_bytes=TARGET, job_id="bench-zorder", reencode=True)
-    return time.time() - t0
+    t2 = time.time()
+    print(f"[phases] compact={t1 - t0:.2f}s zorder={t2 - t1:.2f}s", file=sys.stderr)
+    return t2 - t0
 
 
 def time_queries(spark) -> dict[str, float]:
@@ -228,6 +241,9 @@ def one_run(base: str, cores: int, rep: int) -> float:
             print(f"[bench] local[{cores}] rep{rep} attempt{att}: {last_err}", file=sys.stderr)
             continue
         if out.returncode == 0:
+            for ln in (out.stderr or "").splitlines():
+                if "[phases]" in ln:
+                    print(f"[bench] local[{cores}] rep{rep} {ln}", file=sys.stderr)
             try:
                 el = float(out.stdout.strip().splitlines()[-1])
                 break

@@ -909,6 +909,286 @@ FROM preds ORDER BY vec_id
 """
 
 
+CS_EPOCHS = 4  # divides n·t by 4 → exact in binary floating point
+CS_DECAY = 0.5  # deterministic stand-in for "training improves selected items"
+
+
+def curriculum_spotter_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CurriculumSpotter (/root/reference/nessie/detectors/
+    curriculum_spotter.py:30-62, callback :140-261) — the W4 per-epoch
+    loss-resampling loop, driver-orchestrated:
+
+    per epoch t = 1..E over the WHOLE dataset:
+      λ_t   = mean loss of correctly-classified items (:215-220)
+      easy  = loss ≤ λ_t (:222-227); hard = loss > λ_t
+      picks = the ⌊n·t/E⌋ lowest-loss hard items (:229-255, argsort order =
+              (loss asc, index asc))
+      score += pick·(loss + 1/n_picks) (:257-261)
+      next epoch's loss: items selected for training (easy ∪ picks) improve
+      by CS_DECAY — the deterministic stand-in for the transformer actually
+      training on the re-sampled subset (model-free engine contract).
+    After the loop: score += (score == 0)·loss_final (:146-153 tie-break).
+
+    Base loss = cross-entropy −ln p[noisy] of the deterministic softmax
+    voter. The λ/n_picks scalars join back via broadcast one-row aggregates
+    (no driver collect in the per-epoch dataflow); each epoch is
+    localCheckpoint-ed like the Dawid–Skene loop. The oracle unrolls the
+    same E epochs as MATERIALIZED CTEs."""
+    emb = T(spark, sf_dir, "embeddings")
+    n = emb.count()
+    probs = _slice(1)
+    sm_mx = F.array_max(probs)
+    exps = F.transform(probs, lambda v: F.exp(v - sm_mx))
+    den = F.aggregate(exps, F.lit(0.0), lambda a, v: a + v)
+    p = F.transform(exps, lambda v: v / den)
+    d = emb.select(
+        "vec_id",
+        (F.col("label") % N_CLASSES).cast("int").alias("noisy"),
+        p.alias("p"),
+    ).select(
+        "vec_id",
+        "noisy",
+        (F.array_position("p", F.array_max("p")) - 1).cast("int").alias("pred"),
+        (-F.log(F.get("p", F.col("noisy")))).alias("loss"),
+        F.lit(0.0).alias("score"),
+    )
+    for t in range(1, CS_EPOCHS + 1):
+        d = d.localCheckpoint()
+        # λ as an ORDERED fold, not avg(): a group-avg sums in shuffle order
+        # and its last-ulp wobble would flip is_hard for items with loss ≈ λ.
+        # (Scalar-of-the-whole-dataset: at extreme scale swap for plain avg
+        # and tolerance; here cross-engine exactness wins.)
+        lam = (
+            d.where(F.col("pred") == F.col("noisy"))
+            .agg(F.array_sort(F.collect_list(F.struct("vec_id", "loss"))).alias("arr"))
+            .select(
+                (
+                    F.aggregate(
+                        F.transform("arr", lambda s: s["loss"]),
+                        F.lit(0.0),
+                        lambda a, v: a + v,
+                    )
+                    / F.size("arr")
+                ).alias("lam")
+            )
+        )
+        k = int(n * t / CS_EPOCHS)
+        dd = d.crossJoin(F.broadcast(lam)).withColumn(
+            "is_hard", F.col("loss") > F.col("lam")
+        )
+        w = Window.partitionBy("is_hard").orderBy(F.asc("loss"), F.asc("vec_id"))
+        dd = dd.withColumn("hrk", F.row_number().over(w)).withColumn(
+            "pick", F.col("is_hard") & (F.col("hrk") <= k)
+        )
+        nh = dd.agg(F.sum(F.col("pick").cast("long")).alias("nh"))
+        dd = dd.crossJoin(F.broadcast(nh))
+        d = dd.select(
+            "vec_id",
+            "noisy",
+            "pred",
+            F.when(
+                (F.col("loss") <= F.col("lam")) | F.col("pick"),
+                F.col("loss") * CS_DECAY,
+            ).otherwise(F.col("loss")).alias("loss"),
+            (
+                F.col("score")
+                + F.when(
+                    F.col("pick"), F.col("loss") + F.lit(1.0) / F.col("nh")
+                ).otherwise(F.lit(0.0))
+            ).alias("score"),
+        )
+    return d.select(
+        "vec_id",
+        F.round(
+            F.col("score")
+            + F.when(F.col("score") == 0.0, F.col("loss")).otherwise(F.lit(0.0)),
+            6,
+        ).alias("score"),
+    ).orderBy("vec_id")
+
+
+def _curriculum_sql() -> str:
+    parts = [
+        f"""WITH base AS MATERIALIZED (
+  SELECT vec_id, noisy,
+         CAST(list_position(p, list_max(p)) - 1 AS INT) AS pred,
+         -ln(p[noisy + 1]) AS loss,
+         0.0 AS score
+  FROM (
+    SELECT vec_id, CAST(label % {N_CLASSES} AS INT) AS noisy,
+           list_transform(list_transform(e, x -> exp(x - list_max(e))),
+                          x -> x / list_sum(list_transform(e, y -> exp(y - list_max(e))))) AS p
+    FROM (SELECT vec_id, label,
+                 list_transform(embedding[1:{N_CLASSES}], v -> CAST(v AS DOUBLE)) AS e
+          FROM embeddings)
+  )
+),
+n AS (SELECT COUNT(*) AS n FROM base),
+e0 AS MATERIALIZED (SELECT * FROM base),"""
+    ]
+    for t in range(1, CS_EPOCHS + 1):
+        p_ = t - 1
+        parts.append(
+            f"""lam{t} AS MATERIALIZED (
+  SELECT list_sum(list(loss ORDER BY vec_id)) / COUNT(*) AS lam
+  FROM e{p_} WHERE pred = noisy
+),
+rk{t} AS MATERIALIZED (
+  SELECT e.*, lam, loss > lam AS is_hard,
+         ROW_NUMBER() OVER (PARTITION BY loss > lam ORDER BY loss ASC, vec_id ASC) AS hrk
+  FROM e{p_} e CROSS JOIN lam{t}
+),
+pk{t} AS MATERIALIZED (
+  SELECT rk{t}.*, is_hard AND hrk <= CAST(n.n * {t} / {CS_EPOCHS}.0 AS INT) AS pick
+  FROM rk{t} CROSS JOIN n
+),
+nh{t} AS (SELECT SUM(CAST(pick AS BIGINT)) AS nh FROM pk{t}),
+e{t} AS MATERIALIZED (
+  SELECT vec_id, noisy, pred,
+         CASE WHEN loss <= lam OR pick THEN loss * {CS_DECAY} ELSE loss END AS loss,
+         score + CASE WHEN pick THEN loss + 1.0 / nh ELSE 0.0 END AS score
+  FROM pk{t} CROSS JOIN nh{t}
+),"""
+        )
+    parts.append(
+        f"""final AS (SELECT * FROM e{CS_EPOCHS})
+SELECT vec_id,
+       ROUND(score + CASE WHEN score = 0.0 THEN loss ELSE 0.0 END, 6) AS score
+FROM final ORDER BY vec_id"""
+    )
+    return "\n".join(parts)
+
+
+CURRICULUM_SQL = _curriculum_sql()
+
+
+LS_EPOCHS = 4
+LS_QUEUES = 5
+
+
+def leitner_spotter_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LeitnerSpotter (/root/reference/nessie/detectors/
+    leitner_spotter.py:30-63, callback :225-266) — spaced-repetition queue
+    scheduling as a driver loop over epoch state columns:
+
+    every item starts in queue 0; queue q trains on epochs divisible by 2^q
+    (epoch 1 trains everything, :147-152). After an epoch: trained+correct →
+    promote one queue (capped), trained+wrong → demote to queue 0, untrained
+    → stay. score += (in new queue 0)·(loss + 1/|queue 0|) (:262-266);
+    after the loop score += (score == 0)·loss_final. (The reference's
+    `_compute_new_queues` promotes `idx + 1` — the INSTANCE index, not the
+    queue index — and appends new queue ids into the old queue's list; we
+    graft the intended Leitner semantics the paper and the rest of the file
+    describe, not the indexing slip.)
+
+    Loss/pred are the deterministic cross-entropy voter shared with
+    curriculum_spotter_scores; trained items improve by CS_DECAY per epoch.
+    All state transitions are integer/comparison-exact — no float aggregates
+    at all — so the unrolled-CTE oracle is bit-stable."""
+    emb = T(spark, sf_dir, "embeddings")
+    probs = _slice(1)
+    sm_mx = F.array_max(probs)
+    exps = F.transform(probs, lambda v: F.exp(v - sm_mx))
+    den = F.aggregate(exps, F.lit(0.0), lambda a, v: a + v)
+    p = F.transform(exps, lambda v: v / den)
+    d = emb.select(
+        "vec_id",
+        (F.col("label") % N_CLASSES).cast("int").alias("noisy"),
+        p.alias("p"),
+    ).select(
+        "vec_id",
+        "noisy",
+        (F.array_position("p", F.array_max("p")) - 1).cast("int").alias("pred"),
+        (-F.log(F.get("p", F.col("noisy")))).alias("loss"),
+        F.lit(0).cast("int").alias("q"),
+        F.lit(0.0).alias("score"),
+    )
+    for t in range(1, LS_EPOCHS + 1):
+        d = d.localCheckpoint()
+        # shiftleft with a COLUMN amount needs the SQL form (DSL wants a literal)
+        trained = F.lit(t == 1) | (F.lit(t) % F.expr("shiftleft(1, q)") == 0)
+        correct = F.col("pred") == F.col("noisy")
+        q_next = (
+            F.when(trained & correct, F.least(F.col("q") + 1, F.lit(LS_QUEUES - 1)))
+            .when(trained & ~correct, F.lit(0))
+            .otherwise(F.col("q"))
+        ).cast("int")
+        dd = d.withColumn("qn", q_next)
+        nq0 = dd.agg(F.sum((F.col("qn") == 0).cast("long")).alias("nq0"))
+        d = dd.crossJoin(F.broadcast(nq0)).select(
+            "vec_id",
+            "noisy",
+            "pred",
+            F.when(trained, F.col("loss") * CS_DECAY).otherwise(F.col("loss")).alias("loss"),
+            F.col("qn").alias("q"),
+            (
+                F.col("score")
+                + F.when(
+                    F.col("qn") == 0, F.col("loss") + F.lit(1.0) / F.col("nq0")
+                ).otherwise(F.lit(0.0))
+            ).alias("score"),
+        )
+    return d.select(
+        "vec_id",
+        F.round(
+            F.col("score")
+            + F.when(F.col("score") == 0.0, F.col("loss")).otherwise(F.lit(0.0)),
+            6,
+        ).alias("score"),
+    ).orderBy("vec_id")
+
+
+def _leitner_sql() -> str:
+    parts = [
+        f"""WITH e0 AS MATERIALIZED (
+  SELECT vec_id, noisy,
+         CAST(list_position(p, list_max(p)) - 1 AS INT) AS pred,
+         -ln(p[noisy + 1]) AS loss,
+         0 AS q,
+         0.0 AS score
+  FROM (
+    SELECT vec_id, CAST(label % {N_CLASSES} AS INT) AS noisy,
+           list_transform(list_transform(e, x -> exp(x - list_max(e))),
+                          x -> x / list_sum(list_transform(e, y -> exp(y - list_max(e))))) AS p
+    FROM (SELECT vec_id, label,
+                 list_transform(embedding[1:{N_CLASSES}], v -> CAST(v AS DOUBLE)) AS e
+          FROM embeddings)
+  )
+),"""
+    ]
+    for t in range(1, LS_EPOCHS + 1):
+        p_ = t - 1
+        trained = f"({'TRUE' if t == 1 else f'{t} % (1 << q) = 0'})"
+        parts.append(
+            f"""qn{t} AS MATERIALIZED (
+  SELECT *,
+         CAST(CASE WHEN {trained} AND pred = noisy THEN least(q + 1, {LS_QUEUES - 1})
+                   WHEN {trained} THEN 0
+                   ELSE q END AS INT) AS qn,
+         {trained} AS trained
+  FROM e{p_}
+),
+nq0_{t} AS (SELECT SUM(CAST(qn = 0 AS BIGINT)) AS nq0 FROM qn{t}),
+e{t} AS MATERIALIZED (
+  SELECT vec_id, noisy, pred,
+         CASE WHEN trained THEN loss * {CS_DECAY} ELSE loss END AS loss,
+         qn AS q,
+         score + CASE WHEN qn = 0 THEN loss + 1.0 / nq0 ELSE 0.0 END AS score
+  FROM qn{t} CROSS JOIN nq0_{t}
+),"""
+        )
+    parts.append(
+        f"""final AS (SELECT * FROM e{LS_EPOCHS})
+SELECT vec_id,
+       ROUND(score + CASE WHEN score = 0.0 THEN loss ELSE 0.0 END, 6) AS score
+FROM final ORDER BY vec_id"""
+    )
+    return "\n".join(parts)
+
+
+LEITNER_SQL = _leitner_sql()
+
+
 QUERIES: dict[str, tuple] = {
     "dropout_uncertainty_scores": (dropout_uncertainty_scores, DROPOUT_UNCERTAINTY_SQL),
     "span_alignment": (span_alignment, SPAN_ALIGNMENT_SQL),
@@ -919,4 +1199,6 @@ QUERIES: dict[str, tuple] = {
     "token_featurizer": (token_featurizer, TOKEN_FEATURIZER_SQL),
     "item_discrimination_flags": (item_discrimination_flags, ITEM_DISCRIMINATION_SQL),
     "dawid_skene_labels": (dawid_skene_labels, DAWID_SKENE_SQL),
+    "curriculum_spotter_scores": (curriculum_spotter_scores, CURRICULUM_SQL),
+    "leitner_spotter_scores": (leitner_spotter_scores, LEITNER_SQL),
 }
