@@ -18,12 +18,12 @@ from pyspark.sql import DataFrame, SparkSession
 def _registry() -> dict[str, tuple]:
     from nessie_spark.operators import (
         analytics, dedup, detectors, detectors2, detectors3, events,
-        maintenance, probability, similarity, textstats,
+        maintenance, modelzoo, probability, similarity, textstats,
     )
 
     reg: dict[str, tuple] = {}
     for mod in (analytics, detectors, detectors2, detectors3, probability,
-                dedup, similarity, textstats, events, maintenance):
+                dedup, similarity, textstats, events, maintenance, modelzoo):
         for name, pair in mod.QUERIES.items():
             assert name not in reg, f"duplicate query name {name}"
             reg[name] = pair

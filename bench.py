@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "dedup_embedding_cosine",
     "token_featurizer",
     "dawid_skene_labels",
+    "model_zoo_dummy_cv",
     "knn_flagger_flags",
     "knn_softmax_entropy_scores",
     "curriculum_spotter_scores",

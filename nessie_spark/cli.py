@@ -16,7 +16,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# `python nessie_spark/cli.py` puts the package dir itself on sys.path[0];
+# the import root is one level up (spark-submit --py-files ships the zip,
+# which lands on the path on its own).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -164,6 +164,28 @@ def morton32(a: Column, b: Column) -> Column:
     return _spread_bits(af).bitwiseOR(F.shiftleft(_spread_bits(bf), 1))
 
 
+def morton32_np(a, b):
+    """Vectorized NumPy twin of :func:`morton32` (bit-identical; asserted
+    in tests/test_kernels.py). Used by the staged Z-order executor, where
+    keys are computed inside pyarrow tasks instead of Catalyst expressions."""
+    a = (np.asarray(a, dtype=np.int64)) & 0x7FFFFFFF
+    b = (np.asarray(b, dtype=np.int64)) & 0x7FFFFFFF
+
+    def spread(x):
+        for shift, mask in _MASKS:
+            x = (x | (x << shift)) & mask
+        return x
+
+    return spread(a) | (spread(b) << 1)
+
+
+def order31_np(c):
+    """Vectorized NumPy twin of :func:`order31` (sign-flip then top 31
+    bits, unsigned shift)."""
+    x = np.asarray(c, dtype=np.int64) ^ np.int64(-0x8000000000000000)
+    return (x.astype(np.uint64) >> np.uint64(33)).astype(np.int64)
+
+
 def fold32(c: Column) -> Column:
     """Fold an int64 (e.g. phash) to 31 bits: xor of hi/lo halves, masked.
 
@@ -188,38 +210,47 @@ def order31(c: Column) -> Column:
     return F.shiftrightunsigned(x, 33)
 
 
-def hilbert_key_udf():
-    """Vectorized pandas UDF computing a 2-D Hilbert index (order 31).
+def hilbert_np(a, b):
+    """Vectorized 2-D Hilbert index (order 31) over NumPy arrays.
 
-    numpy bit-level loop over the whole Arrow batch (31 iterations of
-    vectorized ops — never per-row Python). Optional variant behind the
-    same clustering interface as Morton (north_star, BASELINE.json:6).
+    numpy bit-level loop (31 iterations of vectorized ops — never per-row
+    Python). Shared core of the pandas UDF below and the staged Z-order
+    executor's in-task key computation.
     """
+    ORDER = 31
+    x = np.asarray(a, dtype=np.int64) & 0x7FFFFFFF
+    y = np.asarray(b, dtype=np.int64) & 0x7FFFFFFF
+    d = np.zeros_like(x)
+    s = np.int64(1) << (ORDER - 1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate quadrant (vectorized branchless form of the classic
+        # Hilbert d2xy rotation)
+        swap = ry == 0
+        flip = swap & (rx == 1)
+        x_f = np.where(flip, s - 1 - x, x)
+        y_f = np.where(flip, s - 1 - y, y)
+        x_new = np.where(swap, y_f, x_f)
+        y_new = np.where(swap, x_f, y_f)
+        x, y = x_new, y_new
+        s >>= 1
+    return d
+
+
+def hilbert_key_udf():
+    """Vectorized pandas UDF over :func:`hilbert_np` — the optional Hilbert
+    variant behind the same clustering interface as Morton (north_star,
+    BASELINE.json:6)."""
     from pyspark.sql.functions import pandas_udf
 
-    ORDER = 31
-
     def _hilbert_xy(a: pd.Series, b: pd.Series) -> pd.Series:
-        x = a.to_numpy(dtype=np.int64, na_value=0) & 0x7FFFFFFF
-        y = b.to_numpy(dtype=np.int64, na_value=0) & 0x7FFFFFFF
-        rx = np.zeros_like(x)
-        ry = np.zeros_like(y)
-        d = np.zeros_like(x)
-        s = np.int64(1) << (ORDER - 1)
-        while s > 0:
-            rx = ((x & s) > 0).astype(np.int64)
-            ry = ((y & s) > 0).astype(np.int64)
-            d += s * s * ((3 * rx) ^ ry)
-            # rotate quadrant (vectorized branchless form of the classic
-            # Hilbert d2xy rotation)
-            swap = ry == 0
-            flip = swap & (rx == 1)
-            x_f = np.where(flip, s - 1 - x, x)
-            y_f = np.where(flip, s - 1 - y, y)
-            x_new = np.where(swap, y_f, x_f)
-            y_new = np.where(swap, x_f, y_f)
-            x, y = x_new, y_new
-            s >>= 1
-        return pd.Series(d)
+        return pd.Series(
+            hilbert_np(
+                a.to_numpy(dtype=np.int64, na_value=0),
+                b.to_numpy(dtype=np.int64, na_value=0),
+            )
+        )
 
     return pandas_udf(_hilbert_xy, LongType())

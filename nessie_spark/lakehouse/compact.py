@@ -21,7 +21,6 @@ import os
 import uuid
 from dataclasses import dataclass
 
-import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -29,7 +28,7 @@ from pyspark.sql import SparkSession
 
 from nessie_spark.lakehouse import lineage
 from nessie_spark.lakehouse import kernels as K
-from nessie_spark.lakehouse.table import FILE_ENTRY_DDL, Table
+from nessie_spark.lakehouse.table import Table
 from nessie_spark.lakehouse.writer import stats_entry_for, write_table_file
 from nessie_spark.plans.ffd import ffd_histogram, ffd_pack
 
@@ -88,14 +87,13 @@ def compact(
     todo = [(i, [small[j]["file_path"] for j in b]) for i, b in enumerate(bins) if i not in done]
 
     if todo:
-        plan_df = spark.createDataFrame(todo, "bin_id int, paths array<string>")
         limit = fail_after_bins
 
-        def _rewrite(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-            bin_id = int(key[0])
+        def _rewrite_unit(unit: tuple) -> dict:
+            bin_id = int(unit[0])
             if limit is not None and bin_id >= limit:
                 raise RuntimeError(f"injected failure at bin {bin_id}")
-            paths = list(pdf["paths"].iloc[0])
+            paths = list(unit[1])
             tbl = pa.concat_tables(
                 [pq.read_table(os.path.join(root, p)) for p in paths]
             )
@@ -133,26 +131,18 @@ def compact(
                 input_files=paths, output_files=[rel],
                 rows=tbl.num_rows, nbytes=size, metrics=metrics,
             )
-            return pd.DataFrame([entry])
+            return entry
 
-        # one group per bin; only tiny plan rows shuffle, never image bytes.
-        # AQE must not coalesce this stage (plan rows are KBs; the real work
-        # is per-bin IO/CPU inside the task) — see session.no_coalesce.
-        # Reduce partitions = bin count: with the session default (32), ~200
-        # bins hash 6-7 per partition with Poisson imbalance — a measured
-        # ~12% straggler tail; one bin per reduce task packs evenly.
-        from nessie_spark.session import no_coalesce
-
-        key = "spark.sql.shuffle.partitions"
-        old_parts = spark.conf.get(key)
-        spark.conf.set(key, str(max(len(todo), 1)))
-        try:
-            with no_coalesce(spark):
-                fresh_stats = (
-                    plan_df.groupBy("bin_id").applyInPandas(_rewrite, FILE_ENTRY_DDL).toArrow()
-                )
-        finally:
-            spark.conf.set(key, old_parts)
+        # One bin per task, placed POSITIONALLY: parallelize(bins, len(bins))
+        # splits the unit list 1:1 onto partitions. The earlier
+        # groupBy(bin_id).applyInPandas shape hash-partitioned ~200 bin keys
+        # into ~200 partitions, where birthday collisions stack 2-4 bins in
+        # one task — a straggler tail that costs scaling efficiency exactly
+        # when waves are few (4N-core runs). Only tiny plan tuples cross the
+        # driver→task boundary; image bytes stay in pyarrow inside the task.
+        fresh_stats = (
+            spark.sparkContext.parallelize(todo, len(todo)).map(_rewrite_unit).collect()
+        )
     else:
         fresh_stats = None
 
@@ -163,7 +153,7 @@ def compact(
     # manifest entries: reuse the stats returned by the rewrite tasks; only
     # units completed before a crash (resume path) are re-read — with column
     # pruning, so pixel bytes never reach the driver
-    added_entries = list(fresh_stats.to_pylist()) if fresh_stats is not None else []
+    added_entries = list(fresh_stats) if fresh_stats is not None else []
     have = {e["file_path"] for e in added_entries}
     for p in out_paths:
         if p in have:

@@ -1,0 +1,224 @@
+"""Model zoo — the reference's Model contract re-expressed over pyspark.ml.
+
+Reference contract (/root/reference/nessie/models/model.py:11-43):
+``fit(X, y)``, ``predict(X)``, ``predict_proba(X)`` (a distribution over
+all labels per item), ``score(X)`` (best score per item), plus a label
+encoder. The reference zoo (models/text/__init__.py) wraps sklearn
+LogisticRegression (maxent_text_classifier.py:1-11), LightGBM, fastText,
+flair and transformer classifiers — all single-node libraries fed by a
+driver-side feature matrix.
+
+The engine keeps the contract but makes BOTH directions distributed:
+
+* features stay in the DataFrame (``array<float>`` embedding column or a
+  tokenized text column) — no driver-side matrix;
+* fitting uses ``pyspark.ml`` estimators (JVM-side, treeAggregate-based
+  LBFGS / distributed tree building), so a 10^9-row fit is a cluster job,
+  not a ``collect()``;
+* ``predict_proba`` returns the input DataFrame plus a ``probs``
+  ``array<double>`` column ordered by label index 0..C-1 — the same
+  (num_instances, num_labels) contract as the reference, kept lazy.
+
+Determinism: every estimator gets a fixed seed; features and labels are
+pure functions of the row. The reference's DummyTextClassifier
+(dummy_text_classifier.py:12-37) emits *random* probabilities; the engine's
+dummy follows the engine-wide seeded-determinism rule (util.py:98-112
+analog) and emits the train-fold class priors instead — same shape, same
+"no-information baseline" role, reproducible across engines (this is what
+makes its CV query exact-oracle-checkable in DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+class SparkModel:
+    """fit/predict_proba contract (reference model.py:11-43).
+
+    ``fit(train)`` consumes a DataFrame with ``features`` (array<double>)
+    or ``tokens`` (array<string>) and an integer ``label`` column in
+    [0, n_classes); ``predict_proba(df)`` returns ``df`` plus ``probs``
+    (array<double>, one slot per label) and ``pred`` (argmax label,
+    ties broken on the lower label — the reference's np.argmax rule).
+    """
+
+    name: str = "SparkModel"
+
+    def __init__(self, n_classes: int):
+        self.n_classes = n_classes
+
+    def fit(self, train: DataFrame) -> "SparkModel":
+        raise NotImplementedError
+
+    def predict_proba(self, df: DataFrame) -> DataFrame:
+        raise NotImplementedError
+
+    # shared: pred = argmax(probs) with reference's first-max tie rule
+    def _with_pred(self, scored: DataFrame) -> DataFrame:
+        idx = F.array_position(
+            F.col("probs"), F.array_max("probs")
+        )  # 1-based first occurrence == np.argmax tie rule
+        return scored.withColumn("pred", (idx - 1).cast("int"))
+
+
+class DummyClassifier(SparkModel):
+    """No-information baseline: probs = train class priors (see module
+    docstring for the determinism note vs dummy_text_classifier.py:25-28).
+
+    The fitted state is C doubles — broadcast as a literal array, so
+    predict_proba is a zero-shuffle projection at any scale."""
+
+    name = "dummy"
+
+    def fit(self, train: DataFrame) -> "DummyClassifier":
+        counts = {
+            r["label"]: r["n"]
+            for r in train.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        total = sum(counts.values())
+        self.priors = [counts.get(c, 0) / total for c in range(self.n_classes)]
+        return self
+
+    def predict_proba(self, df: DataFrame) -> DataFrame:
+        probs = F.array(*[F.lit(float(p)) for p in self.priors])
+        return self._with_pred(df.withColumn("probs", probs))
+
+
+class MaxEntClassifier(SparkModel):
+    """MaxEnt / multinomial logistic regression
+    (maxent_text_classifier.py:8-11: sklearn LogisticRegression over
+    sentence embeddings) → ``pyspark.ml.classification.LogisticRegression``
+    over the ``features`` array column. LBFGS runs as treeAggregate rounds
+    on the executors — the distributed twin of sklearn's in-core solver."""
+
+    name = "maxent"
+
+    def __init__(self, n_classes: int, max_iter: int = 40, reg: float = 1e-3):
+        super().__init__(n_classes)
+        self.max_iter = max_iter
+        self.reg = reg
+
+    @staticmethod
+    def _vec(df: DataFrame) -> DataFrame:
+        from pyspark.ml.functions import array_to_vector
+
+        return df.withColumn("fvec", array_to_vector(F.col("features").cast("array<double>")))
+
+    def fit(self, train: DataFrame) -> "MaxEntClassifier":
+        from pyspark.ml.classification import LogisticRegression
+
+        lr = LogisticRegression(
+            featuresCol="fvec",
+            labelCol="label",
+            maxIter=self.max_iter,
+            regParam=self.reg,
+            family="multinomial",
+            standardization=False,
+        )
+        self.model = lr.fit(self._vec(train))
+        return self
+
+    def predict_proba(self, df: DataFrame) -> DataFrame:
+        from pyspark.ml.functions import vector_to_array
+
+        out = self.model.transform(self._vec(df))
+        fit_c = self.model.numClasses
+        probs = vector_to_array(F.col("probability"))
+        # a fold's train split may not contain every global class: pad to C
+        if fit_c < self.n_classes:
+            probs = F.concat(
+                probs, F.array_repeat(F.lit(0.0), self.n_classes - fit_c)
+            )
+        scored = out.withColumn("probs", probs).drop(
+            "fvec", "rawPrediction", "probability", "prediction"
+        )
+        return self._with_pred(scored)
+
+
+class GradientTreeClassifier(SparkModel):
+    """Gradient-tree zoo slot (lightgbm_text_classifier.py role) →
+    ``RandomForestClassifier`` (seeded): distributed tree induction over
+    the same embedding features."""
+
+    name = "trees"
+
+    def __init__(self, n_classes: int, n_trees: int = 16, max_depth: int = 5):
+        super().__init__(n_classes)
+        self.n_trees = n_trees
+        self.max_depth = max_depth
+
+    def fit(self, train: DataFrame) -> "GradientTreeClassifier":
+        from pyspark.ml.classification import RandomForestClassifier
+
+        rf = RandomForestClassifier(
+            featuresCol="fvec",
+            labelCol="label",
+            numTrees=self.n_trees,
+            maxDepth=self.max_depth,
+            seed=42,
+        )
+        self.model = rf.fit(MaxEntClassifier._vec(train))
+        return self
+
+    def predict_proba(self, df: DataFrame) -> DataFrame:
+        from pyspark.ml.functions import vector_to_array
+
+        out = self.model.transform(MaxEntClassifier._vec(df))
+        fit_c = self.model.numClasses
+        probs = vector_to_array(F.col("probability"))
+        if fit_c < self.n_classes:
+            probs = F.concat(probs, F.array_repeat(F.lit(0.0), self.n_classes - fit_c))
+        scored = out.withColumn("probs", probs).drop(
+            "fvec", "rawPrediction", "probability", "prediction"
+        )
+        return self._with_pred(scored)
+
+
+class BagOfWordsNB(SparkModel):
+    """Bag-of-words zoo slot (fasttext_text_classifier.py role): HashingTF
+    token counts → multinomial NaiveBayes. The featurizer is the engine's
+    stand-in for the reference's SentenceEmbedder (featurizer.py) on raw
+    text — hashing keeps the feature space fixed-width with zero vocab
+    state, the property that matters at 10^12 rows."""
+
+    name = "bow_nb"
+
+    def __init__(self, n_classes: int, n_features: int = 1 << 12):
+        super().__init__(n_classes)
+        self.n_features = n_features
+
+    def _tf(self, df: DataFrame) -> DataFrame:
+        from pyspark.ml.feature import HashingTF
+
+        tf = HashingTF(inputCol="tokens", outputCol="fvec", numFeatures=self.n_features)
+        return tf.transform(df)
+
+    def fit(self, train: DataFrame) -> "BagOfWordsNB":
+        from pyspark.ml.classification import NaiveBayes
+
+        nb = NaiveBayes(featuresCol="fvec", labelCol="label", modelType="multinomial")
+        self.model = nb.fit(self._tf(train))
+        return self
+
+    def predict_proba(self, df: DataFrame) -> DataFrame:
+        from pyspark.ml.functions import vector_to_array
+
+        out = self.model.transform(self._tf(df))
+        fit_c = self.model.numClasses
+        probs = vector_to_array(F.col("probability"))
+        if fit_c < self.n_classes:
+            probs = F.concat(probs, F.array_repeat(F.lit(0.0), self.n_classes - fit_c))
+        scored = out.withColumn("probs", probs).drop(
+            "fvec", "rawPrediction", "probability", "prediction"
+        )
+        return self._with_pred(scored)
+
+
+# The zoo registry (reference models/text/__init__.py:1-6): name -> factory.
+ZOO = {
+    "dummy": DummyClassifier,
+    "maxent": MaxEntClassifier,
+    "trees": GradientTreeClassifier,
+    "bow_nb": BagOfWordsNB,
+}

@@ -1,0 +1,251 @@
+"""Model-zoo + IRT-2PL queries (SURVEY.md §2.7 O14, O9 upgrade).
+
+O14 model zoo: reference /root/reference/nessie/models/ — sklearn/flair/
+transformer classifiers behind the Model contract (model.py:11-43), fitted
+per CV fold by CrossValidationHelper (helper.py:138-256). Grafted as
+pyspark.ml estimators behind nessie_spark.models.zoo.SparkModel, fitted by
+nessie_spark.models.cv.cross_val_predict (see those modules).
+
+O9 full graft: ItemResponseTheoryFlagger
+(/root/reference/nessie/detectors/irt.py:17-73) fits a 2PL IRT model —
+P(model m answers item i correctly) = sigmoid(a_i * (theta_m - b_i)) — to
+the ensemble-correctness matrix and flags items with NEGATIVE
+discrimination a_i < 0 (irt.py:73). The reference optimizes by Pyro SVI
+(10k Adam steps on one GPU/CPU); the engine fits the same likelihood by
+full-batch alternating gradient ascent where each iteration is ONE
+distributed scan: item parameters (a_i, b_i) live as columns updated by
+per-row array math, subject abilities (theta_m, M = ensemble size, tiny)
+live on the driver and are re-broadcast as literals — so the per-iteration
+plan is a zero-shuffle map plus one partial-aggregated M-slot reduce.
+localCheckpoint every few iterations truncates the growing lineage (the
+same discipline as the Dawid–Skene EM loop, detectors3.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from nessie_spark.functions.core import h64
+from nessie_spark.operators.common import T, h64_sql
+
+K_FOLDS = 5
+N_CLASSES = 10  # embeddings.label ∈ [0, 10)
+
+# --- 2PL constants (deterministic fixture + fit schedule) ------------------
+IRT_M = 4          # ensemble size (subjects)
+IRT_ITERS = 24     # full-batch gradient iterations
+IRT_LR = 0.8       # learning rate (normalized by M resp. N per side)
+IRT_CKPT = 6       # localCheckpoint cadence
+
+
+# ---------------------------------------------------------------------------
+# O14 — model zoo over CV folds
+# ---------------------------------------------------------------------------
+
+def _emb_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("features"),
+        F.col("label").cast("int").alias("label"),
+    )
+
+
+def model_zoo_dummy_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DummyClassifier out-of-fold predictions (zoo baseline slot,
+    dummy_text_classifier.py:12-37; CV loop helper.py:208-256). The fitted
+    state is the train-fold class priors, so the whole CV run is exactly
+    SQL-expressible → oracle-checked. p_pred = prior of the argmax class
+    (single int/int division — bit-identical across engines)."""
+    from nessie_spark.models.cv import cross_val_predict
+    from nessie_spark.models.zoo import DummyClassifier
+
+    df = _emb_features(spark, sf_dir)
+    out = cross_val_predict(df, DummyClassifier(N_CLASSES), "vec_id", K_FOLDS)
+    return out.select(
+        "vec_id",
+        "fold",
+        "pred",
+        F.round(F.element_at("probs", F.col("pred") + 1), 6).alias("p_pred"),
+        (F.col("pred") != F.col("label")).alias("flag"),
+    ).orderBy("vec_id")
+
+
+MODEL_ZOO_DUMMY_CV_SQL = f"""
+WITH d AS (
+  SELECT vec_id, label,
+         CAST((ROW_NUMBER() OVER (PARTITION BY label
+              ORDER BY {h64_sql(x="'fold|' || CAST(vec_id AS VARCHAR)")} ASC, vec_id ASC) - 1)
+              % {K_FOLDS} AS INT) AS fold
+  FROM embeddings
+),
+folds AS (SELECT DISTINCT fold FROM d),
+counts AS (SELECT fold, label, COUNT(*) AS n FROM d GROUP BY fold, label),
+train AS (
+  SELECT f.fold AS eval_fold, c.label, CAST(SUM(c.n) AS BIGINT) AS n
+  FROM counts c JOIN folds f ON c.fold <> f.fold
+  GROUP BY f.fold, c.label
+),
+best AS (
+  SELECT eval_fold, label AS pred, n,
+         CAST(SUM(n) OVER (PARTITION BY eval_fold) AS BIGINT) AS total,
+         ROW_NUMBER() OVER (PARTITION BY eval_fold ORDER BY n DESC, label ASC) AS rk
+  FROM train
+)
+SELECT d.vec_id, d.fold, CAST(b.pred AS INT) AS pred,
+       ROUND(CAST(b.n AS DOUBLE) / CAST(b.total AS DOUBLE), 6) AS p_pred,
+       (b.pred <> d.label) AS flag
+FROM d JOIN best b ON b.eval_fold = d.fold AND b.rk = 1
+ORDER BY d.vec_id
+"""
+
+
+def model_zoo_maxent_cv_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MaxEnt zoo slot over CV folds (maxent_text_classifier.py:8-11 →
+    pyspark.ml LogisticRegression; CV loop helper.py:208-256), feeding the
+    Retag-style flag (pred ≠ noisy). LBFGS treeAggregate float order is not
+    bit-stable across engines → rows-only driver gate; semantics gated in
+    pytest (holdout accuracy on a separable fixture)."""
+    from nessie_spark.models.cv import cross_val_predict
+    from nessie_spark.models.zoo import MaxEntClassifier
+
+    df = _emb_features(spark, sf_dir)
+    out = cross_val_predict(df, MaxEntClassifier(N_CLASSES, max_iter=25), "vec_id", K_FOLDS)
+    return out.select(
+        "vec_id", "fold", "pred", (F.col("pred") != F.col("label")).alias("flag")
+    ).orderBy("vec_id")
+
+
+def model_zoo_bow_nb_cv_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words NaiveBayes zoo slot (fasttext role) on the documents
+    table: tokens = whitespace split, label = dense lang index (deterministic
+    row_number over the distinct langs). Rows-only gate (float posteriors);
+    pytest gates the contract."""
+    from nessie_spark.models.cv import cross_val_predict
+    from nessie_spark.models.zoo import BagOfWordsNB
+
+    docs = T(spark, sf_dir, "documents")
+    langs = docs.select("lang").distinct().withColumn(
+        "label", (F.row_number().over(Window.orderBy("lang")) - 1).cast("int")
+    )
+    n_cls = langs.count()
+    df = (
+        docs.join(F.broadcast(langs), "lang")
+        .select(
+            "doc_id",
+            F.split(F.lower(F.trim("text")), r"\s+").alias("tokens"),
+            "label",
+        )
+    )
+    out = cross_val_predict(df, BagOfWordsNB(n_cls), "doc_id", K_FOLDS)
+    return out.select(
+        "doc_id", "fold", "pred", (F.col("pred") != F.col("label")).alias("flag")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# O9 — 2PL IRT via distributed alternating gradient ascent
+# ---------------------------------------------------------------------------
+
+def _u01(tag: str, *cols) -> F.Column:
+    """Deterministic uniform [0,1) from the engine hash rule."""
+    return (F.pmod(h64(F.concat_ws("|", F.lit(tag), *cols)), F.lit(1000)) / 1000.0)
+
+
+def irt_response_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble-correctness matrix (irt.py:44-50: data =
+    (ensemble_predictions == labels)). The engine's deterministic ensemble:
+    model m has ability s_m = (m+1)/(M+1); item i has difficulty
+    d_i ~ U[0,1) and per-(i,m) noise ~ U[-0.2,0.2), both seeded hashes of
+    the ids; y = 1 iff s_m - d_i + noise > 0. Items with
+    h64('inv|'||vec_id) % 23 == 0 are planted ANTI-DISCRIMINATING —
+    exactly the weak half of the ensemble answers them correctly
+    (y = 1 iff s_m < 0.5), the cleanest negative-discrimination pattern —
+    the set the flagger must find. (A plain y-inversion is NOT used: an
+    extreme-difficulty item is all-0/all-1 either way and carries no
+    discrimination signal.) Output: vec_id, y array<double>[M]."""
+    vid = F.col("vec_id").cast("string")
+    inv = F.pmod(h64(F.concat(F.lit("inv|"), vid)), F.lit(23)) == 0
+    ys = []
+    for m in range(IRT_M):
+        s_m = (m + 1) / (IRT_M + 1)
+        raw = (
+            F.lit(s_m) - _u01("diff", vid) + _u01("n", F.lit(str(m)), vid) * 0.4 - 0.2
+        ) > 0
+        ys.append(
+            F.when(inv, F.lit(1.0 if s_m < 0.5 else 0.0)).otherwise(raw.cast("double"))
+        )
+    return T(spark, sf_dir, "embeddings").select("vec_id", F.array(*ys).alias("y"))
+
+
+def fit_2pl(items: DataFrame, n_iter: int = IRT_ITERS, lr: float = IRT_LR):
+    """Full-batch gradient MLE of the 2PL likelihood (see module
+    docstring). ``items`` = (vec_id, y: array<double>[M]). Returns
+    (item_params DataFrame (vec_id, a, b), theta list[M]).
+
+    Per iteration (simultaneous update, like the twin in tests):
+      resid_{i,m} = y_{i,m} - sigmoid(a_i (theta_m - b_i))   [per-row map]
+      a_i += lr/M * Σ_m resid_{i,m} (theta_m - b_i)          [per-row]
+      b_i += lr/M * (-a_i) Σ_m resid_{i,m}                   [per-row]
+      theta_m += lr/N * Σ_i resid_{i,m} a_i                  [M-slot reduce]
+      theta -= mean(theta)      [identifiability: location is not
+                                 determined by the likelihood]
+    """
+    M = IRT_M
+    cur = items.select(
+        "vec_id", "y", F.lit(1.0).alias("a"), F.lit(0.0).alias("b")
+    ).localCheckpoint()
+    n = cur.count()
+    theta = [0.0] * M
+    for it in range(n_iter):
+        th = F.array(*[F.lit(t) for t in theta])
+        p = F.transform(
+            th, lambda t: 1.0 / (1.0 + F.exp(-(F.col("a") * (t - F.col("b")))))
+        )
+        resid = F.zip_with("y", p, lambda y, pp: y - pp)
+        step = cur.withColumn("resid", resid)
+        # theta gradient: one partial-aggregated reduce to M driver floats
+        grads = step.agg(
+            *[F.sum(F.col("resid")[m] * F.col("a")).alias(f"g{m}") for m in range(M)]
+        ).collect()[0]
+        ga = F.aggregate(
+            F.zip_with("resid", th, lambda r, t: r * (t - F.col("b"))),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        gb = -F.col("a") * F.aggregate(
+            "resid", F.lit(0.0), lambda acc, v: acc + v
+        )
+        cur = step.select(
+            "vec_id",
+            "y",
+            (F.col("a") + F.lit(lr / M) * ga).alias("a"),
+            (F.col("b") + F.lit(lr / M) * gb).alias("b"),
+        )
+        theta = [theta[m] + lr / n * grads[f"g{m}"] for m in range(M)]
+        mu = sum(theta) / M
+        theta = [t - mu for t in theta]
+        if (it + 1) % IRT_CKPT == 0:
+            cur = cur.localCheckpoint()
+    return cur, theta
+
+
+def irt_2pl_discrimination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ItemResponseTheoryFlagger graft (irt.py:17-73): fit 2PL, flag
+    disc < 0 (irt.py:73). Rows-only driver gate (iterative float fit);
+    pytest twin asserts parameter-level agreement with an identical NumPy
+    implementation and that the planted inverted items are flagged."""
+    fitted, _theta = fit_2pl(irt_response_matrix(spark, sf_dir))
+    return fitted.select(
+        "vec_id",
+        F.round("a", 6).alias("disc"),
+        F.round("b", 6).alias("diff"),
+        (F.col("a") < 0).alias("flag"),
+    ).orderBy("vec_id")
+
+
+QUERIES: dict[str, tuple] = {
+    "model_zoo_dummy_cv": (model_zoo_dummy_cv, MODEL_ZOO_DUMMY_CV_SQL),
+    "model_zoo_maxent_cv_flags": (model_zoo_maxent_cv_flags, None),
+    "model_zoo_bow_nb_cv_flags": (model_zoo_bow_nb_cv_flags, None),
+    "irt_2pl_discrimination_flags": (irt_2pl_discrimination_flags, None),
+}

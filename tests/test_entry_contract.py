@@ -39,6 +39,11 @@ def test_queries_registry_shape(spark):
         "mean_distance_lof_scores",
         "calibration_platt_transform",
         "interval_optimal_match",
+        # model zoo / IRT (tests/test_models.py): pyspark.ml LBFGS and the
+        # 2PL gradient fit are float-iterative — NumPy-twin/accuracy gated
+        "model_zoo_maxent_cv_flags",
+        "model_zoo_bow_nb_cv_flags",
+        "irt_2pl_discrimination_flags",
     }
     no_oracle = {k for k in qs if k not in oracles} - PYTEST_GATED
     assert all(k.startswith(("maintenance_", "multimodal_")) for k in no_oracle)

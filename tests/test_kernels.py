@@ -130,3 +130,32 @@ def test_audio_features_deterministic():
     rms, zc = K.audio_features(pcm)
     assert abs(rms - 0.7071) < 0.01
     assert zc == 39  # 40 half-periods; the t=0 sample is exactly 0.0
+
+
+def test_zorder_key_numpy_twins_match_catalyst(spark):
+    """The staged executor computes zkeys with numpy (morton32_np /
+    order31_np / hilbert_np) while the sample pass and the shuffle executor
+    use the Catalyst expression / pandas UDF — the two MUST be
+    bit-identical or staged buckets would disagree with the sampled
+    boundaries."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from nessie_spark.functions.core import (
+        hilbert_key_udf, hilbert_np, morton32, morton32_np, order31, order31_np,
+    )
+
+    rng = np.random.default_rng(7)
+    ph = rng.integers(-(2**62), 2**62, 500, dtype=np.int64)
+    wh = rng.integers(0, 2**31, 500, dtype=np.int64)
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(ph, wh)], "phash long, wh long"
+    )
+    got = df.select(
+        morton32(order31(F.col("phash")), F.col("wh")).alias("m"),
+        hilbert_key_udf()(order31(F.col("phash")), F.col("wh")).alias("h"),
+    ).collect()
+    m_np = morton32_np(order31_np(ph), wh)
+    h_np = hilbert_np(order31_np(ph), wh)
+    assert [r["m"] for r in got] == m_np.tolist()
+    assert [r["h"] for r in got] == h_np.tolist()

@@ -128,3 +128,37 @@ def test_unknown_strategy_raises(spark, table_small):
     t, _ = table_small
     with pytest.raises(NotImplementedError):
         zorder.cluster(spark, t, strategy="peano")
+
+
+def test_zorder_staged_equals_shuffle_executor(spark, tmp_path):
+    """Both executors are physical strategies for the SAME logical rewrite:
+    identical bucket boundaries (same seeded sample) → identical per-file
+    row sets and identical zorder_lo/hi stats."""
+    from nessie_spark.lakehouse.table import Table
+    from tests.conftest import make_table
+
+    outs = {}
+    for ex in ("staged", "shuffle"):
+        root = str(tmp_path / ex / "images")
+        t, _ = make_table(spark, root)
+        zorder.cluster(spark, t, target_bytes=128 * 1024, job_id="zx", execution=ex)
+        t2 = Table.load(root)
+        entries = sorted(t2.file_entries().to_pylist(), key=lambda e: e["file_path"])
+        stats = [
+            (e["file_path"].split("/")[-1], e["record_count"], e["zorder_lo"], e["zorder_hi"])
+            for e in entries
+        ]
+        # per-file row sets via direct read
+        import pyarrow.parquet as pq
+        import os as _os
+
+        per_file = {
+            e["file_path"].split("/")[-1]: sorted(
+                pq.read_table(_os.path.join(root, e["file_path"]), columns=["image_id"])
+                .column("image_id").to_pylist()
+            )
+            for e in entries
+        }
+        outs[ex] = (stats, per_file)
+    assert outs["staged"][0] == outs["shuffle"][0]
+    assert outs["staged"][1] == outs["shuffle"][1]
