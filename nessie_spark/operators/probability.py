@@ -380,26 +380,39 @@ def _knn_pairs(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     emb = T(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.transform("embedding", lambda v: v.cast("double")).alias("e")
     )
+    # Candidates as ID-ONLY pairs: the banded self-join multiplies rows by
+    # shared-band count BEFORE the (qid, nid) dedup, and carrying the two
+    # 64-double arrays through that join + dedup shuffle was ~25× the bytes
+    # of the ids (measured 15.4 s → 5 s at sf0.1). The arrays join back
+    # AFTER dedup — the embeddings relation reads straight from parquet, so
+    # Catalyst sees its true size and broadcasts it when small (AQE picks
+    # sort-merge at the 10^9-row scale).
     banded = emb.select(
         "vec_id",
-        "label",
-        "e",
         F.posexplode(band_keys_udf(KNN_BANDS, KNN_PLANES)(F.col("e"))).alias("band", "bk"),
     )
+    cand_ids = (
+        banded.select(F.col("vec_id").alias("qid"), "band", "bk")
+        .join(banded.select(F.col("vec_id").alias("nid"), "band", "bk"), ["band", "bk"])
+        .where(F.col("qid") != F.col("nid"))
+        .select("qid", "nid")
+        .dropDuplicates(["qid", "nid"])
+    )
     cand = (
-        banded.select(
-            F.col("vec_id").alias("qid"), F.col("label").alias("qlabel"),
-            F.col("e").alias("qe"), "band", "bk",
+        cand_ids.join(
+            emb.select(
+                F.col("vec_id").alias("qid"), F.col("label").alias("qlabel"),
+                F.col("e").alias("qe"),
+            ),
+            "qid",
         )
         .join(
-            banded.select(
+            emb.select(
                 F.col("vec_id").alias("nid"), F.col("label").alias("nlabel"),
-                F.col("e").alias("ne"), "band", "bk",
+                F.col("e").alias("ne"),
             ),
-            ["band", "bk"],
+            "nid",
         )
-        .where(F.col("qid") != F.col("nid"))
-        .dropDuplicates(["qid", "nid"])
     )
     d2 = F.aggregate(
         F.zip_with("qe", "ne", lambda x, y: (x - y) * (x - y)),
