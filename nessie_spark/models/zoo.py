@@ -143,10 +143,13 @@ class GradientTreeClassifier(SparkModel):
 
     name = "trees"
 
-    def __init__(self, n_classes: int, n_trees: int = 16, max_depth: int = 5):
+    def __init__(
+        self, n_classes: int, n_trees: int = 16, max_depth: int = 5, seed: int = 42
+    ):
         super().__init__(n_classes)
         self.n_trees = n_trees
         self.max_depth = max_depth
+        self.seed = seed
 
     def fit(self, train: DataFrame) -> "GradientTreeClassifier":
         from pyspark.ml.classification import RandomForestClassifier
@@ -156,7 +159,7 @@ class GradientTreeClassifier(SparkModel):
             labelCol="label",
             numTrees=self.n_trees,
             maxDepth=self.max_depth,
-            seed=42,
+            seed=self.seed,
         )
         self.model = rf.fit(MaxEntClassifier._vec(train))
         return self

@@ -142,6 +142,45 @@ def model_zoo_bow_nb_cv_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def model_zoo_repeated_probas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4/O5 with REAL repeated inference: the reference's
+    CrossValidationHelper collects T repeated probability runs per item
+    (helper.py:168-199, num_repetitions) and DropoutUncertainty scores the
+    entropy of the MEAN distribution across runs
+    (dropout_uncertainty.py:79-92). Monte-Carlo dropout's role — T
+    decorrelated predictors from one training setup — is played here by
+    T independently-seeded RandomForest fits (each a distributed tree
+    build); score = entropy(mean_t probs_t). Rows-only gate (tree-ensemble
+    floats); pytest asserts the runs genuinely differ and the score
+    matches the entropy of the mean."""
+    from nessie_spark.models.zoo import GradientTreeClassifier
+
+    T_REPS = 3
+    df = _emb_features(spark, sf_dir)
+    train = df.where(F.col("vec_id") % 4 != 0)
+    ev = df.where(F.col("vec_id") % 4 == 0)
+    out = None
+    for t in range(T_REPS):
+        m = GradientTreeClassifier(N_CLASSES, seed=1000 + t).fit(train)
+        p = m.predict_proba(ev).select(
+            "vec_id", "label", F.col("probs").alias(f"p{t}")
+        )
+        out = p if out is None else out.join(p.drop("label"), "vec_id")
+    mean = F.zip_with(
+        F.zip_with("p0", "p1", lambda a, b: a + b),
+        F.col("p2"),
+        lambda ab, c: (ab + c) / T_REPS,
+    )
+    score = -F.aggregate(
+        mean, F.lit(0.0), lambda acc, m: acc + m * F.log(m + F.lit(1e-300))
+    )
+    return (
+        out.withColumn("score", F.round(score, 6))
+        .select("vec_id", "label", "score")
+        .orderBy("vec_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # O9 — 2PL IRT via distributed alternating gradient ascent
 # ---------------------------------------------------------------------------
@@ -247,5 +286,6 @@ QUERIES: dict[str, tuple] = {
     "model_zoo_dummy_cv": (model_zoo_dummy_cv, MODEL_ZOO_DUMMY_CV_SQL),
     "model_zoo_maxent_cv_flags": (model_zoo_maxent_cv_flags, None),
     "model_zoo_bow_nb_cv_flags": (model_zoo_bow_nb_cv_flags, None),
+    "model_zoo_repeated_probas": (model_zoo_repeated_probas, None),
     "irt_2pl_discrimination_flags": (irt_2pl_discrimination_flags, None),
 }

@@ -225,7 +225,119 @@ SELECT qid, rk, nid, cos FROM ranked WHERE rk <= {TOP_K} ORDER BY qid, rk
 """
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the partition-pruned scale path
+# ---------------------------------------------------------------------------
+
+IVF_K = 16        # coarse centroids
+IVF_NPROBE = 4    # probed cells per query
+IVF_ITERS = 2     # Lloyd refinement iterations
+
+
+def _ivf_centroids(emb: DataFrame) -> list[list[float]]:
+    """Deterministic coarse k-means: seeds = the IVF_K vectors with the
+    smallest h64('ivf|'||vec_id) (the engine's seeded-random rule), then
+    IVF_ITERS Lloyd steps where assignment is per-row expression math
+    against broadcast centroid literals and the update is ONE
+    posexplode→groupBy(cid, dim) average — the standard distributed k-means
+    shape (k·d floats to the driver per iteration, never rows)."""
+    seeds = (
+        emb.withColumn("hk", h64(F.concat(F.lit("ivf|"), F.col("vec_id").cast("string"))))
+        .orderBy("hk", "vec_id")
+        .limit(IVF_K)
+        .select("e")
+        .collect()
+    )
+    cents = [list(r["e"]) for r in seeds]
+    for _ in range(IVF_ITERS):
+        assigned = emb.withColumn("cid", _nearest_cid(cents))
+        rows = (
+            assigned.select("cid", F.posexplode("e").alias("d", "v"))
+            .groupBy("cid", "d")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        upd = {}
+        for r in rows:
+            upd.setdefault(r["cid"], [0.0] * len(cents[0]))[r["d"]] = r["m"]
+        cents = [upd.get(c, cents[c]) for c in range(IVF_K)]
+    return cents
+
+
+def _cent_dist2(c: list[float]):
+    arr = F.array(*[F.lit(float(x)) for x in c])
+    return F.aggregate(
+        F.zip_with("e", arr, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+
+
+def _nearest_cid(cents: list[list[float]]) -> Column:
+    """argmin over centroid literals: array_sort of (dist, cid) structs —
+    pure codegen expressions, no UDF."""
+    pairs = F.array(
+        *[
+            F.struct(_cent_dist2(c).alias("d"), F.lit(i).alias("cid"))
+            for i, c in enumerate(cents)
+        ]
+    )
+    return F.array_sort(pairs)[0]["cid"]
+
+
+def _nearest_cids(cents: list[list[float]], n: int) -> Column:
+    pairs = F.array(
+        *[
+            F.struct(_cent_dist2(c).alias("d"), F.lit(i).alias("cid"))
+            for i, c in enumerate(cents)
+        ]
+    )
+    return F.slice(F.array_sort(pairs), 1, n)
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (task brief: "an IVF or LSH-bucketed variant as the scale
+    path"): coarse k-means partitions the vectors into IVF_K inverted
+    lists; each query probes its IVF_NPROBE nearest cells and scans only
+    those lists — at 10^9 vectors the probed fraction (nprobe/k) is the
+    whole point, and the cell id becomes the table's partition/Z-order key
+    so a probe is a partition-pruned scan (the same manifest-stats skipping
+    the lakehouse scan uses). Exact cosine re-ranking inside the probed
+    cells; rows-only driver gate (float centroids), recall-vs-brute-force
+    gated in pytest."""
+    emb = _emb(spark, sf_dir)
+    cents = _ivf_centroids(emb)
+    lists = emb.select(
+        F.col("vec_id").alias("nid"), F.col("e").alias("ne"), _nearest_cid(cents).alias("cid")
+    )
+    probes = (
+        emb.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("e").alias("qe"),
+            F.explode(_nearest_cids(cents, IVF_NPROBE)).alias("probe"),
+        )
+        .select("qid", "qe", F.col("probe")["cid"].alias("cid"))
+    )
+    pairs = (
+        F.broadcast(probes)
+        .join(lists, "cid")
+        .where(F.col("qid") != F.col("nid"))
+        .select(
+            "qid", "nid", F.round(cosine_sim(F.col("qe"), F.col("ne")), 6).alias("cos")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select("qid", "rk", "nid", "cos")
+        .orderBy("qid", "rk")
+    )
+
+
 QUERIES: dict[str, tuple] = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_COSINE_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
+    "ann_ivf_topk": (ann_ivf_topk, None),
 }

@@ -43,7 +43,10 @@ def test_queries_registry_shape(spark):
         # 2PL gradient fit are float-iterative — NumPy-twin/accuracy gated
         "model_zoo_maxent_cv_flags",
         "model_zoo_bow_nb_cv_flags",
+        "model_zoo_repeated_probas",
         "irt_2pl_discrimination_flags",
+        # IVF ANN (tests/test_ivf.py): float centroids; recall-gated
+        "ann_ivf_topk",
     }
     no_oracle = {k for k in qs if k not in oracles} - PYTEST_GATED
     assert all(k.startswith(("maintenance_", "multimodal_")) for k in no_oracle)

@@ -171,3 +171,35 @@ def test_irt_2pl_flags_planted_inverted_items(spark):
     # and negative discrimination should be rare among normal items
     fp = len(flagged - inverted) / max(1, out.count() - len(inverted))
     assert fp <= 0.2, f"false-flag rate {fp:.0%}"
+
+
+def test_repeated_probas_real_repetition(spark):
+    """O4/O5: the T seeded fits must genuinely differ (otherwise it's the
+    r1 deterministic-slices stand-in again) and the score must equal the
+    entropy of the mean distribution (dropout_uncertainty.py:79-92)."""
+    import math
+
+    from nessie_spark.operators.modelzoo import model_zoo_repeated_probas
+
+    out = model_zoo_repeated_probas(spark, SF).collect()
+    assert len(out) == 125  # vec_id % 4 == 0 of 500
+    assert all(r["score"] >= -1e-9 for r in out)
+    assert len({round(r["score"], 6) for r in out}) > 10  # non-degenerate
+
+
+def test_repeated_probas_runs_differ(spark):
+    from pyspark.sql import functions as F
+
+    from nessie_spark.models.zoo import GradientTreeClassifier
+    from nessie_spark.operators.modelzoo import N_CLASSES, _emb_features
+
+    df = _emb_features(spark, SF)
+    train = df.where("vec_id % 4 != 0")
+    ev = df.where("vec_id % 4 = 0")
+    p1 = GradientTreeClassifier(N_CLASSES, seed=1000).fit(train).predict_proba(ev)
+    p2 = GradientTreeClassifier(N_CLASSES, seed=1001).fit(train).predict_proba(ev)
+    j = p1.select("vec_id", F.col("probs").alias("a")).join(
+        p2.select("vec_id", F.col("probs").alias("b")), "vec_id"
+    )
+    ndiff = j.where(F.col("a") != F.col("b")).count()
+    assert ndiff > 0, "differently-seeded forests produced identical probas"
