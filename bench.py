@@ -293,13 +293,16 @@ def run_scaling(low: int, mid: int) -> tuple[dict[int, float], list[tuple[float,
     n_runs = 1 if FAST else 3
 
     # A repetition is VALID only if the host's effective speed (calibrated
-    # with a fixed parallel zlib burn) stayed within 15% across its two
-    # runs — otherwise the ratio mixes host phases and is discarded and
+    # with a fixed parallel zlib burn) stayed within tolerance across its
+    # two runs — otherwise the ratio mixes host phases and is discarded and
     # retried (bounded at max_reps). Uniformly-slow phases are fine: they
-    # scale both runs and leave the ratio intact.
+    # scale both runs and leave the ratio intact. The tolerance loosens
+    # from 15% to 25% after 5 attempts: on a host that never holds 15%
+    # (observed), three 25%-validated reps with a median beat one lucky
+    # 15%-validated rep.
     rep_times: list[tuple[float, float]] = []
     rejected = 0
-    max_reps = n_runs + (0 if FAST else 4)
+    max_reps = n_runs + (0 if FAST else 7)
     attempt = 0
     t_low = t_high = None
     while len(rep_times) < n_runs and attempt < max_reps:
@@ -310,7 +313,8 @@ def run_scaling(low: int, mid: int) -> tuple[dict[int, float], list[tuple[float,
         s3 = _host_speed()
         attempt += 1
         speeds = [s1, s2, s3]
-        if not FAST and max(speeds) / max(min(speeds), 1e-9) > 1.15:
+        tol = 1.15 if attempt <= 5 else 1.25
+        if not FAST and max(speeds) / max(min(speeds), 1e-9) > tol:
             rejected += 1
             continue
         rep_times.append((t_low, t_high))
@@ -375,7 +379,10 @@ def main() -> None:
         # estimator mixes times from different phases and was measured to
         # skew the ratio by ±0.15). All raw pairs reported for transparency.
         effs = sorted(tl / ((mid / low) * th) for tl, th in rep_times)
-        eff_primary = effs[len(effs) // 2]
+        n_e = len(effs)
+        eff_primary = (
+            effs[n_e // 2] if n_e % 2 else (effs[n_e // 2 - 1] + effs[n_e // 2]) / 2
+        )
         thr = {c: N_IMAGES / t for c, t in runs.items()}
         eff_smt = (
             thr[CPUS] / ((CPUS / mid) * thr[mid]) if CPUS in runs and CPUS != mid else None
