@@ -399,8 +399,9 @@ def main() -> None:
             "images_per_sec_high": round(thr[mid], 1),
             "efficiency": round(eff_primary, 3),
             "estimator": (
-                "median of per-repetition back-to-back ratios; reps with "
-                ">15% host-speed drift (zlib calibration) rejected"
+                "interpolated median of per-repetition back-to-back ratios; "
+                "reps rejected on host-speed drift (zlib calibration; 15% "
+                "tolerance, loosened to 25% after 5 attempts)"
             ),
             "rejected_reps": rejected,
             "passes_0_8": eff_primary >= 0.8,
