@@ -305,7 +305,16 @@ def run_scaling(low: int, mid: int) -> tuple[dict[int, float], list[tuple[float,
     max_reps = n_runs + (0 if FAST else 7)
     attempt = 0
     t_low = t_high = None
-    while len(rep_times) < n_runs and attempt < max_reps:
+    # Wall-clock budget on the retry loop: a partially-validated median
+    # beats an empty BENCH JSON if the calling harness enforces its own
+    # timeout (r1 shipped parsed=null exactly that way).
+    budget_s = int(os.environ.get("NESSIE_BENCH_SCALING_BUDGET", "2100"))
+    loop_t0 = time.time()
+    while (
+        len(rep_times) < n_runs
+        and attempt < max_reps
+        and (time.time() - loop_t0 < budget_s or not rep_times)
+    ):
         s1 = _host_speed()
         t_low = one_run(base, low, attempt)
         s2 = _host_speed()
