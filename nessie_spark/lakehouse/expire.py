@@ -171,4 +171,27 @@ def gc_orphans(
     if not dry_run:
         for rel in orphans:
             os.remove(os.path.join(table.root, rel))
+        sweep_committed_stage_dirs(table.root)
     return sorted(orphans)
+
+
+def sweep_committed_stage_dirs(root: str) -> list[str]:
+    """Remove ``_stage/{job_id}`` staging shards left behind by jobs whose
+    snapshot is already committed (crash between mark_committed and the
+    in-job cleanup, or a failed staged attempt retried as execution=
+    'shuffle'). Uncommitted stage dirs are kept — they may belong to a
+    resumable in-flight job."""
+    import shutil
+
+    from nessie_spark.lakehouse import lineage
+
+    stage_root = os.path.join(root, "_stage")
+    if not os.path.isdir(stage_root):
+        return []
+    swept = []
+    for job_id in sorted(os.listdir(stage_root)):
+        d = os.path.join(stage_root, job_id)
+        if os.path.isdir(d) and lineage.committed_snapshot(root, job_id) is not None:
+            shutil.rmtree(d, ignore_errors=True)
+            swept.append(job_id)
+    return swept

@@ -421,7 +421,40 @@ def run_staged(
 
         sbin, paths = int(unit[0]), list(unit[1])
         b = np.asarray(bounds_arr, dtype=np.int64)
-        writers: dict[int, tuple] = {}  # grp -> (writer, tmp, final)
+        # Bound concurrently-open shard writers: n_groups scales with table
+        # bytes (1 TB → ~2k groups), and each open ParquetWriter holds column
+        # buffers + an fd. LRU-close past the cap and reopen under a new
+        # shard sequence number — gather globs s#####_##.parquet, so a group
+        # may own several shards from one scatter bin.
+        MAX_OPEN = 64
+        writers: dict[int, tuple] = {}  # grp -> (writer, tmp, final); dict order = LRU
+        seq: dict[int, int] = {}
+        outs: list[str] = []
+
+        def _close_grp(g: int) -> None:
+            w, tmp, final = writers.pop(g)
+            w.close()
+            os.replace(tmp, final)
+            outs.append(os.path.relpath(final, root))
+
+        def _writer_for(g: int, schema) -> "pq.ParquetWriter":
+            if g in writers:
+                writers[g] = writers.pop(g)  # refresh LRU position
+                return writers[g][0]
+            if len(writers) >= MAX_OPEN:
+                _close_grp(next(iter(writers)))
+            k = seq.get(g, 0)
+            seq[g] = k + 1
+            final = os.path.join(
+                stage_dir, f"g{g:04d}", f"s{sbin:05d}_{k:02d}.parquet"
+            )
+            os.makedirs(os.path.dirname(final), exist_ok=True)
+            tmp = final + ".tmp"
+            writers[g] = (
+                pq.ParquetWriter(tmp, schema, compression="snappy"), tmp, final
+            )
+            return writers[g][0]
+
         rows = 0
         for p in paths:
             tbl = pq.read_table(os.path.join(root, p))
@@ -444,18 +477,10 @@ def run_staged(
             for s0, e0 in zip(starts, ends):
                 g = int(g_sorted[s0])
                 sl = tbl.slice(s0, e0 - s0)
-                if g not in writers:
-                    final = os.path.join(stage_dir, f"g{g:04d}", f"s{sbin:05d}.parquet")
-                    os.makedirs(os.path.dirname(final), exist_ok=True)
-                    tmp = final + ".tmp"
-                    writers[g] = (pq.ParquetWriter(tmp, tbl.schema, compression="snappy"), tmp, final)
-                writers[g][0].write_table(sl)
+                _writer_for(g, tbl.schema).write_table(sl)
             rows += tbl.num_rows
-        outs = []
-        for w, tmp, final in writers.values():
-            w.close()
-            os.replace(tmp, final)
-            outs.append(os.path.relpath(final, root))
+        for g in list(writers):
+            _close_grp(g)
         lineage.write_unit(
             root, job_id, "scatter", sbin,
             input_files=paths, output_files=sorted(outs), rows=rows,
@@ -493,7 +518,7 @@ def run_staged(
 
         grp = int(grp)
         gdir = os.path.join(stage_dir, f"g{grp:04d}")
-        shard_re = re.compile(r"s\d{5}\.parquet$")
+        shard_re = re.compile(r"s\d{5}(_\d+)?\.parquet$")
         shards = (
             sorted(f for f in os.listdir(gdir) if shard_re.fullmatch(f))
             if os.path.isdir(gdir)
@@ -539,7 +564,15 @@ def run_staged(
                     pa.array(new_bytes, pa.binary()),
                 )
             rel = f"data/{job_id}-{strategy}-p{pid:05d}.parquet"
-            size = write_table_file(sl, os.path.join(root, rel))
+            # Stats come from the full slice (zkey → zorder_lo/hi), but the
+            # data file carries ONLY the declared IMAGES columns — the
+            # staging-only zkey/pid must never reach the final table files
+            # (they'd break schema-uniform compaction over mixed file sets).
+            from nessie_spark.lakehouse.writer import DATA_COLUMNS
+
+            size = write_table_file(
+                sl.select(list(DATA_COLUMNS)), os.path.join(root, rel)
+            )
             out_entries.append(stats_entry_for(sl, rel, size))
             out_paths.append(rel)
         lineage.write_unit(
@@ -620,6 +653,11 @@ def cluster(
 
     prev = lineage.committed_snapshot(root, job_id)
     if prev is not None:
+        # A rerun after commit (e.g. crash between mark_committed and the
+        # cleanup below) must still sweep its dead staging shards.
+        import shutil as _shutil
+
+        _shutil.rmtree(os.path.join(root, "_stage", job_id), ignore_errors=True)
         return ClusterResult(prev, job_id, strategy, 0, 0, 0)
 
     entries = table.file_entries().to_pylist()

@@ -46,4 +46,11 @@ def cross_val_predict(df: DataFrame, model: SparkModel, id_col: str, k: int = 5)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    # Materialize the out-of-fold result once, then release the fold cache:
+    # .cache() entries live in the CacheManager for the session lifetime
+    # (three model-zoo queries back-to-back would each leak a full copy),
+    # while localCheckpoint blocks are ContextCleaner-collected once the
+    # returned frame becomes unreachable.
+    out = out.localCheckpoint(eager=True)
+    folded.unpersist()
     return out

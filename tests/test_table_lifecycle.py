@@ -159,6 +159,20 @@ def test_zorder_staged_equals_shuffle_executor(spark, tmp_path):
             )
             for e in entries
         }
-        outs[ex] = (stats, per_file)
+        # on-disk schema must be the declared IMAGES columns for BOTH
+        # executors — staging-only zkey/pid must never reach data files
+        # (r2 ADVICE: staged gather leaked them)
+        schemas = {
+            e["file_path"].split("/")[-1]: pq.read_schema(
+                _os.path.join(root, e["file_path"])
+            ).names
+            for e in entries
+        }
+        outs[ex] = (stats, per_file, schemas)
+    from nessie_spark.lakehouse.writer import DATA_COLUMNS
+
+    for ex in ("staged", "shuffle"):
+        for names in outs[ex][2].values():
+            assert names == DATA_COLUMNS, (ex, names)
     assert outs["staged"][0] == outs["shuffle"][0]
     assert outs["staged"][1] == outs["shuffle"][1]
