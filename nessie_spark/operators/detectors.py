@@ -371,6 +371,147 @@ ORDER BY s.gram
 """
 
 
+N_MAX = 4
+
+
+def variation_ngrams_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VariationNGrams with the reference's *maximal repeat* semantics
+    (/root/reference/nessie/detectors/variational_principle.py:71-123):
+    repeats of ANY length ≥2 — not just bigrams — are mined, and only
+    maximal ones (not always extendable by the same token on either side)
+    vote. The suffix tree's maximal repeats are exactly the left-diverse
+    internal nodes (Gusfield), so the Spark-native rewrite is: enumerate
+    n-gram occurrences for n ∈ [2, N_MAX] with their neighbor tokens, and
+    keep grams where (a) some occurrence is at a sentence boundary (unique
+    terminator ⇒ diverse) or (b) >1 distinct neighbor token, on BOTH
+    sides. At the N_MAX cap maximality is waived so longer repeats stay
+    represented by their length-N_MAX windows (bounded-n approximation,
+    SURVEY.md §2.4 J6 "for n in 2..n_max").
+
+    Tokens are lowercased like the reference (:67). Occurrence label =
+    the document's lang (this family's noisy-label analog — the
+    occurrence's tag sequence is [lang]*n, so the reference's per-position
+    mismatch flag reduces to lang != majority_lang). Every occurrence
+    votes (duplicate matches in one document included, reference :99-103).
+
+    Scale shape: ~(N_MAX-1)× token count rows through ONE groupBy on the
+    gram key; neighbor diversity is plain aggregation — no suffix tree,
+    no driver-side state."""
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.transform(F.split(F.trim("text"), r"\s+"), lambda w: F.lower(w)).alias("ts"),
+    )
+
+    def occ_n(n: int) -> DataFrame:
+        return (
+            docs.where(F.size("ts") >= n)
+            .select(
+                "doc_id",
+                "lang",
+                F.lit(n).alias("n"),
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("ts") - n),
+                        lambda i: F.struct(
+                            i.cast("int").alias("pos"),
+                            F.array_join(F.slice("ts", i + 1, n), " ").alias("gram"),
+                            F.when(i >= 1, F.get("ts", i - 1)).alias("prev"),
+                            F.get("ts", i + n).alias("nxt"),
+                        ),
+                    )
+                ).alias("o"),
+            )
+            .select("doc_id", "lang", "n", "o.pos", "o.gram", "o.prev", "o.nxt")
+        )
+
+    occ = occ_n(2)
+    for n in range(3, N_MAX + 1):
+        occ = occ.unionByName(occ_n(n))
+
+    grp = occ.groupBy("n", "gram").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.countDistinct("prev").alias("d_prev"),
+        F.sum(F.when(F.col("prev").isNull(), 1).otherwise(0)).alias("b_prev"),
+        F.countDistinct("nxt").alias("d_nxt"),
+        F.sum(F.when(F.col("nxt").isNull(), 1).otherwise(0)).alias("b_nxt"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    keep = grp.where(
+        (F.col("n_occ") >= 2)
+        & (F.col("n_langs") >= 2)
+        & (
+            (F.col("n") == N_MAX)
+            | (
+                ((F.col("b_prev") > 0) | (F.col("d_prev") > 1))
+                & ((F.col("b_nxt") > 0) | (F.col("d_nxt") > 1))
+            )
+        )
+    ).select("n", "gram")
+    counts = occ.groupBy("n", "gram", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+    mw = Window.partitionBy("n", "gram").orderBy(F.desc("cnt"), F.asc("lang"))
+    modal = (
+        counts.withColumn("rk", F.row_number().over(mw))
+        .where(F.col("rk") == 1)
+        .select("n", "gram", F.col("lang").alias("majority_lang"))
+    )
+    return (
+        occ.join(keep, ["n", "gram"])
+        .join(modal, ["n", "gram"])
+        .select(
+            "n", "gram", "doc_id", "pos", "lang", "majority_lang",
+            (F.col("lang") != F.col("majority_lang")).alias("flag"),
+        )
+        .orderBy("n", "gram", "doc_id", "pos")
+    )
+
+
+VARIATION_NGRAMS_MULTI_SQL = """
+WITH docs AS (
+  SELECT doc_id, lang,
+         list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                        w -> lower(w)) AS ts
+  FROM documents
+), occ AS (
+  SELECT d.doc_id, d.lang, ns.n, CAST(t.i AS INTEGER) AS pos,
+         array_to_string(d.ts[CAST(t.i + 1 AS INTEGER)
+                              : CAST(t.i + ns.n AS INTEGER)], ' ') AS gram,
+         d.ts[CAST(t.i AS INTEGER)] AS prev,
+         d.ts[CAST(t.i + ns.n + 1 AS INTEGER)] AS nxt
+  FROM docs d
+  CROSS JOIN (SELECT unnest([2, 3, 4]) AS n) ns,
+  UNNEST(range(0, len(d.ts) - ns.n + 1)) AS t(i)
+), grp AS (
+  SELECT n, gram, COUNT(*) AS n_occ,
+         COUNT(DISTINCT prev) AS d_prev,
+         SUM(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS b_prev,
+         COUNT(DISTINCT nxt) AS d_nxt,
+         SUM(CASE WHEN nxt IS NULL THEN 1 ELSE 0 END) AS b_nxt,
+         COUNT(DISTINCT lang) AS n_langs
+  FROM occ GROUP BY n, gram
+), keep AS (
+  SELECT n, gram FROM grp
+  WHERE n_occ >= 2 AND n_langs >= 2
+    AND (n = 4 OR (((b_prev > 0) OR (d_prev > 1))
+               AND ((b_nxt > 0) OR (d_nxt > 1))))
+), counts AS (
+  SELECT n, gram, lang, COUNT(*) AS cnt FROM occ GROUP BY n, gram, lang
+), modal AS (
+  SELECT n, gram, lang AS majority_lang
+  FROM (SELECT n, gram, lang, ROW_NUMBER() OVER
+          (PARTITION BY n, gram ORDER BY cnt DESC, lang ASC) AS rk
+        FROM counts)
+  WHERE rk = 1
+)
+SELECT o.n, o.gram, o.doc_id, o.pos, o.lang, m.majority_lang,
+       o.lang != m.majority_lang AS flag
+FROM occ o
+JOIN keep k ON o.n = k.n AND o.gram = k.gram
+JOIN modal m ON o.n = m.n AND o.gram = m.gram
+ORDER BY o.n, o.gram, o.doc_id, o.pos
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "majority_label_flags": (majority_label_flags, MAJORITY_LABEL_SQL),
     "majority_per_surface_flags": (majority_per_surface_flags, MAJORITY_PER_SURFACE_SQL),
@@ -378,4 +519,5 @@ QUERIES: dict[str, tuple] = {
     "weighted_discrepancy_scores": (weighted_discrepancy_scores, WEIGHTED_DISCREPANCY_SQL),
     "borda_count_scores": (borda_count_scores, BORDA_SQL),
     "variation_ngrams_flags": (variation_ngrams_flags, VARIATION_NGRAMS_SQL),
+    "variation_ngrams_multi": (variation_ngrams_multi, VARIATION_NGRAMS_MULTI_SQL),
 }
