@@ -39,6 +39,9 @@ def test_queries_registry_shape(spark):
         "mean_distance_lof_scores",
         "calibration_platt_transform",
         "interval_optimal_match",
+        # soft Dawid–Skene (tests/test_dawid_skene_soft.py): float EM
+        # posteriors — NumPy-twin allclose gated
+        "dawid_skene_soft_labels",
         # model zoo / IRT (tests/test_models.py): pyspark.ml LBFGS and the
         # 2PL gradient fit are float-iterative — NumPy-twin/accuracy gated
         "model_zoo_maxent_cv_flags",
