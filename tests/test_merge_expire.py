@@ -146,3 +146,112 @@ def test_manifest_rewrite_preserves_entries(spark, tmp_path):
     assert len(t.manifest_paths()) == 2
     assert res.manifests_before == n_manifests_before
     assert scan(spark, t).count() == 128
+
+
+# --- skew-aware MERGE (north_rule: salted repartitioning for phash hot keys)
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_merge_delete_by_hot_phash_salted(spark, tmp_path):
+    """Planted-hot-key merge: the synthetic table plants hot phashes over
+    ~5% of rows (FIXTURES.md §1); a delete-by-phash merge with a low
+    detector threshold must route them through the salted join and still
+    produce exact counts."""
+    t, snap0 = make_table(spark, str(tmp_path / "tb"), n=256)
+    live = scan(spark, t)
+    hot = [
+        r.phash
+        for r in live.groupBy("phash")
+        .count()
+        .where(F.col("count") >= 3)
+        .orderBy(F.desc("count"), F.asc("phash"))
+        .limit(2)
+        .collect()
+    ]
+    assert len(hot) == 2
+    n_hot_rows = live.where(F.col("phash").isin(hot)).count()
+    total = live.count()
+
+    import pandas as pd
+
+    rows = []
+    for j, ph in enumerate(hot):
+        r = synth.row_for(42, 1000 + j)
+        r["phash"] = int(ph)
+        rows.append(r)
+    rows.append(synth.row_for(42, 5007))  # fresh phash -> insert
+    src = spark.createDataFrame(pd.DataFrame(rows), schema=synth.IMAGES_SCHEMA)
+
+    res = merge.merge_into(
+        spark, t, src, job_id="mhot", key="phash",
+        when_matched="delete", when_not_matched="insert",
+        broadcast_threshold_rows=0, hot_key_rows=3,
+    )
+    assert res.deleted == n_hot_rows
+    assert res.inserted == 1
+    t = t.refresh()
+    after = scan(spark, t)
+    assert after.where(F.col("phash").isin(hot)).count() == 0
+    assert after.count() == total - n_hot_rows + 1
+    # wiring proof: the detector fired and the salted path ran
+    from nessie_spark.lakehouse import lineage
+
+    u = lineage.read_phase(t.root, "mhot", "merge").to_pylist()[0]
+    assert dict(u["metrics"])["hot_keys_salted"] >= 1
+    # snapshot isolation
+    assert scan(spark, t, snapshot_id=snap0).count() == total
+
+
+def test_hot_delete_split_has_salted_shuffle(spark):
+    """The matched-hot join's shuffle key must be (phash, _salt) — the
+    plan shape the north_rule mandates."""
+    tgt = synth.images_df(spark, 64)
+    hot_val = (
+        tgt.groupBy("phash").count().orderBy(F.desc("count"), F.asc("phash"))
+        .first().phash
+    )
+    matched_hot, _u, _i, _k = merge.hot_delete_split(
+        tgt, tgt.limit(8), "phash", [hot_val], 16
+    )
+    # When the exploded key set fits the broadcast threshold Spark
+    # broadcasts it (no shuffle at all — the ideal skew treatment); the
+    # salted (key, _salt) exchange is the shape for the at-scale case, so
+    # pin it with broadcast off.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(matched_hot)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "_salt" in plan
+    assert "hashpartitioning(phash" in plan
+
+
+def test_matched_files_bucketed_no_bnlj(spark):
+    """At >=10^4 manifest entries the interval join must be a hash join on
+    the range bucket (VERDICT r2 #6), not a BroadcastNestedLoopJoin, with
+    identical matches."""
+    n_files = 12000
+    entries = [
+        (f"f{i}", f"k{i * 10:08d}", f"k{i * 10 + 9:08d}") for i in range(n_files)
+    ]
+    stats_df = spark.createDataFrame(
+        entries, "file_path string, min_key string, max_key string"
+    )
+    keys = [f"k{i:08d}" for i in range(0, n_files * 10, 997)]
+    src_keys = spark.createDataFrame([(k,) for k in keys], "_k string")
+    out = merge.matched_files_df(src_keys, stats_df)
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = sorted(r.file_path for r in out.collect())
+    exp = sorted({f for (f, lo, hi) in entries for k in keys if lo <= k <= hi})
+    assert got == exp
