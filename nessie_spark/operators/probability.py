@@ -275,22 +275,146 @@ FROM joined ORDER BY vec_id
 
 
 LOF_K = 20  # sklearn LocalOutlierFactor default n_neighbors
+LOF_RESCUE_FACTOR = 1.1  # round-2 exact rescue when kdist > factor × class median
 
 
-def mean_distance_lof_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mean_distance_lof_scores(spark: SparkSession, sf_dir: str, k: int = LOF_K) -> DataFrame:
     """MeanDistance(metric='lof') (mean_distance.py:95-103): per-class
-    LocalOutlierFactor, score = −negative_outlier_factor_ (i.e. the LOF
-    ratio, ≈1 for inliers, ≫1 for outliers). sklearn is not in this
-    container, so the LOF definition (Breunig et al. 2000, as implemented
-    by sklearn with n_neighbors=20) is computed directly in numpy inside a
-    per-class ``applyInPandas`` grouped map — the reference's exact
-    per-class fit shape (one task per class; classes are the natural
-    partition and each fits in memory by the reference's own contract).
+    LocalOutlierFactor, score = −negative_outlier_factor_ (≈1 inliers,
+    ≫1 outliers). Fully distributed (r2 VERDICT #4 — the former per-class
+    dense n×n grouped map OOMs one executor on a popular class at scale;
+    it survives as the pytest twin ``mean_distance_lof_scores_dense``):
 
-    k-distance neighborhoods INCLUDE ties at the k-th distance, matching
-    the LOF paper and sklearn. No SQL oracle (iterative/neighborhood logic;
-    driver records rows-only) — semantics are pytest-golden-tested against
-    hand-verifiable fixtures in tests/test_lof.py."""
+    1. within-class candidate pairs via the sign-LSH banded self-join
+       (same family as _knn_pairs, label added to the band key);
+    2. **count rescue**: points with < k candidates (LSH-isolated —
+       exactly the outliers LOF must score) get exact within-class
+       neighbors via a join of the (few) poor points against their class —
+       totality guaranteed, cost bounded by |poor|·|class|;
+    3. **suspect rescue**: a candidate-based k-distance is an upper bound,
+       and when a point's close candidates are sparse its kdist can jump
+       to a far candidate — one such inflated kdist poisons every
+       in-neighbor's reachability. Points whose round-1 kdist exceeds
+       LOF_RESCUE_FACTOR × their class's median kdist are re-candidated
+       exactly (same bounded join); the rest keep candidate sets whose
+       kdist error is ≤ the factor, bounding the lrd error;
+    4. k-distance, tie-inclusive neighborhoods, reachability, lrd, and the
+       LOF ratio as four groupBy/join steps over the pair table — no dense
+       matrix anywhere, every shuffle keyed on vec ids.
+
+    k-distance neighborhoods INCLUDE ties at the k-th distance (Breunig
+    et al. 2000 / sklearn). No SQL oracle (neighborhood logic; driver
+    records rows-only) — golden + dense-twin parity tests in
+    tests/test_lof.py."""
+    from nessie_spark.operators.similarity import band_keys_udf
+
+    emb = _emb_labeled(spark, sf_dir)
+    class_n = emb.groupBy("label").agg(F.count(F.lit(1)).alias("_cn"))
+
+    banded = emb.select(
+        "vec_id", "label",
+        F.posexplode(band_keys_udf(KNN_BANDS, KNN_PLANES)(F.col("e"))).alias("band", "bk"),
+    )
+    cand_ids = (
+        banded.select(F.col("vec_id").alias("qid"), "label", "band", "bk")
+        .join(banded.select(F.col("vec_id").alias("nid"), "label", "band", "bk"),
+              ["label", "band", "bk"])
+        .where(F.col("qid") != F.col("nid"))
+        .select("label", "qid", "nid")
+        .dropDuplicates(["qid", "nid"])
+    )
+    # rescue: every point must end with ≥ min(k, class_n−1) candidates
+    rich = (
+        cand_ids.groupBy("qid").agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") >= k)
+        .select("qid")
+    )
+    poor = emb.select(F.col("vec_id").alias("qid"), "label").join(rich, "qid", "left_anti")
+    rescue = (
+        poor.join(emb.select(F.col("vec_id").alias("nid"), "label"), "label")
+        .where(F.col("qid") != F.col("nid"))
+        .select("label", "qid", "nid")
+    )
+    cand_ids = cand_ids.unionByName(rescue).dropDuplicates(["qid", "nid"])
+
+    d2 = F.aggregate(
+        F.zip_with("qe", "ne", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+    def ranked_pairs(cids: DataFrame) -> DataFrame:
+        pairs = (
+            cids.join(
+                emb.select(F.col("vec_id").alias("qid"), F.col("e").alias("qe")), "qid"
+            )
+            .join(emb.select(F.col("vec_id").alias("nid"), F.col("e").alias("ne")), "nid")
+            .select("label", "qid", "nid", F.sqrt(d2).alias("dist"))
+            .join(F.broadcast(class_n), "label")
+            .withColumn("_k", F.least(F.lit(k), F.col("_cn") - 1))
+        )
+        wq = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("nid"))
+        wall = Window.partitionBy("qid")
+        return pairs.withColumn("rn", F.row_number().over(wq)).withColumn(
+            "kdist", F.max(F.when(F.col("rn") <= F.col("_k"), F.col("dist"))).over(wall)
+        )
+
+    # round 1: candidate-based kdist → suspects = kdist above the class
+    # median by more than the rescue factor (exact distributed median:
+    # ids+doubles only, one window per class)
+    kd1 = ranked_pairs(cand_ids).groupBy("label", "qid").agg(
+        F.max("kdist").alias("kdist_q")
+    )
+    wmed = Window.partitionBy("label").orderBy(F.asc("kdist_q"), F.asc("qid"))
+    wcls = Window.partitionBy("label")
+    med = (
+        kd1.withColumn("_mrn", F.row_number().over(wmed))
+        .withColumn("_mcnt", F.count(F.lit(1)).over(wcls))
+        .where(F.col("_mrn") == F.ceil(F.col("_mcnt") / 2))
+        .select("label", F.col("kdist_q").alias("med_kdist"))
+    )
+    suspects = (
+        kd1.join(med, "label")
+        .where(F.col("kdist_q") > LOF_RESCUE_FACTOR * F.col("med_kdist"))
+        .select("label", "qid")
+    )
+    s_rescue = (
+        suspects.join(emb.select(F.col("vec_id").alias("nid"), "label"), "label")
+        .where(F.col("qid") != F.col("nid"))
+        .select("label", "qid", "nid")
+    )
+    cand_ids = cand_ids.unionByName(s_rescue).dropDuplicates(["qid", "nid"])
+
+    ranked = ranked_pairs(cand_ids)
+    nb = ranked.where(F.col("dist") <= F.col("kdist")).select(
+        "label", "qid", "nid", "dist", "kdist"
+    )
+    kd = nb.groupBy("qid").agg(F.max("kdist").alias("kdist_q"))
+    reach = nb.join(
+        kd.select(F.col("qid").alias("nid"), F.col("kdist_q").alias("kdist_n")), "nid"
+    ).select("qid", "nid", F.greatest("kdist_n", "dist").alias("reach"))
+    lrd = reach.groupBy("qid").agg(
+        (F.count(F.lit(1)) / F.sum("reach")).alias("lrd")
+    )
+    lof = (
+        nb.join(lrd.select(F.col("qid").alias("nid"), F.col("lrd").alias("lrd_n")), "nid")
+        .groupBy("qid")
+        .agg(F.avg("lrd_n").alias("avg_lrd_n"))
+        .join(lrd, "qid")
+        .select("qid", (F.col("avg_lrd_n") / F.col("lrd")).alias("lof"))
+    )
+    return (
+        emb.select("vec_id", "label")
+        .join(lof.select(F.col("qid").alias("vec_id"), "lof"), "vec_id")
+        .select("vec_id", "label", F.round("lof", 6).alias("score"))
+        .orderBy("vec_id")
+    )
+
+
+def mean_distance_lof_scores_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-class LOF — the pytest twin of the distributed query
+    above (exact n×n per class; NOT shipped as a query: one task and O(n²)
+    memory per class)."""
     import numpy as np
     import pandas as pd
 

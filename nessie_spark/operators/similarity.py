@@ -130,8 +130,11 @@ def band_keys_udf(n_bands: int = N_BANDS, n_planes: int = N_PLANES):
 
         if len(e) == 0:  # empty Arrow batch: np.stack would raise
             return pd.Series([], dtype=object)
-        E = np.stack(e.to_numpy())  # (n, 64) float64
-        bits = (E @ W.T) > 0  # (n, n_bands*n_planes)
+        E = np.stack(e.to_numpy())  # (n, d≤64) float64
+        # planes are generated 64-wide; slicing to d keeps them valid
+        # hyperplanes for lower-dimensional callers (LOF test fixtures)
+        # and is a no-op at the fixture's native d=64
+        bits = (E @ W[:, : E.shape[1]].T) > 0  # (n, n_bands*n_planes)
         keys = np.zeros((E.shape[0], n_bands), dtype=np.int64)
         for band in range(n_bands):
             for p in range(n_planes):

