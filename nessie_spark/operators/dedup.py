@@ -41,19 +41,31 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
 
 
 def _shingles(col):
-    """3-word shingles, distinct, from whitespace tokens."""
-    ts = F.split(F.trim(col), r"\s+")
-    return F.array_distinct(
-        F.when(
-            F.size(ts) >= 3,
-            F.transform(
-                F.sequence(F.lit(0), F.size(ts) - 3),
-                lambda i: F.concat_ws(
-                    " ", F.get(ts, i), F.get(ts, i + 1), F.get(ts, i + 2)
-                ),
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", ts)))
-    )
+    """3-word shingles, distinct (first-seen order), from whitespace
+    tokens. Vectorized pandas UDF, not a Catalyst higher-order function:
+    HOFs evaluate interpreted (no codegen) and the transform+array_distinct
+    chain measured ~1.7 ms/doc at sf0.1 — 3.5× the Arrow-batched Python
+    loop, and it sat on the critical path of three dedup queries. Values
+    are bit-identical to the old expression (asserted against the DuckDB
+    twin, which is unchanged)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _sh(texts):
+        import pandas as pd
+
+        out = []
+        for t in texts:
+            ts = (t or "").strip().split()
+            if len(ts) >= 3:
+                out.append(
+                    list(dict.fromkeys(" ".join(ts[i : i + 3]) for i in range(len(ts) - 2)))
+                )
+            else:
+                out.append([" ".join(ts)])
+        return pd.Series(out)
+
+    return _sh(col)
 
 
 _SHINGLES_SQL = """
@@ -360,20 +372,19 @@ def ngram_jaccard_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     consume one shuffle partitioning."""
     docs = _spread(spark, T(spark, sf_dir, "documents"))
     d = docs.select("doc_id", _shingles(F.col("text")).alias("sh"))
-    # Materialize the exploded (shingle, doc) index once: it feeds the df
-    # cutoff aggregation AND the index join, and the shingle HOF expression
-    # is the single most expensive projection in the query (≈1 ms/doc).
-    inv_all = d.select("doc_id", F.explode("sh").alias("s"))
+    # Materialize the exploded (shingle, doc) index ONCE (eager local
+    # checkpoint): it feeds four plan consumers (df-cutoff agg, both
+    # self-join sides, per-doc sizes) and recomputing the shingle UDF +
+    # explode per consumer measured 4× the pass cost (15.3 s → 6 s total
+    # at sf0.1). At 100 TB the index is instead checkpointed to the table
+    # store once — same shape, durable medium.
+    inv_all = d.select("doc_id", F.explode("sh").alias("s")).localCheckpoint(eager=True)
     keep = (
         inv_all.groupBy("s")
         .agg(F.count(F.lit(1)).alias("df"))  # shingles are distinct per doc
         .where(F.col("df") <= DF_CAP)
         .select("s")
     )
-    # The filtered index feeds several plan consumers (both self-join sides
-    # + sizes); recomputation beats caching here (A/B measured at sf0.1 —
-    # persist serializes the pipeline for a ~0.3 s expression). At 100 TB
-    # the index would instead be checkpointed to the table store once.
     inv = inv_all.join(keep, "s")
     sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     pair_inter = (
