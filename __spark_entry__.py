@@ -51,6 +51,8 @@ _SAMPLE_PRIORITY = [
     "model_zoo_bow_nb_cv_flags",
     "model_zoo_repeated_probas",
     "irt_2pl_discrimination_flags",
+    "curriculum_spotter_model_scores",
+    "leitner_spotter_model_scores",
     "calibration_platt_transform",
     "interval_optimal_match",
 ]

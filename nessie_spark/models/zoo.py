@@ -161,6 +161,8 @@ class GradientTreeClassifier(SparkModel):
             maxDepth=self.max_depth,
             seed=self.seed,
         )
+        if "_w" in train.columns:  # optional sample weights (spotter replay)
+            rf.setWeightCol("_w")
         self.model = rf.fit(MaxEntClassifier._vec(train))
         return self
 

@@ -282,10 +282,162 @@ def irt_2pl_discrimination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+# ---------------------------------------------------------------------------
+# O10/O11 — curriculum & Leitner spotters driven by a REAL zoo model
+# ---------------------------------------------------------------------------
+
+SPOT_EPOCHS = 3  # model-driven epochs (each = one refit + full predict)
+
+
+def _spot_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _emb_features(spark, sf_dir)
+
+
+def _spot_model(seed: int):
+    from nessie_spark.models.zoo import GradientTreeClassifier
+
+    return GradientTreeClassifier(N_CLASSES, n_trees=8, max_depth=4, seed=seed)
+
+
+def _spot_losses(model, base: DataFrame) -> DataFrame:
+    """Predict over the WHOLE dataset; loss = −ln p[noisy label] (the
+    reference's per-epoch training-dynamics read, curriculum_spotter.py
+    :183-199)."""
+    out = model.predict_proba(base)
+    return out.select(
+        "vec_id", "features", "label", "pred",
+        (-F.log(F.greatest(F.get("probs", F.col("label")), F.lit(1e-12)))).alias("loss"),
+    ).localCheckpoint(eager=True)
+
+
+def curriculum_spotter_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CurriculumSpotter driven by a REAL model (r2 VERDICT #7): per-epoch
+    losses come from GradientTreeClassifier refits on the re-sampled
+    subset — the reference's training dynamics
+    (/root/reference/nessie/detectors/curriculum_spotter.py:132-261),
+    where the deterministic stand-in (`curriculum_spotter_scores`, the
+    oracle-exact query) decays losses instead of training.
+
+    Per epoch: λ = mean loss of correctly-classified; picks = ⌊n·t/E⌋
+    lowest-loss hard items; score += pick·(loss + 1/n_picks); the model
+    REFITS on easy ∪ picks with an epoch-indexed seed. Rows-only gate
+    (tree-ensemble floats); pytest asserts score ordering tracks planted
+    label noise (tests/test_spotter_models.py)."""
+    base = _spot_base(spark, sf_dir).localCheckpoint(eager=True)
+    n = base.count()
+    model = _spot_model(seed=42).fit(base)
+    state = base.select("vec_id").withColumn("score", F.lit(0.0))
+    d = None
+    for t in range(1, SPOT_EPOCHS + 1):
+        d = _spot_losses(model, base)
+        lam = (
+            d.where(F.col("pred") == F.col("label")).agg(F.avg("loss")).collect()[0][0]
+        )
+        lam = float("inf") if lam is None else float(lam)
+        k = int(n * t / SPOT_EPOCHS)
+        w = Window.partitionBy(F.col("loss") > lam).orderBy(F.asc("loss"), F.asc("vec_id"))
+        dd = d.withColumn("is_hard", F.col("loss") > lam).withColumn(
+            "hrk", F.row_number().over(w)
+        ).withColumn("pick", F.col("is_hard") & (F.col("hrk") <= k))
+        nh = dd.agg(F.sum(F.col("pick").cast("long"))).collect()[0][0] or 0
+        epoch_score = dd.select(
+            "vec_id",
+            F.when(F.col("pick"), F.col("loss") + F.lit(1.0 / max(nh, 1))).otherwise(
+                F.lit(0.0)
+            ).alias("ds"),
+            (~F.col("is_hard") | F.col("pick")).alias("train"),
+        )
+        state = (
+            state.join(epoch_score, "vec_id")
+            .select("vec_id", (F.col("score") + F.col("ds")).alias("score"), "train")
+            .localCheckpoint(eager=True)
+        )
+        train_ids = state.where(F.col("train")).select("vec_id")
+        model = _spot_model(seed=42 + t).fit(base.join(train_ids, "vec_id"))
+        state = state.drop("train")
+    final = _spot_losses(model, base).select("vec_id", F.col("loss").alias("lf"))
+    return (
+        state.join(final, "vec_id")
+        .select(
+            "vec_id",
+            F.round(
+                F.col("score")
+                + F.when(F.col("score") == 0.0, F.col("lf")).otherwise(F.lit(0.0)),
+                6,
+            ).alias("score"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+LS_MODEL_QUEUES = 3
+
+
+def leitner_spotter_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LeitnerSpotter driven by a REAL model (r2 VERDICT #7; reference
+    leitner_spotter.py:133-267): queue q trains on epochs divisible by
+    2^q; after each epoch the model REFITS on the scheduled items
+    (epoch-indexed seed) and predicts everything — correct items promote,
+    wrong demote to queue 0, score += (in queue 0)·(loss + 1/|q0|).
+    Rows-only gate; pytest asserts noise tracking."""
+    base = _spot_base(spark, sf_dir).localCheckpoint(eager=True)
+    model = _spot_model(seed=42).fit(base)
+    state = base.select("vec_id").withColumn("q", F.lit(0).cast("int")).withColumn(
+        "score", F.lit(0.0)
+    )
+    for t in range(1, SPOT_EPOCHS + 1):
+        d = _spot_losses(model, base).select("vec_id", "pred", "label", "loss")
+        st = state.join(d, "vec_id")
+        trained = F.lit(t == 1) | (F.lit(t) % F.expr("shiftleft(1, q)") == 0)
+        correct = F.col("pred") == F.col("label")
+        qn = (
+            F.when(trained & correct, F.least(F.col("q") + 1, F.lit(LS_MODEL_QUEUES - 1)))
+            .when(trained & ~correct, F.lit(0))
+            .otherwise(F.col("q"))
+        ).cast("int")
+        st = st.withColumn("trained", trained).withColumn("qn", qn)
+        nq0 = st.agg(F.sum((F.col("qn") == 0).cast("long"))).collect()[0][0] or 0
+        state = st.select(
+            "vec_id",
+            F.col("qn").alias("q"),
+            (
+                F.col("score")
+                + F.when(
+                    F.col("qn") == 0, F.col("loss") + F.lit(1.0 / max(nq0, 1))
+                ).otherwise(F.lit(0.0))
+            ).alias("score"),
+        ).localCheckpoint(eager=True)
+        # Refit with REPLAY: scheduled items at full weight, the rest
+        # down-weighted. The reference fine-tunes one network whose weights
+        # retain unscheduled items (leitner_spotter.py:147-160); a
+        # from-scratch tree refit has no such retention — training on the
+        # scheduled set alone (e.g. only queue-0 wrong-label items at t=3)
+        # collapses the model and floods every clean item's loss. The
+        # weightCol replay keeps the schedule's emphasis while preserving
+        # what the model already knows.
+        sched = st.select("vec_id", F.when(F.col("trained"), 1.0).otherwise(0.25).alias("_w"))
+        model = _spot_model(seed=42 + t).fit(base.join(sched, "vec_id"))
+    final = _spot_losses(model, base).select("vec_id", F.col("loss").alias("lf"))
+    return (
+        state.join(final, "vec_id")
+        .select(
+            "vec_id",
+            F.round(
+                F.col("score")
+                + F.when(F.col("score") == 0.0, F.col("lf")).otherwise(F.lit(0.0)),
+                6,
+            ).alias("score"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 QUERIES: dict[str, tuple] = {
     "model_zoo_dummy_cv": (model_zoo_dummy_cv, MODEL_ZOO_DUMMY_CV_SQL),
     "model_zoo_maxent_cv_flags": (model_zoo_maxent_cv_flags, None),
     "model_zoo_bow_nb_cv_flags": (model_zoo_bow_nb_cv_flags, None),
     "model_zoo_repeated_probas": (model_zoo_repeated_probas, None),
     "irt_2pl_discrimination_flags": (irt_2pl_discrimination_flags, None),
+    "curriculum_spotter_model_scores": (curriculum_spotter_model_scores, None),
+    "leitner_spotter_model_scores": (leitner_spotter_model_scores, None),
 }

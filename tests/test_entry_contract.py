@@ -48,6 +48,10 @@ def test_queries_registry_shape(spark):
         "model_zoo_bow_nb_cv_flags",
         "model_zoo_repeated_probas",
         "irt_2pl_discrimination_flags",
+        # model-driven spotters (tests/test_spotter_models.py): tree-
+        # ensemble float losses — noise-tracking gated
+        "curriculum_spotter_model_scores",
+        "leitner_spotter_model_scores",
         # IVF ANN (tests/test_ivf.py): float centroids; recall-gated
         "ann_ivf_topk",
     }

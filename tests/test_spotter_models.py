@@ -1,0 +1,50 @@
+"""Model-driven Curriculum/Leitner spotters (r2 VERDICT #7): per-epoch
+losses come from real GradientTreeClassifier refits instead of the
+deterministic stand-in. Gate: on a separable fixture with planted label
+noise, the spotter scores must rank flipped items above clean ones —
+the property the reference's detectors are evaluated on (AP / P@k,
+nessie paper §5)."""
+
+import numpy as np
+import pytest
+
+N, D, C = 160, 16, 4
+FLIP = 16  # 10% planted noise
+
+
+def _fixture(spark, tmp_path):
+    rng = np.random.RandomState(13)
+    centers = rng.normal(0, 4.0, size=(C, D))
+    labels_true = np.arange(N) % C
+    X = centers[labels_true] + rng.normal(0, 0.3, size=(N, D))
+    noisy = labels_true.copy()
+    flipped = rng.choice(N, size=FLIP, replace=False)
+    noisy[flipped] = (noisy[flipped] + 1 + rng.randint(0, C - 1, size=FLIP)) % C
+    rows = [
+        (int(i), [float(v) for v in X[i]], int(noisy[i])) for i in range(N)
+    ]
+    d = str(tmp_path / "emb")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    return d, set(int(i) for i in flipped)
+
+
+@pytest.mark.parametrize(
+    "query", ["curriculum_spotter_model_scores", "leitner_spotter_model_scores"]
+)
+def test_spotter_scores_track_planted_noise(spark, tmp_path, query):
+    import nessie_spark.operators.modelzoo as M
+
+    d, flipped = _fixture(spark, tmp_path)
+    rows = getattr(M, query)(spark, d).collect()
+    assert len(rows) == N
+    scores = {r.vec_id: r.score for r in rows}
+    flip_scores = [scores[i] for i in flipped]
+    clean_scores = [s for i, s in scores.items() if i not in flipped]
+    # flipped items carry systematically higher spotter scores
+    assert np.mean(flip_scores) > 2.0 * np.mean(clean_scores)
+    # precision@|flipped| of the score ranking
+    top = sorted(scores, key=lambda i: -scores[i])[:FLIP]
+    hits = len(set(top) & flipped)
+    assert hits >= int(0.6 * FLIP), (hits, FLIP)
