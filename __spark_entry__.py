@@ -53,6 +53,7 @@ _SAMPLE_PRIORITY = [
     "irt_2pl_discrimination_flags",
     "curriculum_spotter_model_scores",
     "leitner_spotter_model_scores",
+    "model_zoo_token_tagger_cv",
     "calibration_platt_transform",
     "interval_optimal_match",
 ]

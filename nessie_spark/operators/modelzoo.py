@@ -432,6 +432,97 @@ def leitner_spotter_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# O2/O14 — MaxEnt sequence tagger over sentence-fold CV
+# ---------------------------------------------------------------------------
+
+
+def model_zoo_token_tagger_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MaxEnt sequence tagger behind the P10 featurizer and the O2
+    sentence-fold CV — closes r2 VERDICT "missing #4" (the token-task CV
+    path previously exercised fold bookkeeping with no tagger behind it).
+
+    Reference: models/tagging/maxent_sequence_tagger.py:14-95 (sklearn
+    LogisticRegression over handcrafted per-token features) fitted by
+    CrossValidationHelper.run_for_ragged (helper.py:258-351 — folds split
+    on SENTENCES, predictions scattered back per token). Engine: the same
+    handcrafted features (word/prefix/suffix/±1 window, util.py:5-44)
+    hashed by pyspark.ml HashingTF, one LogisticRegression per fold on the
+    train documents, transform on the held-out documents, union.
+
+    Token labels are the corpus's deterministic BIO rule (runs of words of
+    length ≥5 — the 'noisy' span rule shared with span_alignment). Output:
+    Retag-shape flags (pred ≠ noisy). Rows-only (LBFGS floats); pytest
+    gates held-out accuracy (tests/test_spotter_models.py)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF
+
+    docs = T(spark, sf_dir, "documents")
+    ts = F.split(F.trim("text"), r"\s+")
+    ex = docs.select("doc_id", F.posexplode(ts).alias("pos", "word"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    fl = F.length("word") >= 5
+    feat = ex.select(
+        "doc_id", "pos", "word",
+        F.lag("word").over(w).alias("prev_word"),
+        F.lead("word").over(w).alias("next_word"),
+        fl.alias("fl"),
+        F.lag(fl).over(w).alias("pfl"),
+    ).select(
+        "doc_id", "pos", "word", "prev_word", "next_word",
+        F.when(~F.col("fl"), 0)
+        .when(F.col("pfl").isNull() | ~F.col("pfl"), 1)
+        .otherwise(2)
+        .cast("int")
+        .alias("label"),  # O/B/I
+    )
+    toks = F.array(
+        F.concat(F.lit("w="), F.lower("word")),
+        F.concat(F.lit("p3="), F.left(F.col("word"), F.lit(3))),
+        F.concat(F.lit("s3="), F.right(F.col("word"), F.lit(3))),
+        F.concat(F.lit("pw="), F.coalesce(F.lower("prev_word"), F.lit("^"))),
+        F.concat(F.lit("nw="), F.coalesce(F.lower("next_word"), F.lit("$"))),
+    )
+    # fold unit = document (O2: folds split on sentences, never tokens)
+    data = (
+        feat.select("doc_id", "pos", "label", toks.alias("toks"))
+        .withColumn(
+            "fold",
+            F.pmod(
+                F.xxhash64(F.concat(F.lit("tagfold|"), F.col("doc_id").cast("string"))),
+                F.lit(K_FOLDS),
+            ).cast("int"),
+        )
+    )
+    hdata = (
+        HashingTF(inputCol="toks", outputCol="fvec", numFeatures=1 << 12)
+        .transform(data)
+        .localCheckpoint(eager=True)  # reused by K fits + K transforms
+    )
+    parts = []
+    for f in range(K_FOLDS):
+        lr = LogisticRegression(
+            featuresCol="fvec", labelCol="label", maxIter=20, regParam=1e-3,
+            family="multinomial", standardization=False,
+        )
+        m = lr.fit(hdata.where(F.col("fold") != f))
+        pred = m.transform(hdata.where(F.col("fold") == f))
+        parts.append(
+            pred.select(
+                "doc_id", "pos", "fold", "label",
+                F.col("prediction").cast("int").alias("pred"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "doc_id", "pos", "fold",
+        F.col("label").alias("noisy"), "pred",
+        (F.col("pred") != F.col("label")).alias("flag"),
+    ).orderBy("doc_id", "pos")
+
+
 QUERIES: dict[str, tuple] = {
     "model_zoo_dummy_cv": (model_zoo_dummy_cv, MODEL_ZOO_DUMMY_CV_SQL),
     "model_zoo_maxent_cv_flags": (model_zoo_maxent_cv_flags, None),
@@ -440,4 +531,5 @@ QUERIES: dict[str, tuple] = {
     "irt_2pl_discrimination_flags": (irt_2pl_discrimination_flags, None),
     "curriculum_spotter_model_scores": (curriculum_spotter_model_scores, None),
     "leitner_spotter_model_scores": (leitner_spotter_model_scores, None),
+    "model_zoo_token_tagger_cv": (model_zoo_token_tagger_cv, None),
 }

@@ -52,6 +52,9 @@ def test_queries_registry_shape(spark):
         # ensemble float losses — noise-tracking gated
         "curriculum_spotter_model_scores",
         "leitner_spotter_model_scores",
+        # MaxEnt sequence tagger (tests/test_spotter_models.py): LBFGS
+        # floats — held-out-accuracy gated
+        "model_zoo_token_tagger_cv",
         # IVF ANN (tests/test_ivf.py): float centroids; recall-gated
         "ann_ivf_topk",
     }

@@ -48,3 +48,24 @@ def test_spotter_scores_track_planted_noise(spark, tmp_path, query):
     top = sorted(scores, key=lambda i: -scores[i])[:FLIP]
     hits = len(set(top) & flipped)
     assert hits >= int(0.6 * FLIP), (hits, FLIP)
+
+
+def test_token_tagger_cv_held_out_accuracy(spark):
+    """O2 sentence-fold CV with a REAL MaxEnt tagger behind the P10
+    features: the BIO rule is a deterministic function of (word, prev
+    word), both present in the hashed feature set, so out-of-fold accuracy
+    must be high — and far above the majority-class baseline."""
+    import nessie_spark.operators.modelzoo as M
+    import pyspark.sql.functions as F
+
+    out = M.model_zoo_token_tagger_cv(spark, "/root/testdata/sf0.001")
+    agg = out.agg(
+        F.avg((~F.col("flag")).cast("double")).alias("acc"),
+        F.avg((F.col("noisy") == 0).cast("double")).alias("maj"),
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("fold").alias("folds"),
+    ).collect()[0]
+    assert agg.folds == M.K_FOLDS
+    assert agg.n > 500
+    assert agg.acc > 0.9, agg
+    assert agg.acc > agg.maj + 0.05
