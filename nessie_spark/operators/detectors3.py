@@ -255,96 +255,67 @@ def dawid_skene_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     product; argmax ties break by class asc. θ_w(c→k) = (n_wck+1)/(n_c+4),
     π(c) = (n_c+1)/(N+4) (Laplace α=1 keeps empty classes live).
 
-    Each iteration's assignment is localCheckpoint-ed: at 10^9 tasks an
-    iterative plan must not accrete 5 rounds of joins into one Catalyst
-    tree (lineage truncation is the standard iterative-algorithm pattern)."""
+    Distributed shape (r3): ONE groupBy reduces the task table to the
+    vote-pattern histogram (the sufficient statistic, ≤ C^|W| rows), the
+    EM iterations run weighted on it, and one broadcast join maps the
+    adjudications back — bit-identical to the former 5-round distributed
+    loop (the oracle still unrolls that loop and stays hash-green) at one
+    shuffle of cost regardless of task count."""
     v = _votes(spark, sf_dir)
-    classes = spark.range(N_CLASSES).select(F.col("id").cast("int").alias("c"))
-    n_tasks = v.count()
+    import numpy as np
 
-    # z0: majority vote, ties -> smallest class
-    vc = v.crossJoin(F.broadcast(classes)).select(
-        "vec_id", "noisy", "v1", "v2", "v3", "c",
-        (
-            (F.col("v1") == F.col("c")).cast("int")
-            + (F.col("v2") == F.col("c")).cast("int")
-            + (F.col("v3") == F.col("c")).cast("int")
-        ).alias("cnt"),
-    )
-    w0 = Window.partitionBy("vec_id").orderBy(F.desc("cnt"), F.asc("c"))
-    z = (
-        vc.withColumn("rk", F.row_number().over(w0))
-        .where(F.col("rk") == 1)
-        .select("vec_id", "noisy", "v1", "v2", "v3", F.col("c").alias("z"))
-    )
+    # r3: like the soft variant below, the vote-pattern histogram is the
+    # sufficient statistic — a task's assignment depends only on its
+    # (v1, v2, v3) pattern, every m-step count is a WEIGHTED integer sum
+    # over ≤ C^|W| = 64 patterns, and the fixed-order float e-step
+    # (((π·θ1)·θ2)·θ3, argmax ties → smallest class) is reproduced
+    # operation-for-operation in IEEE float64 — so the result is
+    # bit-identical to the former per-round distributed loop (the DuckDB
+    # oracle below still unrolls that loop and stays hash-green) while
+    # costing ONE shuffle + one broadcast join instead of 5 iteration
+    # rounds of jobs.
+    hist = v.groupBy("v1", "v2", "v3").agg(F.count(F.lit(1)).alias("m")).orderBy(
+        "v1", "v2", "v3"
+    ).collect()
+    pat = np.array([[r["v1"], r["v2"], r["v3"]] for r in hist], dtype=np.int64)
+    m = np.array([r["m"] for r in hist], dtype=np.int64)
+    P, W = pat.shape
+    n_tasks = int(m.sum())
+    C = N_CLASSES
 
-    grid = (
-        spark.range(3).select((F.col("id") + 1).cast("int").alias("w"))
-        .crossJoin(classes)
-        .crossJoin(classes.select(F.col("c").alias("k")))
-    )
+    cnt = np.zeros((P, C), dtype=np.int64)
+    for c in range(C):
+        cnt[:, c] = (pat == c).sum(axis=1)
+    z = np.argmax(cnt, axis=1)  # majority init; first max ⇒ smallest class
     for _ in range(DS_ITERS):
-        z = z.localCheckpoint()
-        # m-step (integer counts): prior n_c and confusion n_w(c,k)
-        prior = z.groupBy(F.col("z").alias("c")).agg(F.count(F.lit(1)).alias("pc"))
-        longv = z.select(
-            "z",
-            F.explode(
-                F.array(
-                    F.struct(F.lit(1).alias("w"), F.col("v1").alias("k")),
-                    F.struct(F.lit(2).alias("w"), F.col("v2").alias("k")),
-                    F.struct(F.lit(3).alias("w"), F.col("v3").alias("k")),
+        pc = np.array([m[z == c].sum() for c in range(C)], dtype=np.int64)
+        theta = np.empty((W, C, C), dtype=np.float64)
+        for w in range(W):
+            for c in range(C):
+                tw = np.array(
+                    [m[(z == c) & (pat[:, w] == k)].sum() for k in range(C)],
+                    dtype=np.int64,
                 )
-            ).alias("wk"),
-        ).select(F.col("z").alias("c"), F.col("wk.w").alias("w"), F.col("wk.k").alias("k"))
-        theta_num = longv.groupBy("w", "c", "k").agg(F.count(F.lit(1)).alias("t"))
-        theta = (
-            grid.join(theta_num, ["w", "c", "k"], "left")
-            .join(prior, "c", "left")
-            .select(
-                "w", "c", "k",
-                (
-                    (F.coalesce(F.col("t"), F.lit(0)) + 1).cast("double")
-                    / (F.coalesce(F.col("pc"), F.lit(0)) + N_CLASSES).cast("double")
-                ).alias("th"),
-            )
+                theta[w, c] = (tw + 1).astype(np.float64) / float(pc[c] + C)
+        pi = (pc + 1).astype(np.float64) / float(n_tasks + C)
+        s = np.tile(pi, (P, 1))  # fixed order: ((π·θ1)·θ2)·θ3
+        for w in range(W):
+            s = s * theta[w][:, pat[:, w]].T
+        z = np.argmax(s, axis=1)
+
+    model = spark.createDataFrame(
+        [(int(p[0]), int(p[1]), int(p[2]), int(zz)) for p, zz in zip(pat, z)],
+        "v1 int, v2 int, v3 int, z int",
+    )
+    return (
+        v.join(F.broadcast(model), ["v1", "v2", "v3"])
+        .select(
+            "vec_id", "noisy",
+            F.col("z").alias("adjudicated"),
+            (F.col("z") != F.col("noisy")).alias("flag"),
         )
-        th = {
-            w: theta.where(F.col("w") == w).select(
-                F.col("c").alias(f"c{w}"), F.col("k").alias(f"k{w}"), F.col("th").alias(f"th{w}")
-            )
-            for w in (1, 2, 3)
-        }
-        pri = classes.join(prior, "c", "left").select(
-            "c",
-            (
-                (F.coalesce(F.col("pc"), F.lit(0)) + 1).cast("double")
-                / F.lit(float(n_tasks + N_CLASSES))
-            ).alias("pi"),
-        )
-        # e-step: s(i,c) = π(c)·θ1(c→v1)·θ2(c→v2)·θ3(c→v3), fixed order
-        scored = (
-            v.crossJoin(F.broadcast(classes))
-            .join(F.broadcast(pri), "c")
-            .join(F.broadcast(th[1]), (F.col("c") == F.col("c1")) & (F.col("v1") == F.col("k1")))
-            .join(F.broadcast(th[2]), (F.col("c") == F.col("c2")) & (F.col("v2") == F.col("k2")))
-            .join(F.broadcast(th[3]), (F.col("c") == F.col("c3")) & (F.col("v3") == F.col("k3")))
-            .select(
-                "vec_id", "noisy", "v1", "v2", "v3", "c",
-                (((F.col("pi") * F.col("th1")) * F.col("th2")) * F.col("th3")).alias("s"),
-            )
-        )
-        win = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("c"))
-        z = (
-            scored.withColumn("rk", F.row_number().over(win))
-            .where(F.col("rk") == 1)
-            .select("vec_id", "noisy", "v1", "v2", "v3", F.col("c").alias("z"))
-        )
-    return z.select(
-        "vec_id", "noisy",
-        F.col("z").alias("adjudicated"),
-        (F.col("z") != F.col("noisy")).alias("flag"),
-    ).orderBy("vec_id")
+        .orderBy("vec_id")
+    )
 
 
 def _dawid_skene_sql() -> str:
