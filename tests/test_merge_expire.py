@@ -255,3 +255,23 @@ def test_matched_files_bucketed_no_bnlj(spark):
     got = sorted(r.file_path for r in out.collect())
     exp = sorted({f for (f, lo, hi) in entries for k in keys if lo <= k <= hi})
     assert got == exp
+
+
+def test_gc_sweeps_committed_stage_dirs(spark, tmp_path):
+    """Orphan-GC removes _stage/{job_id} shards left by a crash after
+    commit (r2 ADVICE); in-flight (uncommitted) stage dirs are preserved
+    for resume."""
+    from nessie_spark.lakehouse import zorder
+
+    t, _ = make_table(spark, str(tmp_path / "tb"), n=64, mean_rows=16)
+    zorder.cluster(spark, t, target_bytes=128 * 1024, job_id="zg")
+    t = t.refresh()
+    # simulate the crash window: committed job left its staging shards
+    committed = os.path.join(t.root, "_stage", "zg")
+    os.makedirs(committed, exist_ok=True)
+    open(os.path.join(committed, "g0000.parquet"), "wb").close()
+    inflight = os.path.join(t.root, "_stage", "zq-notcommitted")
+    os.makedirs(inflight, exist_ok=True)
+    expire.gc_orphans(spark, t)
+    assert not os.path.exists(committed)
+    assert os.path.exists(inflight)
