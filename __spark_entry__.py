@@ -23,8 +23,9 @@ from pyspark.sql import DataFrame, SparkSession
 # (maintenance_*, multimodal_*, model zoo, IRT, IVF). Queries already
 # driver-green in r2 fill the remaining slots / tail.
 _SAMPLE_PRIORITY = [
-    # r2-unsampled oracle-backed
+    # r2-unsampled oracle-backed (+ new r3 oracle-backed)
     "variation_ngrams_multi",
+    "dedup_simhash_pairs",
     "ngram_jaccard_top1",
     "ann_cosine_topk",
     "ann_lsh_topk",

@@ -318,22 +318,10 @@ ORDER BY id_a, id_b
 """
 
 
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints: 60-bit, token-frequency weighted.
-
-    bit b of simhash = 1 iff Σ_tokens (2·bit_b(h64(token)) − 1) > 0.
-    Pure integer math → exact oracle. Near-dup candidates at scale come from
-    equality joins on the 4×15-bit bands (pigeonhole: hamming ≤ 3 ⇒ some
-    band equal); the fingerprint itself is the per-row output here.
-
-    Physical plan: ALL per-row, ZERO shuffles except the final
-    presentation orderBy. (r1 exploded tokens×60 bit-rows through two
-    shuffled groupBys — a 60× row tax at 10^12 rows for arithmetic each
-    row can do locally.) The per-row fold runs as ONE Arrow-batched
-    pandas UDF: the former Catalyst aggregate/zip_with chain evaluates
-    interpreted (no codegen) at tokens×60 lambda calls per row — measured
-    5.8 s at sf0.1 vs ~0.3 s vectorized, bit-identically (md5-prefix h64
-    = hashlib.md5; Java-regex \\s+ split = re.split on trimmed text)."""
+def _simhash_udf():
+    """60-bit token-frequency-weighted simhash as one Arrow-batched UDF;
+    bit-identical to the h64 (md5-prefix) expression family and the DuckDB
+    twin (Java-regex \\s+ split ≡ re.split on trimmed text)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
@@ -360,8 +348,27 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.append(int(((sv > 0).astype(np.int64) << shifts).sum()))
         return pd.Series(out)
 
+    return _simhash
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints: 60-bit, token-frequency weighted.
+
+    bit b of simhash = 1 iff Σ_tokens (2·bit_b(h64(token)) − 1) > 0.
+    Pure integer math → exact oracle. Near-dup candidates at scale come from
+    equality joins on the 4×15-bit bands (pigeonhole: hamming ≤ 3 ⇒ some
+    band equal); the fingerprint itself is the per-row output here.
+
+    Physical plan: ALL per-row, ZERO shuffles except the final
+    presentation orderBy. (r1 exploded tokens×60 bit-rows through two
+    shuffled groupBys — a 60× row tax at 10^12 rows for arithmetic each
+    row can do locally.) The per-row fold runs as ONE Arrow-batched
+    pandas UDF: the former Catalyst aggregate/zip_with chain evaluates
+    interpreted (no codegen) at tokens×60 lambda calls per row — measured
+    5.8 s at sf0.1 vs ~0.3 s vectorized, bit-identically (md5-prefix h64
+    = hashlib.md5; Java-regex \\s+ split = re.split on trimmed text)."""
     docs = T(spark, sf_dir, "documents")
-    return docs.select("doc_id", _simhash(F.col("text")).alias("simhash")).orderBy(
+    return docs.select("doc_id", _simhash_udf()(F.col("text")).alias("simhash")).orderBy(
         "doc_id"
     )
 
@@ -383,6 +390,80 @@ SELECT doc_id,
        CAST(SUM(CASE WHEN sv > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END)
             AS BIGINT) AS simhash
 FROM bits GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+SIMHASH_BANDS, SIMHASH_BAND_BITS, SIMHASH_MAX_HAMMING = 4, 15, 3
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate PAIRS: hamming(simhash_a, simhash_b) ≤ 3 via
+    the banding pigeonhole — 4 bands × 15 bits; any pair within hamming 3
+    differs in at most 3 bands, so at least one band matches exactly
+    (Manku et al., WWW'07 §3). Candidates come from ONE equi-self-join on
+    (band, band_key); exact hamming (bit_count of xor) verifies candidates
+    only — never all pairs. The oracle mirrors the banded candidate set
+    AND the verification, so the gate is exact on any data."""
+    docs = T(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", _simhash_udf()(F.col("text")).alias("simhash"))
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * SIMHASH_BAND_BITS)
+                        .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+                        .alias("key"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        cand.select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .orderBy("id_a", "id_b")
+    )
+
+
+DEDUP_SIMHASH_PAIRS_SQL = f"""
+WITH sh AS ({DEDUP_SIMHASH_SQL.replace("ORDER BY doc_id", "")}),
+banded AS (
+  SELECT doc_id, simhash, b.b AS band,
+         (simhash >> (b.b * {SIMHASH_BAND_BITS})) & {(1 << SIMHASH_BAND_BITS) - 1} AS key
+  FROM sh, (SELECT unnest(range({SIMHASH_BANDS})) AS b) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM banded a
+  JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {SIMHASH_MAX_HAMMING}
+ORDER BY id_a, id_b
 """
 
 
@@ -592,5 +673,6 @@ QUERIES: dict[str, tuple] = {
     "dedup_minhash_signatures": (dedup_minhash_signatures, DEDUP_MINHASH_SIG_SQL),
     "dedup_minhash_lsh_pairs": (dedup_minhash_lsh_pairs, DEDUP_MINHASH_LSH_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
+    "dedup_simhash_pairs": (dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_SQL),
     "ngram_jaccard_top1": (ngram_jaccard_top1, NGRAM_JACCARD_SQL),
 }
