@@ -73,16 +73,19 @@ BENCH_QUERIES = [
     "label_entropy_scores",
     "borda_count_scores",
     "variation_ngrams_flags",
+    "variation_ngrams_multi",
     "classification_entropy_scores",
     "mean_distance_scores",
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash",
+    "dedup_simhash_pairs",
     "ngram_jaccard_top1",
     "ann_cosine_topk",
     "dedup_embedding_cosine",
     "token_featurizer",
     "dawid_skene_labels",
+    "dawid_skene_soft_labels",
     "model_zoo_dummy_cv",
     "knn_flagger_flags",
     "knn_softmax_entropy_scores",

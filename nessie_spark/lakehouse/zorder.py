@@ -377,11 +377,17 @@ def run_staged(
     entries = table.file_entries().to_pylist()
     total_bytes = sum(e["file_size_bytes"] for e in entries)
     # Task granularity is sized by DATA, not by cluster size: scatter bins
-    # ~64 MB, gather groups ~8 output files (~64 MB) each. More executors
+    # ~64 MB, gather groups ~2 output files (~16 MB) each. More executors
     # then mean fewer task waves over the SAME plan — the elastic-scaling
     # shape a 1000-executor cluster needs (and what keeps the N vs 4N
     # throughput ratio clean: both levels execute identical work units).
-    n_groups = max(1, min(n_files, -(-total_bytes // (8 * DEFAULT_TARGET))))
+    # Gather is the expensive phase (decode → re-encode → PSNR), so its
+    # units are 4× finer than scatter's: 64 MB groups left a 900 MB bench
+    # table with only ~14 gather tasks — idling 18 of 32 cores through the
+    # CPU-dominant phase (measured r3); 16 MB restores full waves while
+    # per-unit pyarrow overhead stays ≪ the pixel work.
+    gmult = int(os.environ.get("NESSIE_ZORDER_GROUP_MULT", "2"))  # ×DEFAULT_TARGET
+    n_groups = max(1, min(n_files, -(-total_bytes // (gmult * DEFAULT_TARGET))))
     stage_dir = os.path.join(root, "_stage", job_id)
     bounds_arr = list(bounds)
 
