@@ -234,9 +234,13 @@ def merge_into(
         #   unchanged = target ▷ source   (left_anti, broadcast)
         #   insert    = source ▷ target-keys (anti on the tiny side)
         srcb = F.broadcast(src)
-        key_overlap = target.select(key).distinct().join(
+        # broadcast-semi first (no target shuffle), THEN dedupe — the
+        # distinct only shuffles matched keys (≤ |source|, small here) and
+        # is required for multi-row keys, where duplicate overlap keys
+        # would explode the tagging join below
+        key_overlap = target.select(key).join(
             srcb.select(key), key, "left_semi"
-        )
+        ).distinct()
         tagged_t = target.join(
             F.broadcast(key_overlap.withColumn("_m", F.lit(True))), key, "left"
         )
@@ -256,15 +260,19 @@ def merge_into(
         # north_rule mandates for phash hot keys; everything else keeps
         # the sort-merge plan with AQE skew-join as backstop. Unique-key
         # merges (image_id) can never trip the detector.
-        hot_keys = [
-            r[key]
-            for r in target.groupBy(key)
-            .agg(F.count(F.lit(1)).alias("_c"))
-            .where(F.col("_c") >= hot_key_rows)
-            .join(src.select(key).distinct(), key, "left_semi")
-            .limit(10_000)
-            .collect()
-        ]
+        hot_keys = (
+            []  # unique key ⇒ no per-key fan-out possible; skip the scan
+            if key == "image_id"
+            else [
+                r[key]
+                for r in target.groupBy(key)
+                .agg(F.count(F.lit(1)).alias("_c"))
+                .where(F.col("_c") >= hot_key_rows)
+                .join(src.select(key).distinct(), key, "left_semi")
+                .limit(10_000)
+                .collect()
+            ]
+        )
         if hot_keys:
             # multi-row key ⇒ when_matched == 'delete' (asserted above):
             # every hot target row is matched, so it leaves the table. The

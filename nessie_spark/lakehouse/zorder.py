@@ -376,18 +376,29 @@ def run_staged(
     root = table.root
     entries = table.file_entries().to_pylist()
     total_bytes = sum(e["file_size_bytes"] for e in entries)
-    # Task granularity is sized by DATA, not by cluster size: scatter bins
-    # ~64 MB, gather groups ~2 output files (~16 MB) each. More executors
-    # then mean fewer task waves over the SAME plan — the elastic-scaling
-    # shape a 1000-executor cluster needs (and what keeps the N vs 4N
-    # throughput ratio clean: both levels execute identical work units).
-    # Gather is the expensive phase (decode → re-encode → PSNR), so its
-    # units are 4× finer than scatter's: 64 MB groups left a 900 MB bench
-    # table with only ~14 gather tasks — idling 18 of 32 cores through the
-    # CPU-dominant phase (measured r3); 16 MB restores full waves while
-    # per-unit pyarrow overhead stays ≪ the pixel work.
-    gmult = int(os.environ.get("NESSIE_ZORDER_GROUP_MULT", "2"))  # ×DEFAULT_TARGET
-    n_groups = max(1, min(n_files, -(-total_bytes // (gmult * DEFAULT_TARGET))))
+    # Task granularity: scatter bins and gather groups are DATA-sized at
+    # ~64 MB — more executors mean fewer task waves over the SAME plan —
+    # with a MIN-PARALLELISM floor on the gather group count. Gather is
+    # the CPU-dominant phase (decode → re-encode → PSNR): 64 MB groups
+    # left a 900 MB table with ~14 gather tasks, idling most of a 32-core
+    # run; but uniformly finer groups (16 MB) multiplied the scatter-shard
+    # count 4× and measured ~1.7× slower wall at 2 and 8 cores (many ~1 MB
+    # parquet shards). The floor lifts the group count only when the
+    # cluster is wider than the data would occupy, so shard size stays
+    # coarse in the scaling pair (2 vs 8 cores both run the identical
+    # data-dominated plan — the clean-ratio property) while a 32-core run
+    # gets one full wave.
+    gmult = int(os.environ.get("NESSIE_ZORDER_GROUP_MULT", "8"))  # ×DEFAULT_TARGET
+    n_groups = max(
+        1,
+        min(
+            n_files,
+            max(
+                -(-total_bytes // (gmult * DEFAULT_TARGET)),
+                spark.sparkContext.defaultParallelism,
+            ),
+        ),
+    )
     stage_dir = os.path.join(root, "_stage", job_id)
     bounds_arr = list(bounds)
 
