@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame, SparkSession
 # driver-green in r2 fill the remaining slots / tail.
 _SAMPLE_PRIORITY = [
     # r2-unsampled oracle-backed (+ new r3 oracle-backed)
+    "contamination_report",
+    "pii_scrub",
     "variation_ngrams_multi",
     "dedup_simhash_pairs",
     "ngram_jaccard_top1",
@@ -44,6 +46,8 @@ _SAMPLE_PRIORITY = [
     "maintenance_zorder",
     "maintenance_merge",
     "maintenance_expire_gc",
+    "maintenance_incremental",
+    "maintenance_phash_neardup",
     "multimodal_pixel_stats",
     "multimodal_resize",
     "multimodal_frame_sample",
@@ -62,13 +66,14 @@ _SAMPLE_PRIORITY = [
 
 def _registry() -> dict[str, tuple]:
     from nessie_spark.operators import (
-        analytics, dedup, detectors, detectors2, detectors3, events,
+        analytics, dedup, detectors, detectors2, detectors3, events, hygiene,
         maintenance, modelzoo, probability, similarity, textstats,
     )
 
     reg: dict[str, tuple] = {}
     for mod in (analytics, detectors, detectors2, detectors3, probability,
-                dedup, similarity, textstats, events, maintenance, modelzoo):
+                dedup, similarity, textstats, hygiene, events, maintenance,
+                modelzoo):
         for name, pair in mod.QUERIES.items():
             assert name not in reg, f"duplicate query name {name}"
             reg[name] = pair

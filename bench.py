@@ -108,17 +108,60 @@ def _burn_work(n: int) -> None:
         zlib.compress(blob, 6)
 
 
+class _SpeedSampler:
+    """Effective host speed DURING a timed run (not around it): a single
+    background thread compresses a fixed blob every ~2 s — zlib releases
+    the GIL, the burn occupies <5% of one hw thread while the measured job
+    uses 2-8 of 32, and the child's Python driver thread is otherwise idle
+    on a py4j socket. Endpoint-only calibration (r3c/r3d) missed mid-run
+    host phases entirely: a local[8] run measured 40% slow while the burns
+    before and after it looked identical. The time-mean of work/dt samples
+    estimates ∫speed·dt/t, which is exactly the normalization that maps a
+    measured elapsed time to 'elapsed at reference speed' — valid for any
+    drift shape so long as burn speed tracks job speed (both pure CPU)."""
+
+    def __init__(self, unit: int = 4, interval: float = 2.0):
+        import threading
+
+        self.unit, self.interval = unit, interval
+        self.samples: list[float] = []
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._loop, daemon=True)
+
+    def start(self) -> None:
+        self._t.start()
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            t0 = time.time()
+            _burn_work(self.unit)
+            dt = max(time.time() - t0, 1e-9)
+            self.samples.append(self.unit / dt)
+            self._stop.wait(self.interval)
+
+    def stop(self) -> float:
+        self._stop.set()
+        self._t.join(timeout=10)
+        if not self.samples:
+            return -1.0
+        return sum(self.samples) / len(self.samples)
+
+
 def _host_speed() -> float:
     """Host-speed calibration: a fixed 8-process zlib workload, returning
-    work-units/sec. The shared VM's effective CPU swings 2×+ on ~10-minute
-    phases; a scaling ratio is only valid when both runs of a repetition
-    saw the same phase, which this measures directly (~2 s)."""
+    work-units/sec (median of 3 samples — a single ~2 s burn has ~5-10%
+    noise of its own, which would feed straight into the drift correction).
+    The shared VM's effective CPU swings 2×+ on ~10-minute phases; the
+    scaling ratio is corrected by the speeds measured around each run."""
     from concurrent.futures import ProcessPoolExecutor
 
-    t0 = time.time()
-    with ProcessPoolExecutor(8) as ex:
-        list(ex.map(_burn_work, [12] * 8))
-    return 96 / (time.time() - t0)
+    samples = []
+    for _ in range(3):
+        t0 = time.time()
+        with ProcessPoolExecutor(8) as ex:
+            list(ex.map(_burn_work, [12] * 8))
+        samples.append(96 / (time.time() - t0))
+    return sorted(samples)[1]
 
 
 def _drop_caches() -> None:
@@ -213,7 +256,7 @@ def time_queries(spark) -> dict[str, float]:
     return out
 
 
-def one_run(base: str, cores: int, rep: int) -> float:
+def one_run(base: str, cores: int, rep: int) -> tuple[float, float]:
     """Each timed run in a FRESH subprocess: create/stop SparkSession
     cycles inside one JVM contaminate later runs (metaspace/GC state),
     and each rep runs low-then-high — reusing the process biased the
@@ -237,6 +280,7 @@ def one_run(base: str, cores: int, rep: int) -> float:
     shutil.copytree(os.path.dirname(base), os.path.dirname(root), copy_function=os.link)
     _drop_caches()
     el = None
+    speed = -1.0
     last_err = ""
     for att in range(2):
         try:
@@ -255,7 +299,11 @@ def one_run(base: str, cores: int, rep: int) -> float:
                 if "[phases]" in ln:
                     print(f"[bench] local[{cores}] rep{rep} {ln}", file=sys.stderr)
             try:
-                el = float(out.stdout.strip().splitlines()[-1])
+                lines = out.stdout.strip().splitlines()
+                el = float(lines[-1])
+                for ln in lines:
+                    if ln.startswith("SPEED "):
+                        speed = float(ln.split()[1])
                 break
             except (ValueError, IndexError):
                 last_err = "unparseable child stdout: " + out.stdout[-500:]
@@ -269,13 +317,16 @@ def one_run(base: str, cores: int, rep: int) -> float:
     if el is None:
         print(f"[bench] in-process fallback for local[{cores}] rep{rep}", file=sys.stderr)
         s = make_session(cores)
+        sampler = _SpeedSampler()
+        sampler.start()
         try:
             el = run_maintenance(s, root)
         finally:
+            speed = sampler.stop()
             s.stop()
     shutil.rmtree(os.path.dirname(root), ignore_errors=True)
     shutil.rmtree(os.path.join(WORK, f"spark-local-{cores}"), ignore_errors=True)
-    return el
+    return el, speed
 
 
 def run_scaling(low: int, mid: int) -> tuple[dict[int, float], list[tuple[float, float]], int]:
@@ -293,17 +344,23 @@ def run_scaling(low: int, mid: int) -> tuple[dict[int, float], list[tuple[float,
     # burn), so scaling efficiency is computed from INTERLEAVED (low, high)
     # reps — each rep's ratio sees the same host conditions — and the median
     # per-rep efficiency is reported (BASELINE.md protocol).
-    n_runs = 1 if FAST else 3
+    n_runs = 1 if FAST else 5
 
-    # A repetition is VALID only if the host's effective speed (calibrated
-    # with a fixed parallel zlib burn) stayed within tolerance across its
-    # two runs — otherwise the ratio mixes host phases and is discarded and
-    # retried (bounded at max_reps). Uniformly-slow phases are fine: they
-    # scale both runs and leave the ratio intact. The tolerance loosens
-    # from 15% to 25% after 5 attempts: on a host that never holds 15%
-    # (observed), three 25%-validated reps with a median beat one lucky
-    # 15%-validated rep.
-    rep_times: list[tuple[float, float]] = []
+    # Drift handling, v3 (r3d measured WHY v2 still failed on a choppy
+    # morning: endpoint zlib burns around a run cannot see a phase change
+    # DURING it — one local[8] run was 40% slow with identical burns on
+    # both sides):
+    #   1. Each child samples host speed THROUGHOUT its run
+    #      (_SpeedSampler); the rep's ratio is corrected by the in-run
+    #      mean speeds: eff = (t_low·s̄_low) / (4·t_high·s̄_high). This is
+    #      exact for any drift shape, not just first-order.
+    #   2. ALTERNATE run order (low-first on even attempts, high-first on
+    #      odd) so residual proxy error biases the median neither way.
+    #   3. Reject only reps whose two in-run mean speeds differ >2× — a
+    #      phase cliff where the burn↔job proportionality itself is in
+    #      doubt — or where a sampler died (speed < 0).
+    # Each rep entry: (t_low, t_high, corrected_eff, s_low, s_high).
+    rep_times: list[tuple[float, float, float, float, float]] = []
     rejected = 0
     max_reps = n_runs + (0 if FAST else 7)
     attempt = 0
@@ -311,33 +368,42 @@ def run_scaling(low: int, mid: int) -> tuple[dict[int, float], list[tuple[float,
     # Wall-clock budget on the retry loop: a partially-validated median
     # beats an empty BENCH JSON if the calling harness enforces its own
     # timeout (r1 shipped parsed=null exactly that way).
-    budget_s = int(os.environ.get("NESSIE_BENCH_SCALING_BUDGET", "2100"))
+    budget_s = int(os.environ.get("NESSIE_BENCH_SCALING_BUDGET", "2400"))
     loop_t0 = time.time()
     while (
         len(rep_times) < n_runs
         and attempt < max_reps
         and (time.time() - loop_t0 < budget_s or not rep_times)
     ):
-        s1 = _host_speed()
-        t_low = one_run(base, low, attempt)
-        s2 = _host_speed()
-        t_high = one_run(base, mid, attempt)
-        s3 = _host_speed()
+        low_first = attempt % 2 == 0
+        t_first, sp_first = one_run(base, low if low_first else mid, attempt)
+        t_second, sp_second = one_run(base, mid if low_first else low, attempt)
         attempt += 1
-        speeds = [s1, s2, s3]
-        tol = 1.15 if attempt <= 5 else 1.25
-        if not FAST and max(speeds) / max(min(speeds), 1e-9) > tol:
+        (t_low, s_low), (t_high, s_high) = (
+            ((t_first, sp_first), (t_second, sp_second))
+            if low_first
+            else ((t_second, sp_second), (t_first, sp_first))
+        )
+        print(
+            f"[bench] rep{attempt - 1} speeds low={s_low:.1f} high={s_high:.1f}",
+            file=sys.stderr,
+        )
+        ok_speeds = s_low > 0 and s_high > 0
+        if not FAST and ok_speeds and max(s_low, s_high) / min(s_low, s_high) > 2.0:
             rejected += 1
             continue
-        rep_times.append((t_low, t_high))
+        eff_c = (t_low * (s_low if ok_speeds else 1.0)) / (
+            (mid / low) * t_high * (s_high if ok_speeds else 1.0)
+        )
+        rep_times.append((t_low, t_high, eff_c, s_low, s_high))
     if not rep_times and t_low is not None:  # pathological host: use last
-        rep_times.append((t_low, t_high))
-    best_low = min(tl for tl, _ in rep_times)
-    best_high = min(th for _, th in rep_times)
+        rep_times.append((t_low, t_high, t_low / ((mid / low) * t_high), -1.0, -1.0))
+    best_low = min(r[0] for r in rep_times)
+    best_high = min(r[1] for r in rep_times)
     runs = {low: best_low, mid: best_high}
     if CPUS > mid:
         try:
-            runs[CPUS] = one_run(base, CPUS, 0)
+            runs[CPUS] = one_run(base, CPUS, 0)[0]
         except Exception:
             print("[bench] SMT-regime run failed (secondary; skipped):", file=sys.stderr)
             traceback.print_exc()
@@ -390,7 +456,7 @@ def main() -> None:
         # quantity on this drifting shared VM (a fastest-run-per-level
         # estimator mixes times from different phases and was measured to
         # skew the ratio by ±0.15). All raw pairs reported for transparency.
-        effs = sorted(tl / ((mid / low) * th) for tl, th in rep_times)
+        effs = sorted(r[2] for r in rep_times)
         n_e = len(effs)
         eff_primary = (
             effs[n_e // 2] if n_e % 2 else (effs[n_e // 2 - 1] + effs[n_e // 2]) / 2
@@ -411,9 +477,13 @@ def main() -> None:
             "images_per_sec_high": round(thr[mid], 1),
             "efficiency": round(eff_primary, 3),
             "estimator": (
-                "interpolated median of per-repetition back-to-back ratios; "
-                "reps rejected on host-speed drift (zlib calibration; 15% "
-                "tolerance, loosened to 25% after 5 attempts)"
+                "interpolated median of per-repetition back-to-back ratios, "
+                "each normalized by the host speed sampled THROUGHOUT the "
+                "run (in-child zlib sampler thread, ~2 s cadence): "
+                "eff = t_low*s_low / (4*t_high*s_high). Run order "
+                "alternates low/high-first per rep; reps whose in-run "
+                "speeds differ >2x are rejected (proxy unreliable across "
+                "a phase cliff)"
             ),
             "rejected_reps": rejected,
             "passes_0_8": eff_primary >= 0.8,
@@ -421,9 +491,12 @@ def main() -> None:
                 {
                     "sec_low": round(tl, 3),
                     "sec_high": round(th, 3),
-                    "efficiency": round(tl / ((mid / low) * th), 3),
+                    "efficiency_raw": round(tl / ((mid / low) * th), 3),
+                    "efficiency_corrected": round(ec, 3),
+                    "speed_low": round(sl, 1),
+                    "speed_high": round(sh, 1),
                 }
-                for tl, th in rep_times
+                for tl, th, ec, sl, sh in rep_times
             ],
             "smt_regime": (
                 {
@@ -439,7 +512,8 @@ def main() -> None:
             ),
         }
         try:
-            _write_report(result)
+            if not FAST:  # a CI smoke must not clobber the real report
+                _write_report(result)
         except Exception:
             traceback.print_exc()
     else:
@@ -460,9 +534,12 @@ pixel work dominates disk. Job = FFD compaction with full decode →
 re-encode → PSNR verification, then Morton Z-order rewrite (also decode →
 re-encode → PSNR per the north star) with per-file min/max stats and
 snapshot commits (8 MB file target). The two parallelism levels run
-INTERLEAVED per repetition and efficiency is the median per-rep ratio —
-this cancels the shared-VM CPU drift (measured 1.7× across hours on a
-pure-zlib burn), which absolute throughputs are subject to.
+INTERLEAVED per repetition (order alternating per rep) and efficiency is
+the median per-rep ratio after normalizing each run's elapsed time by the
+host speed sampled THROUGHOUT that run (an in-child zlib sampler thread,
+~2 s cadence) — this cancels the shared-VM CPU drift (measured 1.7×
+across hours on a pure-zlib burn, with phase changes mid-run), which
+absolute throughputs are subject to.
 
 | parallelism | elapsed (s) | images/sec |
 |---|---|---|
@@ -489,8 +566,14 @@ Headline query timings at sf={r["sf"]} (local[{s["cores_high"]}]): see the
 
 def _one_run_child(cores: int, root: str) -> None:
     s = make_session(cores)
+    sampler = _SpeedSampler()
+    sampler.start()  # only around the TIMED section: warm_up is untimed but
+    # cheap relative to the run; starting here keeps the sampler window a
+    # strict superset of the timed window with ~1 s of slack at each end
     el = run_maintenance(s, root)
+    speed = sampler.stop()
     s.stop()
+    print(f"SPEED {speed}")
     print(el)
 
 

@@ -52,6 +52,74 @@ def plan_files(
     return out
 
 
+# Snapshot operations that only REWRITE existing rows (same logical data,
+# new file layout) — an incremental append scan skips them entirely.
+_REWRITE_OPS = {"compact", "zorder", "hilbert", "rewrite-manifests", "expire", "gc"}
+
+
+def scan_incremental(
+    spark: SparkSession,
+    table: Table,
+    from_snapshot_id: int | None = None,
+    to_snapshot_id: int | None = None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Incremental (CDC-style) append scan: the rows added by snapshots in
+    ``(from_snapshot_id, to_snapshot_id]`` — Iceberg's incremental-read
+    semantics. ``from_snapshot_id=None`` reads from the beginning of
+    history; ``to_snapshot_id=None`` reads up to the current snapshot.
+
+    Pure-rewrite maintenance snapshots (compact / zorder / hilbert /
+    rewrite-manifests / expire / gc) carry identical logical rows, so they
+    contribute nothing; row-changing non-append snapshots (``merge``)
+    cannot be expressed as an append delta and raise — mirroring Iceberg,
+    which restricts incremental reads to append history.
+
+    Scale shape: per contributing snapshot, the added-file entries are read
+    from that snapshot's own manifests (``added_snapshot_id == id``) —
+    driver touches only manifest metadata, and a downstream consumer
+    reading the delta each cycle does work proportional to NEW data, not
+    table size. Requires the snapshots in range to not have been expired
+    (same precondition as Iceberg).
+    """
+    to_id = to_snapshot_id if to_snapshot_id is not None else table.current_snapshot_id
+    if to_id is None:
+        return spark.createDataFrame([], table.meta.get("schema", IMAGES_DDL))
+    lo = from_snapshot_id if from_snapshot_id is not None else 0
+    in_range = [
+        s for s in table.meta["snapshots"] if lo < s["snapshot_id"] <= to_id
+    ]
+    paths: list[str] = []
+    for snap in sorted(in_range, key=lambda s: s["snapshot_id"]):
+        op = snap["operation"]
+        if op in _REWRITE_OPS:
+            continue
+        if op != "append":
+            raise ValueError(
+                f"incremental scan crosses a row-changing '{op}' snapshot "
+                f"{snap['snapshot_id']}; read a full snapshot instead"
+            )
+        sid = snap["snapshot_id"]
+        mlist = table.manifest_paths(sid)
+        if not mlist:
+            continue
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        for mp in mlist:
+            ents = pq.read_table(mp, columns=["file_path", "added_snapshot_id"])
+            mask = pc.equal(ents.column("added_snapshot_id"), sid)
+            paths.extend(
+                os.path.join(table.root, p)
+                for p in ents.filter(mask).column("file_path").to_pylist()
+            )
+    schema = table.meta.get("schema", IMAGES_DDL)
+    if not paths:
+        return spark.createDataFrame([], schema)
+    df = spark.read.schema(schema).parquet(*paths)
+    return df.select(*columns) if columns else df
+
+
 def scan(
     spark: SparkSession,
     table: Table,

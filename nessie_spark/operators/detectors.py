@@ -396,38 +396,45 @@ def variation_ngrams_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ~(N_MAX-1)× token count rows through ONE groupBy on the
     gram key; neighbor diversity is plain aggregation — no suffix tree,
-    no driver-side state."""
-    docs = T(spark, sf_dir, "documents").select(
-        "doc_id",
-        "lang",
-        F.transform(F.split(F.trim("text"), r"\s+"), lambda w: F.lower(w)).alias("ts"),
-    )
+    no driver-side state. Occurrence enumeration is a single Arrow-batched
+    pass (the Catalyst HOF formulation ran interpreted and scanned the
+    table N_MAX-1 times; one vectorized pass measured ~3× faster at
+    sf0.1), materialized once for its three plan consumers (diversity agg,
+    per-lang counts, final vote join)."""
+    from nessie_spark.operators.dedup import _spread
 
-    def occ_n(n: int) -> DataFrame:
-        return (
-            docs.where(F.size("ts") >= n)
-            .select(
-                "doc_id",
-                "lang",
-                F.lit(n).alias("n"),
-                F.explode(
-                    F.transform(
-                        F.sequence(F.lit(0), F.size("ts") - n),
-                        lambda i: F.struct(
-                            i.cast("int").alias("pos"),
-                            F.array_join(F.slice("ts", i + 1, n), " ").alias("gram"),
-                            F.when(i >= 1, F.get("ts", i - 1)).alias("prev"),
-                            F.get("ts", i + n).alias("nxt"),
-                        ),
-                    )
-                ).alias("o"),
-            )
-            .select("doc_id", "lang", "n", "o.pos", "o.gram", "o.prev", "o.nxt")
-        )
+    docs = _spread(spark, T(spark, sf_dir, "documents").select("doc_id", "lang", "text"))
 
-    occ = occ_n(2)
-    for n in range(3, N_MAX + 1):
-        occ = occ.unionByName(occ_n(n))
+    def _occ_gen(batches):
+        import re
+
+        import pandas as pd
+
+        ws = re.compile(r"\s+")  # doc text is ASCII (synth contract), so
+        # Python/Java/RE2 \s agree and .lower() ≡ F.lower
+        for pdf in batches:
+            cols = {k: [] for k in ("doc_id", "lang", "n", "pos", "gram", "prev", "nxt")}
+            for d, lg, tx in zip(pdf["doc_id"], pdf["lang"], pdf["text"]):
+                ts = [w.lower() for w in ws.split(tx.strip())] if tx and tx.strip() else []
+                ln = len(ts)
+                grams = ts  # length-1 "grams"; extended one token per level
+                for n in range(2, N_MAX + 1):
+                    if ln < n:
+                        break
+                    grams = [grams[i] + " " + ts[i + n - 1] for i in range(ln - n + 1)]
+                    cols["doc_id"].extend([d] * (ln - n + 1))
+                    cols["lang"].extend([lg] * (ln - n + 1))
+                    cols["n"].extend([n] * (ln - n + 1))
+                    cols["pos"].extend(range(ln - n + 1))
+                    cols["gram"].extend(grams)
+                    cols["prev"].extend([None] + ts[: ln - n])
+                    cols["nxt"].extend(ts[n:] + [None])
+            yield pd.DataFrame(cols)
+
+    occ = docs.mapInPandas(
+        _occ_gen,
+        schema="doc_id long, lang string, n int, pos int, gram string, prev string, nxt string",
+    ).localCheckpoint(eager=True)
 
     grp = occ.groupBy("n", "gram").agg(
         F.count(F.lit(1)).alias("n_occ"),

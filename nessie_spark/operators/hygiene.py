@@ -1,0 +1,175 @@
+"""Training-data hygiene: benchmark-contamination detection + PII scrub.
+
+Two first-class LLM-pipeline operators over ``documents`` (task brief:
+"the operations a large-scale training-data pipeline would need"):
+
+- ``contamination_report``: word-n-gram overlap of every candidate
+  training document against a benchmark split — the standard
+  decontamination check run before pretraining (e.g. GPT-3 appendix C /
+  PaLM-style 8-gram overlap; here n=5 to fit the synthetic corpus's short
+  docs). ``source == 'src0'`` plays the benchmark split.
+- ``pii_scrub``: deterministic regex redaction (emails, IPv4, SSN-shaped
+  ids) with per-doc redaction counts. Patterns are restricted to the
+  Java-regex ∩ RE2 common dialect so the Spark plan and the DuckDB oracle
+  are provably computing the same function; the unit test plants true
+  positives (the synthetic corpus itself is PII-free, so the oracle run
+  doubles as a no-false-positives check).
+
+Scale shapes: contamination is one Arrow-batched n-gram pass + one join
+on the gram key — benchmark sets are tiny relative to training corpora,
+so the gram set broadcasts (at 100 TB: a few GB of benchmark grams vs TBs
+of candidates; if the benchmark side ever outgrows broadcast, drop the
+hint and the same plan shuffle-joins on ``gram``). PII scrub is pure
+per-row JVM regex inside whole-stage codegen — zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nessie_spark.operators.common import T
+
+N_GRAM = 5
+BENCH_SOURCE = "src0"
+
+_PII_PATTERNS = [
+    # (tag, pattern) — Java ∩ RE2 dialect only: no lookaround, no backrefs
+    ("<EMAIL>", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("<IP>", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("<SSN>", r"\b\d{3}-\d{2}-\d{4}\b"),
+]
+
+
+def _doc_grams(df: DataFrame) -> DataFrame:
+    """Distinct word-N_GRAM set per document, one Arrow-batched pass
+    (HOF slice/array_join chains run interpreted — same lesson as
+    variation_ngrams_multi)."""
+
+    def gen(batches):
+        import re
+
+        import pandas as pd
+
+        ws = re.compile(r"\s+")
+        for pdf in batches:
+            ids, srcs, grams = [], [], []
+            for d, s, tx in zip(pdf["doc_id"], pdf["source"], pdf["text"]):
+                ts = ws.split(tx.strip().lower()) if tx and tx.strip() else []
+                seen = set()
+                for i in range(len(ts) - N_GRAM + 1):
+                    seen.add(" ".join(ts[i : i + N_GRAM]))
+                ids.extend([d] * len(seen))
+                srcs.extend([s] * len(seen))
+                grams.extend(seen)
+            yield pd.DataFrame({"doc_id": ids, "source": srcs, "gram": grams})
+
+    return df.select("doc_id", "source", "text").mapInPandas(
+        gen, schema="doc_id long, source string, gram string"
+    )
+
+
+def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per training doc: distinct-5-gram count, how many also occur in the
+    benchmark split, overlap fraction, contaminated = overlap ≥ 0.5.
+    Docs shorter than N_GRAM tokens have no grams and no row (consistent
+    with the oracle)."""
+    from nessie_spark.operators.dedup import _spread
+
+    g = _doc_grams(_spread(spark, T(spark, sf_dir, "documents")))
+    bench = (
+        g.where(F.col("source") == BENCH_SOURCE).select("gram").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = g.where(F.col("source") != BENCH_SOURCE)
+    return (
+        train.join(F.broadcast(bench), "gram", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_overlap"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_grams",
+            "n_overlap",
+            F.round(F.col("n_overlap").cast("double") / F.col("n_grams"), 6).alias(
+                "overlap_frac"
+            ),
+            (F.col("n_overlap") * 2 >= F.col("n_grams")).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CONTAMINATION_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, source,
+           regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+    FROM documents
+    WHERE trim(text) <> ''
+), grams AS (
+    SELECT DISTINCT doc_id, source, gram
+    FROM (
+        SELECT doc_id, source,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(ts) - {N_GRAM - 1}, 0)),
+                   i -> array_to_string(ts[i:i + {N_GRAM - 1}], ' ')
+               )) AS gram
+        FROM toks
+    )
+), bench AS (
+    SELECT DISTINCT gram FROM grams WHERE source = '{BENCH_SOURCE}'
+)
+SELECT g.doc_id,
+       g.source,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+       ROUND(CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS overlap_frac,
+       (SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) * 2 >= COUNT(*))
+           AS contaminated
+FROM grams g LEFT JOIN bench b USING (gram)
+WHERE g.source <> '{BENCH_SOURCE}'
+GROUP BY g.doc_id, g.source
+ORDER BY g.doc_id
+"""
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact emails / IPv4s / SSN-shaped ids; per-doc redaction count.
+    All-JVM regexp inside codegen (no UDF); counts come from
+    ``regexp_extract_all`` on the ORIGINAL text per pattern, so they are
+    order-independent."""
+    docs = T(spark, sf_dir, "documents")
+    clean = F.col("text")
+    n = F.lit(0).cast("long")
+    for tag, pat in _PII_PATTERNS:
+        n = n + F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0)))
+        clean = F.regexp_replace(clean, pat, tag)
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        n.cast("long").alias("n_redactions"),
+    ).orderBy("doc_id")
+
+
+_PII_SQL_EXPR = "text"
+_PII_N_EXPR = []
+for _tag, _pat in _PII_PATTERNS:
+    _PII_SQL_EXPR = f"regexp_replace({_PII_SQL_EXPR}, '{_pat}', '{_tag}', 'g')"
+    _PII_N_EXPR.append(f"len(regexp_extract_all(text, '{_pat}'))")
+
+PII_SCRUB_SQL = f"""
+SELECT doc_id,
+       {_PII_SQL_EXPR} AS clean_text,
+       CAST({" + ".join(_PII_N_EXPR)} AS BIGINT) AS n_redactions
+FROM documents
+ORDER BY doc_id
+"""
+
+QUERIES = {
+    "contamination_report": (contamination_report, CONTAMINATION_SQL),
+    "pii_scrub": (pii_scrub, PII_SCRUB_SQL),
+}

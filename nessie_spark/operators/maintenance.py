@@ -104,6 +104,100 @@ def maintenance_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def maintenance_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (CDC-style) append scan + exactly-once streaming ingest:
+    append A → compact (pure rewrite, contributes nothing) → ingest batch B
+    twice with the same batch_id (replay; second is a metadata no-op) →
+    the incremental scan from the first snapshot returns exactly B."""
+    from nessie_spark.lakehouse.scan import scan_incremental
+    from nessie_spark.streaming.ingest import ingest_batch
+
+    t, snap0, root = _fresh_table(spark)
+    try:
+        C.compact(spark, t, target_bytes=TARGET, job_id="demo-c")
+        t = t.refresh()
+        delta = synth.images_df(spark, 32, seed=7).withColumn(
+            "image_id", F.concat(F.lit("d-"), "image_id")
+        )
+        s_first = ingest_batch(root, "demo-stream", delta, batch_id=0)
+        s_replay = ingest_batch(root, "demo-stream", delta, batch_id=0)
+        t = t.refresh()
+        inc = scan_incremental(spark, t, from_snapshot_id=snap0)
+        n_delta = inc.count()
+        only_delta = inc.where(~F.col("image_id").startswith("d-")).count() == 0
+        full = scan_incremental(spark, t).count()
+        return spark.createDataFrame(
+            [(n_delta, only_delta, s_first == s_replay, full, scan(spark, t).count())],
+            "delta_rows long, delta_is_new_only boolean, replay_noop boolean, "
+            "full_history_rows long, table_rows long",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def maintenance_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs on the perceptual hash: Hamming(phash_a,
+    phash_b) ≤ 3. Pigeonhole banding — split the 64-bit phash into 4
+    disjoint 16-bit bands; any pair within Hamming ≤ 3 agrees exactly on
+    ≥ 1 band — so candidates come from 4 equi-joins on (band, value) and
+    only candidates pay the exact popcount check. Scale: the single
+    shuffle is the band-key join at 4× table rows; no crossJoin, no
+    per-row Python (phash XOR + bit_count are codegen). Same shape as
+    dedup_simhash_pairs, applied to the image axis.
+
+    Input: the deterministic synth table with planted 1- and 2-bit
+    perturbed copies of every 16th image (hot_pct=0 so exact-dup cliques
+    don't swamp the pair list)."""
+    base = synth.images_df(spark, N, seed=42, hot_pct=0).select("image_id", "phash")
+    with_idx = base.withColumn("_i", F.substring("image_id", 5, 12).cast("long"))
+    dup1 = (
+        with_idx.where(F.col("_i") % 16 == 0)
+        .select(
+            F.concat(F.lit("dup1-"), "image_id").alias("image_id"),
+            F.expr("phash ^ shiftleft(1L, cast(_i % 63 as int))").alias("phash"),
+        )
+    )
+    dup2 = (
+        with_idx.where(F.col("_i") % 32 == 0)
+        .select(
+            F.concat(F.lit("dup2-"), "image_id").alias("image_id"),
+            F.expr(
+                "phash ^ shiftleft(1L, cast(_i % 63 as int))"
+                " ^ shiftleft(1L, cast((_i + 31) % 63 as int))"
+            ).alias("phash"),
+        )
+    )
+    imgs = base.unionByName(dup1).unionByName(dup2)
+    bands = imgs.select(
+        "image_id",
+        "phash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftrightunsigned("phash", 16 * b).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                )
+                for b in range(4)
+            ])
+        ).alias("bv"),
+    ).select("image_id", "phash", "bv.band", "bv.val")
+    a, b2 = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(b2, ["band", "val"])
+        .where(F.col("a.image_id") < F.col("b.image_id"))
+        .select(
+            F.col("a.image_id").alias("id_a"),
+            F.col("b.image_id").alias("id_b"),
+            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= 3)
+        .groupBy("id_a", "id_b")  # a pair may match in several bands
+        .agg(F.min("hamming").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )
+    return pairs
+
+
 def maintenance_expire_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
@@ -291,6 +385,8 @@ QUERIES: dict[str, tuple] = {
     "maintenance_zorder": (maintenance_zorder, None),
     "maintenance_merge": (maintenance_merge, None),
     "maintenance_expire_gc": (maintenance_expire_gc, None),
+    "maintenance_incremental": (maintenance_incremental, None),
+    "maintenance_phash_neardup": (maintenance_phash_neardup, None),
     "multimodal_pixel_stats": (multimodal_pixel_stats, None),
     "multimodal_resize": (multimodal_resize, None),
     "multimodal_frame_sample": (multimodal_frame_sample, None),

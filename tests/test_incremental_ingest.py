@@ -1,0 +1,110 @@
+"""Incremental (CDC-style) append scan + Structured Streaming auto-ingest.
+
+The append-delta contract: ``scan_incremental(from, to]`` returns exactly
+the rows added by append snapshots in range, skips pure-rewrite
+maintenance snapshots (same logical rows), and refuses to cross a
+row-changing merge — Iceberg incremental-read semantics.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nessie_spark import synth
+from nessie_spark.lakehouse import compact, jobs
+from nessie_spark.lakehouse.scan import scan, scan_incremental
+from nessie_spark.streaming.ingest import ingest_batch, start_auto_ingest
+from tests.conftest import make_table
+
+
+def _ids(df):
+    return {r["image_id"] for r in df.select("image_id").collect()}
+
+
+@pytest.fixture(scope="module")
+def table_history(spark, tmp_path_factory):
+    """append A (s1) → compact (s2) → append B (s3)."""
+    root = str(tmp_path_factory.mktemp("incr") / "images")
+    t, s1 = make_table(spark, root, n=120, mean_rows=12)
+    compact.compact(spark, t, target_bytes=1 << 20, job_id="c1")
+    t = t.refresh()
+    s2 = t.current_snapshot_id
+    df_b = synth.images_df(spark, 40, seed=43).withColumn(
+        "image_id", F.concat(F.lit("b-"), "image_id")
+    )
+    s3 = jobs.append(spark, t, df_b, job_id="ingest-b")
+    return t.refresh(), s1, s2, s3
+
+
+def test_incremental_after_compact_sees_only_new_append(spark, table_history):
+    t, s1, s2, s3 = table_history
+    delta = scan_incremental(spark, t, from_snapshot_id=s1)
+    ids = _ids(delta)
+    assert len(ids) == 40 and all(i.startswith("b-") for i in ids)
+
+
+def test_incremental_full_history_equals_current_scan(spark, table_history):
+    t, s1, s2, s3 = table_history
+    assert _ids(scan_incremental(spark, t)) == _ids(scan(spark, t))
+
+
+def test_incremental_empty_range_and_pinned_to(spark, table_history):
+    t, s1, s2, s3 = table_history
+    assert scan_incremental(spark, t, from_snapshot_id=s1, to_snapshot_id=s2).count() == 0
+    assert _ids(scan_incremental(spark, t, to_snapshot_id=s1)) == _ids(
+        scan(spark, t, snapshot_id=s1)
+    )
+
+
+def test_incremental_refuses_merge_snapshot(spark, tmp_path):
+    from nessie_spark.lakehouse import merge
+
+    root = str(tmp_path / "images")
+    t, s1 = make_table(spark, root, n=60, mean_rows=12)
+    src = scan(spark, t).limit(5).withColumn("caption", F.lit("edited"))
+    merge.merge_into(spark, t, src, job_id="m1")
+    t = t.refresh()
+    with pytest.raises(ValueError, match="merge"):
+        scan_incremental(spark, t, from_snapshot_id=s1).count()
+
+
+def test_streaming_auto_ingest_exactly_once(spark, tmp_path):
+    root = str(tmp_path / "images")
+    src_dir = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    jobs.create_images_table(root)
+
+    synth.images_df(spark, 50, seed=7).write.mode("append").parquet(src_dir)
+    stream = spark.readStream.schema(
+        synth.images_df(spark, 1, seed=7).schema
+    ).option("maxFilesPerTrigger", "1").parquet(src_dir)
+    q = start_auto_ingest(stream, root, ckpt, stream_id="s1")
+    assert q.awaitTermination(180)
+
+    from nessie_spark.lakehouse.table import Table
+
+    t = Table.load(root)
+    assert scan(spark, t).count() == 50
+    ops = [s["operation"] for s in t.meta["snapshots"]]
+    assert ops and all(o == "append" for o in ops)
+
+    # replayed micro-batch (same batch_id) must be a metadata no-op
+    batch = synth.images_df(spark, 50, seed=7)
+    first = ingest_batch(root, "s1", batch, batch_id=0)
+    again = ingest_batch(root, "s1", batch, batch_id=0)
+    assert first == again
+    assert scan(spark, Table.load(root)).count() == 50
+
+    # a NEW file arriving + restart drains only the delta (checkpoint)
+    snap_before = Table.load(root).current_snapshot_id
+    synth.images_df(spark, 20, seed=8).withColumn(
+        "image_id", F.concat(F.lit("n-"), "image_id")
+    ).write.mode("append").parquet(src_dir)
+    q2 = start_auto_ingest(stream, root, ckpt, stream_id="s1")
+    assert q2.awaitTermination(180)
+    t = Table.load(root)
+    assert scan(spark, t).count() == 70
+    delta = scan_incremental(spark, t, from_snapshot_id=snap_before)
+    ids = _ids(delta)
+    assert len(ids) == 20 and all(i.startswith("n-") for i in ids)
