@@ -48,6 +48,7 @@ _SAMPLE_PRIORITY = [
     "maintenance_expire_gc",
     "maintenance_incremental",
     "maintenance_phash_neardup",
+    "maintenance_schema_evolution",
     "multimodal_pixel_stats",
     "multimodal_resize",
     "multimodal_frame_sample",

@@ -88,6 +88,14 @@ def compact(
 
     if todo:
         limit = fail_after_bins
+        from nessie_spark.lakehouse.scan import IMAGES_DDL
+        from nessie_spark.lakehouse.writer import align_to_schema, arrow_schema_from_ddl
+
+        # Align every input to the CURRENT table schema before concat:
+        # pre-evolution files are NULL-padded, so bins mixing files written
+        # under different schema versions stay well-formed (add-column
+        # evolution is metadata-only; this is where readers reconcile).
+        aschema = arrow_schema_from_ddl(table.meta.get("schema", IMAGES_DDL))
 
         def _rewrite_unit(unit: tuple) -> dict:
             bin_id = int(unit[0])
@@ -95,7 +103,10 @@ def compact(
                 raise RuntimeError(f"injected failure at bin {bin_id}")
             paths = list(unit[1])
             tbl = pa.concat_tables(
-                [pq.read_table(os.path.join(root, p)) for p in paths]
+                [
+                    align_to_schema(pq.read_table(os.path.join(root, p)), aschema)
+                    for p in paths
+                ]
             )
             metrics: dict[str, float] = {"input_files": float(len(paths))}
             if reencode:

@@ -1,0 +1,45 @@
+"""Schema evolution: add-column, Iceberg-style.
+
+Adding a column is a METADATA-ONLY commit — no data file is touched.
+Existing files simply predate the column; every reader NULL-backfills via
+``align_to_schema`` (pyarrow paths) or an explicit Spark read schema
+(``spark.read.schema(ddl).parquet`` fills absent columns with null).
+Snapshots record the schema current as of the commit, so pinned /
+time-travel reads use the schema their data was written under, and
+maintenance rewrites (compact / Z-order / MERGE) align every input file to
+the table schema before concatenating — mixed pre-/post-evolution file
+sets stay well-formed.
+
+Supported: ADD COLUMN of a nullable scalar type (string / binary / int /
+long / float / double / boolean). Not supported (raise): drop / rename /
+type-change — those require column-id indirection (Iceberg field IDs) to
+be safe against re-add, which this format does not carry.
+
+Scale shape: O(1) — one metadata JSON write under the same optimistic
+commit loop as data commits; no shuffle, no file I/O proportional to the
+table.
+"""
+
+from __future__ import annotations
+
+from nessie_spark.lakehouse.table import Table
+from nessie_spark.lakehouse.writer import _DDL_ARROW, ddl_columns
+
+
+def add_column(table: Table, name: str, sql_type: str, doc: str | None = None) -> int:
+    """Append ``name sql_type`` to the table schema; returns the new
+    snapshot id. The column is nullable everywhere by construction."""
+    ddl = table.meta["schema"]
+    if name in ddl_columns(ddl):
+        raise ValueError(f"column {name!r} already exists")
+    if not name.isidentifier():
+        raise ValueError(f"invalid column name {name!r}")
+    if sql_type.lower() not in _DDL_ARROW:
+        raise ValueError(
+            f"unsupported type {sql_type!r}; supported: {sorted(_DDL_ARROW)}"
+        )
+    return table.commit(
+        "set-schema",
+        meta_updates={"schema": f"{ddl}, {name} {sql_type.lower()}"},
+        summary={"added_column": f"{name} {sql_type.lower()}", "doc": doc or ""},
+    )

@@ -45,6 +45,15 @@ def append(
     prior = lineage.committed_snapshot(table.root, job_id)
     if prior is not None:
         return prior
+    from nessie_spark.lakehouse.writer import ddl_columns
+
+    table_cols = ddl_columns(table.meta.get("schema", IMAGES_DDL))
+    extra = [c for c in df.columns if c not in table_cols and c != "zkey"]
+    if extra:
+        raise ValueError(
+            f"append columns {extra} not in table schema; evolve first "
+            "(lakehouse.evolve.add_column)"
+        )
     if file_boundaries is not None:
         import numpy as np
 
@@ -61,7 +70,9 @@ def append(
 
         entries = collect_grouped_stats(spark, stats)
     else:
-        stats = write_partition_files(df, table.root, job_id, "append")
+        stats = write_partition_files(
+            df, table.root, job_id, "append", data_columns=table_cols
+        )
         entries = stats.toArrow()
     rows = int(sum(entries.column("record_count").to_pylist() or [0]))
     snap_id = table.commit("append", added=entries, summary={"job_id": job_id})

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from nessie_spark.lakehouse import lineage
 from nessie_spark.lakehouse.scan import IMAGES_DDL
 from nessie_spark.lakehouse.table import Table
-from nessie_spark.lakehouse.writer import DATA_COLUMNS, write_partition_files
+from nessie_spark.lakehouse.writer import write_partition_files
 
 DEFAULT_TARGET = 8 * 1024 * 1024
 
@@ -197,13 +197,26 @@ def merge_into(
     ]
     matched_set = set(matched_paths)
 
-    # --- phase 2: row-level join restricted to matched files
+    # --- phase 2: row-level join restricted to matched files.
+    # Evolved tables: read with the CURRENT schema (old files NULL-backfill)
+    # and require the source to carry the full schema — a narrower source
+    # would silently null evolved columns on every rewritten row.
+    from nessie_spark.lakehouse.writer import ddl_columns
+
+    table_ddl = table.meta.get("schema", IMAGES_DDL)
+    data_cols = ddl_columns(table_ddl)
+    missing = [c for c in data_cols if c not in source.columns]
+    if missing:
+        raise ValueError(
+            f"merge source lacks table columns {missing}; on an evolved "
+            "table the source must carry the full schema"
+        )
     if matched_paths:
-        target = spark.read.schema(IMAGES_DDL).parquet(
+        target = spark.read.schema(table_ddl).parquet(
             *[os.path.join(root, p) for p in matched_paths]
         )
     else:
-        target = spark.createDataFrame([], IMAGES_DDL)
+        target = spark.createDataFrame([], table_ddl)
 
     # Duplicate source keys would produce duplicate rows in the rewritten
     # table (r1 ADVICE); SQL MERGE makes them an error — we dedupe
@@ -212,7 +225,7 @@ def merge_into(
     from pyspark.sql.window import Window
 
     wdup = Window.partitionBy(key).orderBy(
-        *[F.desc(c) for c in DATA_COLUMNS if c != key]
+        *[F.desc(c) for c in data_cols if c != key]
     )
     source = (
         source.withColumn("_rn", F.row_number().over(wdup))
@@ -220,7 +233,7 @@ def merge_into(
         .drop("_rn")
     )
     n_src = source.count()
-    src = source.select(*DATA_COLUMNS)
+    src = source.select(*data_cols)
     small_src = n_src <= broadcast_threshold_rows
     n_hot_matched = 0
     hot_keys: list = []
@@ -297,7 +310,7 @@ def merge_into(
             tagged = tagged.withColumn("_action", action)
             pick = lambda a: tagged.where(F.col("_action") == a)  # noqa: E731
             side = lambda df, s: df.select(  # noqa: E731
-                *[F.col(f"{s}.{c}").alias(c) for c in DATA_COLUMNS], "_action"
+                *[F.col(f"{s}.{c}").alias(c) for c in data_cols], "_action"
             )
             updated_rows = side(pick("update"), "s")
             unchanged_rows = side(pick("unchanged"), "t")
@@ -312,7 +325,7 @@ def merge_into(
     for p in parts[1:]:
         merged = merged.unionByName(p)
 
-    new_rows = merged.select(*DATA_COLUMNS)
+    new_rows = merged.select(*data_cols)
 
     # --- phase 3: rewrite matched scope + commit
     # Output sizing: matched bytes + an estimate for inserts. bytes/row
@@ -333,7 +346,9 @@ def merge_into(
     n_files = max(1, math.ceil(est_bytes / target_bytes))
     new_rows = new_rows.repartition(n_files, "image_id")
 
-    stats = write_partition_files(new_rows, root, job_id, "merge").toArrow()
+    stats = write_partition_files(
+        new_rows, root, job_id, "merge", data_columns=data_cols
+    ).toArrow()
     total_written = int(sum(stats.column("record_count").to_pylist() or [0]))
 
     # Action histogram DERIVED from already-known counts — the r1 version

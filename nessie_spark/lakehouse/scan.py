@@ -54,7 +54,16 @@ def plan_files(
 
 # Snapshot operations that only REWRITE existing rows (same logical data,
 # new file layout) — an incremental append scan skips them entirely.
-_REWRITE_OPS = {"compact", "zorder", "hilbert", "rewrite-manifests", "expire", "gc"}
+_REWRITE_OPS = {"compact", "zorder", "hilbert", "rewrite-manifests", "expire", "gc",
+                "set-schema"}
+
+
+def _snapshot_ddl(table: Table, snapshot_id: int | None) -> str:
+    """Schema current as of the snapshot (recorded at commit; evolution is
+    add-column-only, so this is also what the snapshot's files fit under).
+    Pre-evolution metadata (no recorded schema) falls back to the table's."""
+    snap = table.snapshot(snapshot_id)
+    return (snap or {}).get("schema") or table.meta.get("schema", IMAGES_DDL)
 
 
 def scan_incremental(
@@ -133,10 +142,11 @@ def scan(
     entries = plan_files(
         table, snapshot_id, phash_range=phash_range, wh_range=wh_range, key_range=key_range
     )
+    ddl = _snapshot_ddl(table, snapshot_id)
     if not entries:
-        return spark.createDataFrame([], IMAGES_DDL)
+        return spark.createDataFrame([], ddl)
     paths = [os.path.join(table.root, e["file_path"]) for e in entries]
-    df = spark.read.schema(IMAGES_DDL).parquet(*paths)
+    df = spark.read.schema(ddl).parquet(*paths)
     if phash_range:
         df = df.where(F.col("phash").between(*phash_range))
     if wh_range:

@@ -191,6 +191,7 @@ class Table:
         carried_manifest_summaries: list[dict] | None = None,
         summary: dict | None = None,
         max_retries: int = 5,
+        meta_updates: dict | None = None,
     ) -> int:
         """Commit a new snapshot.
 
@@ -199,6 +200,11 @@ class Table:
         carried-forward manifest containing one is rewritten without them.
         ``carried_manifest_summaries``: pre-built manifest summaries (used by
         the manifest-rewrite job); default = parent's manifests, filtered.
+        ``meta_updates``: table-metadata fields changed by this commit (e.g.
+        ``{"schema": ...}`` for add-column evolution); applied under the same
+        optimistic-retry, so concurrent evolution commits serialize. Each
+        snapshot records the schema CURRENT AS OF that snapshot, so pinned
+        and time-travel reads use the schema their data was written under.
         """
         deleted_paths = deleted_paths or set()
         for attempt in range(max_retries):
@@ -245,19 +251,20 @@ class Table:
                 os.path.join(t.root, mlist_rel),
             )
 
+            meta = dict(t.meta, **(meta_updates or {}))
             snap = {
                 "snapshot_id": snapshot_id,
                 "parent_id": parent["snapshot_id"] if parent else None,
                 "ts_millis": int(time.time() * 1000),
                 "operation": operation,
                 "manifest_list": mlist_rel,
+                "schema": meta.get("schema"),
                 "summary": dict(
                     summary or {},
                     added_files=int(added.num_rows if added is not None else 0),
                     deleted_files=len(deleted_paths),
                 ),
             }
-            meta = dict(t.meta)
             meta["snapshots"] = list(t.meta["snapshots"]) + [snap]
             meta["current_snapshot_id"] = snapshot_id
             try:

@@ -43,6 +43,47 @@ IMAGES_ARROW = pa.schema(
     ]
 )
 
+# Spark-DDL ↔ Arrow type map for the evolvable column types (schema
+# evolution is add-column-only; see lakehouse/evolve.py)
+_DDL_ARROW = {
+    "string": pa.string(),
+    "binary": pa.binary(),
+    "int": pa.int32(),
+    "long": pa.int64(),
+    "bigint": pa.int64(),
+    "float": pa.float32(),
+    "double": pa.float64(),
+    "boolean": pa.bool_(),
+}
+
+
+def ddl_columns(ddl: str) -> list[str]:
+    """Column names of a flat ``name type, ...`` DDL string, in order."""
+    return [f.strip().split()[0] for f in ddl.split(",")]
+
+
+def arrow_schema_from_ddl(ddl: str) -> pa.Schema:
+    fields = []
+    for f in ddl.split(","):
+        name, typ = f.strip().split()[:2]
+        if typ.lower() not in _DDL_ARROW:
+            raise ValueError(f"unsupported column type {typ!r} in table DDL")
+        fields.append((name, _DDL_ARROW[typ.lower()]))
+    return pa.schema(fields)
+
+
+def align_to_schema(tbl: pa.Table, schema: pa.Schema) -> pa.Table:
+    """Project ``tbl`` onto ``schema``: reorder, cast, and NULL-pad columns
+    the file predates (Iceberg add-column semantics — old data files are
+    immutable; readers backfill). Extra staging columns are dropped."""
+    arrays = []
+    for f in schema:
+        if f.name in tbl.schema.names:
+            arrays.append(tbl.column(f.name).cast(f.type))
+        else:
+            arrays.append(pa.chunked_array([pa.nulls(tbl.num_rows, f.type)]))
+    return pa.Table.from_arrays(arrays, schema=schema)
+
 
 def stats_entry_for(tbl: pa.Table, path: str, size_bytes: int) -> dict:
     """Manifest-entry stats for one written file (FIXTURES.md §2 goldens:
@@ -77,13 +118,17 @@ def write_table_file(tbl: pa.Table, abs_path: str) -> int:
 
 
 def write_partition_files(
-    df: DataFrame, table_root: str, job_id: str, phase: str
+    df: DataFrame, table_root: str, job_id: str, phase: str,
+    data_columns: list[str] | None = None,
 ) -> DataFrame:
     """Write each partition of ``df`` as one data file; return stats DF.
 
     ``df`` must carry the images schema (optionally plus ``zkey``, which is
-    recorded in stats but dropped from the data file).
+    recorded in stats but dropped from the data file). ``data_columns``
+    overrides the written column set for evolved tables (columns absent
+    from ``df`` are simply not written; readers NULL-backfill).
     """
+    cols = data_columns or DATA_COLUMNS
 
     def _write(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         pid = TaskContext.get().partitionId()
@@ -95,7 +140,7 @@ def write_partition_files(
             return
         rel = f"data/{job_id}-{phase}-p{pid:05d}.parquet"
         abs_path = os.path.join(table_root, rel)
-        data_tbl = tbl.select([c for c in DATA_COLUMNS if c in tbl.schema.names])
+        data_tbl = tbl.select([c for c in cols if c in tbl.schema.names])
         size = write_table_file(data_tbl, abs_path)
         entry = stats_entry_for(tbl, rel, size)
         yield pa.RecordBatch.from_pylist([entry], schema=FILE_ENTRY_SCHEMA)

@@ -151,7 +151,7 @@ def equi_depth_bounds(
 
 def write_zorder_buckets(
     spark, df, root: str, job_id: str, phase: str, n_files: int,
-    reencode: bool = False,
+    reencode: bool = False, data_columns: list[str] | None = None,
 ):
     """One data file per zkey bucket, bytes JVM-side until the final write:
     ``repartition(n_files, pid)`` co-locates each bucket in one task,
@@ -172,6 +172,8 @@ def write_zorder_buckets(
 
     from nessie_spark.lakehouse.table import FILE_ENTRY_DDL, FILE_ENTRY_SCHEMA
     from nessie_spark.lakehouse.writer import DATA_COLUMNS
+
+    cols = data_columns or DATA_COLUMNS
 
     def _write(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import os as _os
@@ -253,7 +255,7 @@ def write_zorder_buckets(
             if batch.num_rows == 0:
                 continue
             if data_schema is None:
-                idxs = [batch.schema.get_field_index(c) for c in DATA_COLUMNS]
+                idxs = [batch.schema.get_field_index(c) for c in cols]
                 data_schema = pa.schema([batch.schema.field(i) for i in idxs])
             pids = batch.column("pid").to_numpy()
             cuts = np.flatnonzero(np.diff(pids)) + 1
@@ -265,11 +267,11 @@ def write_zorder_buckets(
                 if pid != state["pid"]:
                     _close()
                     _open(pid, data_schema)
-                cols = [sl.column(c) for c in DATA_COLUMNS]
+                arrs = [sl.column(c) for c in cols]
                 if reencode:
                     from nessie_spark.lakehouse import kernels as K
 
-                    bi = DATA_COLUMNS.index("bytes")
+                    bi = cols.index("bytes")
                     fmts = sl.column("fmt").to_pylist()
                     new_bytes = []
                     for data, fmt in zip(sl.column("bytes").to_pylist(), fmts):
@@ -278,9 +280,9 @@ def write_zorder_buckets(
                         p_db = K.psnr(px, K.decode(enc, fmt))
                         assert p_db >= (40.0 if fmt == "jpeg" else 99.0), "PSNR gate"
                         new_bytes.append(enc)
-                    cols[bi] = pa.array(new_bytes, pa.binary())
+                    arrs[bi] = pa.array(new_bytes, pa.binary())
                 state["writer"].write_batch(
-                    pa.record_batch(cols, schema=data_schema)
+                    pa.record_batch(arrs, schema=data_schema)
                 )
                 _fold(state["st"], sl)
         _close()
@@ -430,12 +432,22 @@ def run_staged(
     sbins = _pack_scatter_bins(entries, 8 * DEFAULT_TARGET)
     done = lineage.completed_units(root, job_id, "scatter")
     todo = [(i, paths) for i, paths in enumerate(sbins) if i not in done]
+    from nessie_spark.lakehouse.scan import IMAGES_DDL
+
+    table_ddl = table.meta.get("schema", IMAGES_DDL)
 
     def _scatter_unit(unit: tuple) -> tuple:
         import numpy as np
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        from nessie_spark.lakehouse.writer import align_to_schema, arrow_schema_from_ddl
+
+        # Uniform shard schema across mixed pre-/post-evolution inputs:
+        # every file is aligned (NULL-padded) to the current table schema
+        # before zkey/pid are appended, so one ParquetWriter per group can
+        # append slices from any input file.
+        aschema = arrow_schema_from_ddl(table_ddl)
         sbin, paths = int(unit[0]), list(unit[1])
         b = np.asarray(bounds_arr, dtype=np.int64)
         # Bound concurrently-open shard writers: n_groups scales with table
@@ -474,7 +486,7 @@ def run_staged(
 
         rows = 0
         for p in paths:
-            tbl = pq.read_table(os.path.join(root, p))
+            tbl = align_to_schema(pq.read_table(os.path.join(root, p)), aschema)
             wh = (
                 tbl.column("w").to_numpy().astype(np.int64)
                 * tbl.column("h").to_numpy().astype(np.int64)
@@ -582,13 +594,13 @@ def run_staged(
                 )
             rel = f"data/{job_id}-{strategy}-p{pid:05d}.parquet"
             # Stats come from the full slice (zkey → zorder_lo/hi), but the
-            # data file carries ONLY the declared IMAGES columns — the
+            # data file carries ONLY the declared table columns — the
             # staging-only zkey/pid must never reach the final table files
             # (they'd break schema-uniform compaction over mixed file sets).
-            from nessie_spark.lakehouse.writer import DATA_COLUMNS
+            from nessie_spark.lakehouse.writer import ddl_columns
 
             size = write_table_file(
-                sl.select(list(DATA_COLUMNS)), os.path.join(root, rel)
+                sl.select(ddl_columns(table_ddl)), os.path.join(root, rel)
             )
             out_entries.append(stats_entry_for(sl, rel, size))
             out_paths.append(rel)
@@ -717,9 +729,13 @@ def cluster(
             spark, table, bounds, n_files, job_id, strategy, reencode
         )
     elif execution == "shuffle":
+        from nessie_spark.lakehouse.scan import IMAGES_DDL
+        from nessie_spark.lakehouse.writer import ddl_columns
+
         df = base.withColumn("pid", _bucket_udf(bounds)(F.col("zkey")))
         stats = write_zorder_buckets(
-            spark, df, root, job_id, strategy, n_files, reencode=reencode
+            spark, df, root, job_id, strategy, n_files, reencode=reencode,
+            data_columns=ddl_columns(table.meta.get("schema", IMAGES_DDL)),
         )
     else:
         raise NotImplementedError(f"unknown zorder execution {execution!r}")

@@ -135,6 +135,47 @@ def maintenance_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def maintenance_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-column evolution demo: evolve (metadata-only) → append rows
+    carrying the new column → compact across the mixed-schema file set →
+    the evolved values survive the rewrite and old rows read as NULL;
+    a pre-evolution snapshot still reads with its own (old) schema."""
+    from nessie_spark.lakehouse import evolve
+
+    t, snap0, root = _fresh_table(spark)
+    try:
+        evolve.add_column(t, "quality", "long")
+        t = t.refresh()
+        extra = (
+            synth.images_df(spark, 32, seed=9)
+            .withColumn("image_id", F.concat(F.lit("q-"), "image_id"))
+            .withColumn("quality", F.length("caption").cast("long"))
+        )
+        jobs.append(spark, t, extra, job_id="evo-append")
+        t = t.refresh()
+        C.compact(spark, t, target_bytes=TARGET, job_id="evo-compact")
+        t = t.refresh()
+        df = scan(spark, t)
+        n_quality = df.where(F.col("quality").isNotNull()).count()
+        sum_quality = df.agg(F.sum("quality")).collect()[0][0]
+        old_schema_cols = len(scan(spark, t, snapshot_id=snap0).columns)
+        return spark.createDataFrame(
+            [
+                (
+                    df.count(),
+                    n_quality,
+                    int(sum_quality),
+                    len(df.columns),
+                    old_schema_cols,
+                )
+            ],
+            "rows long, rows_with_quality long, sum_quality long, "
+            "cols_now int, cols_at_snap1 int",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def maintenance_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-duplicate pairs on the perceptual hash: Hamming(phash_a,
     phash_b) ≤ 3. Pigeonhole banding — split the 64-bit phash into 4
@@ -387,6 +428,7 @@ QUERIES: dict[str, tuple] = {
     "maintenance_expire_gc": (maintenance_expire_gc, None),
     "maintenance_incremental": (maintenance_incremental, None),
     "maintenance_phash_neardup": (maintenance_phash_neardup, None),
+    "maintenance_schema_evolution": (maintenance_schema_evolution, None),
     "multimodal_pixel_stats": (multimodal_pixel_stats, None),
     "multimodal_resize": (multimodal_resize, None),
     "multimodal_frame_sample": (multimodal_frame_sample, None),
