@@ -29,17 +29,26 @@ from nessie_spark.lakehouse.writer import _DDL_ARROW, ddl_columns
 def add_column(table: Table, name: str, sql_type: str, doc: str | None = None) -> int:
     """Append ``name sql_type`` to the table schema; returns the new
     snapshot id. The column is nullable everywhere by construction."""
-    ddl = table.meta["schema"]
-    if name in ddl_columns(ddl):
-        raise ValueError(f"column {name!r} already exists")
     if not name.isidentifier():
         raise ValueError(f"invalid column name {name!r}")
     if sql_type.lower() not in _DDL_ARROW:
         raise ValueError(
             f"unsupported type {sql_type!r}; supported: {sorted(_DDL_ARROW)}"
         )
+    if name in ddl_columns(table.meta["schema"]):
+        raise ValueError(f"column {name!r} already exists")
+
+    def _update(meta: dict) -> dict:
+        # Computed against the REFRESHED metadata on every commit attempt:
+        # a schema string precomputed from a stale base would silently drop
+        # a concurrent writer's column on optimistic retry (lost update).
+        ddl = meta["schema"]
+        if name in ddl_columns(ddl):
+            raise ValueError(f"column {name!r} already exists")
+        return {"schema": f"{ddl}, {name} {sql_type.lower()}"}
+
     return table.commit(
         "set-schema",
-        meta_updates={"schema": f"{ddl}, {name} {sql_type.lower()}"},
+        meta_updates=_update,
         summary={"added_column": f"{name} {sql_type.lower()}", "doc": doc or ""},
     )

@@ -24,6 +24,7 @@ import json
 import os
 import time
 import uuid
+from collections.abc import Callable
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -191,7 +192,7 @@ class Table:
         carried_manifest_summaries: list[dict] | None = None,
         summary: dict | None = None,
         max_retries: int = 5,
-        meta_updates: dict | None = None,
+        meta_updates: dict | Callable[[dict], dict] | None = None,
     ) -> int:
         """Commit a new snapshot.
 
@@ -202,9 +203,13 @@ class Table:
         the manifest-rewrite job); default = parent's manifests, filtered.
         ``meta_updates``: table-metadata fields changed by this commit (e.g.
         ``{"schema": ...}`` for add-column evolution); applied under the same
-        optimistic-retry, so concurrent evolution commits serialize. Each
-        snapshot records the schema CURRENT AS OF that snapshot, so pinned
-        and time-travel reads use the schema their data was written under.
+        optimistic-retry, so concurrent evolution commits serialize. A
+        CALLABLE receives the refreshed metadata each attempt and returns
+        the update dict — required whenever the update derives from current
+        state (a precomputed schema string from a stale base would silently
+        drop a concurrent writer's column on retry). Each snapshot records
+        the schema CURRENT AS OF that snapshot, so pinned and time-travel
+        reads use the schema their data was written under.
         """
         deleted_paths = deleted_paths or set()
         for attempt in range(max_retries):
@@ -251,7 +256,8 @@ class Table:
                 os.path.join(t.root, mlist_rel),
             )
 
-            meta = dict(t.meta, **(meta_updates or {}))
+            updates = meta_updates(t.meta) if callable(meta_updates) else meta_updates
+            meta = dict(t.meta, **(updates or {}))
             snap = {
                 "snapshot_id": snapshot_id,
                 "parent_id": parent["snapshot_id"] if parent else None,
