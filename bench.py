@@ -97,6 +97,8 @@ BENCH_QUERIES = [
     "token_counts",
     "doc_fingerprints",
     "lang_id_markers",
+    "contamination_report",
+    "pii_scrub",
 ]
 
 

@@ -462,9 +462,14 @@ def variation_ngrams_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") == 1)
         .select("n", "gram", F.col("lang").alias("majority_lang"))
     )
+    # ONE gram-level dimension (kept grams ⨝ their modal lang), broadcast to
+    # the occurrence side: the occurrence rows — the big side — never
+    # shuffle for the vote join. Dim size ∝ distinct repeated grams; if it
+    # outgrows broadcast at extreme corpora, dropping the hint restores the
+    # (n, gram) shuffle join with the same semantics.
+    dim = F.broadcast(keep.join(modal, ["n", "gram"]))
     return (
-        occ.join(keep, ["n", "gram"])
-        .join(modal, ["n", "gram"])
+        occ.join(dim, ["n", "gram"])
         .select(
             "n", "gram", "doc_id", "pos", "lang", "majority_lang",
             (F.col("lang") != F.col("majority_lang")).alias("flag"),
