@@ -56,6 +56,8 @@ def compact(
     reencode: bool = False,
     min_input_files: int = 2,
     fail_after_bins: int | None = None,
+    planner: str = "auto",
+    planner_shard_rows: int = 200_000,
 ) -> CompactionResult:
     """Run one compaction job.
 
@@ -64,7 +66,12 @@ def compact(
     the stored format, PSNR-verify against the original decode (>= 40 dB
     lossy, exact for lossless), store the re-encoded bytes. All inside the
     per-bin Arrow batch task.
-    ``fail_after_bins`` injects a mid-job crash for resume tests."""
+    ``fail_after_bins`` injects a mid-job crash for resume tests.
+    ``planner``: "driver" (FFD over the stats list on the driver — exact,
+    fine to ~10^6 entries), "distributed" (executor-side sharded FFD,
+    plans/ffd.ffd_pack_distributed — the 10^12-image path where even the
+    stats list strains the driver), or "auto" (distributed above
+    ``planner_shard_rows`` small files)."""
     job_id = job_id or f"compact-{uuid.uuid4().hex[:8]}"
     root = table.root
 
@@ -78,13 +85,33 @@ def compact(
     if len(small) < min_input_files:
         return CompactionResult(None, job_id, 0, 0, len(small), 0, 0, hist)
 
-    bins = ffd_pack([e["file_size_bytes"] for e in small], target_bytes)
-    # singleton bins are no-ops (rewriting one file buys nothing) — skip them
-    bins = [b for b in bins if len(b) >= 2]
-    if not bins:
+    if planner == "distributed" or (planner == "auto" and len(small) > planner_shard_rows):
+        from pyspark.sql import functions as F
+
+        from nessie_spark.plans.ffd import ffd_pack_distributed
+
+        fdf = (
+            table.files_df(spark)
+            .where(F.col("file_size_bytes") < target_bytes)
+            .select("file_path", "file_size_bytes")
+        )
+        bin_paths = [
+            p
+            for p, _ in ffd_pack_distributed(
+                spark, fdf, target_bytes, shard_rows=planner_shard_rows
+            )
+            if len(p) >= 2  # singleton bins are no-ops
+        ]
+    else:
+        bins = ffd_pack([e["file_size_bytes"] for e in small], target_bytes)
+        # singleton bins are no-ops (rewriting one file buys nothing)
+        bin_paths = [
+            [small[j]["file_path"] for j in b] for b in bins if len(b) >= 2
+        ]
+    if not bin_paths:
         return CompactionResult(None, job_id, 0, 0, len(small), 0, 0, hist)
     done = lineage.completed_units(root, job_id, "compact")
-    todo = [(i, [small[j]["file_path"] for j in b]) for i, b in enumerate(bins) if i not in done]
+    todo = [(i, paths) for i, paths in enumerate(bin_paths) if i not in done]
 
     if todo:
         limit = fail_after_bins
@@ -179,10 +206,10 @@ def compact(
         "compact",
         added=added,
         deleted_paths=deleted,
-        summary={"job_id": job_id, "bins": len(bins)},
+        summary={"job_id": job_id, "bins": len(bin_paths)},
     )
     lineage.mark_committed(root, job_id, snap)
     rows = sum(u["rows"] for u in units)
     return CompactionResult(
-        snap, job_id, len(bins), len(todo), len(deleted), len(out_paths), rows, hist
+        snap, job_id, len(bin_paths), len(todo), len(deleted), len(out_paths), rows, hist
     )

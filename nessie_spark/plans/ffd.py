@@ -46,6 +46,75 @@ def ffd_histogram(sizes: list[int], target: int, n_buckets: int = 16) -> dict[in
     return hist
 
 
+def ffd_pack_distributed(spark, files_df, target: int, shard_rows: int = 200_000):
+    """Executor-side FFD for manifest scales where even the file-STATS list
+    strains the driver (10^12 images → 10^7-10^8 manifest entries):
+
+      1. hash-shard entries on file_path (stable across re-runs — resume
+         determinism), ~``shard_rows`` entries per shard;
+      2. FFD per shard via ``applyInPandas`` (pure-Python pack over a
+         bounded pandas frame; one output row PER BIN, so the driver
+         collects ~total_bytes/target rows, ~100× smaller than the entry
+         list);
+      3. one driver-side FFD over the shards' UNDERFULL bins (< target/2;
+         the first-fit invariant guarantees AT MOST ONE such bin per shard,
+         so this step sees ≤ n_shards items) merges cross-shard remainders.
+         Bins in [target/2, target) pass through as-is — the standard FFD
+         waste bound, not worth a second shuffle.
+
+    Returns ``[(paths, bin_bytes), ...]``, deterministic: stable hash
+    sharding + deterministic per-shard order + sorted merge.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    n = files_df.count()
+    n_shards = max(1, -(-n // shard_rows))
+    sh = files_df.select(
+        "file_path",
+        "file_size_bytes",
+        F.pmod(F.xxhash64("file_path"), F.lit(n_shards)).cast("int").alias("_shard"),
+    )
+
+    def _pack(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            ["file_size_bytes", "file_path"], ascending=[False, True]
+        ).reset_index(drop=True)
+        sizes = pdf["file_size_bytes"].tolist()
+        paths = pdf["file_path"].tolist()
+        rows = [
+            (
+                int(key[0]),
+                bid,
+                [paths[i] for i in b],
+                int(sum(sizes[i] for i in b)),
+            )
+            for bid, b in enumerate(ffd_pack(sizes, target))
+        ]
+        return pd.DataFrame(rows, columns=["shard", "bin_id", "paths", "bin_bytes"])
+
+    packed = sorted(
+        sh.groupBy("_shard")
+        .applyInPandas(_pack, "shard int, bin_id int, paths array<string>, bin_bytes long")
+        .collect(),
+        key=lambda r: (r["shard"], r["bin_id"]),
+    )
+    full = [
+        (list(r["paths"]), int(r["bin_bytes"]))
+        for r in packed
+        if r["bin_bytes"] * 2 >= target
+    ]
+    under = [
+        (list(r["paths"]), int(r["bin_bytes"]))
+        for r in packed
+        if r["bin_bytes"] * 2 < target
+    ]
+    for b in ffd_pack([u[1] for u in under], target):
+        paths = [p for i in b for p in under[i][0]]
+        full.append((paths, sum(under[i][1] for i in b)))
+    return full
+
+
 def ffd_bucketed(sizes: list[int], target: int, shards: int = 1) -> list[list[int]]:
     """Sharded FFD: partition items round-robin by size rank into ``shards``
     independent FFD problems (distributed fallback for huge file counts)."""
