@@ -134,11 +134,18 @@ class _SpeedSampler:
         self._t.start()
 
     def _loop(self) -> None:
+        prev = time.time()
         while not self._stop.is_set():
             t0 = time.time()
             _burn_work(self.unit)
-            dt = max(time.time() - t0, 1e-9)
-            self.samples.append(self.unit / dt)
+            now = time.time()
+            dt = max(now - t0, 1e-9)
+            # weight = full cycle span (burn + wait): slow phases stretch
+            # the cycle, so an unweighted mean would under-count exactly
+            # the samples that matter — the time-weighted mean is the
+            # actual ∫speed·dt/t the correction formula assumes
+            self.samples.append((self.unit / dt, max(now - prev, 1e-9)))
+            prev = now
             self._stop.wait(self.interval)
 
     def stop(self) -> float:
@@ -146,24 +153,8 @@ class _SpeedSampler:
         self._t.join(timeout=10)
         if not self.samples:
             return -1.0
-        return sum(self.samples) / len(self.samples)
-
-
-def _host_speed() -> float:
-    """Host-speed calibration: a fixed 8-process zlib workload, returning
-    work-units/sec (median of 3 samples — a single ~2 s burn has ~5-10%
-    noise of its own, which would feed straight into the drift correction).
-    The shared VM's effective CPU swings 2×+ on ~10-minute phases; the
-    scaling ratio is corrected by the speeds measured around each run."""
-    from concurrent.futures import ProcessPoolExecutor
-
-    samples = []
-    for _ in range(3):
-        t0 = time.time()
-        with ProcessPoolExecutor(8) as ex:
-            list(ex.map(_burn_work, [12] * 8))
-        samples.append(96 / (time.time() - t0))
-    return sorted(samples)[1]
+        wsum = sum(w for _, w in self.samples)
+        return sum(sp * w for sp, w in self.samples) / wsum
 
 
 def _drop_caches() -> None:
@@ -391,7 +382,13 @@ def run_scaling(low: int, mid: int) -> tuple[dict[int, float], list[tuple[float,
             file=sys.stderr,
         )
         ok_speeds = s_low > 0 and s_high > 0
-        if not FAST and ok_speeds and max(s_low, s_high) / min(s_low, s_high) > 2.0:
+        if not FAST and (
+            not ok_speeds  # dead sampler: an uncorrected ratio must not
+            # silently enter the gate median (the estimator string promises
+            # rejection; the pathological-host fallback below still covers
+            # the nothing-ever-valid case)
+            or max(s_low, s_high) / min(s_low, s_high) > 2.0
+        ):
             rejected += 1
             continue
         eff_c = (t_low * (s_low if ok_speeds else 1.0)) / (

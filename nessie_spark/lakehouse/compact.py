@@ -79,22 +79,45 @@ def compact(
     if prev is not None:  # job already committed — idempotent no-op
         return CompactionResult(prev, job_id, 0, 0, 0, 0, 0, {})
 
-    entries = table.file_entries().to_pylist()
-    small = [e for e in entries if e["file_size_bytes"] < target_bytes]
-    hist = ffd_histogram([e["file_size_bytes"] for e in small], target_bytes)
-    if len(small) < min_input_files:
-        return CompactionResult(None, job_id, 0, 0, len(small), 0, 0, hist)
+    # The distributed planner must never materialize the stats list on the
+    # driver — that driver strain is the very thing it exists to avoid — so
+    # counting, the histogram, and the packing all stay Spark-side on that
+    # path. "auto" decides from a Spark-side count for the same reason.
+    from pyspark.sql import functions as F
 
-    if planner == "distributed" or (planner == "auto" and len(small) > planner_shard_rows):
-        from pyspark.sql import functions as F
+    use_dist = planner == "distributed"
+    if planner == "auto":
+        # decide from the manifest-LIST summaries (one tiny parquet,
+        # O(#manifests) driver work — no Spark job and no entry
+        # materialization on the default path)
+        snap_meta = table.snapshot()
+        n_total = 0
+        if snap_meta is not None:
+            ml = pq.read_table(os.path.join(root, snap_meta["manifest_list"]))
+            n_total = int(sum(ml.column("n_entries").to_pylist() or [0]))
+        use_dist = n_total > planner_shard_rows
 
-        from nessie_spark.plans.ffd import ffd_pack_distributed
-
+    if use_dist:
         fdf = (
             table.files_df(spark)
             .where(F.col("file_size_bytes") < target_bytes)
             .select("file_path", "file_size_bytes")
         )
+        n_small = fdf.count()
+        from nessie_spark.plans.ffd import ffd_pack_distributed
+
+        hist = {
+            int(r["b"]): r["c"]
+            for r in fdf.groupBy(
+                F.least(
+                    F.floor(F.col("file_size_bytes") * 16 / target_bytes), F.lit(16)
+                ).cast("int").alias("b")
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        if n_small < min_input_files:
+            return CompactionResult(None, job_id, 0, 0, n_small, 0, 0, hist)
         bin_paths = [
             p
             for p, _ in ffd_pack_distributed(
@@ -103,13 +126,19 @@ def compact(
             if len(p) >= 2  # singleton bins are no-ops
         ]
     else:
+        entries = table.file_entries().to_pylist()
+        small = [e for e in entries if e["file_size_bytes"] < target_bytes]
+        hist = ffd_histogram([e["file_size_bytes"] for e in small], target_bytes)
+        if len(small) < min_input_files:
+            return CompactionResult(None, job_id, 0, 0, len(small), 0, 0, hist)
         bins = ffd_pack([e["file_size_bytes"] for e in small], target_bytes)
         # singleton bins are no-ops (rewriting one file buys nothing)
         bin_paths = [
             [small[j]["file_path"] for j in b] for b in bins if len(b) >= 2
         ]
     if not bin_paths:
-        return CompactionResult(None, job_id, 0, 0, len(small), 0, 0, hist)
+        n_in = n_small if use_dist else len(small)
+        return CompactionResult(None, job_id, 0, 0, n_in, 0, 0, hist)
     done = lineage.completed_units(root, job_id, "compact")
     todo = [(i, paths) for i, paths in enumerate(bin_paths) if i not in done]
 

@@ -55,6 +55,17 @@ def append(
             "(lakehouse.evolve.add_column)"
         )
     if file_boundaries is not None:
+        from nessie_spark.lakehouse.writer import DATA_COLUMNS
+
+        evolved_in_df = [c for c in df.columns if c in table_cols and c not in DATA_COLUMNS]
+        if evolved_in_df:
+            # write_grouped_files is the fixed-layout fixture writer (base
+            # Arrow schema); silently dropping evolved columns would be the
+            # exact data loss the merge guard forbids
+            raise ValueError(
+                f"file_boundaries layout does not support evolved columns "
+                f"{evolved_in_df}; append without boundaries"
+            )
         import numpy as np
 
         bounds = np.asarray(file_boundaries, dtype=np.int64)

@@ -84,16 +84,31 @@ def scan_incremental(
     cannot be expressed as an append delta and raise — mirroring Iceberg,
     which restricts incremental reads to append history.
 
-    Scale shape: per contributing snapshot, the added-file entries are read
-    from that snapshot's own manifests (``added_snapshot_id == id``) —
-    driver touches only manifest metadata, and a downstream consumer
-    reading the delta each cycle does work proportional to NEW data, not
-    table size. Requires the snapshots in range to not have been expired
-    (same precondition as Iceberg).
+    Scale shape: per contributing snapshot, only that snapshot's ADDED
+    manifest(s) are read (selected by the ``s{id}-add`` manifest tag, so
+    carried-forward manifests are never touched) — driver work is
+    proportional to NEW data per cycle, not table size. Snapshots in range
+    must not have been expired; a missing endpoint raises (Iceberg
+    semantics) rather than silently returning a partial delta.
     """
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    known = {s["snapshot_id"] for s in table.meta["snapshots"]}
+    if to_snapshot_id is not None and to_snapshot_id not in known:
+        raise ValueError(f"to_snapshot_id {to_snapshot_id} not in table history")
+    if from_snapshot_id is not None and from_snapshot_id not in known | {0}:
+        raise ValueError(
+            f"from_snapshot_id {from_snapshot_id} not in table history "
+            "(expired snapshots cannot anchor an incremental read)"
+        )
     to_id = to_snapshot_id if to_snapshot_id is not None else table.current_snapshot_id
+    schema = _snapshot_ddl(table, to_id) if to_id is not None else table.meta.get(
+        "schema", IMAGES_DDL
+    )
+    empty = spark.createDataFrame([], schema)
     if to_id is None:
-        return spark.createDataFrame([], table.meta.get("schema", IMAGES_DDL))
+        return empty.select(*columns) if columns else empty
     lo = from_snapshot_id if from_snapshot_id is not None else 0
     in_range = [
         s for s in table.meta["snapshots"] if lo < s["snapshot_id"] <= to_id
@@ -110,21 +125,18 @@ def scan_incremental(
             )
         sid = snap["snapshot_id"]
         mlist = table.manifest_paths(sid)
-        if not mlist:
-            continue
-        import pyarrow.compute as pc
-        import pyarrow.parquet as pq
-
-        for mp in mlist:
+        # the snapshot's own additions live in its -add tagged manifest;
+        # fall back to scanning all (e.g. manifests renamed by a rewrite)
+        tagged = [p for p in mlist if f"-s{sid}-add-" in os.path.basename(p)]
+        for mp in tagged or mlist:
             ents = pq.read_table(mp, columns=["file_path", "added_snapshot_id"])
             mask = pc.equal(ents.column("added_snapshot_id"), sid)
             paths.extend(
                 os.path.join(table.root, p)
                 for p in ents.filter(mask).column("file_path").to_pylist()
             )
-    schema = table.meta.get("schema", IMAGES_DDL)
     if not paths:
-        return spark.createDataFrame([], schema)
+        return empty.select(*columns) if columns else empty
     df = spark.read.schema(schema).parquet(*paths)
     return df.select(*columns) if columns else df
 

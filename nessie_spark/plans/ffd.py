@@ -3,11 +3,11 @@
 north_star (BASELINE.json:6): "bin-packing small-file compaction
 (first-fit-decreasing on file-size histograms)".
 
-Driver-side planning is correct here: the input is the *file-stats list*
-(O(#files), tiny vs data). For the 10^12-image story where even file counts
-explode, ``ffd_bucketed`` shards the plan by size decile so each shard packs
-independently — same outputs apart from cross-shard mixes, fully
-parallelizable (SURVEY.md §7.3 risk 6).
+Driver-side planning (``ffd_pack``) is correct while the *file-stats
+list* fits the driver (O(#files), tiny vs data, fine to ~10^6 entries).
+For the 10^12-image story where even file counts explode,
+``ffd_pack_distributed`` runs the packing on executors (SURVEY.md §7.3
+risk 6).
 """
 
 from __future__ import annotations
@@ -113,17 +113,3 @@ def ffd_pack_distributed(spark, files_df, target: int, shard_rows: int = 200_000
         paths = [p for i in b for p in under[i][0]]
         full.append((paths, sum(under[i][1] for i in b)))
     return full
-
-
-def ffd_bucketed(sizes: list[int], target: int, shards: int = 1) -> list[list[int]]:
-    """Sharded FFD: partition items round-robin by size rank into ``shards``
-    independent FFD problems (distributed fallback for huge file counts)."""
-    if shards <= 1:
-        return ffd_pack(sizes, target)
-    order = sorted(range(len(sizes)), key=lambda i: (-sizes[i], i))
-    out: list[list[int]] = []
-    for s in range(shards):
-        idxs = order[s::shards]
-        sub = ffd_pack([sizes[i] for i in idxs], target)
-        out.extend([[idxs[j] for j in b] for b in sub])
-    return out
