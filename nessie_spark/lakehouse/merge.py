@@ -173,7 +173,12 @@ def merge_into(
     assert when_matched in ("update", "delete")
     assert when_not_matched in ("insert", "ignore")
     assert key in ("image_id", "phash")
-    assert key == "image_id" or when_matched == "delete", (
+    # the uniqueness property, stated ONCE: image_id is the table's unique
+    # row key; every other supported key is multi-row. Downstream logic
+    # (hot-key detection, delete-only restriction) keys off this flag, not
+    # the column name.
+    unique_key = key == "image_id"
+    assert unique_key or when_matched == "delete", (
         "multi-row merge keys require when_matched='delete'"
     )
     job_id = job_id or f"merge-{uuid.uuid4().hex[:8]}"
@@ -275,7 +280,7 @@ def merge_into(
         # merges (image_id) can never trip the detector.
         hot_keys = (
             []  # unique key ⇒ no per-key fan-out possible; skip the scan
-            if key == "image_id"
+            if unique_key
             else [
                 r[key]
                 for r in target.groupBy(key)

@@ -388,19 +388,33 @@ def run_staged(
     # parquet shards). The floor lifts the group count only when the
     # cluster is wider than the data would occupy, so shard size stays
     # coarse in the scaling pair (2 vs 8 cores both run the identical
-    # data-dominated plan — the clean-ratio property) while a 32-core run
-    # gets one full wave.
-    gmult = int(os.environ.get("NESSIE_ZORDER_GROUP_MULT", "8"))  # ×DEFAULT_TARGET
+    # data-dominated plan — the clean-ratio property). Caveat: on tables
+    # smaller than cores×64 MB the floor engages and the two levels plan
+    # DIFFERENT group counts — the engagement is logged to stderr so a
+    # scaling measurement can tell plan-shape effects from wave-count
+    # scaling.
+    try:
+        gmult = max(1, int(os.environ.get("NESSIE_ZORDER_GROUP_MULT", "8")))
+    except ValueError as exc:  # a mistyped knob must fail with its cause
+        raise ValueError(
+            "NESSIE_ZORDER_GROUP_MULT must be a positive integer "
+            f"(got {os.environ.get('NESSIE_ZORDER_GROUP_MULT')!r})"
+        ) from exc
+    data_groups = -(-total_bytes // (gmult * DEFAULT_TARGET))
     n_groups = max(
         1,
-        min(
-            n_files,
-            max(
-                -(-total_bytes // (gmult * DEFAULT_TARGET)),
-                spark.sparkContext.defaultParallelism,
-            ),
-        ),
+        min(n_files, max(data_groups, spark.sparkContext.defaultParallelism)),
     )
+    if n_groups > max(1, min(n_files, data_groups)):
+        import sys as _sys
+
+        print(
+            f"[zorder] gather min-parallelism floor engaged: data-sized "
+            f"groups={data_groups} -> n_groups={n_groups} — plan shape now "
+            f"depends on cluster width (scaling ratios across widths are "
+            f"not plan-identical on this table)",
+            file=_sys.stderr,
+        )
     stage_dir = os.path.join(root, "_stage", job_id)
     bounds_arr = list(bounds)
 

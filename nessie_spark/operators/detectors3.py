@@ -244,11 +244,9 @@ def dawid_skene_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     label_aggregation.py:22-80): Dawid–Skene adjudication over the worker
     votes; flag label ≠ adjudicated. The reference runs crowd-kit's soft EM
     for 100 iterations; this is the hard-EM (Viterbi-EM) variant run for
-    DS_ITERS driver-looped iterations from the majority-vote init — chosen
-    because every m-step aggregate is then an INTEGER count (exact and
-    shuffle-order-independent across engines), while keeping the genuinely
-    distributed loop shape: per iteration one groupBy for the class prior,
-    one for the 3×4×4 confusion grid, then an e-step broadcast join + argmax.
+    DS_ITERS iterations from the majority-vote init — chosen because every
+    m-step aggregate is then an INTEGER count (exact and
+    shuffle-order-independent across engines).
 
     Float discipline: θ and π are single divisions of integers (identical
     doubles in both engines); the e-step score is a fixed-order 4-term
@@ -264,19 +262,13 @@ def dawid_skene_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _votes(spark, sf_dir)
     import numpy as np
 
-    # r3: like the soft variant below, the vote-pattern histogram is the
-    # sufficient statistic — a task's assignment depends only on its
-    # (v1, v2, v3) pattern, every m-step count is a WEIGHTED integer sum
-    # over ≤ C^|W| = 64 patterns, and the fixed-order float e-step
-    # (((π·θ1)·θ2)·θ3, argmax ties → smallest class) is reproduced
-    # operation-for-operation in IEEE float64 — so the result is
-    # bit-identical to the former per-round distributed loop (the DuckDB
-    # oracle below still unrolls that loop and stays hash-green) while
-    # costing ONE shuffle + one broadcast join instead of 5 iteration
-    # rounds of jobs.
     hist = v.groupBy("v1", "v2", "v3").agg(F.count(F.lit(1)).alias("m")).orderBy(
         "v1", "v2", "v3"
     ).collect()
+    if not hist:  # empty votes table: empty result, not a shape error
+        return spark.createDataFrame(
+            [], "vec_id long, noisy long, adjudicated int, flag boolean"
+        )
     pat = np.array([[r["v1"], r["v2"], r["v3"]] for r in hist], dtype=np.int64)
     m = np.array([r["m"] for r in hist], dtype=np.int64)
     P, W = pat.shape
