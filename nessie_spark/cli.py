@@ -2,7 +2,8 @@
 
 Usage:
     spark-submit --py-files nessie_spark.zip nessie_spark/cli.py \
-        --table /path/to/images --job compact|zorder|hilbert|expire|gc|rewrite-manifests \
+        --table /path/to/images \
+        --job compact|zorder|hilbert|expire|gc|rewrite-manifests|merge|add-column|incremental \
         [--target-bytes 134217728] [--job-id resumable-id]
 
     # synthesize a table first:
@@ -33,7 +34,7 @@ def main(argv: list[str] | None = None) -> int:
         required=True,
         choices=[
             "synth", "compact", "zorder", "hilbert", "expire", "gc",
-            "rewrite-manifests", "merge",
+            "rewrite-manifests", "merge", "add-column", "incremental",
         ],
     )
     ap.add_argument("--rows", type=int, default=100_000)
@@ -41,6 +42,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--job-id", default=None)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--small-files", action="store_true", help="synth: lognormal small-file layout")
+    ap.add_argument("--column", default=None, help="add-column: 'name:type' (e.g. quality:long)")
+    ap.add_argument("--from-snapshot", type=int, default=None, help="incremental: exclusive range start")
+    ap.add_argument("--to-snapshot", type=int, default=None, help="incremental: inclusive range end")
     args = ap.parse_args(argv)
 
     from nessie_spark.session import get_spark
@@ -122,6 +126,29 @@ def main(argv: list[str] | None = None) -> int:
                 spark, t, updates.unionByName(inserts), job_id=args.job_id
             )
             out.update(vars(r))
+        elif args.job == "add-column":
+            from nessie_spark.lakehouse import evolve
+
+            if not args.column or ":" not in args.column:
+                ap.error("--column name:type required for add-column")
+            name, typ = args.column.split(":", 1)
+            snap = evolve.add_column(t, name, typ)
+            out.update(snapshot_id=snap, schema=t.refresh().meta["schema"])
+        elif args.job == "incremental":
+            from nessie_spark.lakehouse.scan import scan_incremental
+
+            df = scan_incremental(
+                spark, t,
+                from_snapshot_id=args.from_snapshot,
+                to_snapshot_id=args.to_snapshot,
+            )
+            out.update(
+                delta_rows=df.count(),
+                from_snapshot=args.from_snapshot,
+                to_snapshot=args.to_snapshot
+                if args.to_snapshot is not None
+                else t.current_snapshot_id,
+            )
 
     print(json.dumps(out, default=str))
     spark.stop()
