@@ -60,6 +60,8 @@ _SAMPLE_PRIORITY = [
     "curriculum_spotter_model_scores",
     "leitner_spotter_model_scores",
     "model_zoo_token_tagger_cv",
+    "model_zoo_mlp_flags",
+    "model_zoo_gbt_flags",
     "calibration_platt_transform",
     "interval_optimal_match",
 ]

@@ -220,10 +220,117 @@ class BagOfWordsNB(SparkModel):
         return self._with_pred(scored)
 
 
+class MLPClassifier(SparkModel):
+    """Neural zoo slot (flair/transformer classifier role):
+    ``MultilayerPerceptronClassifier`` — dense features → hidden layers →
+    softmax, trained by distributed L-BFGS. The closest in-Spark analog of
+    the reference's neural text classifiers with no external runtime."""
+
+    name = "mlp"
+
+    def __init__(
+        self, n_classes: int, hidden: tuple = (32,), max_iter: int = 60, seed: int = 42
+    ):
+        super().__init__(n_classes)
+        self.hidden = tuple(hidden)
+        self.max_iter = max_iter
+        self.seed = seed
+
+    def fit(self, train: DataFrame) -> "MLPClassifier":
+        from pyspark.ml.classification import MultilayerPerceptronClassifier
+
+        v = MaxEntClassifier._vec(train)
+        in_dim = v.select("fvec").first()["fvec"].size
+        mlp = MultilayerPerceptronClassifier(
+            featuresCol="fvec",
+            labelCol="label",
+            layers=[in_dim, *self.hidden, self.n_classes],
+            maxIter=self.max_iter,
+            seed=self.seed,
+        )
+        self.model = mlp.fit(v)
+        return self
+
+    def predict_proba(self, df: DataFrame) -> DataFrame:
+        from pyspark.ml.functions import vector_to_array
+
+        out = self.model.transform(MaxEntClassifier._vec(df))
+        scored = out.withColumn(
+            "probs", vector_to_array(F.col("probability"))
+        ).drop("fvec", "rawPrediction", "probability", "prediction")
+        return self._with_pred(scored)
+
+
+class GBTOneVsRest(SparkModel):
+    """Boosted-trees zoo slot (lightgbm/xgboost classifier role): one
+    seeded binary ``GBTClassifier`` per class — pyspark GBT is binary-only,
+    so one-vs-rest is the standard multiclass lift. Class score = the
+    binary model's P(positive), normalized across classes. C sequential
+    fits, each a distributed boosting job; a class absent from the train
+    fold contributes a constant 0 score (no degenerate single-class fit)."""
+
+    name = "gbt"
+
+    def __init__(
+        self, n_classes: int, n_trees: int = 10, max_depth: int = 3, seed: int = 42
+    ):
+        super().__init__(n_classes)
+        self.n_trees = n_trees
+        self.max_depth = max_depth
+        self.seed = seed
+
+    def fit(self, train: DataFrame) -> "GBTOneVsRest":
+        from pyspark.ml.classification import GBTClassifier
+
+        v = MaxEntClassifier._vec(train)
+        present = {r["label"] for r in v.select("label").distinct().collect()}
+        self.models = []
+        for c in range(self.n_classes):
+            if c not in present or len(present) == 1:
+                self.models.append(None)
+                continue
+            gbt = GBTClassifier(
+                featuresCol="fvec",
+                labelCol="_y",
+                maxIter=self.n_trees,
+                maxDepth=self.max_depth,
+                seed=self.seed + c,
+            )
+            self.models.append(
+                gbt.fit(v.withColumn("_y", (F.col("label") == c).cast("double")))
+            )
+        return self
+
+    def predict_proba(self, df: DataFrame) -> DataFrame:
+        from pyspark.ml.functions import vector_to_array
+
+        out = MaxEntClassifier._vec(df)
+        for c, mdl in enumerate(self.models):
+            if mdl is None:
+                out = out.withColumn(f"_p{c}", F.lit(0.0))
+                continue
+            out = (
+                mdl.transform(out)
+                .withColumn(f"_p{c}", vector_to_array(F.col("probability"))[1])
+                .drop("rawPrediction", "probability", "prediction")
+            )
+        total = sum(F.col(f"_p{c}") for c in range(self.n_classes))
+        probs = F.array(
+            *[F.col(f"_p{c}") / F.when(total > 0, total).otherwise(1.0)
+              for c in range(self.n_classes)]
+        )
+        scored = out.withColumn("probs", probs).drop(
+            "fvec", *[f"_p{c}" for c in range(self.n_classes)]
+        )
+        return self._with_pred(scored)
+
+
 # The zoo registry (reference models/text/__init__.py:1-6): name -> factory.
 ZOO = {
     "dummy": DummyClassifier,
     "maxent": MaxEntClassifier,
     "trees": GradientTreeClassifier,
     "bow_nb": BagOfWordsNB,
+    "mlp": MLPClassifier,
+    "gbt": GBTOneVsRest,
 }

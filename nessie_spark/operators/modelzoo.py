@@ -523,6 +523,38 @@ def model_zoo_token_tagger_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "pos")
 
 
+def model_zoo_mlp_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neural zoo slot (flair/transformer classifier role →
+    MultilayerPerceptronClassifier, distributed L-BFGS). Single seeded
+    even/odd split instead of the K-fold loop to bound fit count; float
+    weights are not bit-stable across engines → rows-only gate, semantics
+    gated in pytest (holdout accuracy beats the prior baseline)."""
+    from nessie_spark.models.zoo import MLPClassifier
+
+    df = _emb_features(spark, sf_dir)
+    m = MLPClassifier(N_CLASSES).fit(df.where(F.col("vec_id") % 2 == 0))
+    return (
+        m.predict_proba(df.where(F.col("vec_id") % 2 == 1))
+        .select("vec_id", "pred", (F.col("pred") != F.col("label")).alias("flag"))
+        .orderBy("vec_id")
+    )
+
+
+def model_zoo_gbt_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boosted-trees zoo slot (lightgbm/xgboost role → one-vs-rest
+    GBTClassifier; C sequential distributed boosting fits). Same single
+    even/odd split and rows-only gate as the MLP slot."""
+    from nessie_spark.models.zoo import GBTOneVsRest
+
+    df = _emb_features(spark, sf_dir)
+    m = GBTOneVsRest(N_CLASSES).fit(df.where(F.col("vec_id") % 2 == 0))
+    return (
+        m.predict_proba(df.where(F.col("vec_id") % 2 == 1))
+        .select("vec_id", "pred", (F.col("pred") != F.col("label")).alias("flag"))
+        .orderBy("vec_id")
+    )
+
+
 QUERIES: dict[str, tuple] = {
     "model_zoo_dummy_cv": (model_zoo_dummy_cv, MODEL_ZOO_DUMMY_CV_SQL),
     "model_zoo_maxent_cv_flags": (model_zoo_maxent_cv_flags, None),
@@ -532,4 +564,6 @@ QUERIES: dict[str, tuple] = {
     "curriculum_spotter_model_scores": (curriculum_spotter_model_scores, None),
     "leitner_spotter_model_scores": (leitner_spotter_model_scores, None),
     "model_zoo_token_tagger_cv": (model_zoo_token_tagger_cv, None),
+    "model_zoo_mlp_flags": (model_zoo_mlp_flags, None),
+    "model_zoo_gbt_flags": (model_zoo_gbt_flags, None),
 }

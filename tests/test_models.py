@@ -48,7 +48,7 @@ def test_dummy_classifier_priors(spark):
     assert out["pred"] == int(np.argmax(m.priors))
 
 
-@pytest.mark.parametrize("name", ["maxent", "trees"])
+@pytest.mark.parametrize("name", ["maxent", "trees", "mlp", "gbt"])
 def test_zoo_separable_accuracy(spark, name):
     from nessie_spark.models.zoo import ZOO
 
