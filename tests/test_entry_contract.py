@@ -55,6 +55,10 @@ def test_queries_registry_shape(spark):
         # MaxEnt sequence tagger (tests/test_spotter_models.py): LBFGS
         # floats — held-out-accuracy gated
         "model_zoo_token_tagger_cv",
+        # MLP + GBT-OvR zoo slots (tests/test_zoo_mlp_gbt.py +
+        # test_models.py separable-accuracy parametrization): float fits
+        "model_zoo_mlp_flags",
+        "model_zoo_gbt_flags",
         # IVF ANN (tests/test_ivf.py): float centroids; recall-gated
         "ann_ivf_topk",
     }
