@@ -149,8 +149,21 @@ def scan(
     wh_range: tuple[int, int] | None = None,
     key_range: tuple[str, str] | None = None,
     columns: list[str] | None = None,
+    as_of_ts_millis: int | None = None,
 ) -> DataFrame:
-    """Read a pinned snapshot as a DataFrame, pruning files on stats."""
+    """Read a pinned snapshot as a DataFrame, pruning files on stats.
+
+    ``as_of_ts_millis``: timestamp time travel (Iceberg AS OF) — resolves
+    to the last snapshot committed at or before the timestamp; raises if
+    the table had no snapshot yet. Mutually exclusive with
+    ``snapshot_id``."""
+    if as_of_ts_millis is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass snapshot_id OR as_of_ts_millis, not both")
+        snap = table.snapshot_as_of(as_of_ts_millis)
+        if snap is None:
+            raise ValueError(f"no snapshot existed at ts_millis={as_of_ts_millis}")
+        snapshot_id = snap["snapshot_id"]
     entries = plan_files(
         table, snapshot_id, phash_range=phash_range, wh_range=wh_range, key_range=key_range
     )

@@ -119,6 +119,18 @@ class Table:
     def current_snapshot_id(self) -> int | None:
         return self.meta["current_snapshot_id"]
 
+    def snapshot_as_of(self, ts_millis: int) -> dict | None:
+        """Time travel: the snapshot current as of ``ts_millis`` (the last
+        one committed at or before it — Iceberg's AS OF semantics). None if
+        the table had no snapshot yet at that time."""
+        best = None
+        for s in self.meta["snapshots"]:
+            if s["ts_millis"] <= ts_millis and (
+                best is None or s["snapshot_id"] > best["snapshot_id"]
+            ):
+                best = s
+        return best
+
     def snapshot(self, snapshot_id: int | None = None) -> dict | None:
         sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id
         if sid is None:

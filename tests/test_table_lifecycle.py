@@ -176,3 +176,29 @@ def test_zorder_staged_equals_shuffle_executor(spark, tmp_path):
             assert names == DATA_COLUMNS, (ex, names)
     assert outs["staged"][0] == outs["shuffle"][0]
     assert outs["staged"][1] == outs["shuffle"][1]
+
+
+def test_time_travel_as_of_timestamp(spark, tmp_path):
+    """Iceberg AS OF semantics: resolve the last snapshot committed at or
+    before a timestamp; pre-history timestamps raise."""
+    import pytest as _pytest
+
+    from nessie_spark.lakehouse import compact as C
+    from tests.conftest import make_table
+
+    root = str(tmp_path / "images")
+    t, s1 = make_table(spark, root, n=48, mean_rows=12)
+    ts1 = t.snapshot(s1)["ts_millis"]
+    C.compact(spark, t, target_bytes=1 << 20, job_id="tt")
+    t = t.refresh()
+    s2 = t.current_snapshot_id
+    ts2 = t.snapshot(s2)["ts_millis"]
+
+    assert t.snapshot_as_of(ts1)["snapshot_id"] == s1
+    assert t.snapshot_as_of(ts2 + 10_000)["snapshot_id"] == s2
+    assert t.snapshot_as_of(ts1 - 1) is None
+    assert scan(spark, t, as_of_ts_millis=ts1).count() == 48
+    with _pytest.raises(ValueError, match="no snapshot existed"):
+        scan(spark, t, as_of_ts_millis=ts1 - 1).count()
+    with _pytest.raises(ValueError, match="not both"):
+        scan(spark, t, snapshot_id=s1, as_of_ts_millis=ts1)
