@@ -556,6 +556,12 @@ on the shuffle-light compaction path. The primary pair (2→8 cores) stays
 within the host's physical cores — the regime that models adding
 executors; 8→32 spans the SMT/memory-bandwidth ceiling (a pure zlib burn
 caps at ~0.78 efficiency there) and is reported as a caveated secondary.
+The in-run sampler also sees the host's width-dependent per-core speed
+(more active cores → lower effective clock/steal share), so the
+correction normalizes per-core capacity across the two levels — the right
+frame for the multi-executor analogy, where adding executors does not
+downclock existing ones; per_rep raw ratios are reported alongside for
+the uncorrected single-host view.
 
 Headline query timings at sf={r["sf"]} (local[{s["cores_high"]}]): see the
 `queries` object in the driver-recorded BENCH JSON.
