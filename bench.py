@@ -126,7 +126,7 @@ class _SpeedSampler:
         import threading
 
         self.unit, self.interval = unit, interval
-        self.samples: list[float] = []
+        self.samples: list[tuple[float, float]] = []  # (speed, cycle span)
         self._stop = threading.Event()
         self._t = threading.Thread(target=self._loop, daemon=True)
 

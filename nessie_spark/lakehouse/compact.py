@@ -70,8 +70,10 @@ def compact(
     ``planner``: "driver" (FFD over the stats list on the driver — exact,
     fine to ~10^6 entries), "distributed" (executor-side sharded FFD,
     plans/ffd.ffd_pack_distributed — the 10^12-image path where even the
-    stats list strains the driver), or "auto" (distributed above
-    ``planner_shard_rows`` small files)."""
+    stats list strains the driver), or "auto" (distributed once the
+    manifest-list TOTAL entry count exceeds ``planner_shard_rows`` — a
+    conservative trigger: the summaries don't break out small files, and
+    at that manifest size the driver list is the risk either way)."""
     job_id = job_id or f"compact-{uuid.uuid4().hex[:8]}"
     root = table.root
 
@@ -85,6 +87,8 @@ def compact(
     # path. "auto" decides from a Spark-side count for the same reason.
     from pyspark.sql import functions as F
 
+    if planner not in ("auto", "driver", "distributed"):
+        raise ValueError(f"unknown planner {planner!r}; use auto|driver|distributed")
     use_dist = planner == "distributed"
     if planner == "auto":
         # decide from the manifest-LIST summaries (one tiny parquet,
@@ -102,6 +106,7 @@ def compact(
             table.files_df(spark)
             .where(F.col("file_size_bytes") < target_bytes)
             .select("file_path", "file_size_bytes")
+            .cache()  # three consumers: count, histogram, packing
         )
         n_small = fdf.count()
         from nessie_spark.plans.ffd import ffd_pack_distributed
@@ -121,10 +126,12 @@ def compact(
         bin_paths = [
             p
             for p, _ in ffd_pack_distributed(
-                spark, fdf, target_bytes, shard_rows=planner_shard_rows
+                spark, fdf, target_bytes, shard_rows=planner_shard_rows,
+                n_rows=n_small,
             )
             if len(p) >= 2  # singleton bins are no-ops
         ]
+        fdf.unpersist()
     else:
         entries = table.file_entries().to_pylist()
         small = [e for e in entries if e["file_size_bytes"] < target_bytes]

@@ -37,11 +37,15 @@ def incremental_dedup_report(
     Z-order never re-flags old rows as duplicates.
     """
     delta = scan_incremental(spark, table, from_snapshot_id=from_snapshot_id)
-    base_keys = scan(
-        spark, table, snapshot_id=from_snapshot_id, columns=[key]
-    ).distinct()
+    if from_snapshot_id == 0:  # beginning-of-history anchor: empty base
+        base_keys = delta.select(key).limit(0)
+    else:
+        base_keys = scan(
+            spark, table, snapshot_id=from_snapshot_id, columns=[key]
+        ).distinct()
+    id_cols = ["image_id"] if key == "image_id" else ["image_id", key]
     delta_counts = (
-        delta.select("image_id", key)
+        delta.select(*id_cols)
         .join(base_keys.withColumn("_in_base", F.lit(True)), key, "left")
         .withColumn("_n_delta", F.count(F.lit(1)).over(Window.partitionBy(key)))
     )

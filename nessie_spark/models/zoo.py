@@ -240,7 +240,10 @@ class MLPClassifier(SparkModel):
         from pyspark.ml.classification import MultilayerPerceptronClassifier
 
         v = MaxEntClassifier._vec(train)
-        in_dim = v.select("fvec").first()["fvec"].size
+        head = v.select("fvec").first()
+        if head is None:
+            raise ValueError("MLPClassifier.fit: empty training set")
+        in_dim = head["fvec"].size
         mlp = MultilayerPerceptronClassifier(
             featuresCol="fvec",
             labelCol="label",
@@ -278,12 +281,18 @@ class GBTOneVsRest(SparkModel):
         self.n_trees = n_trees
         self.max_depth = max_depth
         self.seed = seed
+        self._only: int | None = None
 
     def fit(self, train: DataFrame) -> "GBTOneVsRest":
         from pyspark.ml.classification import GBTClassifier
 
         v = MaxEntClassifier._vec(train)
         present = {r["label"] for r in v.select("label").distinct().collect()}
+        if not present:
+            raise ValueError("GBTOneVsRest.fit: empty training set")
+        # degenerate single-class fold: no binary problem exists — predict
+        # the one observed class outright (the prior), never all-zeros
+        self._only = next(iter(present)) if len(present) == 1 else None
         self.models = []
         for c in range(self.n_classes):
             if c not in present or len(present) == 1:
@@ -304,6 +313,11 @@ class GBTOneVsRest(SparkModel):
     def predict_proba(self, df: DataFrame) -> DataFrame:
         from pyspark.ml.functions import vector_to_array
 
+        if self._only is not None:
+            probs = F.array(
+                *[F.lit(1.0 if c == self._only else 0.0) for c in range(self.n_classes)]
+            )
+            return self._with_pred(df.withColumn("probs", probs))
         out = MaxEntClassifier._vec(df)
         for c, mdl in enumerate(self.models):
             if mdl is None:

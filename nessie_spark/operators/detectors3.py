@@ -267,7 +267,7 @@ def dawid_skene_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()
     if not hist:  # empty votes table: empty result, not a shape error
         return spark.createDataFrame(
-            [], "vec_id long, noisy long, adjudicated int, flag boolean"
+            [], "vec_id long, noisy int, adjudicated int, flag boolean"
         )
     pat = np.array([[r["v1"], r["v2"], r["v3"]] for r in hist], dtype=np.int64)
     m = np.array([r["m"] for r in hist], dtype=np.int64)

@@ -46,7 +46,9 @@ def ffd_histogram(sizes: list[int], target: int, n_buckets: int = 16) -> dict[in
     return hist
 
 
-def ffd_pack_distributed(spark, files_df, target: int, shard_rows: int = 200_000):
+def ffd_pack_distributed(
+    spark, files_df, target: int, shard_rows: int = 200_000, n_rows: int | None = None
+):
     """Executor-side FFD for manifest scales where even the file-STATS list
     strains the driver (10^12 images → 10^7-10^8 manifest entries):
 
@@ -68,7 +70,7 @@ def ffd_pack_distributed(spark, files_df, target: int, shard_rows: int = 200_000
     import pandas as pd
     from pyspark.sql import functions as F
 
-    n = files_df.count()
+    n = n_rows if n_rows is not None else files_df.count()
     n_shards = max(1, -(-n // shard_rows))
     sh = files_df.select(
         "file_path",

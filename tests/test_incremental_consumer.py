@@ -59,3 +59,26 @@ def test_incremental_dedup_flags_only_new_duplicates(spark, tmp_path):
     # only flagged delta rows are reported — old rows never re-reported
     # despite the compact rewrite in between
     assert set(by_id) == exp_base | exp_delta
+
+
+def test_incremental_dedup_from_history_start_and_pk_key(spark, tmp_path):
+    root = str(tmp_path / "images")
+    t, s1 = make_table(spark, root, n=32, mean_rows=12)
+    dup = (
+        synth.images_df(spark, 32, seed=42)
+        .where(F.col("image_id") == "img_000000000007")
+        .withColumn("image_id", F.concat(F.lit("copy-"), "image_id"))
+    )
+    jobs.append(spark, t, dup, job_id="d")
+    t = t.refresh()
+    # from the beginning of history: base is empty, everything is delta;
+    # the original and its copy form an intra-delta pair
+    rep0 = incremental_dedup_report(spark, t, from_snapshot_id=0).collect()
+    flagged = {r["image_id"] for r in rep0}
+    assert {"img_000000000007", "copy-img_000000000007"} <= flagged
+    assert all(not r["base_dup"] for r in rep0)
+    # primary-key variant must not hit ambiguous-column joins
+    rep_pk = incremental_dedup_report(
+        spark, t, from_snapshot_id=s1, key="image_id"
+    ).collect()
+    assert rep_pk == []  # image_ids are unique by construction
