@@ -62,6 +62,7 @@ _SAMPLE_PRIORITY = [
     "model_zoo_token_tagger_cv",
     "model_zoo_mlp_flags",
     "model_zoo_gbt_flags",
+    "model_zoo_fasttext_cv_flags",
     "calibration_platt_transform",
     "interval_optimal_match",
 ]

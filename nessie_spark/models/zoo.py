@@ -137,9 +137,10 @@ class MaxEntClassifier(SparkModel):
 
 
 class GradientTreeClassifier(SparkModel):
-    """Gradient-tree zoo slot (lightgbm_text_classifier.py role) →
-    ``RandomForestClassifier`` (seeded): distributed tree induction over
-    the same embedding features."""
+    """Tree-ensemble zoo slot (the sklearn-generic role with a tree
+    model_builder, sklean_text_classifier.py:14-37; boosted lightgbm is
+    the separate ``gbt`` slot) → ``RandomForestClassifier`` (seeded):
+    distributed tree induction over the same embedding features."""
 
     name = "trees"
 
@@ -181,11 +182,11 @@ class GradientTreeClassifier(SparkModel):
 
 
 class BagOfWordsNB(SparkModel):
-    """Bag-of-words zoo slot (fasttext_text_classifier.py role): HashingTF
-    token counts → multinomial NaiveBayes. The featurizer is the engine's
-    stand-in for the reference's SentenceEmbedder (featurizer.py) on raw
-    text — hashing keeps the feature space fixed-width with zero vocab
-    state, the property that matters at 10^12 rows."""
+    """Classic bag-of-words slot (the sklearn-generic role,
+    sklean_text_classifier.py:14-37, with a count featurizer in place of
+    the S-BERT embedder): HashingTF token counts → multinomial NaiveBayes.
+    Hashing keeps the feature space fixed-width with zero vocab state, the
+    property that matters at 10^12 rows."""
 
     name = "bow_nb"
 
@@ -204,6 +205,72 @@ class BagOfWordsNB(SparkModel):
 
         nb = NaiveBayes(featuresCol="fvec", labelCol="label", modelType="multinomial")
         self.model = nb.fit(self._tf(train))
+        return self
+
+    def predict_proba(self, df: DataFrame) -> DataFrame:
+        from pyspark.ml.functions import vector_to_array
+
+        out = self.model.transform(self._tf(df))
+        fit_c = self.model.numClasses
+        probs = vector_to_array(F.col("probability"))
+        if fit_c < self.n_classes:
+            probs = F.concat(probs, F.array_repeat(F.lit(0.0), self.n_classes - fit_c))
+        scored = out.withColumn("probs", probs).drop(
+            "fvec", "rawPrediction", "probability", "prediction"
+        )
+        return self._with_pred(scored)
+
+
+class FastTextClassifier(SparkModel):
+    """fastText zoo slot (fasttext_text_classifier.py:20-37: supervised
+    fastText with ``wordNgrams=2, bucket=200000`` — a linear softmax over
+    hashed word uni+bigram counts). Same model family re-expressed
+    distributed: uni+bigram tokens → HashingTF bucket counts → multinomial
+    ``LogisticRegression`` (treeAggregate L-BFGS instead of fastText's
+    in-core SGD). The hashing trick IS fastText's bucket table, so the
+    feature space stays fixed-width with zero vocab state at 10^12 rows."""
+
+    name = "fasttext"
+
+    def __init__(
+        self,
+        n_classes: int,
+        n_buckets: int = 1 << 13,
+        max_iter: int = 25,
+        reg: float = 1e-4,
+    ):
+        super().__init__(n_classes)
+        self.n_buckets = n_buckets
+        self.max_iter = max_iter
+        self.reg = reg
+
+    def _tf(self, df: DataFrame) -> DataFrame:
+        from pyspark.ml.feature import HashingTF
+
+        n = F.size("tokens")
+        # wordNgrams=2: append joined adjacent pairs to the unigram bag.
+        # slice lengths clamp at 0 so 0/1-token rows yield no bigrams.
+        bigrams = F.zip_with(
+            F.slice(F.col("tokens"), 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(F.col("tokens"), 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit("_"), b),
+        )
+        grams = df.withColumn("_grams", F.concat(F.col("tokens"), bigrams))
+        tf = HashingTF(inputCol="_grams", outputCol="fvec", numFeatures=self.n_buckets)
+        return tf.transform(grams).drop("_grams")
+
+    def fit(self, train: DataFrame) -> "FastTextClassifier":
+        from pyspark.ml.classification import LogisticRegression
+
+        lr = LogisticRegression(
+            featuresCol="fvec",
+            labelCol="label",
+            maxIter=self.max_iter,
+            regParam=self.reg,
+            family="multinomial",
+            standardization=False,
+        )
+        self.model = lr.fit(self._tf(train))
         return self
 
     def predict_proba(self, df: DataFrame) -> DataFrame:
@@ -345,6 +412,7 @@ ZOO = {
     "maxent": MaxEntClassifier,
     "trees": GradientTreeClassifier,
     "bow_nb": BagOfWordsNB,
+    "fasttext": FastTextClassifier,
     "mlp": MLPClassifier,
     "gbt": GBTOneVsRest,
 }

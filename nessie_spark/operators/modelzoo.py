@@ -142,6 +142,42 @@ def model_zoo_bow_nb_cv_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def model_zoo_fasttext_cv_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText zoo slot (fasttext_text_classifier.py:20-37, wordNgrams=2
+    + bucket hashing + linear softmax → nessie_spark.models.zoo
+    FastTextClassifier) on the documents table: tokens = whitespace split,
+    label = dense lang index — the same task framing as the bow_nb slot so
+    the two classic-text models are directly comparable. Rows-only gate
+    (L-BFGS floats); pytest gates the contract and that the bigram channel
+    genuinely contributes."""
+    from nessie_spark.models.cv import cross_val_predict
+    from nessie_spark.models.zoo import FastTextClassifier
+
+    docs = T(spark, sf_dir, "documents")
+    langs = docs.select("lang").distinct().withColumn(
+        "label", (F.row_number().over(Window.orderBy("lang")) - 1).cast("int")
+    )
+    n_cls = langs.count()
+    df = (
+        docs.join(F.broadcast(langs), "lang")
+        .select(
+            "doc_id",
+            F.split(F.lower(F.trim("text")), r"\s+").alias("tokens"),
+            "label",
+        )
+    )
+    # smaller solver budget than the class defaults and 3 folds: the gate
+    # checks the distributed CV plumbing, not squeezed accuracy (pytest owns
+    # semantics); each L-BFGS iteration is a fixed-overhead treeAggregate
+    # round, so iters×folds is the whole wall-clock at gate scale
+    out = cross_val_predict(
+        df, FastTextClassifier(n_cls, n_buckets=1 << 12, max_iter=6), "doc_id", 3
+    )
+    return out.select(
+        "doc_id", "fold", "pred", (F.col("pred") != F.col("label")).alias("flag")
+    ).orderBy("doc_id")
+
+
 def model_zoo_repeated_probas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O4/O5 with REAL repeated inference: the reference's
     CrossValidationHelper collects T repeated probability runs per item
@@ -566,4 +602,5 @@ QUERIES: dict[str, tuple] = {
     "model_zoo_token_tagger_cv": (model_zoo_token_tagger_cv, None),
     "model_zoo_mlp_flags": (model_zoo_mlp_flags, None),
     "model_zoo_gbt_flags": (model_zoo_gbt_flags, None),
+    "model_zoo_fasttext_cv_flags": (model_zoo_fasttext_cv_flags, None),
 }

@@ -78,6 +78,46 @@ def test_bow_nb_contract(spark):
     assert acc == 1.0
 
 
+def test_fasttext_bigram_channel_separates_word_order(spark):
+    """fastText slot fidelity (fasttext_text_classifier.py wordNgrams=2):
+    the two classes have IDENTICAL unigram multisets and differ only in
+    adjacent word order, so an order-blind bag (bow_nb) is at chance while
+    the uni+bigram hash separates them."""
+    from nessie_spark.models.zoo import BagOfWordsNB, FastTextClassifier
+
+    rows = []
+    for i in range(120):
+        core = ["alpha", "beta"] if i % 2 == 0 else ["beta", "alpha"]
+        filler = [f"w{(i + j) % 5}" for j in range(3)]
+        rows.append((i, filler[:1] + core + filler[1:], i % 2))
+    df = spark.createDataFrame(rows, "vec_id long, tokens array<string>, label int")
+    train, test = df.where("vec_id % 3 != 0"), df.where("vec_id % 3 = 0")
+
+    ft = FastTextClassifier(2).fit(train).predict_proba(test)
+    acc = ft.select(F.avg((F.col("pred") == F.col("label")).cast("double"))).first()[0]
+    assert acc >= 0.95, f"fasttext holdout accuracy {acc}"
+    s = ft.select(F.aggregate("probs", F.lit(0.0), lambda a, v: a + v).alias("s")).agg(
+        F.min("s"), F.max("s")
+    ).first()
+    assert s[0] == pytest.approx(1.0, abs=1e-6) and s[1] == pytest.approx(1.0, abs=1e-6)
+
+    nb = BagOfWordsNB(2).fit(train).predict_proba(test)
+    nb_acc = nb.select(F.avg((F.col("pred") == F.col("label")).cast("double"))).first()[0]
+    assert nb_acc <= 0.7, f"order-blind bag should be ~chance, got {nb_acc}"
+
+
+def test_fasttext_degenerate_token_arrays(spark):
+    """0- and 1-token rows produce no bigrams (clamped slices), not errors."""
+    from nessie_spark.models.zoo import FastTextClassifier
+
+    df = spark.createDataFrame(
+        [(0, ["solo"], 0), (1, [], 1), (2, ["a", "b"], 0), (3, ["b", "a"], 1)],
+        "vec_id long, tokens array<string>, label int",
+    )
+    out = FastTextClassifier(2, max_iter=5).fit(df).predict_proba(df).collect()
+    assert len(out) == 4 and all(len(r["probs"]) == 2 for r in out)
+
+
 def test_cross_val_predict_covers_every_row_once(spark):
     from nessie_spark.models.cv import cross_val_predict
     from nessie_spark.models.zoo import DummyClassifier
