@@ -49,6 +49,7 @@ _SAMPLE_PRIORITY = [
     "maintenance_incremental",
     "maintenance_phash_neardup",
     "maintenance_schema_evolution",
+    "maintenance_rollback",
     "multimodal_pixel_stats",
     "multimodal_resize",
     "multimodal_frame_sample",

@@ -3,7 +3,7 @@
 Usage:
     spark-submit --py-files nessie_spark.zip nessie_spark/cli.py \
         --table /path/to/images \
-        --job compact|zorder|hilbert|expire|gc|rewrite-manifests|merge|add-column|incremental \
+        --job compact|zorder|hilbert|expire|gc|rewrite-manifests|merge|add-column|incremental|rollback|inspect \
         [--target-bytes 134217728] [--job-id resumable-id]
 
     # synthesize a table first:
@@ -35,6 +35,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "synth", "compact", "zorder", "hilbert", "expire", "gc",
             "rewrite-manifests", "merge", "add-column", "incremental",
+            "rollback", "inspect",
         ],
     )
     ap.add_argument("--rows", type=int, default=100_000)
@@ -134,6 +135,30 @@ def main(argv: list[str] | None = None) -> int:
             name, typ = args.column.split(":", 1)
             snap = evolve.add_column(t, name, typ)
             out.update(snapshot_id=snap, schema=t.refresh().meta["schema"])
+        elif args.job == "rollback":
+            if args.to_snapshot is None:
+                ap.error("--to-snapshot required for rollback")
+            t.rollback(args.to_snapshot)
+            out.update(current_snapshot_id=t.current_snapshot_id)
+        elif args.job == "inspect":
+            # metadata tables ($snapshots / $history / $manifests / $files)
+            snaps = t.snapshots_df(spark)
+            out.update(
+                current_snapshot_id=t.current_snapshot_id,
+                snapshots=snaps.count(),
+                current_ancestors=t.history_df(spark)
+                .where("is_current_ancestor")
+                .select("snapshot_id")
+                .distinct()
+                .count(),
+                manifests=t.manifests_df(spark).count(),
+                live_files=t.files_df(spark).count(),
+                live_rows=int(
+                    snaps.where("is_current").select("total_record_count").first()[0]
+                )
+                if t.current_snapshot_id
+                else 0,
+            )
         elif args.job == "incremental":
             from nessie_spark.lakehouse.scan import scan_incremental
 

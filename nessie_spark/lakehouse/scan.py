@@ -110,9 +110,28 @@ def scan_incremental(
     if to_id is None:
         return empty.select(*columns) if columns else empty
     lo = from_snapshot_id if from_snapshot_id is not None else 0
-    in_range = [
-        s for s in table.meta["snapshots"] if lo < s["snapshot_id"] <= to_id
-    ]
+    # Walk to_id's PARENT CHAIN rather than filtering on an id range: after
+    # a rollback, abandoned-branch snapshots keep ids inside (lo, to_id]
+    # but are not ancestors of to_id and must not contribute (Iceberg walks
+    # ancestry). Ids are strictly increasing along any chain (max+1
+    # allocation), so the walk terminates at lo or at the root.
+    by_id = {s["snapshot_id"]: s for s in table.meta["snapshots"]}
+    in_range = []
+    sid: int | None = to_id
+    while sid is not None and sid != lo:
+        snap = by_id.get(sid)
+        if snap is None:
+            raise ValueError(
+                f"snapshot {sid} on the ancestry of {to_id} has been expired; "
+                "incremental read cannot be reconstructed"
+            )
+        in_range.append(snap)
+        sid = snap["parent_id"]
+    if sid is None and lo != 0:
+        raise ValueError(
+            f"from_snapshot_id {lo} is not an ancestor of to_snapshot_id {to_id} "
+            "(it was abandoned by a rollback); read a full snapshot instead"
+        )
     paths: list[str] = []
     for snap in sorted(in_range, key=lambda s: s["snapshot_id"]):
         op = snap["operation"]

@@ -67,6 +67,19 @@ MANIFEST_LIST_SCHEMA = pa.schema(
     ]
 )
 
+MANIFEST_LIST_DDL = (
+    "manifest_path string, n_entries long, record_count long, "
+    "file_size_bytes long, min_key string, max_key string"
+)
+
+SNAPSHOTS_DDL = (
+    "snapshot_id long, parent_id long, ts_millis long, operation string, "
+    "manifest_list string, added_files long, deleted_files long, "
+    "total_record_count long, total_file_size_bytes long, is_current boolean"
+)
+
+HISTORY_DDL = "made_current_ts long, snapshot_id long, action string, is_current_ancestor boolean"
+
 
 class CommitConflict(Exception):
     pass
@@ -166,6 +179,105 @@ class Table:
             return FILE_ENTRY_SCHEMA.empty_table()
         return pa.concat_tables([pq.read_table(p, schema=FILE_ENTRY_SCHEMA) for p in paths])
 
+    # -- metadata tables (Iceberg $snapshots / $history / $manifests) -------
+
+    def snapshots_df(self, spark: SparkSession) -> DataFrame:
+        """``table$snapshots``: one row per retained snapshot with commit
+        summary + manifest-list totals. Snapshot count is metadata-scale
+        (thousands at most after expiry), so the per-snapshot manifest-list
+        reads are tiny driver IO; the result is a DataFrame so inspection
+        composes with joins/filters like any other table."""
+        cur = self.current_snapshot_id
+        rows = []
+        for s in self.meta["snapshots"]:
+            ml = pq.read_table(os.path.join(self.root, s["manifest_list"]))
+            summary = s.get("summary") or {}
+            rows.append(
+                (
+                    s["snapshot_id"],
+                    s["parent_id"],
+                    s["ts_millis"],
+                    s["operation"],
+                    s["manifest_list"],
+                    int(summary.get("added_files", 0)),
+                    int(summary.get("deleted_files", 0)),
+                    int(sum(ml.column("record_count").to_pylist() or [0])),
+                    int(sum(ml.column("file_size_bytes").to_pylist() or [0])),
+                    s["snapshot_id"] == cur,
+                )
+            )
+        return spark.createDataFrame(rows, SNAPSHOTS_DDL)
+
+    def _current_ancestors(self) -> set[int]:
+        parents = {s["snapshot_id"]: s["parent_id"] for s in self.meta["snapshots"]}
+        seen: set[int] = set()
+        sid = self.current_snapshot_id
+        while sid is not None and sid in parents and sid not in seen:
+            seen.add(sid)
+            sid = parents[sid]
+        return seen
+
+    def history_df(self, spark: SparkSession) -> DataFrame:
+        """``table$history``: the made-current log — every commit AND every
+        rollback appends an entry, so the table answers "when did snapshot X
+        become current, and is it still on the current lineage?" (Iceberg's
+        ``is_current_ancestor``). Entries for since-expired snapshots are
+        retained with ``is_current_ancestor = false``."""
+        anc = self._current_ancestors()
+        log = self.meta.get("history") or [
+            # pre-feature tables: synthesize from commit history
+            {"ts_millis": s["ts_millis"], "snapshot_id": s["snapshot_id"], "action": s["operation"]}
+            for s in self.meta["snapshots"]
+        ]
+        rows = [
+            (h["ts_millis"], h["snapshot_id"], h["action"], h["snapshot_id"] in anc)
+            for h in log
+        ]
+        return spark.createDataFrame(rows, HISTORY_DDL)
+
+    def manifests_df(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        """``table$manifests``: the snapshot's manifest list as a DataFrame
+        (distributed parquet read — at 10^12-image scale a snapshot can own
+        thousands of manifests, each covering many data files)."""
+        snap = self.snapshot(snapshot_id)
+        if snap is None:
+            return spark.createDataFrame([], MANIFEST_LIST_DDL)
+        return spark.read.schema(MANIFEST_LIST_DDL).parquet(
+            os.path.join(self.root, snap["manifest_list"])
+        )
+
+    # -- rollback ------------------------------------------------------------
+
+    def rollback(self, to_snapshot_id: int, max_retries: int = 5) -> None:
+        """Iceberg ``rollback_to_snapshot``: make an existing snapshot
+        current again. Metadata-only versioned commit — no new snapshot, no
+        data movement. Later snapshots stay in history (time travel still
+        reaches them) but leave the current ancestry, so the next
+        ``expire_snapshots()`` reclaims their unique files — the standard
+        Iceberg undo workflow. Subsequent commits parent at the rolled-back
+        snapshot and take a fresh never-reused snapshot id (no collision
+        with the abandoned branch)."""
+        for attempt in range(max_retries):
+            t = self.refresh() if attempt else self
+            if t.snapshot(to_snapshot_id) is None:
+                raise KeyError(f"snapshot {to_snapshot_id} not found")
+            meta = dict(t.meta)
+            meta["current_snapshot_id"] = to_snapshot_id
+            meta["history"] = list(t.meta.get("history", [])) + [
+                {
+                    "ts_millis": int(time.time() * 1000),
+                    "snapshot_id": to_snapshot_id,
+                    "action": "rollback",
+                }
+            ]
+            try:
+                t._write_version(t.version + 1, meta)
+            except FileExistsError:
+                continue  # optimistic retry against a concurrent commit
+            self.meta, self.version = meta, t.version + 1
+            return
+        raise CommitConflict(f"rollback lost {max_retries} races")
+
     # -- commit -------------------------------------------------------------
 
     def _write_version(self, v: int, meta: dict) -> None:
@@ -227,7 +339,11 @@ class Table:
         for attempt in range(max_retries):
             t = self.refresh() if attempt else self
             parent = t.snapshot()
-            snapshot_id = (parent["snapshot_id"] + 1) if parent else 1
+            # max+1, NOT parent+1: after a rollback the current snapshot is
+            # no longer the newest, and reusing an abandoned branch's id
+            # would corrupt time travel
+            existing = [s["snapshot_id"] for s in t.meta["snapshots"]]
+            snapshot_id = (max(existing) + 1) if existing else 1
 
             manifests: list[dict] = []
             if carried_manifest_summaries is not None:
@@ -285,6 +401,13 @@ class Table:
             }
             meta["snapshots"] = list(t.meta["snapshots"]) + [snap]
             meta["current_snapshot_id"] = snapshot_id
+            meta["history"] = list(t.meta.get("history", [])) + [
+                {
+                    "ts_millis": snap["ts_millis"],
+                    "snapshot_id": snapshot_id,
+                    "action": operation,
+                }
+            ]
             try:
                 t._write_version(t.version + 1, meta)
             except FileExistsError:

@@ -269,6 +269,73 @@ def maintenance_expire_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def maintenance_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot rollback + metadata tables end-to-end: append (s1) →
+    compact (s2) → a second append (s3) → ``rollback(2)`` → the current
+    scan equals snapshot-2's row set, the next commit takes a FRESH id (4,
+    never reusing abandoned 3), and ``expire_snapshots`` reclaims the
+    abandoned branch's unique files. The $snapshots/$history metadata
+    tables report the lineage — history keeps the rollback event and marks
+    snapshot 3 off the current ancestry. All counts derive from the seeded
+    layout → deterministic rows-only check."""
+    from nessie_spark.lakehouse import verify
+
+    t, _, root = _fresh_table(spark)
+    try:
+        C.compact(spark, t, target_bytes=TARGET, job_id="demo-rb-compact")
+        t = t.refresh()
+        s2 = t.current_snapshot_id
+        extra = synth.images_df(spark, 64, seed=99).withColumn(
+            "image_id", F.concat(F.lit("extra-"), F.col("image_id"))
+        )
+        jobs.append(spark, t, extra, job_id="demo-rb-extra")
+        t = t.refresh()
+        s3 = t.current_snapshot_id
+
+        t.rollback(s2)
+        rows_now = scan(spark, t).count()
+        rowset_restored = (
+            verify.snapshot_rowset_diff(spark, t, s2, t.current_snapshot_id).count() == 0
+        )
+        abandoned_off_ancestry = (
+            t.history_df(spark)
+            .where((F.col("snapshot_id") == s3) & F.col("is_current_ancestor"))
+            .count()
+            == 0
+        )
+        # next commit must branch from s2 with a fresh id, not reuse 3
+        jobs.append(
+            spark,
+            t,
+            synth.images_df(spark, 16, seed=7).withColumn(
+                "image_id", F.concat(F.lit("post-"), F.col("image_id"))
+            ),
+            job_id="demo-rb-post",
+        )
+        t = t.refresh()
+        s4 = t.current_snapshot_id
+        rep = E.expire_snapshots(spark, t)  # drops abandoned s3 + its files
+        t = t.refresh()
+        return spark.createDataFrame(
+            [
+                (
+                    rows_now,
+                    rowset_restored,
+                    abandoned_off_ancestry,
+                    s4 > s3,
+                    s3 in rep.expired_snapshots,
+                    len(rep.deleted_data_files) > 0,
+                    scan(spark, t).count(),
+                )
+            ],
+            "rows_after_rollback long, rowset_restored boolean, "
+            "abandoned_off_ancestry boolean, fresh_id_after_rollback boolean, "
+            "abandoned_expired boolean, abandoned_files_reclaimed boolean, rows_final long",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline demo: binary image column → batched decode →
     per-image features (brightness, contrast, digest), all inside a
@@ -429,6 +496,7 @@ QUERIES: dict[str, tuple] = {
     "maintenance_incremental": (maintenance_incremental, None),
     "maintenance_phash_neardup": (maintenance_phash_neardup, None),
     "maintenance_schema_evolution": (maintenance_schema_evolution, None),
+    "maintenance_rollback": (maintenance_rollback, None),
     "multimodal_pixel_stats": (multimodal_pixel_stats, None),
     "multimodal_resize": (multimodal_resize, None),
     "multimodal_frame_sample": (multimodal_frame_sample, None),

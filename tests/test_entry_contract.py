@@ -59,6 +59,9 @@ def test_queries_registry_shape(spark):
         # test_models.py separable-accuracy parametrization): float fits
         "model_zoo_mlp_flags",
         "model_zoo_gbt_flags",
+        # fastText slot (tests/test_models.py bigram-channel separation):
+        # L-BFGS floats
+        "model_zoo_fasttext_cv_flags",
         # IVF ANN (tests/test_ivf.py): float centroids; recall-gated
         "ann_ivf_topk",
     }
