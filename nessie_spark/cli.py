@@ -35,9 +35,10 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "synth", "compact", "zorder", "hilbert", "expire", "gc",
             "rewrite-manifests", "merge", "add-column", "incremental",
-            "rollback", "inspect",
+            "rollback", "inspect", "tag", "drop-tag",
         ],
     )
+    ap.add_argument("--ref", default=None, help="tag/drop-tag: reference name")
     ap.add_argument("--rows", type=int, default=100_000)
     ap.add_argument("--target-bytes", type=int, default=128 * 1024 * 1024)
     ap.add_argument("--job-id", default=None)
@@ -140,6 +141,16 @@ def main(argv: list[str] | None = None) -> int:
                 ap.error("--to-snapshot required for rollback")
             t.rollback(args.to_snapshot)
             out.update(current_snapshot_id=t.current_snapshot_id)
+        elif args.job == "tag":
+            if not args.ref:
+                ap.error("--ref required for tag")
+            t.create_tag(args.ref, snapshot_id=args.to_snapshot)
+            out.update(ref=args.ref, snapshot_id=t.resolve_ref(args.ref))
+        elif args.job == "drop-tag":
+            if not args.ref:
+                ap.error("--ref required for drop-tag")
+            t.drop_tag(args.ref)
+            out.update(ref=args.ref, dropped=True)
         elif args.job == "inspect":
             # metadata tables ($snapshots / $history / $manifests / $files)
             snaps = t.snapshots_df(spark)
@@ -151,6 +162,7 @@ def main(argv: list[str] | None = None) -> int:
                 .select("snapshot_id")
                 .distinct()
                 .count(),
+                refs={n: r["snapshot_id"] for n, r in t.refs.items()},
                 manifests=t.manifests_df(spark).count(),
                 live_files=t.files_df(spark).count(),
                 live_rows=int(

@@ -73,7 +73,12 @@ def expire_snapshots(
     travel along the retained lineage); snapshots on abandoned branches — not
     reachable from any head — are expired together with their unique files.
     """
-    heads = keep_heads or ([table.current_snapshot_id] if table.current_snapshot_id else [])
+    # default heads: current snapshot + every named ref (tags are retention
+    # anchors — a tagged snapshot and its ancestry survive routine expiry)
+    heads = keep_heads or (
+        ([table.current_snapshot_id] if table.current_snapshot_id else [])
+        + [r["snapshot_id"] for r in table.meta.get("refs", {}).values()]
+    )
     retained = reachable_snapshots(table, heads)
     all_ids = {s["snapshot_id"] for s in table.meta["snapshots"]}
     expired = sorted(all_ids - retained)
@@ -115,6 +120,12 @@ def expire_snapshots(
                 if s["snapshot_id"] not in retained
             ]
             meta["snapshots"] = kept_snaps
+            # explicit keep_heads may expire a tagged snapshot: drop the
+            # now-dangling refs rather than leave pointers to nothing
+            if meta.get("refs"):
+                meta["refs"] = {
+                    k: v for k, v in meta["refs"].items() if v["snapshot_id"] in retained
+                }
             try:
                 t._write_version(t.version + 1, meta)
             except FileExistsError:

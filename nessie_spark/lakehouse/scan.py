@@ -169,16 +169,20 @@ def scan(
     key_range: tuple[str, str] | None = None,
     columns: list[str] | None = None,
     as_of_ts_millis: int | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """Read a pinned snapshot as a DataFrame, pruning files on stats.
 
     ``as_of_ts_millis``: timestamp time travel (Iceberg AS OF) — resolves
     to the last snapshot committed at or before the timestamp; raises if
-    the table had no snapshot yet. Mutually exclusive with
-    ``snapshot_id``."""
+    the table had no snapshot yet. ``ref``: read a named tag (``VERSION AS
+    OF 'name'``). snapshot_id / as_of_ts_millis / ref are mutually
+    exclusive."""
+    if sum(x is not None for x in (snapshot_id, as_of_ts_millis, ref)) > 1:
+        raise ValueError("pass at most one of snapshot_id, as_of_ts_millis, ref")
+    if ref is not None:
+        snapshot_id = table.resolve_ref(ref)
     if as_of_ts_millis is not None:
-        if snapshot_id is not None:
-            raise ValueError("pass snapshot_id OR as_of_ts_millis, not both")
         snap = table.snapshot_as_of(as_of_ts_millis)
         if snap is None:
             raise ValueError(f"no snapshot existed at ts_millis={as_of_ts_millis}")

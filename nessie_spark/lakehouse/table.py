@@ -246,6 +246,68 @@ class Table:
             os.path.join(self.root, snap["manifest_list"])
         )
 
+    # -- named refs (Iceberg tags) -------------------------------------------
+
+    @property
+    def refs(self) -> dict:
+        return self.meta.get("refs", {})
+
+    def create_tag(self, name: str, snapshot_id: int | None = None, max_retries: int = 5) -> None:
+        """Iceberg ``create_tag``: a named immutable pointer to a snapshot
+        (default: current). Tagged snapshots and their ancestry are retained
+        by ``expire_snapshots`` — tags are retention anchors (audit points,
+        published dataset versions) that survive routine expiry."""
+        for attempt in range(max_retries):
+            t = self.refresh() if attempt else self
+            sid = snapshot_id if snapshot_id is not None else t.current_snapshot_id
+            if t.snapshot(sid) is None:
+                raise KeyError(f"snapshot {sid} not found")
+            if name in t.meta.get("refs", {}):
+                raise ValueError(f"ref {name!r} already exists")
+            meta = dict(t.meta)
+            meta["refs"] = dict(
+                t.meta.get("refs", {}),
+                **{name: {"snapshot_id": sid, "type": "tag", "ts_millis": int(time.time() * 1000)}},
+            )
+            try:
+                t._write_version(t.version + 1, meta)
+            except FileExistsError:
+                continue
+            self.meta, self.version = meta, t.version + 1
+            return
+        raise CommitConflict(f"create_tag lost {max_retries} races")
+
+    def drop_tag(self, name: str, max_retries: int = 5) -> None:
+        for attempt in range(max_retries):
+            t = self.refresh() if attempt else self
+            if name not in t.meta.get("refs", {}):
+                raise KeyError(f"ref {name!r} not found")
+            meta = dict(t.meta)
+            meta["refs"] = {k: v for k, v in t.meta["refs"].items() if k != name}
+            try:
+                t._write_version(t.version + 1, meta)
+            except FileExistsError:
+                continue
+            self.meta, self.version = meta, t.version + 1
+            return
+        raise CommitConflict(f"drop_tag lost {max_retries} races")
+
+    def resolve_ref(self, name: str) -> int:
+        ref = self.refs.get(name)
+        if ref is None:
+            raise KeyError(f"ref {name!r} not found")
+        return ref["snapshot_id"]
+
+    def refs_df(self, spark: SparkSession) -> DataFrame:
+        """``table$refs``: one row per named reference."""
+        rows = [
+            (name, r["type"], r["snapshot_id"], r["ts_millis"])
+            for name, r in sorted(self.refs.items())
+        ]
+        return spark.createDataFrame(
+            rows, "name string, type string, snapshot_id long, created_ts long"
+        )
+
     # -- rollback ------------------------------------------------------------
 
     def rollback(self, to_snapshot_id: int, max_retries: int = 5) -> None:

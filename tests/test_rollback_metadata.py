@@ -110,6 +110,43 @@ def test_incremental_scan_skips_abandoned_branch(spark, branched_table):
         scan_incremental(spark, t, from_snapshot_id=3, to_snapshot_id=4)
 
 
+def test_tags_anchor_retention_and_scan(spark, branched_table):
+    t = branched_table
+    t.create_tag("audit", snapshot_id=3)
+    t.rollback(2)
+    # scan by ref reads the tagged snapshot regardless of current
+    assert scan(spark, t, ref="audit").count() == 256 + 64
+    refs = {r.name: r.snapshot_id for r in t.refs_df(spark).collect()}
+    assert refs == {"audit": 3}
+
+    # default expire retains the tag's head even though it left current
+    # ancestry — tags are retention anchors
+    rep = E.expire_snapshots(spark, t)
+    assert rep.expired_snapshots == []
+    assert scan(spark, t.refresh(), ref="audit").count() == 256 + 64
+
+    # after dropping the tag the branch is reclaimable
+    t = t.refresh()
+    t.drop_tag("audit")
+    rep = E.expire_snapshots(spark, t)
+    assert rep.expired_snapshots == [3]
+    with pytest.raises(KeyError):
+        t.resolve_ref("audit")
+
+    with pytest.raises(ValueError):
+        t.create_tag("dup", snapshot_id=2)
+        t.create_tag("dup", snapshot_id=2)
+
+
+def test_explicit_keep_heads_drops_dangling_refs(spark, branched_table):
+    t = branched_table
+    t.create_tag("doomed", snapshot_id=3)
+    E.expire_snapshots(spark, t, keep_heads=[2])
+    t = t.refresh()
+    assert t.refs == {}  # dangling ref dropped with its snapshot
+    assert {s["snapshot_id"] for s in t.meta["snapshots"]} == {1, 2}
+
+
 def test_metadata_tables(spark, branched_table):
     t = branched_table
     snaps = t.snapshots_df(spark)
