@@ -50,6 +50,7 @@ _SAMPLE_PRIORITY = [
     "maintenance_phash_neardup",
     "maintenance_schema_evolution",
     "maintenance_rollback",
+    "maintenance_data_skipping",
     "multimodal_pixel_stats",
     "multimodal_resize",
     "multimodal_frame_sample",

@@ -269,6 +269,55 @@ def maintenance_expire_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def maintenance_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified data-skipping: the same (phash-range × wh-range) stats
+    query before and after Z-order clustering. Before: the ingest layout
+    spreads every phash range across ~all small files, so min/max stats
+    prune almost nothing. After: Morton clustering makes per-file phash/wh
+    intervals narrow, so manifest-level pruning (scan.plan_files) touches a
+    small fraction of files — the mechanism that turns a 10^12-image scan
+    into a few file reads. Row sets must match exactly across layouts."""
+    from nessie_spark.lakehouse.scan import plan_files
+
+    t, _, root = _fresh_table(spark)
+    try:
+        # an eighth of phash space × the middle of the area distribution
+        pr = (0, (1 << 61) - 1)
+        whr = (32 * 32, 80 * 80)
+        files_before = len(t.file_entries().to_pylist())
+        hit_before = len(plan_files(t, phash_range=pr, wh_range=whr))
+        ids_before = {
+            r.image_id
+            for r in scan(spark, t, phash_range=pr, wh_range=whr).select("image_id").collect()
+        }
+
+        zorder.cluster(spark, t, strategy="morton", target_bytes=TARGET, job_id="demo-skip")
+        t = t.refresh()
+        files_after = len(t.file_entries().to_pylist())
+        hit_after = len(plan_files(t, phash_range=pr, wh_range=whr))
+        ids_after = {
+            r.image_id
+            for r in scan(spark, t, phash_range=pr, wh_range=whr).select("image_id").collect()
+        }
+        return spark.createDataFrame(
+            [
+                (
+                    files_before,
+                    hit_before,
+                    files_after,
+                    hit_after,
+                    hit_before / files_before > hit_after / files_after,
+                    ids_before == ids_after,
+                    len(ids_after),
+                )
+            ],
+            "files_before int, files_hit_before int, files_after int, files_hit_after int, "
+            "skipping_improved boolean, rowset_identical boolean, matched_rows int",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def maintenance_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot rollback + metadata tables end-to-end: append (s1) →
     compact (s2) → a second append (s3) → ``rollback(2)`` → the current
@@ -497,6 +546,7 @@ QUERIES: dict[str, tuple] = {
     "maintenance_phash_neardup": (maintenance_phash_neardup, None),
     "maintenance_schema_evolution": (maintenance_schema_evolution, None),
     "maintenance_rollback": (maintenance_rollback, None),
+    "maintenance_data_skipping": (maintenance_data_skipping, None),
     "multimodal_pixel_stats": (multimodal_pixel_stats, None),
     "multimodal_resize": (multimodal_resize, None),
     "multimodal_frame_sample": (multimodal_frame_sample, None),
