@@ -200,5 +200,5 @@ def test_time_travel_as_of_timestamp(spark, tmp_path):
     assert scan(spark, t, as_of_ts_millis=ts1).count() == 48
     with _pytest.raises(ValueError, match="no snapshot existed"):
         scan(spark, t, as_of_ts_millis=ts1 - 1).count()
-    with _pytest.raises(ValueError, match="not both"):
+    with _pytest.raises(ValueError, match="at most one"):
         scan(spark, t, snapshot_id=s1, as_of_ts_millis=ts1)
