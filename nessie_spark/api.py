@@ -1,0 +1,460 @@
+"""Reference-shaped detector API — the migration facade.
+
+The reference exposes ~20 detector classes with a uniform
+``score()``/``correct()`` interface over parallel NumPy arrays
+(/root/reference/nessie/detectors/__init__.py). This module re-exposes the
+same class names over DataFrames so a reference user can switch engines by
+swapping the import: arrays become columns, the positional alignment
+contract becomes an id column, and every transform is a pure Catalyst
+expression plan (lazy, whole-stage-codegen'd, shuffle-aware) instead of an
+eager in-core pass.
+
+Conventions (SURVEY.md §1.1 "flags/scores are columns, never positional"):
+- constructors take **column names** (defaults match the reference's
+  vocabulary: ``text``/``label``/``probabilities``/...);
+- flaggers append a boolean ``flag`` column, scorers a double ``score``
+  column (the reference's DetectorKind split, error_detector.py:44-105);
+- ``correct()`` appends a ``corrected`` column where supported;
+- inputs/outputs are DataFrames — nothing is collected, so every detector
+  composes with the lakehouse scan and runs at 10^12-row scale.
+
+Semantics are pinned two ways: each class cites its reference file, and
+``tests/test_api_facade.py`` asserts bit-equality against the oracle-green
+query-registry implementations on the shared fixtures (transitively, the
+DuckDB oracles verify this module too).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from nessie_spark.functions.core import entropy_ln, prob_margin
+
+__all__ = [
+    "Detector",
+    "Retag",
+    "MajorityLabelBaseline",
+    "MajorityLabelPerSurfaceFormBaseline",
+    "MajorityVotingEnsemble",
+    "LabelEntropy",
+    "WeightedDiscrepancy",
+    "ClassificationEntropy",
+    "ClassificationUncertainty",
+    "PredictionMargin",
+    "DropoutUncertainty",
+    "DataMapConfidence",
+    "BordaCount",
+    "MeanDistance",
+]
+
+
+class Detector:
+    """Base contract (error_detector.py:44-105): ``kind`` is 'flagger' or
+    'scorer'; ``score(df)`` returns ``df`` + ``flag``/``score`` column."""
+
+    kind: str = "scorer"
+
+    def score(self, df: DataFrame) -> DataFrame:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def supports_correction(self) -> bool:
+        return hasattr(type(self), "correct")
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def _surface(col: str, lowercase: bool) -> Column:
+    return F.lower(_c(col)) if lowercase else _c(col)
+
+
+class Retag(Detector):
+    """Flag label ≠ model prediction (retag.py:18-34); ``correct`` = the
+    prediction (retag.py:39-40)."""
+
+    kind = "flagger"
+
+    def __init__(self, label_col: str = "label", pred_col: str = "prediction"):
+        self.label_col, self.pred_col = label_col, pred_col
+
+    def score(self, df: DataFrame) -> DataFrame:
+        return df.withColumn("flag", _c(self.label_col) != _c(self.pred_col))
+
+    def correct(self, df: DataFrame) -> DataFrame:
+        return df.withColumn("corrected", _c(self.pred_col))
+
+
+class MajorityLabelBaseline(Detector):
+    """Flag every instance whose label ≠ the global modal label
+    (baselines.py:11-46; ties → lexicographically smallest, scipy ``mode``
+    semantics). One tiny aggregate broadcast back — no per-row state."""
+
+    kind = "flagger"
+
+    def __init__(self, text_col: str = "text", label_col: str = "label"):
+        self.text_col, self.label_col = text_col, label_col
+
+    def _mode(self, df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy(self.label_col)
+            .count()
+            .orderBy(F.desc("count"), F.asc(self.label_col))
+            .limit(1)
+            .select(_c(self.label_col).alias("_mode"))
+        )
+
+    def score(self, df: DataFrame) -> DataFrame:
+        return (
+            df.crossJoin(F.broadcast(self._mode(df)))
+            .withColumn("flag", _c(self.label_col) != F.col("_mode"))
+            .drop("_mode")
+        )
+
+    def correct(self, df: DataFrame) -> DataFrame:
+        return (
+            df.crossJoin(F.broadcast(self._mode(df)))
+            .withColumn("corrected", F.col("_mode"))
+            .drop("_mode")
+        )
+
+
+class MajorityLabelPerSurfaceFormBaseline(Detector):
+    """Per-surface-form modal label; flag minority members
+    (baselines.py:49-96). The modal frame is |surfaces|-sized → broadcast
+    join-back (the J5 pattern); no window over the full table."""
+
+    kind = "flagger"
+
+    def __init__(self, text_col: str = "text", label_col: str = "label", lowercase: bool = True):
+        self.text_col, self.label_col, self.lowercase = text_col, label_col, lowercase
+
+    def _modal(self, df: DataFrame) -> DataFrame:
+        sf = _surface(self.text_col, self.lowercase)
+        counts = df.groupBy(sf.alias("_sf"), _c(self.label_col).alias("_lb")).count()
+        w = Window.partitionBy("_sf").orderBy(F.desc("count"), F.asc("_lb"))
+        return (
+            counts.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .select("_sf", F.col("_lb").alias("_modal"))
+        )
+
+    def _joined(self, df: DataFrame) -> DataFrame:
+        sf = _surface(self.text_col, self.lowercase)
+        return df.withColumn("_sf", sf).join(F.broadcast(self._modal(df)), "_sf")
+
+    def score(self, df: DataFrame) -> DataFrame:
+        return (
+            self._joined(df)
+            .withColumn("flag", _c(self.label_col) != F.col("_modal"))
+            .drop("_sf", "_modal")
+        )
+
+    def correct(self, df: DataFrame) -> DataFrame:
+        return (
+            self._joined(df)
+            .withColumn("corrected", F.col("_modal"))
+            .drop("_sf", "_modal")
+        )
+
+
+class MajorityVotingEnsemble(Detector):
+    """Flag label ≠ majority vote of an ensemble (ensemble.py:9-43). The
+    reference's (num_models, N) array arrives as an ``array<string>``
+    predictions column (the row-wise transpose); ties break to the
+    smallest label (scipy ``mode``). Vote = in-row expression over the
+    exploded counts — one groupBy on (id, prediction), no cross-model
+    shuffle."""
+
+    kind = "flagger"
+
+    def __init__(
+        self,
+        id_col: str = "instance_id",
+        label_col: str = "label",
+        preds_col: str = "ensemble_predictions",
+    ):
+        self.id_col, self.label_col, self.preds_col = id_col, label_col, preds_col
+
+    def _vote(self, df: DataFrame) -> DataFrame:
+        ex = df.select(self.id_col, F.explode(self.preds_col).alias("_p"))
+        counts = ex.groupBy(self.id_col, "_p").count()
+        w = Window.partitionBy(self.id_col).orderBy(F.desc("count"), F.asc("_p"))
+        return (
+            counts.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .select(self.id_col, F.col("_p").alias("_vote"))
+        )
+
+    def score(self, df: DataFrame) -> DataFrame:
+        return (
+            df.join(self._vote(df), self.id_col)
+            .withColumn("flag", _c(self.label_col) != F.col("_vote"))
+            .drop("_vote")
+        )
+
+    def correct(self, df: DataFrame) -> DataFrame:
+        return (
+            df.join(self._vote(df), self.id_col)
+            .withColumn("corrected", F.col("_vote"))
+            .drop("_vote")
+        )
+
+
+class _SurfaceScorer(Detector):
+    def __init__(self, text_col: str = "text", label_col: str = "label", lowercase: bool = True):
+        self.text_col, self.label_col, self.lowercase = text_col, label_col, lowercase
+
+    def _counts(self, df: DataFrame) -> DataFrame:
+        sf = _surface(self.text_col, self.lowercase)
+        return df.groupBy(sf.alias("_sf"), _c(self.label_col).alias("_lb")).agg(
+            F.count(F.lit(1)).alias("_cnt")
+        )
+
+    @staticmethod
+    def _modal_of(counts: DataFrame) -> DataFrame:
+        w = Window.partitionBy("_sf").orderBy(F.desc("_cnt"), F.asc("_lb"))
+        return (
+            counts.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .select("_sf", F.col("_lb").alias("_modal"))
+        )
+
+    def _rescaled(self, raw: DataFrame, invert: bool) -> DataFrame:
+        mm = raw.agg(F.min("_raw").alias("_mn"), F.max("_raw").alias("_mx"))
+        scaled = F.when(
+            F.col("_mx") > F.col("_mn"),
+            (F.col("_raw") - F.col("_mn")) / (F.col("_mx") - F.col("_mn")),
+        ).otherwise(F.lit(0.0))
+        out = raw.crossJoin(F.broadcast(mm)).withColumn(
+            "score", (1 - scaled) if invert else scaled
+        )
+        return out.drop("_raw", "_mn", "_mx", "_sf", "_modal")
+
+
+class LabelEntropy(_SurfaceScorer):
+    """Per-surface label-distribution entropy, base 2; the surface's modal
+    label scores 0; final score = 1 − minmax-rescale (label_entropy.py:21-67).
+    Two-level aggregation + broadcast join-back instead of the reference's
+    per-surface Python loop."""
+
+    def score(self, df: DataFrame) -> DataFrame:
+        counts = self._counts(df)
+        tot = counts.groupBy("_sf").agg(F.sum("_cnt").alias("_tot"))
+        ent = (
+            counts.join(tot, "_sf")
+            .groupBy("_sf")
+            .agg(
+                (-F.sum((F.col("_cnt") / F.col("_tot")) * F.log2(F.col("_cnt") / F.col("_tot"))))
+                .alias("_ent")
+            )
+        )
+        raw = (
+            df.withColumn("_sf", _surface(self.text_col, self.lowercase))
+            .join(F.broadcast(ent), "_sf")
+            .join(F.broadcast(self._modal_of(counts)), "_sf")
+            .withColumn(
+                "_raw",
+                F.when(_c(self.label_col) == F.col("_modal"), F.lit(0.0)).otherwise(
+                    F.col("_ent")
+                ),
+            )
+            .drop("_ent")
+        )
+        return self._rescaled(raw, invert=True)
+
+
+class WeightedDiscrepancy(_SurfaceScorer):
+    """(cmax − cmin) / n_labels × n_s for minority members, 0 for modal
+    ones, minmax-rescaled (weighted_discrepancy.py:11-56)."""
+
+    def score(self, df: DataFrame) -> DataFrame:
+        counts = self._counts(df)
+        stats = counts.groupBy("_sf").agg(
+            F.max("_cnt").alias("_cmax"),
+            F.min("_cnt").alias("_cmin"),
+            F.sum("_cnt").alias("_ns"),
+            F.count(F.lit(1)).alias("_nl"),
+        )
+        raw = (
+            df.withColumn("_sf", _surface(self.text_col, self.lowercase))
+            .join(F.broadcast(stats), "_sf")
+            .join(F.broadcast(self._modal_of(counts)), "_sf")
+            .withColumn(
+                "_raw",
+                F.when(
+                    _c(self.label_col) != F.col("_modal"),
+                    (F.col("_cmax") - F.col("_cmin"))
+                    / F.col("_nl").cast("double")
+                    * F.col("_ns"),
+                ).otherwise(F.lit(0.0)),
+            )
+            .drop("_cmax", "_cmin", "_ns", "_nl")
+        )
+        return self._rescaled(raw, invert=False)
+
+
+class ClassificationEntropy(Detector):
+    """H(p) per instance, natural log (classification_entropy.py:20-31).
+    Pure in-row fold — a map over the scan, zero shuffle."""
+
+    def __init__(self, probs_col: str = "probabilities"):
+        self.probs_col = probs_col
+
+    def score(self, df: DataFrame) -> DataFrame:
+        return df.withColumn("score", entropy_ln(_c(self.probs_col)))
+
+
+class ClassificationUncertainty(Detector):
+    """1 − p[noisy label] (classification_uncertainty.py:25-42). The
+    reference's LabelEncoder arrives as either an int index column or a
+    ``classes`` list (the label dictionary, broadcast as a literal
+    array)."""
+
+    def __init__(
+        self,
+        probs_col: str = "probabilities",
+        label_col: str = "label",
+        classes: list[str] | None = None,
+    ):
+        self.probs_col, self.label_col, self.classes = probs_col, label_col, classes
+
+    def score(self, df: DataFrame) -> DataFrame:
+        if self.classes is not None:
+            idx = (
+                F.array_position(
+                    F.array(*[F.lit(c) for c in self.classes]), _c(self.label_col)
+                )
+                - 1
+            ).cast("int")
+        else:
+            idx = _c(self.label_col).cast("int")
+        return df.withColumn("score", 1 - F.get(_c(self.probs_col), idx))
+
+
+class PredictionMargin(Detector):
+    """1 − (p_max − p_2nd) (prediction_margin.py:16-39)."""
+
+    def __init__(self, probs_col: str = "probabilities"):
+        self.probs_col = probs_col
+
+    def score(self, df: DataFrame) -> DataFrame:
+        return df.withColumn("score", prob_margin(_c(self.probs_col)))
+
+
+class DropoutUncertainty(Detector):
+    """Entropy of the mean of T repeated distributions
+    (dropout_uncertainty.py:28-51 entropy formulation, :79-91). Input: an
+    ``array<array<double>>`` column, shape (T, C) per row — in-row folds
+    only."""
+
+    def __init__(self, repeated_probs_col: str = "repeated_probabilities"):
+        self.repeated_probs_col = repeated_probs_col
+
+    def score(self, df: DataFrame) -> DataFrame:
+        rep = _c(self.repeated_probs_col)
+        zeros = F.transform(F.get(rep, 0), lambda _: F.lit(0.0))
+        sums = F.aggregate(rep, zeros, lambda acc, p: F.zip_with(acc, p, lambda a, b: a + b))
+        mean = F.transform(sums, lambda v: v / F.size(rep))
+        return df.withColumn("score", entropy_ln(mean))
+
+
+class DataMapConfidence(Detector):
+    """1 − mean over training epochs of p(label) (datamap_confidence.py:
+    25-70; per-epoch snapshots arrive as an ``array<array<double>>``
+    column instead of a TrainerCallback)."""
+
+    def __init__(self, epoch_probs_col: str = "epoch_probabilities", label_idx_col: str = "label"):
+        self.epoch_probs_col, self.label_idx_col = epoch_probs_col, label_idx_col
+
+    def score(self, df: DataFrame) -> DataFrame:
+        eps = _c(self.epoch_probs_col)
+        idx = _c(self.label_idx_col).cast("int")
+        conf = F.aggregate(
+            eps, F.lit(0.0), lambda acc, p: acc + F.get(p, idx)
+        ) / F.size(eps)
+        return df.withColumn("score", 1 - conf)
+
+
+class BordaCount(Detector):
+    """Ordinal rank per scorer across the dataset, summed per instance
+    (borda_count.py:21-37). Input: an ``array<double>`` ensemble-scores
+    column (S scorers per row); ranks are S windows partitioned by scorer
+    index — ties break by id for determinism (the reference's 'ordinal'
+    method breaks ties by array position)."""
+
+    kind = "scorer"
+
+    def __init__(self, id_col: str = "instance_id", scores_col: str = "ensemble_scores"):
+        self.id_col, self.scores_col = id_col, scores_col
+
+    def score(self, df: DataFrame) -> DataFrame:
+        ex = df.select(
+            self.id_col, F.posexplode(_c(self.scores_col)).alias("_scorer", "_s")
+        )
+        w = Window.partitionBy("_scorer").orderBy(F.asc("_s"), F.asc(self.id_col))
+        borda = (
+            ex.withColumn("_rk", F.row_number().over(w))
+            .groupBy(self.id_col)
+            .agg(F.sum("_rk").alias("score"))
+        )
+        return df.join(borda, self.id_col)
+
+
+class MeanDistance(Detector):
+    """Distance of each instance to its class centroid
+    (mean_distance.py:12-103; metrics 'euclidean' | 'cosine' | 'dot').
+    Centroids: posexplode → (label, pos) avg (map-side combined) →
+    re-assembled arrays, an always-broadcastable |labels|-row frame; the
+    distance is one ordered in-row fold — no N-row re-aggregation."""
+
+    METRICS = ("euclidean", "cosine", "dot")
+
+    def __init__(
+        self,
+        label_col: str = "label",
+        emb_col: str = "embedded_instances",
+        metric: str = "euclidean",
+    ):
+        if metric not in self.METRICS:
+            raise ValueError(f"metric must be one of {self.METRICS}")
+        self.label_col, self.emb_col, self.metric = label_col, emb_col, metric
+
+    def _centroids(self, df: DataFrame) -> DataFrame:
+        ex = df.select(
+            _c(self.label_col).alias("_lb"),
+            F.posexplode(F.transform(_c(self.emb_col), lambda v: v.cast("double"))).alias(
+                "_pos", "_val"
+            ),
+        )
+        cent = ex.groupBy("_lb", "_pos").agg(F.avg("_val").alias("_cv"))
+        return (
+            cent.groupBy("_lb")
+            .agg(F.array_sort(F.collect_list(F.struct("_pos", "_cv"))).alias("_ps"))
+            .select("_lb", F.transform("_ps", lambda s: s["_cv"]).alias("_cvec"))
+        )
+
+    def score(self, df: DataFrame) -> DataFrame:
+        e = F.transform(_c(self.emb_col), lambda v: v.cast("double"))
+        joined = df.withColumn("_e", e).join(
+            F.broadcast(self._centroids(df)),
+            _c(self.label_col) == F.col("_lb"),
+        )
+        ec, cv = F.col("_e"), F.col("_cvec")
+        if self.metric == "euclidean":
+            d2 = F.aggregate(
+                F.zip_with(ec, cv, lambda x, c: (x - c) * (x - c)),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            )
+            dist = F.sqrt(d2)
+        elif self.metric == "cosine":
+            from nessie_spark.functions.core import cosine_sim
+
+            dist = F.lit(1.0) - cosine_sim(ec, cv)
+        else:  # dot
+            dist = -F.aggregate(
+                F.zip_with(ec, cv, lambda x, c: x * c), F.lit(0.0), lambda a, v: a + v
+            )
+        return joined.withColumn("score", dist).drop("_e", "_cvec", "_lb")

@@ -1,0 +1,249 @@
+"""Parity: nessie_spark.api facade ≡ the oracle-green query registry.
+
+Each facade detector is fed the same logical input the query-registry
+implementation reads from the shared fixtures, and the outputs must match
+row-for-row (scores rounded to 6 like the oracle discipline). Since every
+query implementation is hash-verified against its DuckDB oracle, passing
+here pins the facade to the oracles transitively.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nessie_spark import api
+from nessie_spark.functions.core import softmax_arr
+from nessie_spark.operators.common import T
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return T(spark, SF, "documents")
+
+
+def _score_map(df, id_col, col, ndigits=6):
+    return {
+        r[id_col]: (round(r[col], ndigits) if isinstance(r[col], float) else r[col])
+        for r in df.select(id_col, col).collect()
+    }
+
+
+def test_retag_flag_and_correct(spark):
+    df = spark.createDataFrame(
+        [(1, "a", "a"), (2, "a", "b")], "instance_id long, label string, prediction string"
+    )
+    out = api.Retag().score(df)
+    assert _score_map(out, "instance_id", "flag") == {1: False, 2: True}
+    cor = api.Retag().correct(df)
+    assert _score_map(cor, "instance_id", "corrected") == {1: "a", 2: "b"}
+
+
+def test_majority_label_baseline_matches_query(spark):
+    from nessie_spark.operators.detectors import majority_label_flags
+
+    want = _score_map(majority_label_flags(spark, SF), "doc_id", "flag")
+    got = _score_map(
+        api.MajorityLabelBaseline(text_col="text", label_col="lang").score(_docs(spark)),
+        "doc_id",
+        "flag",
+    )
+    assert got == want
+
+
+def test_majority_per_surface_matches_query(spark):
+    from nessie_spark.operators.detectors import majority_per_surface_flags
+
+    q = majority_per_surface_flags(spark, SF)
+    det = api.MajorityLabelPerSurfaceFormBaseline(
+        text_col="source", label_col="lang", lowercase=False
+    )
+    assert _score_map(det.score(_docs(spark)), "doc_id", "flag") == _score_map(
+        q, "doc_id", "flag"
+    )
+    assert _score_map(det.correct(_docs(spark)), "doc_id", "corrected") == _score_map(
+        q, "doc_id", "corrected"
+    )
+
+
+def test_label_entropy_matches_query(spark):
+    from nessie_spark.operators.detectors import label_entropy_scores
+
+    want = _score_map(label_entropy_scores(spark, SF), "doc_id", "score")
+    got = _score_map(
+        api.LabelEntropy(text_col="source", label_col="lang", lowercase=False).score(
+            _docs(spark)
+        ),
+        "doc_id",
+        "score",
+    )
+    assert got == want
+
+
+def test_weighted_discrepancy_matches_query(spark):
+    from nessie_spark.operators.detectors import weighted_discrepancy_scores
+
+    want = _score_map(weighted_discrepancy_scores(spark, SF), "doc_id", "score")
+    got = _score_map(
+        api.WeightedDiscrepancy(text_col="source", label_col="lang", lowercase=False).score(
+            _docs(spark)
+        ),
+        "doc_id",
+        "score",
+    )
+    assert got == want
+
+
+def _probs(spark):
+    from nessie_spark.operators.probability import _probs_df
+
+    return _probs_df(spark, SF)
+
+
+def test_classification_entropy_matches_query(spark):
+    from nessie_spark.operators.probability import classification_entropy_scores
+
+    want = _score_map(classification_entropy_scores(spark, SF), "vec_id", "score")
+    got = _score_map(
+        api.ClassificationEntropy(probs_col="probs").score(_probs(spark)), "vec_id", "score"
+    )
+    assert got == want
+
+
+def test_classification_uncertainty_matches_query(spark):
+    from nessie_spark.operators.probability import classification_uncertainty_scores
+
+    want = _score_map(classification_uncertainty_scores(spark, SF), "vec_id", "score")
+    got = _score_map(
+        api.ClassificationUncertainty(probs_col="probs", label_col="noisy").score(
+            _probs(spark)
+        ),
+        "vec_id",
+        "score",
+    )
+    assert got == want
+
+
+def test_classification_uncertainty_classes_list(spark):
+    df = spark.createDataFrame(
+        [(1, "b", [0.2, 0.5, 0.3])],
+        "instance_id long, label string, probabilities array<double>",
+    )
+    out = api.ClassificationUncertainty(classes=["a", "b", "c"]).score(df)
+    assert out.first()["score"] == pytest.approx(0.5)
+
+
+def test_prediction_margin_matches_query(spark):
+    from nessie_spark.operators.probability import prediction_margin_scores
+
+    want = _score_map(prediction_margin_scores(spark, SF), "vec_id", "score")
+    got = _score_map(
+        api.PredictionMargin(probs_col="probs").score(_probs(spark)), "vec_id", "score"
+    )
+    assert got == want
+
+
+def _sm_slice(lo: int):
+    return softmax_arr(F.transform(F.slice("embedding", lo, 4), lambda v: v.cast("double")))
+
+
+def test_dropout_uncertainty_matches_query(spark):
+    from nessie_spark.operators.detectors3 import dropout_uncertainty_scores
+
+    emb = T(spark, SF, "embeddings").select(
+        "vec_id", F.array(_sm_slice(1), _sm_slice(5), _sm_slice(9)).alias("rep")
+    )
+    want = _score_map(dropout_uncertainty_scores(spark, SF), "vec_id", "score")
+    got = _score_map(
+        api.DropoutUncertainty(repeated_probs_col="rep").score(emb), "vec_id", "score"
+    )
+    assert got == want
+
+
+def test_datamap_confidence_matches_query(spark):
+    from nessie_spark.operators.detectors2 import datamap_confidence_scores
+
+    emb = T(spark, SF, "embeddings").select(
+        "vec_id",
+        (F.col("label") % 4).cast("int").alias("noisy"),
+        F.array(_sm_slice(1), _sm_slice(5), _sm_slice(9)).alias("eps"),
+    )
+    want = _score_map(datamap_confidence_scores(spark, SF), "vec_id", "score")
+    got = _score_map(
+        api.DataMapConfidence(epoch_probs_col="eps", label_idx_col="noisy").score(emb),
+        "vec_id",
+        "score",
+    )
+    assert got == want
+
+
+def test_borda_count_matches_query(spark):
+    from nessie_spark.operators.detectors import borda_count_scores
+
+    scored = _docs(spark).select(
+        "doc_id",
+        F.array(
+            F.col("n_chars").cast("double"),
+            F.size(F.split(F.trim("text"), r"\s+")).cast("double"),
+            F.size(F.array_distinct(F.split(F.trim("text"), r"\s+"))).cast("double"),
+        ).alias("ens"),
+    )
+    want = _score_map(borda_count_scores(spark, SF), "doc_id", "borda")
+    got = _score_map(
+        api.BordaCount(id_col="doc_id", scores_col="ens").score(scored), "doc_id", "score"
+    )
+    assert got == want
+
+
+@pytest.mark.parametrize(
+    "metric,query",
+    [
+        ("euclidean", "mean_distance_scores"),
+        ("cosine", "mean_distance_cosine_scores"),
+        ("dot", "mean_distance_dot_scores"),
+    ],
+)
+def test_mean_distance_matches_query(spark, metric, query):
+    from nessie_spark.operators import probability as P
+
+    emb = T(spark, SF, "embeddings")
+    want = _score_map(getattr(P, query)(spark, SF), "vec_id", "score")
+    got = _score_map(
+        api.MeanDistance(label_col="label", emb_col="embedding", metric=metric).score(emb),
+        "vec_id",
+        "score",
+    )
+    assert got == want
+
+
+def test_majority_voting_ensemble_matches_query(spark):
+    from nessie_spark.operators.probability import ensemble_majority_flags
+
+    def pred(lo: int):
+        sl = F.transform(F.slice("embedding", lo, 4), lambda v: v.cast("double"))
+        return (F.array_position(sl, F.array_max(sl)) - 1).cast("int")
+
+    emb = T(spark, SF, "embeddings").select(
+        "vec_id",
+        (F.col("label") % 4).alias("noisy"),
+        F.array(pred(1), pred(5), pred(9)).alias("ens"),
+    )
+    q = ensemble_majority_flags(spark, SF)
+    det = api.MajorityVotingEnsemble(id_col="vec_id", label_col="noisy", preds_col="ens")
+    assert _score_map(det.score(emb), "vec_id", "flag") == _score_map(q, "vec_id", "flag")
+    assert _score_map(det.correct(emb), "vec_id", "corrected") == _score_map(
+        q, "vec_id", "corrected"
+    )
+
+
+def test_mean_distance_rejects_unknown_metric():
+    with pytest.raises(ValueError):
+        api.MeanDistance(metric="manhattan")
+
+
+def test_detector_kinds():
+    assert api.Retag().kind == "flagger"
+    assert api.LabelEntropy().kind == "scorer"
+    assert api.Retag().supports_correction()
+    assert not api.PredictionMargin().supports_correction()
