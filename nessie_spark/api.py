@@ -46,6 +46,12 @@ __all__ = [
     "DataMapConfidence",
     "BordaCount",
     "MeanDistance",
+    "KnnFlagger",
+    "KnnEntropy",
+    "ConfidentLearning",
+    "LabelAggregation",
+    "ItemResponseTheoryFlagger",
+    "CrossValidationHelper",
 ]
 
 
@@ -458,3 +464,248 @@ class MeanDistance(Detector):
                 F.zip_with(ec, cv, lambda x, c: x * c), F.lit(0.0), lambda a, v: a + v
             )
         return joined.withColumn("score", dist).drop("_e", "_cvec", "_lb")
+
+
+class _KnnErrorDetector(Detector):
+    """Shared kNN machinery (knn_entropy.py:16-80; faiss IndexFlatL2 →
+    the engine's LSH-bucketed candidate join, operators/probability.
+    knn_pairs_from — banded sign-LSH, id-only candidate pairs through the
+    shuffle, exact L2 on candidates only; no CartesianProduct at any N)."""
+
+    def __init__(
+        self,
+        id_col: str = "instance_id",
+        label_col: str = "label",
+        emb_col: str = "embedded_instances",
+        k: int = 10,
+    ):
+        self.id_col, self.label_col, self.emb_col, self.k = id_col, label_col, emb_col, k
+
+    def _pairs(self, df: DataFrame) -> DataFrame:
+        from nessie_spark.operators.probability import knn_pairs_from
+
+        emb = df.select(
+            _c(self.id_col).alias("vec_id"),
+            _c(self.label_col).alias("label"),
+            F.transform(_c(self.emb_col), lambda v: v.cast("double")).alias("e"),
+        )
+        return knn_pairs_from(emb, self.k)
+
+
+class KnnFlagger(_KnnErrorDetector):
+    """Flag own label ≠ modal label among the k nearest neighbors
+    (knn_entropy.py:90-96); ties → smallest label."""
+
+    kind = "flagger"
+
+    def score(self, df: DataFrame) -> DataFrame:
+        nn = self._pairs(df)
+        counts = nn.groupBy("qid", "nlabel").agg(F.count(F.lit(1)).alias("_cnt"))
+        w = Window.partitionBy("qid").orderBy(F.desc("_cnt"), F.asc("nlabel"))
+        modal = (
+            counts.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .select(F.col("qid").alias(self.id_col), F.col("nlabel").alias("_knn"))
+        )
+        return (
+            df.join(modal, self.id_col)
+            .withColumn("flag", _c(self.label_col) != F.col("_knn"))
+            .drop("_knn")
+        )
+
+
+class KnnEntropy(_KnnErrorDetector):
+    """Entropy of the neighbor-label distribution among the k nearest
+    (knn_entropy.py:82-88); count-based p = c/k."""
+
+    def score(self, df: DataFrame) -> DataFrame:
+        nn = self._pairs(df)
+        counts = nn.groupBy("qid", "nlabel").agg(F.count(F.lit(1)).alias("_cnt"))
+        ent = (
+            counts.groupBy("qid")
+            .agg(
+                (-F.sum(
+                    (F.col("_cnt") / float(self.k)) * F.log(F.col("_cnt") / float(self.k))
+                )).alias("score")
+            )
+            .select(F.col("qid").alias(self.id_col), "score")
+        )
+        return df.join(ent, self.id_col)
+
+
+class ConfidentLearning(Detector):
+    """cleanlab-style flag (confident_learning.py:22-60): per-class
+    threshold = mean self-confidence of instances carrying the class; flag
+    instances whose p(own class) falls below their class threshold. One
+    aggregate + broadcast join-back."""
+
+    kind = "flagger"
+
+    def __init__(
+        self,
+        probs_col: str = "probabilities",
+        label_col: str = "label",
+        classes: list[str] | None = None,
+    ):
+        self.probs_col, self.label_col, self.classes = probs_col, label_col, classes
+
+    def score(self, df: DataFrame) -> DataFrame:
+        if self.classes is not None:
+            idx = (
+                F.array_position(
+                    F.array(*[F.lit(c) for c in self.classes]), _c(self.label_col)
+                )
+                - 1
+            ).cast("int")
+        else:
+            idx = _c(self.label_col).cast("int")
+        d = df.withColumn("_sc", F.get(_c(self.probs_col), idx))
+        thr = d.groupBy(_c(self.label_col).alias("_lb")).agg(
+            F.avg("_sc").alias("_thr")
+        )
+        return (
+            d.join(F.broadcast(thr), _c(self.label_col) == F.col("_lb"))
+            .withColumn("flag", F.col("_sc") < F.col("_thr"))
+            .drop("_sc", "_thr", "_lb")
+        )
+
+
+class LabelAggregation(Detector):
+    """Dawid–Skene adjudication over worker votes (label_aggregation.py:
+    22-80; hard-EM variant, integer-exact m-steps — the soft-EM twin lives
+    in operators/detectors3.dawid_skene_soft_labels). Votes arrive as a
+    fixed-width ``array<int>`` column (one slot per worker). The EM runs
+    on the VOTE-PATTERN HISTOGRAM — the sufficient statistic, ≤ C^W rows
+    collected to the driver (metadata-scale regardless of task count) —
+    and one broadcast join maps adjudications back."""
+
+    kind = "flagger"
+
+    def __init__(
+        self,
+        id_col: str = "instance_id",
+        label_col: str = "label",
+        votes_col: str = "ensemble_predictions",
+        n_classes: int = 4,
+        iters: int = 5,
+    ):
+        self.id_col, self.label_col, self.votes_col = id_col, label_col, votes_col
+        self.n_classes, self.iters = n_classes, iters
+
+    def _adjudicate(self, df: DataFrame) -> DataFrame:
+        import numpy as np
+
+        hist = (
+            df.groupBy(_c(self.votes_col).alias("_v"))
+            .agg(F.count(F.lit(1)).alias("_m"))
+            .orderBy("_v")
+            .collect()
+        )
+        spark = df.sparkSession
+        if not hist:
+            return spark.createDataFrame([], "_v array<int>, _z int")
+        pat = np.array([r["_v"] for r in hist], dtype=np.int64)
+        m = np.array([r["_m"] for r in hist], dtype=np.int64)
+        P, W = pat.shape
+        C = self.n_classes
+        n_tasks = int(m.sum())
+        cnt = np.zeros((P, C), dtype=np.int64)
+        for c in range(C):
+            cnt[:, c] = (pat == c).sum(axis=1)
+        z = np.argmax(cnt, axis=1)  # majority init, ties -> smallest class
+        for _ in range(self.iters):
+            pc = np.array([m[z == c].sum() for c in range(C)], dtype=np.int64)
+            theta = np.empty((W, C, C), dtype=np.float64)
+            for w in range(W):
+                for c in range(C):
+                    tw = np.array(
+                        [m[(z == c) & (pat[:, w] == k)].sum() for k in range(C)],
+                        dtype=np.int64,
+                    )
+                    theta[w, c] = (tw + 1).astype(np.float64) / float(pc[c] + C)
+            pi = (pc + 1).astype(np.float64) / float(n_tasks + C)
+            s = np.tile(pi, (P, 1))
+            for w in range(W):
+                s = s * theta[w][:, pat[:, w]].T
+            z = np.argmax(s, axis=1)
+        return spark.createDataFrame(
+            [([int(x) for x in p], int(zz)) for p, zz in zip(pat, z)],
+            "_v array<int>, _z int",
+        )
+
+    def score(self, df: DataFrame) -> DataFrame:
+        model = self._adjudicate(df)
+        return (
+            df.join(F.broadcast(model), _c(self.votes_col) == F.col("_v"))
+            .withColumn("flag", _c(self.label_col).cast("int") != F.col("_z"))
+            .drop("_v", "_z")
+        )
+
+    def correct(self, df: DataFrame) -> DataFrame:
+        model = self._adjudicate(df)
+        return (
+            df.join(F.broadcast(model), _c(self.votes_col) == F.col("_v"))
+            .withColumn("corrected", F.col("_z"))
+            .drop("_v", "_z")
+        )
+
+
+class ItemResponseTheoryFlagger(Detector):
+    """Item-discrimination flag (irt.py:17-123 role; the engine ships the
+    classical point-biserial discrimination index — corr across models
+    between item correctness and model ability — as the integer-exact
+    variant; the full 2PL alternating-gradient fit lives in
+    operators/modelzoo.irt_2pl_discrimination_flags). Flag disc < 0."""
+
+    kind = "flagger"
+
+    def __init__(
+        self,
+        id_col: str = "instance_id",
+        label_col: str = "label",
+        preds_col: str = "ensemble_predictions",
+    ):
+        self.id_col, self.label_col, self.preds_col = id_col, label_col, preds_col
+
+    def score(self, df: DataFrame) -> DataFrame:
+        ex = df.select(
+            _c(self.id_col).alias("_id"),
+            F.posexplode(_c(self.preds_col)).alias("_w", "_p"),
+            _c(self.label_col).alias("_lb"),
+        ).withColumn("_corr", (F.col("_p") == F.col("_lb")).cast("int"))
+        ability = ex.groupBy("_w").agg(F.avg("_corr").alias("_a"))
+        j = ex.join(F.broadcast(ability), "_w")
+        stats = j.groupBy("_id").agg(
+            F.avg("_corr").alias("_mc"),
+            F.avg("_a").alias("_ma"),
+            F.sum(F.col("_corr") * F.col("_a")).alias("_sca"),
+            F.sum(F.col("_corr") * F.col("_corr")).alias("_scc"),
+            F.sum(F.col("_a") * F.col("_a")).alias("_saa"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        cov = F.col("_sca") - F.col("_n") * F.col("_mc") * F.col("_ma")
+        varc = F.col("_scc") - F.col("_n") * F.col("_mc") * F.col("_mc")
+        vara = F.col("_saa") - F.col("_n") * F.col("_ma") * F.col("_ma")
+        disc = F.when(varc * vara <= 0, F.lit(0.0)).otherwise(cov / F.sqrt(varc * vara))
+        out = stats.select(
+            F.col("_id").alias(self.id_col),
+            disc.alias("disc"),
+            (disc < 0).alias("flag"),
+        )
+        return df.join(out, self.id_col)
+
+
+class CrossValidationHelper:
+    """The reference's CV orchestration (helper.py:138-256): out-of-fold
+    ``predict_proba`` for every instance. ``run(df, model)`` takes any zoo
+    model (nessie_spark.models.zoo) and returns the input plus ``fold``,
+    ``probs`` (array<double>) and ``pred`` columns — the Result analog as
+    columns, never positional."""
+
+    def __init__(self, n_splits: int = 10, id_col: str = "instance_id"):
+        self.n_splits, self.id_col = n_splits, id_col
+
+    def run(self, df: DataFrame, model) -> DataFrame:
+        from nessie_spark.models.cv import cross_val_predict
+
+        return cross_val_predict(df, model, self.id_col, self.n_splits)

@@ -499,11 +499,19 @@ def _knn_pairs(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
 
     Candidate pairs appearing in several bands are deduped on (qid, nid)
     BEFORE ranking — a duplicated neighbor would occupy two top-k slots."""
-    from nessie_spark.operators.similarity import band_keys_udf
-
     emb = T(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.transform("embedding", lambda v: v.cast("double")).alias("e")
     )
+    return knn_pairs_from(emb, k)
+
+
+def knn_pairs_from(emb: DataFrame, k: int = 5) -> DataFrame:
+    """LSH-bucketed k-NN pairs over any (vec_id, label, e: array<double>)
+    frame — the generic core of ``_knn_pairs`` (same plan shape; also the
+    engine behind the ``api.KnnFlagger``/``api.KnnEntropy`` facade)."""
+    from pyspark.sql import functions as F
+
+    from nessie_spark.operators.similarity import band_keys_udf
     # Candidates as ID-ONLY pairs: the banded self-join multiplies rows by
     # shared-band count BEFORE the (qid, nid) dedup, and carrying the two
     # 64-double arrays through that join + dedup shuffle was ~25× the bytes

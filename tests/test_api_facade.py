@@ -247,3 +247,97 @@ def test_detector_kinds():
     assert api.LabelEntropy().kind == "scorer"
     assert api.Retag().supports_correction()
     assert not api.PredictionMargin().supports_correction()
+
+
+def test_knn_flagger_matches_query(spark):
+    from nessie_spark.operators.probability import knn_flagger_flags
+
+    emb = T(spark, SF, "embeddings")
+    want = _score_map(knn_flagger_flags(spark, SF), "vec_id", "flag")
+    got = _score_map(
+        api.KnnFlagger(id_col="vec_id", label_col="label", emb_col="embedding", k=5).score(
+            emb
+        ),
+        "vec_id",
+        "flag",
+    )
+    assert got == want
+
+
+def test_knn_entropy_matches_query(spark):
+    from nessie_spark.operators.probability import knn_entropy_scores
+
+    emb = T(spark, SF, "embeddings")
+    want = _score_map(knn_entropy_scores(spark, SF), "vec_id", "score")
+    got = _score_map(
+        api.KnnEntropy(id_col="vec_id", label_col="label", emb_col="embedding", k=5).score(
+            emb
+        ),
+        "vec_id",
+        "score",
+    )
+    assert got == want
+
+
+def test_confident_learning_matches_query(spark):
+    from nessie_spark.operators.detectors2 import confident_learning_flags
+
+    want = _score_map(confident_learning_flags(spark, SF), "vec_id", "flag")
+    got = _score_map(
+        api.ConfidentLearning(probs_col="probs", label_col="noisy").score(_probs(spark)),
+        "vec_id",
+        "flag",
+    )
+    assert got == want
+
+
+def _votes_arr(spark):
+    from nessie_spark.operators.detectors3 import _votes
+
+    return _votes(spark, SF).select(
+        "vec_id", "noisy", F.array("v1", "v2", "v3").alias("votes")
+    )
+
+
+def test_label_aggregation_matches_query(spark):
+    from nessie_spark.operators.detectors3 import DS_ITERS, dawid_skene_labels
+
+    q = dawid_skene_labels(spark, SF)
+    det = api.LabelAggregation(
+        id_col="vec_id", label_col="noisy", votes_col="votes", n_classes=4, iters=DS_ITERS
+    )
+    v = _votes_arr(spark)
+    assert _score_map(det.score(v), "vec_id", "flag") == _score_map(q, "vec_id", "flag")
+    assert _score_map(det.correct(v), "vec_id", "corrected") == _score_map(
+        q, "vec_id", "adjudicated"
+    )
+
+
+def test_irt_flagger_matches_query(spark):
+    from nessie_spark.operators.detectors3 import item_discrimination_flags
+
+    q = item_discrimination_flags(spark, SF)
+    out = api.ItemResponseTheoryFlagger(
+        id_col="vec_id", label_col="noisy", preds_col="votes"
+    ).score(_votes_arr(spark))
+    want_flag = _score_map(q, "vec_id", "flag")
+    want_disc = _score_map(q, "vec_id", "disc")
+    got = {r.vec_id: (r.flag, r.disc) for r in out.select("vec_id", "flag", "disc").collect()}
+    assert {k: v[0] for k, v in got.items()} == want_flag
+    for k, (_, d) in got.items():
+        assert d == pytest.approx(want_disc[k], abs=1e-6)
+
+
+def test_cross_validation_helper(spark):
+    from nessie_spark.models.zoo import DummyClassifier
+
+    emb = T(spark, SF, "embeddings").select(
+        "vec_id",
+        F.transform(F.slice("embedding", 1, 8), lambda v: v.cast("double")).alias("features"),
+        (F.col("label") % 4).cast("int").alias("label"),
+    )
+    out = api.CrossValidationHelper(n_splits=3, id_col="vec_id").run(emb, DummyClassifier(4))
+    rows = out.select("vec_id", "fold", "pred", "probs").collect()
+    assert len(rows) == emb.count()
+    assert {r.fold for r in rows} == {0, 1, 2}
+    assert all(len(r.probs) == 4 for r in rows)
