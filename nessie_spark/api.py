@@ -51,6 +51,7 @@ __all__ = [
     "ConfidentLearning",
     "LabelAggregation",
     "ItemResponseTheoryFlagger",
+    "VariationNGrams",
     "CrossValidationHelper",
 ]
 
@@ -709,3 +710,156 @@ class CrossValidationHelper:
         from nessie_spark.models.cv import cross_val_predict
 
         return cross_val_predict(df, model, self.id_col, self.n_splits)
+
+
+class VariationNGrams(Detector):
+    """Sequence-labeling variation n-grams (variational_principle.py:16-143,
+    Dickinson & Meurers 2003): repeated token sequences across the corpus
+    that carry different tag sequences get their minority occurrences
+    flagged, position by position. The suffix tree's maximal repeats are
+    re-expressed as bounded-n occurrence enumeration + neighbor-diversity
+    aggregation (Gusfield's left/right-diverse criterion), the same
+    Spark-native rewrite as the oracle-green ``variation_ngrams_multi``
+    query: one Arrow-batched enumeration pass, one groupBy on the gram key,
+    broadcast vote join — no pointer structures, no driver state.
+
+    ``score`` appends a ``flags: array<boolean>`` column aligned with the
+    tokens (the reference's ragged bool array); ``correct`` appends
+    ``corrected: array<string>``. On conflicting corrections for one token
+    the longest repeat (then smallest gram) wins — a deterministic stand-in
+    for the reference's suffix-tree-order overwrites (:81, sort order of an
+    internal tree walk, not a documented semantic)."""
+
+    kind = "flagger"
+    _SEP = "\x1f"
+
+    def __init__(
+        self,
+        id_col: str = "instance_id",
+        tokens_col: str = "sentences",
+        tags_col: str = "tags",
+        n_max: int = 4,
+        lowercase: bool = True,
+    ):
+        self.id_col, self.tokens_col, self.tags_col = id_col, tokens_col, tags_col
+        self.n_max, self.lowercase = n_max, lowercase
+
+    def _occ(self, df: DataFrame) -> DataFrame:
+        n_max, lower, sep = self.n_max, self.lowercase, self._SEP
+        src = df.select(
+            _c(self.id_col).alias("_id"),
+            _c(self.tokens_col).alias("_toks"),
+            _c(self.tags_col).alias("_tags"),
+        )
+
+        def gen(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                cols = {k: [] for k in ("_id", "n", "pos", "gram", "tagseq", "prev", "nxt")}
+                for i, ts, gs in zip(pdf["_id"], pdf["_toks"], pdf["_tags"]):
+                    ts = [t.lower() for t in ts] if lower else list(ts)
+                    gs = list(gs)
+                    ln = len(ts)
+                    grams = ts
+                    tseqs = gs
+                    for n in range(2, n_max + 1):
+                        if ln < n:
+                            break
+                        grams = [grams[j] + " " + ts[j + n - 1] for j in range(ln - n + 1)]
+                        tseqs = [tseqs[j] + sep + gs[j + n - 1] for j in range(ln - n + 1)]
+                        cols["_id"].extend([i] * (ln - n + 1))
+                        cols["n"].extend([n] * (ln - n + 1))
+                        cols["pos"].extend(range(ln - n + 1))
+                        cols["gram"].extend(grams)
+                        cols["tagseq"].extend(tseqs)
+                        cols["prev"].extend([None] + ts[: ln - n])
+                        cols["nxt"].extend(ts[n:] + [None])
+                yield pd.DataFrame(cols)
+
+        return src.mapInPandas(
+            gen,
+            schema="_id long, n int, pos int, gram string, tagseq string, "
+            "prev string, nxt string",
+        )
+
+    def _flagged(self, df: DataFrame) -> DataFrame:
+        """(id, tokpos, n, gram, modal_tag) for every position whose tag
+        disagrees with its repeat's majority tag sequence."""
+        occ = self._occ(df).localCheckpoint(eager=True)
+        grp = occ.groupBy("n", "gram").agg(
+            F.count(F.lit(1)).alias("_nocc"),
+            F.countDistinct("tagseq").alias("_nseq"),
+            F.countDistinct("prev").alias("_dp"),
+            F.sum(F.when(F.col("prev").isNull(), 1).otherwise(0)).alias("_bp"),
+            F.countDistinct("nxt").alias("_dn"),
+            F.sum(F.when(F.col("nxt").isNull(), 1).otherwise(0)).alias("_bn"),
+        )
+        keep = grp.where(
+            (F.col("_nocc") >= 2)
+            & (F.col("_nseq") >= 2)
+            & (
+                (F.col("n") == self.n_max)
+                | (
+                    ((F.col("_bp") > 0) | (F.col("_dp") > 1))
+                    & ((F.col("_bn") > 0) | (F.col("_dn") > 1))
+                )
+            )
+        ).select("n", "gram")
+        counts = occ.groupBy("n", "gram", "tagseq").agg(F.count(F.lit(1)).alias("_cnt"))
+        mw = Window.partitionBy("n", "gram").orderBy(F.desc("_cnt"), F.asc("tagseq"))
+        modal = (
+            counts.withColumn("_rk", F.row_number().over(mw))
+            .where(F.col("_rk") == 1)
+            .select("n", "gram", F.col("tagseq").alias("_mseq"))
+        )
+        dim = F.broadcast(keep.join(modal, ["n", "gram"]))
+        hit = occ.join(dim, ["n", "gram"]).where(F.col("tagseq") != F.col("_mseq"))
+        own = F.split("tagseq", self._SEP)
+        mod = F.split("_mseq", self._SEP)
+        offs = F.filter(
+            F.sequence(F.lit(0), F.col("n") - 1),
+            lambda k: F.get(own, k) != F.get(mod, k),
+        )
+        return hit.select(
+            "_id", "n", "gram", "pos", mod.alias("_marr"), F.explode(offs).alias("_k")
+        ).select(
+            "_id",
+            (F.col("pos") + F.col("_k")).alias("tokpos"),
+            "n",
+            "gram",
+            F.get("_marr", F.col("_k")).alias("modal_tag"),
+        )
+
+    def score(self, df: DataFrame) -> DataFrame:
+        fp = self._flagged(df).groupBy("_id").agg(
+            F.collect_set("tokpos").alias("_fpos")
+        )
+        out = df.join(fp, _c(self.id_col) == F.col("_id"), "left").drop("_id")
+        flags = F.transform(
+            _c(self.tags_col),
+            lambda _, i: F.when(F.col("_fpos").isNull(), F.lit(False)).otherwise(
+                F.array_contains("_fpos", i)
+            ),
+        )
+        return out.withColumn("flags", flags).drop("_fpos")
+
+    def correct(self, df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("_id", "tokpos").orderBy(F.desc("n"), F.asc("gram"))
+        best = (
+            self._flagged(df)
+            .withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .groupBy("_id")
+            .agg(F.map_from_arrays(
+                F.collect_list("tokpos"), F.collect_list("modal_tag")
+            ).alias("_fix"))
+        )
+        out = df.join(best, _c(self.id_col) == F.col("_id"), "left").drop("_id")
+        corrected = F.transform(
+            _c(self.tags_col),
+            lambda t, i: F.when(F.col("_fix").isNull(), t).otherwise(
+                F.coalesce(F.try_element_at("_fix", i), t)
+            ),
+        )
+        return out.withColumn("corrected", corrected).drop("_fix")

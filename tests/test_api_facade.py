@@ -341,3 +341,61 @@ def test_cross_validation_helper(spark):
     assert len(rows) == emb.count()
     assert {r.fold for r in rows} == {0, 1, 2}
     assert all(len(r.probs) == 4 for r in rows)
+
+
+@pytest.fixture(scope="module")
+def vngram_df(spark):
+    """'the old man' repeats 3x: twice tagged DT,JJ,NN and once DT,NN,VB
+    (the minority). Sub-repeats ('the old', 'old man') are NOT maximal:
+    'old man' always has left neighbor 'the', 'the old' always has right
+    neighbor 'man' — the diversity criterion must exclude them, so flags
+    come ONLY from the full 3-gram."""
+    rows = [
+        (0, ["the", "old", "man", "sat"], ["DT", "JJ", "NN", "VB"]),
+        (1, ["see", "the", "old", "man"], ["VB", "DT", "JJ", "NN"]),
+        (2, ["the", "old", "man", "ran"], ["DT", "NN", "VB", "VB"]),
+        (3, ["unrelated"], ["NN"]),
+        (4, [], []),
+    ]
+    return spark.createDataFrame(
+        rows, "sent_id long, toks array<string>, tags array<string>"
+    )
+
+
+def test_variation_ngrams_flags_minority_positions(spark, vngram_df):
+    det = api.VariationNGrams(id_col="sent_id", tokens_col="toks", tags_col="tags")
+    out = {r.sent_id: r.flags for r in det.score(vngram_df).collect()}
+    assert out[0] == [False, False, False, False]
+    assert out[1] == [False, False, False, False]
+    assert out[2] == [False, True, True, False]  # JJ->NN, NN->VB disagree
+    assert out[3] == [False]
+    assert out[4] == []
+
+
+def test_variation_ngrams_correct_applies_majority(spark, vngram_df):
+    det = api.VariationNGrams(id_col="sent_id", tokens_col="toks", tags_col="tags")
+    out = {r.sent_id: r.corrected for r in det.correct(vngram_df).collect()}
+    assert out[2] == ["DT", "JJ", "NN", "VB"]
+    assert out[0] == ["DT", "JJ", "NN", "VB"]  # untouched
+    assert out[4] == []
+
+
+def test_variation_ngrams_submaximal_excluded(spark):
+    """Both occurrences of 'b c' extend identically ('a' left, 'd' right)
+    -> not maximal -> no flags even though tag sequences differ; the
+    enclosing maximal 4-gram disagrees in 2 positions and flags them."""
+    rows = [
+        (0, ["a", "b", "c", "d"], ["T1", "T2", "T3", "T4"]),
+        (1, ["a", "b", "c", "d"], ["T1", "T2", "X3", "X4"]),
+    ]
+    df = spark.createDataFrame(rows, "sent_id long, toks array<string>, tags array<string>")
+    out = {
+        r.sent_id: r.flags
+        for r in api.VariationNGrams(
+            id_col="sent_id", tokens_col="toks", tags_col="tags"
+        ).score(df).collect()
+    }
+    # majority between the two 4-gram annotations ties -> smallest tagseq
+    # wins deterministically (T1,T2,T3,T4 < T1,T2,X3,X4), flagging row 1
+    assert out[0] == [False, False, False, False]
+    assert out[1] == [False, False, True, True]
