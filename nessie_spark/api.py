@@ -22,6 +22,14 @@ Semantics are pinned two ways: each class cites its reference file, and
 ``tests/test_api_facade.py`` asserts bit-equality against the oracle-green
 query-registry implementations on the shared fixtures (transitively, the
 DuckDB oracles verify this module too).
+
+Model-loop detectors stay as query-level entry points (their training
+dynamics are inseparable from the epoch loop + zoo model wiring):
+CurriculumSpotter / LeitnerSpotter →
+``operators.modelzoo.{curriculum,leitner}_spotter_model_scores``,
+MaxEntProjectionEnsemble → ``operators.detectors3.projection_ensemble_flags``,
+VariationNGramsSpan → ``operators.detectors3.variation_ngrams_span``,
+the 2PL IRT fit → ``operators.modelzoo.irt_2pl_discrimination_flags``.
 """
 
 from __future__ import annotations
