@@ -39,6 +39,8 @@ def main(argv: list[str] | None = None) -> int:
         ],
     )
     ap.add_argument("--ref", default=None, help="tag/drop-tag: reference name")
+    ap.add_argument("--retain-last", type=int, default=None, help="expire: keep only the N newest ancestors per head")
+    ap.add_argument("--older-than-ms", type=int, default=None, help="expire: expire ancestors committed before this epoch-millis cutoff")
     ap.add_argument("--rows", type=int, default=100_000)
     ap.add_argument("--target-bytes", type=int, default=128 * 1024 * 1024)
     ap.add_argument("--job-id", default=None)
@@ -89,7 +91,11 @@ def main(argv: list[str] | None = None) -> int:
         elif args.job == "expire":
             from nessie_spark.lakehouse.expire import expire_snapshots
 
-            rep = expire_snapshots(spark, t)
+            rep = expire_snapshots(
+                spark, t,
+                retain_last=args.retain_last,
+                older_than_millis=args.older_than_ms,
+            )
             out.update(
                 retained=rep.retained_snapshots,
                 expired=rep.expired_snapshots,

@@ -59,15 +59,59 @@ def _live_paths_df(spark: SparkSession, table: Table, snapshot_ids: set[int]):
     )
 
 
+def _retained_with_policy(
+    table: Table,
+    heads: list[int],
+    retain_last: int | None,
+    older_than_millis: int | None,
+) -> set[int]:
+    """Ancestors of ``heads`` surviving the retention policy. A chain
+    snapshot expires iff it is not a head, is beyond ``retain_last``
+    positions from its nearest head, AND (when ``older_than_millis`` is
+    set) was committed before the cutoff — Iceberg's
+    ``expire_snapshots(older_than, retain_last)`` rule. ts is monotone
+    along any parent chain, so the retained set is always a contiguous
+    suffix ending at each head (no holes in readable lineage)."""
+    parents = {s["snapshot_id"]: s["parent_id"] for s in table.meta["snapshots"]}
+    ts = {s["snapshot_id"]: s["ts_millis"] for s in table.meta["snapshots"]}
+    keep: set[int] = set()
+    for h in heads:
+        depth, sid = 0, h
+        while sid is not None and sid in parents:
+            expirable = (
+                depth > 0
+                and (retain_last is None or depth >= retain_last)
+                and (older_than_millis is None or ts[sid] < older_than_millis)
+            )
+            if not expirable:
+                keep.add(sid)
+            sid = parents[sid]
+            depth += 1
+    return keep
+
+
 def expire_snapshots(
     spark: SparkSession,
     table: Table,
     keep_heads: list[int] | None = None,
     dry_run: bool = False,
+    retain_last: int | None = None,
+    older_than_millis: int | None = None,
 ) -> ExpiryReport:
-    """Retain ``keep_heads`` (default: current) and all their ancestors'
-    *metadata*; expire every other snapshot and delete data files referenced
-    only by expired snapshots.
+    """Retain ``keep_heads`` (default: current + every named ref) and their
+    ancestors' *metadata* under the retention policy; expire every other
+    snapshot and delete data files referenced only by expired snapshots.
+
+    ``retain_last`` / ``older_than_millis`` trim ancestor HISTORY too
+    (Iceberg's expiry knobs): with ``retain_last=K`` only the K most recent
+    snapshots of each head's lineage stay time-travelable; with
+    ``older_than_millis`` only snapshots committed at/after the cutoff
+    stay (heads always survive; when both are given a snapshot must fail
+    both to expire). Files still live in a retained snapshot are never
+    deleted — the keep-set anti-join is unchanged. Incremental reads whose
+    range crosses a trimmed snapshot raise (scan.py), never silently skip.
+    With neither knob set, all ancestors are retained (pure
+    abandoned-branch expiry — the pre-policy behavior).
 
     Note on semantics: ancestors of a retained head stay readable (time
     travel along the retained lineage); snapshots on abandoned branches — not
@@ -79,7 +123,10 @@ def expire_snapshots(
         ([table.current_snapshot_id] if table.current_snapshot_id else [])
         + [r["snapshot_id"] for r in table.meta.get("refs", {}).values()]
     )
-    retained = reachable_snapshots(table, heads)
+    if retain_last is None and older_than_millis is None:
+        retained = reachable_snapshots(table, heads)
+    else:
+        retained = _retained_with_policy(table, heads, retain_last, older_than_millis)
     all_ids = {s["snapshot_id"] for s in table.meta["snapshots"]}
     expired = sorted(all_ids - retained)
 
