@@ -27,7 +27,6 @@ Model-loop detectors stay as query-level entry points (their training
 dynamics are inseparable from the epoch loop + zoo model wiring):
 CurriculumSpotter / LeitnerSpotter →
 ``operators.modelzoo.{curriculum,leitner}_spotter_model_scores``,
-MaxEntProjectionEnsemble → ``operators.detectors3.projection_ensemble_flags``,
 VariationNGramsSpan → ``operators.detectors3.variation_ngrams_span``,
 the 2PL IRT fit → ``operators.modelzoo.irt_2pl_discrimination_flags``.
 """
@@ -60,7 +59,9 @@ __all__ = [
     "LabelAggregation",
     "ItemResponseTheoryFlagger",
     "VariationNGrams",
+    "MaxEntProjectionEnsemble",
     "CrossValidationHelper",
+    "percentage_flagged",
 ]
 
 
@@ -871,3 +872,88 @@ class VariationNGrams(Detector):
             ),
         )
         return out.withColumn("corrected", corrected).drop("_fix")
+
+
+class MaxEntProjectionEnsemble(Detector):
+    """Random-projection model grid, majority vote (projection_ensemble.py:
+    17-131). The engine twin is the seeded sign-projection linear model
+    family of the oracle-green ``projection_ensemble_flags`` query:
+    logit(m,c) = Σ_j sign(h64(seed_m_c_j))·x_j, argmax per model (ties →
+    class asc), majority vote across models (ties → smallest class), flag
+    vote ≠ label. One posexplode + broadcast grid join + groupBy — the
+    reference's process fan-out as a single shuffle. ``label_col`` must be
+    an integer class index in [0, n_classes)."""
+
+    kind = "flagger"
+
+    def __init__(
+        self,
+        id_col: str = "instance_id",
+        label_col: str = "label",
+        features_col: str = "embedded_instances",
+        n_models: int = 3,
+        n_classes: int = 4,
+        seed: str = "proj",
+    ):
+        self.id_col, self.label_col, self.features_col = id_col, label_col, features_col
+        self.n_models, self.n_classes, self.seed = n_models, n_classes, seed
+
+    def _vote(self, df: DataFrame) -> DataFrame:
+        from nessie_spark.functions.core import h64
+
+        spark = df.sparkSession
+        ex = df.select(
+            _c(self.id_col).alias("_id"),
+            F.posexplode(
+                F.transform(_c(self.features_col), lambda v: v.cast("double"))
+            ).alias("_j", "_x"),
+        )
+        grid = (
+            spark.range(self.n_models)
+            .select((F.col("id") + 1).cast("int").alias("_m"))
+            .crossJoin(
+                spark.range(self.n_classes).select(F.col("id").cast("int").alias("_cl"))
+            )
+        )
+        sgn = F.when(
+            F.pmod(h64(F.concat_ws("_", F.lit(self.seed), "_m", "_cl", "_j")), F.lit(2))
+            == 0,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0))
+        logits = (
+            ex.crossJoin(F.broadcast(grid))
+            .groupBy("_id", "_m", "_cl")
+            .agg(F.round(F.sum(sgn * F.col("_x")), 6).alias("_logit"))
+        )
+        w = Window.partitionBy("_id", "_m").orderBy(F.desc("_logit"), F.asc("_cl"))
+        preds = (
+            logits.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .select("_id", "_m", "_cl")
+        )
+        counts = preds.groupBy("_id", "_cl").agg(F.count(F.lit(1)).alias("_cnt"))
+        vw = Window.partitionBy("_id").orderBy(F.desc("_cnt"), F.asc("_cl"))
+        return (
+            counts.withColumn("_vk", F.row_number().over(vw))
+            .where(F.col("_vk") == 1)
+            .select("_id", F.col("_cl").alias("_vote"))
+        )
+
+    def score(self, df: DataFrame) -> DataFrame:
+        out = df.join(self._vote(df), _c(self.id_col) == F.col("_id")).drop("_id")
+        return out.withColumn(
+            "flag", _c(self.label_col).cast("int") != F.col("_vote")
+        ).drop("_vote")
+
+    def correct(self, df: DataFrame) -> DataFrame:
+        out = df.join(self._vote(df), _c(self.id_col) == F.col("_id")).drop("_id")
+        return out.withColumn("corrected", F.col("_vote")).drop("_vote")
+
+
+def percentage_flagged(df: DataFrame, flag_col: str = "flag") -> DataFrame:
+    """The reference's evaluation metric (metrics.py:4-5): one row with
+    the instance count and the flagged fraction."""
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(_c(flag_col).cast("int")) / F.count(F.lit(1))).alias("flagged_fraction"),
+    )

@@ -399,3 +399,28 @@ def test_variation_ngrams_submaximal_excluded(spark):
     # wins deterministically (T1,T2,T3,T4 < T1,T2,X3,X4), flagging row 1
     assert out[0] == [False, False, False, False]
     assert out[1] == [False, False, True, True]
+
+
+def test_projection_ensemble_matches_query(spark):
+    from nessie_spark.operators.detectors3 import projection_ensemble_flags
+
+    emb = T(spark, SF, "embeddings").select(
+        "vec_id", (F.col("label") % 4).cast("int").alias("noisy"), "embedding"
+    )
+    q = projection_ensemble_flags(spark, SF)
+    det = api.MaxEntProjectionEnsemble(
+        id_col="vec_id", label_col="noisy", features_col="embedding",
+        n_models=3, n_classes=4, seed="proj",
+    )
+    assert _score_map(det.score(emb), "vec_id", "flag") == _score_map(q, "vec_id", "flag")
+    assert _score_map(det.correct(emb), "vec_id", "corrected") == _score_map(
+        q, "vec_id", "vote"
+    )
+
+
+def test_percentage_flagged_metric(spark):
+    df = spark.createDataFrame(
+        [(i, i % 4 == 0) for i in range(8)], "instance_id long, flag boolean"
+    )
+    row = api.percentage_flagged(df).first()
+    assert row.n == 8 and row.flagged_fraction == pytest.approx(0.25)
