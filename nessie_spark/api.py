@@ -16,7 +16,10 @@ Conventions (SURVEY.md §1.1 "flags/scores are columns, never positional"):
   column (the reference's DetectorKind split, error_detector.py:44-105);
 - ``correct()`` appends a ``corrected`` column where supported;
 - inputs/outputs are DataFrames — nothing is collected, so every detector
-  composes with the lakehouse scan and runs at 10^12-row scale.
+  composes with the lakehouse scan and runs at 10^12-row scale;
+- every row of the input survives score()/correct(): a row whose per-row
+  input is empty/NULL (an empty ensemble array, a kNN instance with no LSH
+  candidates) keeps a NULL in the appended column instead of being dropped.
 
 Semantics are pinned two ways: each class cites its reference file, and
 ``tests/test_api_facade.py`` asserts bit-equality against the oracle-green
@@ -84,6 +87,23 @@ def _c(col: Column | str) -> Column:
 
 def _surface(col: str, lowercase: bool) -> Column:
     return F.lower(_c(col)) if lowercase else _c(col)
+
+
+def _label_idx(label_col: str, classes: list[str] | None) -> Column:
+    """Label → probability-vector index. With ``classes`` the label is
+    looked up in the literal dictionary and an UNSEEN label raises (the
+    reference's LabelEncoder contract) instead of silently indexing -1;
+    without it the label column must already be the integer index."""
+    if classes is None:
+        return _c(label_col).cast("int")
+    pos = F.array_position(F.array(*[F.lit(c) for c in classes]), _c(label_col))
+    return (
+        F.when(pos > 0, pos - 1)
+        .otherwise(
+            F.raise_error(F.concat(F.lit("label not in classes: "), _c(label_col)))
+        )
+        .cast("int")
+    )
 
 
 class Retag(Detector):
@@ -205,14 +225,14 @@ class MajorityVotingEnsemble(Detector):
 
     def score(self, df: DataFrame) -> DataFrame:
         return (
-            df.join(self._vote(df), self.id_col)
+            df.join(self._vote(df), self.id_col, "left")
             .withColumn("flag", _c(self.label_col) != F.col("_vote"))
             .drop("_vote")
         )
 
     def correct(self, df: DataFrame) -> DataFrame:
         return (
-            df.join(self._vote(df), self.id_col)
+            df.join(self._vote(df), self.id_col, "left")
             .withColumn("corrected", F.col("_vote"))
             .drop("_vote")
         )
@@ -337,15 +357,7 @@ class ClassificationUncertainty(Detector):
         self.probs_col, self.label_col, self.classes = probs_col, label_col, classes
 
     def score(self, df: DataFrame) -> DataFrame:
-        if self.classes is not None:
-            idx = (
-                F.array_position(
-                    F.array(*[F.lit(c) for c in self.classes]), _c(self.label_col)
-                )
-                - 1
-            ).cast("int")
-        else:
-            idx = _c(self.label_col).cast("int")
+        idx = _label_idx(self.label_col, self.classes)
         return df.withColumn("score", 1 - F.get(_c(self.probs_col), idx))
 
 
@@ -415,7 +427,7 @@ class BordaCount(Detector):
             .groupBy(self.id_col)
             .agg(F.sum("_rk").alias("score"))
         )
-        return df.join(borda, self.id_col)
+        return df.join(borda, self.id_col, "left")
 
 
 class MeanDistance(Detector):
@@ -456,6 +468,7 @@ class MeanDistance(Detector):
         joined = df.withColumn("_e", e).join(
             F.broadcast(self._centroids(df)),
             _c(self.label_col) == F.col("_lb"),
+            "left",
         )
         ec, cv = F.col("_e"), F.col("_cvec")
         if self.metric == "euclidean":
@@ -518,7 +531,7 @@ class KnnFlagger(_KnnErrorDetector):
             .select(F.col("qid").alias(self.id_col), F.col("nlabel").alias("_knn"))
         )
         return (
-            df.join(modal, self.id_col)
+            df.join(modal, self.id_col, "left")
             .withColumn("flag", _c(self.label_col) != F.col("_knn"))
             .drop("_knn")
         )
@@ -540,7 +553,7 @@ class KnnEntropy(_KnnErrorDetector):
             )
             .select(F.col("qid").alias(self.id_col), "score")
         )
-        return df.join(ent, self.id_col)
+        return df.join(ent, self.id_col, "left")
 
 
 class ConfidentLearning(Detector):
@@ -560,21 +573,13 @@ class ConfidentLearning(Detector):
         self.probs_col, self.label_col, self.classes = probs_col, label_col, classes
 
     def score(self, df: DataFrame) -> DataFrame:
-        if self.classes is not None:
-            idx = (
-                F.array_position(
-                    F.array(*[F.lit(c) for c in self.classes]), _c(self.label_col)
-                )
-                - 1
-            ).cast("int")
-        else:
-            idx = _c(self.label_col).cast("int")
+        idx = _label_idx(self.label_col, self.classes)
         d = df.withColumn("_sc", F.get(_c(self.probs_col), idx))
         thr = d.groupBy(_c(self.label_col).alias("_lb")).agg(
             F.avg("_sc").alias("_thr")
         )
         return (
-            d.join(F.broadcast(thr), _c(self.label_col) == F.col("_lb"))
+            d.join(F.broadcast(thr), _c(self.label_col) == F.col("_lb"), "left")
             .withColumn("flag", F.col("_sc") < F.col("_thr"))
             .drop("_sc", "_thr", "_lb")
         )
@@ -605,6 +610,11 @@ class LabelAggregation(Detector):
     def _adjudicate(self, df: DataFrame) -> DataFrame:
         import numpy as np
 
+        # deterministic in the histogram → memoize per input so the common
+        # score()-then-correct() flow collects and iterates EM once
+        if getattr(self, "_cache", None) is not None and self._cache[0] is df:
+            return self._cache[1]
+
         hist = (
             df.groupBy(_c(self.votes_col).alias("_v"))
             .agg(F.count(F.lit(1)).alias("_m"))
@@ -613,7 +623,9 @@ class LabelAggregation(Detector):
         )
         spark = df.sparkSession
         if not hist:
-            return spark.createDataFrame([], "_v array<int>, _z int")
+            model = spark.createDataFrame([], "_v array<int>, _z int")
+            self._cache = (df, model)
+            return model
         pat = np.array([r["_v"] for r in hist], dtype=np.int64)
         m = np.array([r["_m"] for r in hist], dtype=np.int64)
         P, W = pat.shape
@@ -638,15 +650,17 @@ class LabelAggregation(Detector):
             for w in range(W):
                 s = s * theta[w][:, pat[:, w]].T
             z = np.argmax(s, axis=1)
-        return spark.createDataFrame(
+        model = spark.createDataFrame(
             [([int(x) for x in p], int(zz)) for p, zz in zip(pat, z)],
             "_v array<int>, _z int",
         )
+        self._cache = (df, model)
+        return model
 
     def score(self, df: DataFrame) -> DataFrame:
         model = self._adjudicate(df)
         return (
-            df.join(F.broadcast(model), _c(self.votes_col) == F.col("_v"))
+            df.join(F.broadcast(model), _c(self.votes_col) == F.col("_v"), "left")
             .withColumn("flag", _c(self.label_col).cast("int") != F.col("_z"))
             .drop("_v", "_z")
         )
@@ -654,7 +668,7 @@ class LabelAggregation(Detector):
     def correct(self, df: DataFrame) -> DataFrame:
         model = self._adjudicate(df)
         return (
-            df.join(F.broadcast(model), _c(self.votes_col) == F.col("_v"))
+            df.join(F.broadcast(model), _c(self.votes_col) == F.col("_v"), "left")
             .withColumn("corrected", F.col("_z"))
             .drop("_v", "_z")
         )
@@ -702,7 +716,7 @@ class ItemResponseTheoryFlagger(Detector):
             disc.alias("disc"),
             (disc < 0).alias("flag"),
         )
-        return df.join(out, self.id_col)
+        return df.join(out, self.id_col, "left")
 
 
 class CrossValidationHelper:
@@ -755,6 +769,9 @@ class VariationNGrams(Detector):
 
     def _occ(self, df: DataFrame) -> DataFrame:
         n_max, lower, sep = self.n_max, self.lowercase, self._SEP
+        # the id passes through the Arrow boundary with its OWN type —
+        # hard-coding long here crashed on string ids mid-job
+        id_dt = df.schema[self.id_col].dataType.simpleString()
         src = df.select(
             _c(self.id_col).alias("_id"),
             _c(self.tokens_col).alias("_toks"),
@@ -788,7 +805,7 @@ class VariationNGrams(Detector):
 
         return src.mapInPandas(
             gen,
-            schema="_id long, n int, pos int, gram string, tagseq string, "
+            schema=f"_id {id_dt}, n int, pos int, gram string, tagseq string, "
             "prev string, nxt string",
         )
 
@@ -940,13 +957,13 @@ class MaxEntProjectionEnsemble(Detector):
         )
 
     def score(self, df: DataFrame) -> DataFrame:
-        out = df.join(self._vote(df), _c(self.id_col) == F.col("_id")).drop("_id")
+        out = df.join(self._vote(df), _c(self.id_col) == F.col("_id"), "left").drop("_id")
         return out.withColumn(
             "flag", _c(self.label_col).cast("int") != F.col("_vote")
         ).drop("_vote")
 
     def correct(self, df: DataFrame) -> DataFrame:
-        out = df.join(self._vote(df), _c(self.id_col) == F.col("_id")).drop("_id")
+        out = df.join(self._vote(df), _c(self.id_col) == F.col("_id"), "left").drop("_id")
         return out.withColumn("corrected", F.col("_vote")).drop("_vote")
 
 

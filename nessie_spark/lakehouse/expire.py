@@ -33,7 +33,11 @@ class ExpiryReport:
 
 
 def reachable_snapshots(table: Table, heads: list[int]) -> set[int]:
-    """BFS from the given head snapshot ids over parent pointers."""
+    """BFS from the given head snapshot ids over parent pointers. A parent
+    id that no longer exists in the snapshot list (trimmed by an earlier
+    retention-policy expiry — retain_last/older_than leave parent-chain
+    holes below the retained suffix) terminates the walk rather than
+    entering the result."""
     parents = {s["snapshot_id"]: s["parent_id"] for s in table.meta["snapshots"]}
     seen: set[int] = set()
     frontier = [h for h in heads if h in parents]
@@ -43,7 +47,7 @@ def reachable_snapshots(table: Table, heads: list[int]) -> set[int]:
             continue
         seen.add(sid)
         p = parents.get(sid)
-        if p is not None and p not in seen:
+        if p is not None and p not in seen and p in parents:
             frontier.append(p)
     return seen
 
@@ -70,8 +74,12 @@ def _retained_with_policy(
     positions from its nearest head, AND (when ``older_than_millis`` is
     set) was committed before the cutoff — Iceberg's
     ``expire_snapshots(older_than, retain_last)`` rule. ts is monotone
-    along any parent chain, so the retained set is always a contiguous
-    suffix ending at each head (no holes in readable lineage)."""
+    along any parent chain, so each head's retained ancestors form a
+    contiguous suffix ending at that head; with multiple heads (e.g. a tag
+    far below current) the UNION can have gaps between suffixes — parent
+    pointers at a gap dangle, which every chain walker tolerates
+    (reachable_snapshots, Table._current_ancestors) and scan_incremental
+    reports as an expired-ancestry error."""
     parents = {s["snapshot_id"]: s["parent_id"] for s in table.meta["snapshots"]}
     ts = {s["snapshot_id"]: s["ts_millis"] for s in table.meta["snapshots"]}
     keep: set[int] = set()

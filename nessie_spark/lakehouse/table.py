@@ -85,6 +85,19 @@ class CommitConflict(Exception):
     pass
 
 
+def _history_base(meta: dict) -> list[dict]:
+    """Existing made-current log, or one synthesized from commit history —
+    so the first write on a pre-history-feature table carries the full past
+    forward instead of starting a one-entry log."""
+    return list(
+        meta.get("history")
+        or [
+            {"ts_millis": s["ts_millis"], "snapshot_id": s["snapshot_id"], "action": s["operation"]}
+            for s in meta["snapshots"]
+        ]
+    )
+
+
 class Table:
     def __init__(self, root: str, meta: dict, version: int):
         self.root = root
@@ -224,11 +237,7 @@ class Table:
         ``is_current_ancestor``). Entries for since-expired snapshots are
         retained with ``is_current_ancestor = false``."""
         anc = self._current_ancestors()
-        log = self.meta.get("history") or [
-            # pre-feature tables: synthesize from commit history
-            {"ts_millis": s["ts_millis"], "snapshot_id": s["snapshot_id"], "action": s["operation"]}
-            for s in self.meta["snapshots"]
-        ]
+        log = _history_base(self.meta)
         rows = [
             (h["ts_millis"], h["snapshot_id"], h["action"], h["snapshot_id"] in anc)
             for h in log
@@ -325,7 +334,7 @@ class Table:
                 raise KeyError(f"snapshot {to_snapshot_id} not found")
             meta = dict(t.meta)
             meta["current_snapshot_id"] = to_snapshot_id
-            meta["history"] = list(t.meta.get("history", [])) + [
+            meta["history"] = _history_base(t.meta) + [
                 {
                     "ts_millis": int(time.time() * 1000),
                     "snapshot_id": to_snapshot_id,
@@ -463,7 +472,7 @@ class Table:
             }
             meta["snapshots"] = list(t.meta["snapshots"]) + [snap]
             meta["current_snapshot_id"] = snapshot_id
-            meta["history"] = list(t.meta.get("history", [])) + [
+            meta["history"] = _history_base(t.meta) + [
                 {
                     "ts_millis": snap["ts_millis"],
                     "snapshot_id": snapshot_id,

@@ -327,8 +327,6 @@ def maintenance_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables report the lineage — history keeps the rollback event and marks
     snapshot 3 off the current ancestry. All counts derive from the seeded
     layout → deterministic rows-only check."""
-    from nessie_spark.lakehouse import verify
-
     t, _, root = _fresh_table(spark)
     try:
         C.compact(spark, t, target_bytes=TARGET, job_id="demo-rb-compact")

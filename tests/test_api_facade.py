@@ -424,3 +424,45 @@ def test_percentage_flagged_metric(spark):
     )
     row = api.percentage_flagged(df).first()
     assert row.n == 8 and row.flagged_fraction == pytest.approx(0.25)
+
+
+def test_unknown_label_raises_with_classes(spark):
+    df = spark.createDataFrame(
+        [(1, "d", [0.2, 0.5, 0.3])],
+        "instance_id long, label string, probabilities array<double>",
+    )
+    out = api.ClassificationUncertainty(classes=["a", "b", "c"]).score(df)
+    with pytest.raises(Exception, match="label not in classes"):
+        out.collect()
+
+
+def test_empty_ensemble_row_survives_with_null_flag(spark):
+    df = spark.createDataFrame(
+        [(1, "a", ["a", "a", "b"]), (2, "a", [])],
+        "instance_id long, label string, ensemble_predictions array<string>",
+    )
+    out = {
+        r.instance_id: r.flag
+        for r in api.MajorityVotingEnsemble().score(df).collect()
+    }
+    assert out == {1: False, 2: None}  # row 2 kept, flag NULL
+    borda = api.BordaCount(scores_col="s").score(
+        df.withColumn("s", F.when(F.col("instance_id") == 1, F.array(F.lit(1.0))))
+    )
+    assert {r.instance_id: r.score for r in borda.collect()} == {1: 1, 2: None}
+
+
+def test_variation_ngrams_string_ids(spark):
+    rows = [
+        ("s0", ["x", "y"], ["A", "B"]),
+        ("s1", ["x", "y"], ["A", "C"]),
+        ("s2", ["x", "y"], ["A", "B"]),
+    ]
+    df = spark.createDataFrame(rows, "sent_id string, toks array<string>, tags array<string>")
+    out = {
+        r.sent_id: r.flags
+        for r in api.VariationNGrams(
+            id_col="sent_id", tokens_col="toks", tags_col="tags", n_max=2
+        ).score(df).collect()
+    }
+    assert out == {"s0": [False, False], "s1": [False, True], "s2": [False, False]}

@@ -95,3 +95,17 @@ def test_no_knobs_keeps_full_ancestry(spark, chain_table):
     rep = E.expire_snapshots(spark, chain_table, dry_run=True)
     assert rep.expired_snapshots == []
     assert sorted(rep.retained_snapshots) == [1, 2, 3, 4]
+
+
+def test_plain_expire_survives_retention_holes(spark, chain_table):
+    """Regression: after a retention expiry leaves a parent-chain hole
+    (ref head far below current), a routine knob-less expire must not
+    KeyError walking into the expired parent."""
+    t = chain_table
+    t.create_tag("audit", snapshot_id=1)
+    E.expire_snapshots(spark, t, retain_last=1)  # leaves {1, 4}, hole at 2-3
+    t = t.refresh()
+    rep = E.expire_snapshots(spark, t)  # must not crash on s4.parent_id=3
+    assert rep.expired_snapshots == []
+    assert sorted(rep.retained_snapshots) == [1, 4]
+    assert scan(spark, t.refresh()).count() == 256 + 64

@@ -167,3 +167,33 @@ def test_metadata_tables(spark, branched_table):
     anc = {h.snapshot_id: h.is_current_ancestor for h in hist}
     assert anc[2] and anc[1] and not anc[3]
     assert t.snapshots_df(spark).where("is_current").first().snapshot_id == 2
+
+
+def test_history_seeded_for_pre_feature_tables(spark, branched_table):
+    """Regression: a table whose metadata predates the history log gets
+    the full past synthesized into the log on its next commit, not a
+    one-entry history."""
+    import json
+    import os
+
+    from nessie_spark import synth
+    from nessie_spark.lakehouse import jobs
+
+    t = branched_table  # 3 snapshots with a real history log
+    meta = dict(t.meta)
+    meta.pop("history")
+    t._write_version(t.version + 1, meta)  # simulate a pre-feature table
+    t = t.refresh()
+    assert "history" not in t.meta
+
+    jobs.append(
+        spark, t,
+        synth.images_df(spark, 8, seed=5).withColumn(
+            "image_id", F.concat(F.lit("h-"), F.col("image_id"))
+        ),
+        job_id="hist-seed",
+    )
+    t = t.refresh()
+    hist = t.history_df(spark).orderBy("made_current_ts", "snapshot_id").collect()
+    assert [h.snapshot_id for h in hist] == [1, 2, 3, 4]
+    assert hist[-1].action == "append"
