@@ -178,7 +178,7 @@ class MajorityLabelPerSurfaceFormBaseline(Detector):
 
     def _joined(self, df: DataFrame) -> DataFrame:
         sf = _surface(self.text_col, self.lowercase)
-        return df.withColumn("_sf", sf).join(F.broadcast(self._modal(df)), "_sf")
+        return df.withColumn("_sf", sf).join(F.broadcast(self._modal(df)), "_sf", "left")
 
     def score(self, df: DataFrame) -> DataFrame:
         return (
@@ -288,8 +288,8 @@ class LabelEntropy(_SurfaceScorer):
         )
         raw = (
             df.withColumn("_sf", _surface(self.text_col, self.lowercase))
-            .join(F.broadcast(ent), "_sf")
-            .join(F.broadcast(self._modal_of(counts)), "_sf")
+            .join(F.broadcast(ent), "_sf", "left")
+            .join(F.broadcast(self._modal_of(counts)), "_sf", "left")
             .withColumn(
                 "_raw",
                 F.when(_c(self.label_col) == F.col("_modal"), F.lit(0.0)).otherwise(
@@ -315,8 +315,8 @@ class WeightedDiscrepancy(_SurfaceScorer):
         )
         raw = (
             df.withColumn("_sf", _surface(self.text_col, self.lowercase))
-            .join(F.broadcast(stats), "_sf")
-            .join(F.broadcast(self._modal_of(counts)), "_sf")
+            .join(F.broadcast(stats), "_sf", "left")
+            .join(F.broadcast(self._modal_of(counts)), "_sf", "left")
             .withColumn(
                 "_raw",
                 F.when(
