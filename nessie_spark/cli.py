@@ -46,6 +46,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--job-id", default=None)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--small-files", action="store_true", help="synth: lognormal small-file layout")
+    ap.add_argument("--sort-order", default=None, help="synth: set the write.sort-order table property (zorder|hilbert)")
     ap.add_argument("--column", default=None, help="add-column: 'name:type' (e.g. quality:long)")
     ap.add_argument("--from-snapshot", type=int, default=None, help="incremental: exclusive range start")
     ap.add_argument("--to-snapshot", type=int, default=None, help="incremental: inclusive range end")
@@ -60,7 +61,10 @@ def main(argv: list[str] | None = None) -> int:
         from nessie_spark import synth
         from nessie_spark.lakehouse import jobs
 
-        t = jobs.create_images_table(args.table)
+        t = jobs.create_images_table(
+            args.table,
+            properties={"write.sort-order": args.sort_order} if args.sort_order else None,
+        )
         df = synth.images_df(spark, args.rows, seed=args.seed)
         bounds = (
             synth.lognormal_file_boundaries(args.rows, seed=args.seed)

@@ -11,6 +11,7 @@ import uuid
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from nessie_spark.lakehouse import lineage
@@ -30,6 +31,7 @@ def append(
     job_id: str | None = None,
     file_boundaries: list[int] | None = None,
     id_col: str = "image_id",
+    sort_order: str | None = None,
 ) -> int:
     """Append ``df`` (images schema) as a new snapshot.
 
@@ -37,6 +39,15 @@ def append(
     exact many-small-files layout (compaction fixture). Row → file assignment
     is a vectorized searchsorted over the numeric suffix of ``image_id`` —
     deterministic, shuffle = one hash partitioning by file_id.
+
+    ``sort_order`` (or the table property ``write.sort-order``, values
+    ``zorder``/``morton``/``hilbert``): Iceberg's write-time sort order —
+    appended rows are range-partitioned + sorted on the table's
+    space-filling-curve key BEFORE writing, so fresh data lands with
+    narrow per-file stats and prunes immediately, instead of waiting for
+    the next clustering run. One extra shuffle per append; ignored under
+    ``file_boundaries`` (that layout is the deliberately-unsorted
+    compaction fixture).
     """
     job_id = job_id or f"append-{uuid.uuid4().hex[:8]}"
     # Idempotency guard (same contract as compact/merge): re-running a
@@ -81,6 +92,23 @@ def append(
 
         entries = collect_grouped_stats(spark, stats)
     else:
+        order = sort_order or (table.meta.get("properties") or {}).get("write.sort-order")
+        if order:
+            from nessie_spark.lakehouse.zorder import zorder_key
+
+            strategy = "morton" if order in ("zorder", "morton") else order
+            key = zorder_key(strategy)(F.col("phash"), F.col("w"), F.col("h"))
+            # explicit partition count: the column-only form participates in
+            # AQE partition coalescing, which at small batch sizes merges
+            # every range into one file and destroys the per-file stats this
+            # feature exists to narrow. shuffle.partitions is the session's
+            # parallelism knob — the same sizing rule as any append shuffle.
+            n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            df = (
+                df.withColumn("zkey", key)
+                .repartitionByRange(n_parts, F.col("zkey"))
+                .sortWithinPartitions("zkey")
+            )
         stats = write_partition_files(
             df, table.root, job_id, "append", data_columns=table_cols
         )

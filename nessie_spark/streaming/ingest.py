@@ -30,15 +30,46 @@ from nessie_spark.lakehouse import jobs
 from nessie_spark.lakehouse.table import Table
 
 
-def ingest_batch(table_root: str, stream_id: str, batch_df: DataFrame, batch_id: int) -> int:
-    """Append one micro-batch; replay-safe via the derived job_id."""
+def ingest_batch(
+    table_root: str,
+    stream_id: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    auto_compact_small_files: int | None = None,
+    compact_target_bytes: int = 8 * 1024 * 1024,
+) -> int:
+    """Append one micro-batch; replay-safe via the derived job_id.
+
+    ``auto_compact_small_files``: continuous maintenance — after the
+    append, if the live snapshot holds at least this many files below half
+    the compaction target, run bin-packing compaction inline. The compact
+    job_id derives from (stream_id, batch_id), so a replayed micro-batch
+    replays into the same committed-marker no-op as the append itself —
+    exactly-once holds for the maintenance commit too. The threshold keeps
+    the common batch on the cheap path (one manifest read, no pixel
+    work); None (default) leaves maintenance fully out of the hot path."""
+    spark = batch_df.sparkSession
     table = Table.load(table_root)
-    return jobs.append(
-        batch_df.sparkSession,
+    snap = jobs.append(
+        spark,
         table,
         batch_df,
         job_id=f"{stream_id}-b{batch_id}",
     )
+    if auto_compact_small_files:
+        from nessie_spark.lakehouse.compact import compact
+
+        t = table.refresh()
+        sizes = t.file_entries().column("file_size_bytes").to_pylist()
+        small = sum(1 for b in sizes if b < compact_target_bytes // 2)
+        if small >= auto_compact_small_files:
+            compact(
+                spark,
+                t,
+                target_bytes=compact_target_bytes,
+                job_id=f"{stream_id}-b{batch_id}-autocompact",
+            )
+    return snap
 
 
 def start_auto_ingest(
@@ -48,15 +79,21 @@ def start_auto_ingest(
     stream_id: str = "autoingest",
     available_now: bool = True,
     trigger_seconds: float | None = None,
+    auto_compact_small_files: int | None = None,
+    compact_target_bytes: int = 8 * 1024 * 1024,
 ) -> StreamingQuery:
     """Start ingesting ``stream_df`` (images schema) into the table.
 
     ``available_now=True`` drains everything currently available and stops
     (the batch-backfill / test mode); pass ``trigger_seconds`` for a
-    continuous micro-batch cadence instead.
-    """
+    continuous micro-batch cadence instead. ``auto_compact_small_files``
+    turns on continuous maintenance (see ``ingest_batch``)."""
     writer = stream_df.writeStream.foreachBatch(
-        lambda bdf, bid: ingest_batch(table_root, stream_id, bdf, bid)
+        lambda bdf, bid: ingest_batch(
+            table_root, stream_id, bdf, bid,
+            auto_compact_small_files=auto_compact_small_files,
+            compact_target_bytes=compact_target_bytes,
+        )
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -108,3 +108,40 @@ def test_streaming_auto_ingest_exactly_once(spark, tmp_path):
     delta = scan_incremental(spark, t, from_snapshot_id=snap_before)
     ids = _ids(delta)
     assert len(ids) == 20 and all(i.startswith("n-") for i in ids)
+
+
+def test_streaming_auto_compact_maintains_file_count(spark, tmp_path):
+    """Continuous maintenance: tiny per-batch files accumulate until the
+    small-file threshold trips, then compaction rewrites them inline —
+    exactly-once for the maintenance commit too (derived job_id)."""
+    from nessie_spark.lakehouse.table import Table
+    from nessie_spark.streaming.ingest import ingest_batch
+
+    root = str(tmp_path / "images")
+    jobs.create_images_table(root)
+    for b in range(6):
+        batch = synth.images_df(spark, 10, seed=b).withColumn(
+            "image_id", F.concat(F.lit(f"b{b}-"), "image_id")
+        )
+        ingest_batch(root, "ac", batch, batch_id=b, auto_compact_small_files=4)
+
+    t = Table.load(root)
+    ops = [s["operation"] for s in t.meta["snapshots"]]
+    assert "compact" in ops  # maintenance ran inline at least once
+    assert scan(spark, t).count() == 60  # no rows lost or duplicated
+    live = t.file_entries().num_rows
+    assert live < 6  # small files were folded together
+
+    # replaying the last batch (same batch_id) is a full no-op: neither a
+    # second append nor a second compaction commit
+    snaps_before = len(t.meta["snapshots"])
+    ingest_batch(
+        root, "ac",
+        synth.images_df(spark, 10, seed=5).withColumn(
+            "image_id", F.concat(F.lit("b5-"), "image_id")
+        ),
+        batch_id=5, auto_compact_small_files=4,
+    )
+    t = Table.load(root)
+    assert len(t.meta["snapshots"]) == snaps_before
+    assert scan(spark, t).count() == 60
