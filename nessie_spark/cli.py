@@ -3,7 +3,7 @@
 Usage:
     spark-submit --py-files nessie_spark.zip nessie_spark/cli.py \
         --table /path/to/images \
-        --job compact|zorder|hilbert|expire|gc|rewrite-manifests|merge|add-column|incremental|rollback|inspect \
+        --job compact|zorder|hilbert|expire|gc|rewrite-manifests|merge|add-column|incremental|rollback|inspect|delete-where|purge-deletes \
         [--target-bytes 134217728] [--job-id resumable-id]
 
     # synthesize a table first:
@@ -35,8 +35,14 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "synth", "compact", "zorder", "hilbert", "expire", "gc",
             "rewrite-manifests", "merge", "add-column", "incremental",
-            "rollback", "inspect", "tag", "drop-tag",
+            "rollback", "inspect", "tag", "drop-tag", "delete-where",
+            "purge-deletes",
         ],
+    )
+    ap.add_argument(
+        "--where", default=None,
+        help="delete-where: SQL predicate over the images schema "
+        "(e.g. \"phash % 100 = 0\")",
     )
     ap.add_argument("--ref", default=None, help="tag/drop-tag: reference name")
     ap.add_argument("--retain-last", type=int, default=None, help="expire: keep only the N newest ancestors per head")
@@ -161,6 +167,18 @@ def main(argv: list[str] | None = None) -> int:
                 ap.error("--ref required for drop-tag")
             t.drop_tag(args.ref)
             out.update(ref=args.ref, dropped=True)
+        elif args.job == "delete-where":
+            from nessie_spark.lakehouse.deletes import delete_where
+
+            if not args.where:
+                ap.error("--where SQL-predicate required for delete-where")
+            r = delete_where(spark, t, args.where, job_id=args.job_id)
+            out.update(vars(r))
+        elif args.job == "purge-deletes":
+            from nessie_spark.lakehouse.deletes import purge_deletes
+
+            r = purge_deletes(spark, t, job_id=args.job_id)
+            out.update(vars(r))
         elif args.job == "inspect":
             # metadata tables ($snapshots / $history / $manifests / $files)
             snaps = t.snapshots_df(spark)

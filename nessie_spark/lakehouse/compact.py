@@ -80,6 +80,9 @@ def compact(
     prev = lineage.committed_snapshot(root, job_id)
     if prev is not None:  # job already committed — idempotent no-op
         return CompactionResult(prev, job_id, 0, 0, 0, 0, 0, {})
+    from nessie_spark.lakehouse.deletes import require_no_pending_deletes
+
+    require_no_pending_deletes(table, "compact")
 
     # The distributed planner must never materialize the stats list on the
     # driver — that driver strain is the very thing it exists to avoid — so

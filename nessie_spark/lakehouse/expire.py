@@ -53,14 +53,28 @@ def reachable_snapshots(table: Table, heads: list[int]) -> set[int]:
 
 
 def _live_paths_df(spark: SparkSession, table: Table, snapshot_ids: set[int]):
+    by_id = {s["snapshot_id"]: s for s in table.meta["snapshots"]}
     paths = []
+    # merge-on-read delete files (deletes.py) are snapshot-referenced data:
+    # they join the reachable set exactly like manifest-listed files, so
+    # expiry deletes them only when NO retained snapshot still needs them
+    # and gc_orphans never sees a live one as an orphan
+    dpaths = sorted({
+        d["file_path"]
+        for sid in snapshot_ids
+        for d in (by_id.get(sid, {}).get("delete_files") or [])
+    })
     for sid in snapshot_ids:
         paths.extend(table.manifest_paths(sid))
-    if not paths:
-        return spark.createDataFrame([], "file_path string")
-    return (
-        spark.read.parquet(*sorted(set(paths))).select("file_path").distinct()
+    ddf = (
+        spark.createDataFrame([(p,) for p in dpaths], "file_path string")
+        if dpaths
+        else None
     )
+    if not paths:
+        return ddf or spark.createDataFrame([], "file_path string")
+    mdf = spark.read.parquet(*sorted(set(paths))).select("file_path")
+    return (mdf.unionByName(ddf) if ddf is not None else mdf).distinct()
 
 
 def _retained_with_policy(

@@ -187,6 +187,9 @@ def merge_into(
     prev = lineage.committed_snapshot(root, job_id)
     if prev is not None:
         return MergeResult(prev, job_id, 0, 0, 0, 0, 0)
+    from nessie_spark.lakehouse.deletes import require_no_pending_deletes
+
+    require_no_pending_deletes(table, "merge_into")
 
     # --- phase 1: matched-files interval join on the key's min/max stats
     entries = table.file_entries().to_pylist()

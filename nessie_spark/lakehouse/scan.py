@@ -55,7 +55,7 @@ def plan_files(
 # Snapshot operations that only REWRITE existing rows (same logical data,
 # new file layout) — an incremental append scan skips them entirely.
 _REWRITE_OPS = {"compact", "zorder", "hilbert", "rewrite-manifests", "expire", "gc",
-                "set-schema"}
+                "set-schema", "purge-deletes"}
 
 
 def _snapshot_ddl(table: Table, snapshot_id: int | None) -> str:
@@ -193,8 +193,37 @@ def scan(
     ddl = _snapshot_ddl(table, snapshot_id)
     if not entries:
         return spark.createDataFrame([], ddl)
-    paths = [os.path.join(table.root, e["file_path"]) for e in entries]
-    df = spark.read.schema(ddl).parquet(*paths)
+
+    dels = table.delete_files(snapshot_id)
+    if not dels:
+        paths = [os.path.join(table.root, e["file_path"]) for e in entries]
+        df = spark.read.schema(ddl).parquet(*paths)
+    else:
+        # merge-on-read: subtract equality-delete keys (deletes.py). Files
+        # group by WHICH deletes apply (added_snapshot_id < delete sid —
+        # a key re-inserted after its delete stays visible); each group
+        # anti-joins its delete suffix. Group count ≤ #delete snapshots + 1;
+        # small key sets broadcast, so the data side never shuffles.
+        from nessie_spark.lakehouse.deletes import (
+            anti_join_deletes, delete_keys_df, group_entries_by_applicability,
+        )
+
+        parts = []
+        for ents, start in group_entries_by_applicability(entries, dels):
+            gdf = spark.read.schema(ddl).parquet(
+                *[os.path.join(table.root, e["file_path"]) for e in ents]
+            )
+            suffix = dels[start:]
+            if suffix:
+                gdf = anti_join_deletes(
+                    gdf,
+                    delete_keys_df(spark, table, suffix),
+                    total_keys=sum(d["n_keys"] for d in suffix),
+                )
+            parts.append(gdf)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
     if phash_range:
         df = df.where(F.col("phash").between(*phash_range))
     if wh_range:

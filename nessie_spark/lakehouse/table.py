@@ -166,6 +166,15 @@ class Table:
                 return s
         raise KeyError(f"snapshot {sid} not found")
 
+    def delete_files(self, snapshot_id: int | None = None) -> list[dict]:
+        """Merge-on-read equality-delete files in force at the snapshot
+        (deletes.py), sorted by the delete's snapshot id — the
+        applicability boundary. Empty for tables that never ran
+        ``delete_where`` or whose deletes were purged."""
+        snap = self.snapshot(snapshot_id)
+        dels = list((snap or {}).get("delete_files") or [])
+        return sorted(dels, key=lambda d: d["snapshot_id"])
+
     def manifest_paths(self, snapshot_id: int | None = None) -> list[str]:
         snap = self.snapshot(snapshot_id)
         if snap is None:
@@ -388,6 +397,8 @@ class Table:
         summary: dict | None = None,
         max_retries: int = 5,
         meta_updates: dict | Callable[[dict], dict] | None = None,
+        new_delete_entries: list[dict] | None = None,
+        delete_files_override: list[dict] | None = None,
     ) -> int:
         """Commit a new snapshot.
 
@@ -396,6 +407,12 @@ class Table:
         carried-forward manifest containing one is rewritten without them.
         ``carried_manifest_summaries``: pre-built manifest summaries (used by
         the manifest-rewrite job); default = parent's manifests, filtered.
+        ``new_delete_entries``: merge-on-read equality-delete files added by
+        this commit (deletes.py); each is stamped with THIS snapshot's id —
+        the applicability boundary (the delete applies to data files with
+        added_snapshot_id < it). The parent's delete files always carry
+        forward unless ``delete_files_override`` replaces the list wholesale
+        (purge_deletes sets ``[]`` after folding them into the data).
         ``meta_updates``: table-metadata fields changed by this commit (e.g.
         ``{"schema": ...}`` for add-column evolution); applied under the same
         optimistic-retry, so concurrent evolution commits serialize. A
@@ -457,6 +474,14 @@ class Table:
 
             updates = meta_updates(t.meta) if callable(meta_updates) else meta_updates
             meta = dict(t.meta, **(updates or {}))
+            if delete_files_override is not None:
+                dfs = list(delete_files_override)
+            else:
+                dfs = list((parent or {}).get("delete_files") or [])
+            if new_delete_entries:
+                dfs = dfs + [
+                    dict(e, snapshot_id=snapshot_id) for e in new_delete_entries
+                ]
             snap = {
                 "snapshot_id": snapshot_id,
                 "parent_id": parent["snapshot_id"] if parent else None,
@@ -464,6 +489,7 @@ class Table:
                 "operation": operation,
                 "manifest_list": mlist_rel,
                 "schema": meta.get("schema"),
+                "delete_files": dfs,
                 "summary": dict(
                     summary or {},
                     added_files=int(added.num_rows if added is not None else 0),

@@ -702,6 +702,9 @@ def cluster(
 
         _shutil.rmtree(os.path.join(root, "_stage", job_id), ignore_errors=True)
         return ClusterResult(prev, job_id, strategy, 0, 0, 0)
+    from nessie_spark.lakehouse.deletes import require_no_pending_deletes
+
+    require_no_pending_deletes(table, "zorder cluster")
 
     entries = table.file_entries().to_pylist()
     if not entries:

@@ -535,6 +535,60 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def maintenance_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read equality-delete lifecycle (lakehouse/deletes.py):
+    ``delete_where`` commits key files only (no data file rewritten — the
+    write-cheap half), the scan subtracts the keys at read time, pinned
+    pre-delete snapshots are untouched, copy-on-write rewrites REFUSE while
+    deletes are pending, and ``purge_deletes`` folds the keys into a
+    stats-pruned CoW rewrite after which compaction runs again. All counts
+    derive from the seeded layout → deterministic rows-only check."""
+    from nessie_spark.lakehouse import deletes as D
+
+    t, snap0, root = _fresh_table(spark)
+    try:
+        files_before = {e["file_path"] for e in t.file_entries().to_pylist()}
+        res = D.delete_where(
+            spark, t, F.col("image_id") < "img_000000000032", job_id="demo-del"
+        )
+        t = t.refresh()
+        metadata_only = (
+            {e["file_path"] for e in t.file_entries().to_pylist()} == files_before
+        )
+        rows_mor = scan(spark, t).count()
+        pinned_intact = scan(spark, t, snapshot_id=snap0).count() == N
+        try:
+            C.compact(spark, t, target_bytes=TARGET, job_id="demo-del-guard")
+            guard_held = False
+        except ValueError:
+            guard_held = True
+        purge = D.purge_deletes(spark, t, job_id="demo-purge")
+        t = t.refresh()
+        rows_after = scan(spark, t).count()
+        c = C.compact(spark, t, target_bytes=TARGET, job_id="demo-del-compact")
+        return spark.createDataFrame(
+            [
+                (
+                    res.n_keys,
+                    res.n_delete_files,
+                    metadata_only,
+                    rows_mor,
+                    pinned_intact,
+                    guard_held,
+                    purge.rewritten_files,
+                    rows_after == rows_mor and not t.delete_files(),
+                    c.snapshot_id is not None,
+                )
+            ],
+            "deleted_keys long, delete_files int, delete_metadata_only boolean, "
+            "rows_after_delete long, pinned_snapshot_intact boolean, "
+            "rewrite_guard_held boolean, purge_rewritten_files int, "
+            "purge_preserves_rowset boolean, compact_unblocked boolean",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 QUERIES: dict[str, tuple] = {
     "maintenance_compact": (maintenance_compact, None),
     "maintenance_zorder": (maintenance_zorder, None),
@@ -545,6 +599,7 @@ QUERIES: dict[str, tuple] = {
     "maintenance_schema_evolution": (maintenance_schema_evolution, None),
     "maintenance_rollback": (maintenance_rollback, None),
     "maintenance_data_skipping": (maintenance_data_skipping, None),
+    "maintenance_mor_delete": (maintenance_mor_delete, None),
     "multimodal_pixel_stats": (multimodal_pixel_stats, None),
     "multimodal_resize": (multimodal_resize, None),
     "multimodal_frame_sample": (multimodal_frame_sample, None),
