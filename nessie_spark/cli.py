@@ -36,7 +36,7 @@ def main(argv: list[str] | None = None) -> int:
             "synth", "compact", "zorder", "hilbert", "expire", "gc",
             "rewrite-manifests", "merge", "add-column", "incremental",
             "rollback", "inspect", "tag", "drop-tag", "delete-where",
-            "purge-deletes",
+            "purge-deletes", "stage-append", "publish", "drop-staged",
         ],
     )
     ap.add_argument(
@@ -167,6 +167,32 @@ def main(argv: list[str] | None = None) -> int:
                 ap.error("--ref required for drop-tag")
             t.drop_tag(args.ref)
             out.update(ref=args.ref, dropped=True)
+        elif args.job == "stage-append":
+            # WAP staging demo: append --rows synthetic images as a STAGED
+            # snapshot (current pointer unmoved until publish)
+            from nessie_spark import synth
+            from nessie_spark.lakehouse import jobs
+
+            from pyspark.sql import functions as F
+
+            df = synth.images_df(spark, min(args.rows, 10_000), seed=args.seed).withColumn(
+                "image_id", F.concat(F.lit("staged-"), F.col("image_id"))
+            )
+            sid = jobs.append(spark, t, df, job_id=args.job_id, stage_only=True)
+            out.update(
+                staged_snapshot_id=sid,
+                current_snapshot_id=t.refresh().current_snapshot_id,
+            )
+        elif args.job == "publish":
+            if args.to_snapshot is None:
+                ap.error("--to-snapshot required for publish")
+            t.publish_snapshot(args.to_snapshot)
+            out.update(current_snapshot_id=t.current_snapshot_id)
+        elif args.job == "drop-staged":
+            if args.to_snapshot is None:
+                ap.error("--to-snapshot required for drop-staged")
+            t.drop_staged(args.to_snapshot)
+            out.update(dropped=args.to_snapshot, current_snapshot_id=t.current_snapshot_id)
         elif args.job == "delete-where":
             from nessie_spark.lakehouse.deletes import delete_where
 

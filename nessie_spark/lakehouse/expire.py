@@ -141,9 +141,13 @@ def expire_snapshots(
     """
     # default heads: current snapshot + every named ref (tags are retention
     # anchors — a tagged snapshot and its ancestry survive routine expiry)
+    # + snapshots still staged for write-audit-publish (a pending audit must
+    # not lose its files to routine expiry; drop_staged/publish retire the
+    # marker and return the branch to ordinary retention rules)
     heads = keep_heads or (
         ([table.current_snapshot_id] if table.current_snapshot_id else [])
         + [r["snapshot_id"] for r in table.meta.get("refs", {}).values()]
+        + [s["snapshot_id"] for s in table.meta["snapshots"] if s.get("staged")]
     )
     if retain_last is None and older_than_millis is None:
         retained = reachable_snapshots(table, heads)

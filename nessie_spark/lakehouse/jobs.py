@@ -32,8 +32,13 @@ def append(
     file_boundaries: list[int] | None = None,
     id_col: str = "image_id",
     sort_order: str | None = None,
+    stage_only: bool = False,
 ) -> int:
     """Append ``df`` (images schema) as a new snapshot.
+
+    ``stage_only``: write-audit-publish staging — the appended files and
+    snapshot are durable but the current pointer does not move until
+    ``table.publish_snapshot(snap_id)`` (see Table.commit).
 
     ``file_boundaries``: optional cumulative row-index boundaries producing an
     exact many-small-files layout (compaction fixture). Row → file assignment
@@ -114,7 +119,9 @@ def append(
         )
         entries = stats.toArrow()
     rows = int(sum(entries.column("record_count").to_pylist() or [0]))
-    snap_id = table.commit("append", added=entries, summary={"job_id": job_id})
+    snap_id = table.commit(
+        "append", added=entries, summary={"job_id": job_id}, stage_only=stage_only
+    )
     lineage.write_unit(
         table.root, job_id, "append", 0,
         input_files=[], output_files=entries.column("file_path").to_pylist(),

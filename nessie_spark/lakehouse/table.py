@@ -358,6 +358,74 @@ class Table:
             return
         raise CommitConflict(f"rollback lost {max_retries} races")
 
+    # -- write-audit-publish --------------------------------------------------
+
+    def _staged_flag_update(
+        self, snapshot_id: int, make_current: bool, action: str, max_retries: int
+    ) -> None:
+        for attempt in range(max_retries):
+            t = self.refresh() if attempt else self
+            snap = t.snapshot(snapshot_id)  # KeyError if unknown
+            if not snap.get("staged"):
+                raise ValueError(
+                    f"snapshot {snapshot_id} is not staged (already "
+                    "published/dropped, or a normal commit)"
+                )
+            if make_current:
+                # strict fast-forward: the current snapshot must be on the
+                # staged snapshot's ancestry, else a concurrent commit moved
+                # the table since staging and publishing would silently drop
+                # it — the caller must re-stage on the new current
+                cur = t.current_snapshot_id
+                parents = {
+                    s["snapshot_id"]: s["parent_id"] for s in t.meta["snapshots"]
+                }
+                anc, sid = set(), snapshot_id
+                while sid is not None:
+                    anc.add(sid)
+                    sid = parents.get(sid)
+                if cur is not None and cur not in anc:
+                    raise CommitConflict(
+                        f"cannot fast-forward publish {snapshot_id}: current "
+                        f"snapshot {cur} is not on its ancestry (a commit "
+                        "landed after staging); re-stage on the new current"
+                    )
+            meta = dict(t.meta)
+            meta["snapshots"] = [
+                dict(s, staged=False) if s["snapshot_id"] == snapshot_id else s
+                for s in t.meta["snapshots"]
+            ]
+            if make_current:
+                meta["current_snapshot_id"] = snapshot_id
+                meta["history"] = _history_base(t.meta) + [
+                    {
+                        "ts_millis": int(time.time() * 1000),
+                        "snapshot_id": snapshot_id,
+                        "action": action,
+                    }
+                ]
+            try:
+                t._write_version(t.version + 1, meta)
+            except FileExistsError:
+                continue  # optimistic retry against a concurrent commit
+            self.meta, self.version = meta, t.version + 1
+            return
+        raise CommitConflict(f"{action} lost {max_retries} races")
+
+    def publish_snapshot(self, snapshot_id: int, max_retries: int = 5) -> None:
+        """Write-audit-publish, the publish half: fast-forward the current
+        pointer to a snapshot committed with ``stage_only=True`` after the
+        audit passed. Metadata-only; raises CommitConflict if the table
+        moved since staging (strict fast-forward, no cherry-pick)."""
+        self._staged_flag_update(snapshot_id, True, "publish", max_retries)
+
+    def drop_staged(self, snapshot_id: int, max_retries: int = 5) -> None:
+        """Abandon a staged snapshot whose audit failed: the pointer never
+        moves, the staged marker is cleared, and the branch becomes ordinary
+        abandoned history — the next ``expire_snapshots`` reclaims its
+        unique files."""
+        self._staged_flag_update(snapshot_id, False, "drop-staged", max_retries)
+
     # -- commit -------------------------------------------------------------
 
     def _write_version(self, v: int, meta: dict) -> None:
@@ -399,6 +467,7 @@ class Table:
         meta_updates: dict | Callable[[dict], dict] | None = None,
         new_delete_entries: list[dict] | None = None,
         delete_files_override: list[dict] | None = None,
+        stage_only: bool = False,
     ) -> int:
         """Commit a new snapshot.
 
@@ -413,6 +482,12 @@ class Table:
         added_snapshot_id < it). The parent's delete files always carry
         forward unless ``delete_files_override`` replaces the list wholesale
         (purge_deletes sets ``[]`` after folding them into the data).
+        ``stage_only``: write-audit-publish staging (Iceberg WAP) — the
+        snapshot is committed to history (its files are durable and
+        reachable) but the current pointer does NOT move: readers keep
+        seeing the pre-stage table until ``publish_snapshot`` fast-forwards
+        to it after the audit, or ``drop_staged`` abandons it. Staged
+        snapshots survive routine expiry until published or dropped.
         ``meta_updates``: table-metadata fields changed by this commit (e.g.
         ``{"schema": ...}`` for add-column evolution); applied under the same
         optimistic-retry, so concurrent evolution commits serialize. A
@@ -496,15 +571,20 @@ class Table:
                     deleted_files=len(deleted_paths),
                 ),
             }
+            if stage_only:
+                snap["staged"] = True
             meta["snapshots"] = list(t.meta["snapshots"]) + [snap]
-            meta["current_snapshot_id"] = snapshot_id
-            meta["history"] = _history_base(t.meta) + [
-                {
-                    "ts_millis": snap["ts_millis"],
-                    "snapshot_id": snapshot_id,
-                    "action": operation,
-                }
-            ]
+            if not stage_only:
+                # staged snapshots never become current here, so they also
+                # add no made-current history event — publish_snapshot does
+                meta["current_snapshot_id"] = snapshot_id
+                meta["history"] = _history_base(t.meta) + [
+                    {
+                        "ts_millis": snap["ts_millis"],
+                        "snapshot_id": snapshot_id,
+                        "action": operation,
+                    }
+                ]
             try:
                 t._write_version(t.version + 1, meta)
             except FileExistsError:

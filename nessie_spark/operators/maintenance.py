@@ -589,6 +589,68 @@ def maintenance_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def maintenance_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish ingest (Iceberg WAP): a batch is appended as a
+    STAGED snapshot (durable, but the current pointer does not move), the
+    audit runs the usual DataFrame checks against the staged snapshot, and
+    the batch is then published (fast-forward) or dropped. Here the first
+    batch re-sends 16 existing image_ids — the duplicate audit rejects it
+    and readers never see it; the second batch is clean and publishes.
+    The dropped branch's unique files are reclaimed by routine expiry.
+    All counts derive from the seeded layout → deterministic rows-only."""
+    t, snap0, root = _fresh_table(spark)
+    try:
+        def _dupes(sid: int) -> int:
+            return (
+                scan(spark, t, snapshot_id=sid)
+                .groupBy("image_id").count().where("count > 1").count()
+            )
+
+        # bad batch: same seeded id range as the base table → duplicates
+        bad = synth.images_df(spark, 16, seed=77)
+        s_bad = jobs.append(spark, t, bad, job_id="demo-wap-bad", stage_only=True)
+        t = t.refresh()
+        current_unmoved = t.current_snapshot_id == snap0
+        bad_dupes = _dupes(s_bad)
+        t.drop_staged(s_bad)
+        t = t.refresh()
+        rows_after_drop = scan(spark, t).count()
+
+        good = synth.images_df(spark, 32, seed=11).withColumn(
+            "image_id", F.concat(F.lit("wap-"), F.col("image_id"))
+        )
+        s_good = jobs.append(spark, t, good, job_id="demo-wap-good", stage_only=True)
+        t = t.refresh()
+        good_dupes = _dupes(s_good)
+        rows_pre_publish = scan(spark, t).count()
+        t.publish_snapshot(s_good)
+        t = t.refresh()
+        rows_published = scan(spark, t).count()
+        # the dropped bad branch is abandoned history now — expiry reclaims
+        # its unique data files
+        rep = E.expire_snapshots(spark, t)
+        return spark.createDataFrame(
+            [
+                (
+                    current_unmoved,
+                    bad_dupes,
+                    rows_after_drop,
+                    good_dupes,
+                    rows_pre_publish,
+                    rows_published,
+                    s_bad in rep.expired_snapshots,
+                    len(rep.deleted_data_files) > 0,
+                )
+            ],
+            "staging_leaves_current boolean, bad_batch_duplicate_ids long, "
+            "rows_after_drop long, good_batch_duplicate_ids long, "
+            "rows_before_publish long, rows_after_publish long, "
+            "dropped_branch_expired boolean, dropped_files_reclaimed boolean",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 QUERIES: dict[str, tuple] = {
     "maintenance_compact": (maintenance_compact, None),
     "maintenance_zorder": (maintenance_zorder, None),
@@ -600,6 +662,7 @@ QUERIES: dict[str, tuple] = {
     "maintenance_rollback": (maintenance_rollback, None),
     "maintenance_data_skipping": (maintenance_data_skipping, None),
     "maintenance_mor_delete": (maintenance_mor_delete, None),
+    "maintenance_wap": (maintenance_wap, None),
     "multimodal_pixel_stats": (multimodal_pixel_stats, None),
     "multimodal_resize": (multimodal_resize, None),
     "multimodal_frame_sample": (multimodal_frame_sample, None),
