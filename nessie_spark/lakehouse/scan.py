@@ -30,12 +30,27 @@ def plan_files(
     wh_range: tuple[int, int] | None = None,
     zkey_range: tuple[int, int] | None = None,
     key_range: tuple[str, str] | None = None,
+    key_eq: str | None = None,
 ) -> list[dict]:
     """Return live file entries surviving stats pruning (driver-side: the
-    entry list is manifest metadata, small relative to data)."""
+    entry list is manifest metadata, small relative to data).
+
+    ``key_eq``: point lookup on image_id — prunes on BOTH the min/max key
+    range and the per-file key bloom (lakehouse/bloom.py). After a Z-order
+    rewrite every file's key range is wide (rows are curve-ordered, not
+    id-ordered), so the bloom is what keeps a single-image fetch from
+    listing the whole table."""
+    from nessie_spark.lakehouse.bloom import bloom_might_contain
+
     entries = table.file_entries(snapshot_id).to_pylist()
     out = []
     for e in entries:
+        if key_eq is not None and (
+            e["min_key"] > key_eq
+            or e["max_key"] < key_eq
+            or not bloom_might_contain(e["key_bloom"], key_eq)
+        ):
+            continue
         if phash_range and (e["max_phash"] < phash_range[0] or e["min_phash"] > phash_range[1]):
             continue
         if wh_range and (e["max_wh"] < wh_range[0] or e["min_wh"] > wh_range[1]):
@@ -170,8 +185,13 @@ def scan(
     columns: list[str] | None = None,
     as_of_ts_millis: int | None = None,
     ref: str | None = None,
+    key_eq: str | None = None,
 ) -> DataFrame:
     """Read a pinned snapshot as a DataFrame, pruning files on stats.
+
+    ``key_eq``: point lookup — bloom + range pruning (see plan_files), then
+    the equality predicate re-applied Spark-side (bloom false positives
+    cost an extra file read, never a wrong row).
 
     ``as_of_ts_millis``: timestamp time travel (Iceberg AS OF) — resolves
     to the last snapshot committed at or before the timestamp; raises if
@@ -188,7 +208,8 @@ def scan(
             raise ValueError(f"no snapshot existed at ts_millis={as_of_ts_millis}")
         snapshot_id = snap["snapshot_id"]
     entries = plan_files(
-        table, snapshot_id, phash_range=phash_range, wh_range=wh_range, key_range=key_range
+        table, snapshot_id, phash_range=phash_range, wh_range=wh_range,
+        key_range=key_range, key_eq=key_eq,
     )
     ddl = _snapshot_ddl(table, snapshot_id)
     if not entries:
@@ -231,6 +252,8 @@ def scan(
         df = df.where(wh.between(*wh_range))
     if key_range:
         df = df.where(F.col("image_id").between(*key_range))
+    if key_eq is not None:
+        df = df.where(F.col("image_id") == key_eq)
     if columns:
         df = df.select(*columns)
     return df

@@ -45,6 +45,7 @@ FILE_ENTRY_SCHEMA = pa.schema(
         ("zorder_hi", pa.int64()),
         ("min_key", pa.string()),
         ("max_key", pa.string()),
+        ("key_bloom", pa.binary()),
         ("added_snapshot_id", pa.int64()),
     ]
 )
@@ -53,7 +54,7 @@ FILE_ENTRY_DDL = (
     "file_path string, file_format string, partition string, record_count long, "
     "file_size_bytes long, min_phash long, max_phash long, min_wh int, max_wh int, "
     "zorder_lo long, zorder_hi long, min_key string, max_key string, "
-    "added_snapshot_id long"
+    "key_bloom binary, added_snapshot_id long"
 )
 
 MANIFEST_LIST_SCHEMA = pa.schema(

@@ -27,6 +27,7 @@ import pyarrow.parquet as pq
 from pyspark import TaskContext
 from pyspark.sql import DataFrame
 
+from nessie_spark.lakehouse.bloom import bloom_from_keys
 from nessie_spark.lakehouse.table import FILE_ENTRY_DDL, FILE_ENTRY_SCHEMA
 
 DATA_COLUMNS = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
@@ -104,6 +105,7 @@ def stats_entry_for(tbl: pa.Table, path: str, size_bytes: int) -> dict:
         "zorder_hi": pc.max(tbl.column("zkey")).as_py() if has_z else None,
         "min_key": pc.min(tbl.column("image_id")).as_py(),
         "max_key": pc.max(tbl.column("image_id")).as_py(),
+        "key_bloom": bloom_from_keys(tbl.column("image_id").to_pylist()),
         "added_snapshot_id": -1,
     }
 

@@ -209,6 +209,7 @@ def write_zorder_buckets(
                     "zorder_hi": st["zhi"],
                     "min_key": st["min_key"],
                     "max_key": st["max_key"],
+                    "key_bloom": st["bloom"],
                     "added_snapshot_id": -1,
                 }
             )
@@ -229,6 +230,7 @@ def write_zorder_buckets(
                     "min_wh": None, "max_wh": None,
                     "zlo": None, "zhi": None,
                     "min_key": None, "max_key": None,
+                    "bloom": None,
                 },
             )
 
@@ -249,6 +251,11 @@ def write_zorder_buckets(
             mx("zhi", pc.max(sl.column("zkey")).as_py())
             mn("min_key", pc.min(sl.column("image_id")).as_py())
             mx("max_key", pc.max(sl.column("image_id")).as_py())
+            from nessie_spark.lakehouse.bloom import bloom_from_keys, bloom_or
+
+            st["bloom"] = bloom_or(
+                st["bloom"], bloom_from_keys(sl.column("image_id").to_pylist())
+            )
 
         data_schema = None
         for batch in batches:
