@@ -36,7 +36,7 @@ def main(argv: list[str] | None = None) -> int:
             "synth", "compact", "zorder", "hilbert", "expire", "gc",
             "rewrite-manifests", "merge", "add-column", "incremental",
             "rollback", "inspect", "tag", "drop-tag", "delete-where",
-            "purge-deletes", "stage-append", "publish", "drop-staged",
+            "purge-deletes", "stage-append", "publish", "drop-staged", "audit",
         ],
     )
     ap.add_argument(
@@ -183,6 +183,13 @@ def main(argv: list[str] | None = None) -> int:
                 staged_snapshot_id=sid,
                 current_snapshot_id=t.refresh().current_snapshot_id,
             )
+        elif args.job == "audit":
+            # WAP audit: standard checks against a pinned (staged) snapshot
+            from nessie_spark.lakehouse.verify import audit_snapshot
+
+            if args.to_snapshot is None:
+                ap.error("--to-snapshot required for audit")
+            out.update(audit_snapshot(spark, t, args.to_snapshot))
         elif args.job == "publish":
             if args.to_snapshot is None:
                 ap.error("--to-snapshot required for publish")

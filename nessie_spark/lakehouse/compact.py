@@ -136,7 +136,9 @@ def compact(
         ]
         fdf.unpersist()
     else:
-        entries = table.file_entries().to_pylist()
+        entries = table.file_entries(
+            columns=["file_path", "file_size_bytes"]
+        ).to_pylist()
         small = [e for e in entries if e["file_size_bytes"] < target_bytes]
         hist = ffd_histogram([e["file_size_bytes"] for e in small], target_bytes)
         if len(small) < min_input_files:

@@ -236,7 +236,9 @@ def purge_deletes(
     from nessie_spark.lakehouse.scan import IMAGES_DDL
     from nessie_spark.lakehouse.writer import align_to_schema, arrow_schema_from_ddl
 
-    entries = table.file_entries().to_pylist()
+    entries = table.file_entries(
+        columns=["file_path", "min_key", "max_key", "added_snapshot_id"]
+    ).to_pylist()
     sids = [d["snapshot_id"] for d in dels]
 
     # candidate files: ≥1 delete key inside [min_key, max_key] (conservative

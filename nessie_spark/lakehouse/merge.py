@@ -192,7 +192,13 @@ def merge_into(
     require_no_pending_deletes(table, "merge_into")
 
     # --- phase 1: matched-files interval join on the key's min/max stats
-    entries = table.file_entries().to_pylist()
+    # (column-pruned manifest read: no pixel-stats, no key blooms)
+    entries = table.file_entries(
+        columns=[
+            "file_path", "file_size_bytes", "record_count",
+            "min_key", "max_key", "min_phash", "max_phash",
+        ]
+    ).to_pylist()
     lo, hi = ("min_key", "max_key") if key == "image_id" else ("min_phash", "max_phash")
     kt = "string" if key == "image_id" else "long"
     stats_df = spark.createDataFrame(

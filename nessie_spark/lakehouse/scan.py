@@ -41,8 +41,16 @@ def plan_files(
     id-ordered), so the bloom is what keeps a single-image fetch from
     listing the whole table."""
     from nessie_spark.lakehouse.bloom import bloom_might_contain
+    from nessie_spark.lakehouse.table import FILE_ENTRY_SCHEMA
 
-    entries = table.file_entries(snapshot_id).to_pylist()
+    # blooms are most of an entry's bytes — only pull them off the
+    # manifests when this is actually a point lookup
+    cols = (
+        None
+        if key_eq is not None
+        else [f.name for f in FILE_ENTRY_SCHEMA if f.name != "key_bloom"]
+    )
+    entries = table.file_entries(snapshot_id, columns=cols).to_pylist()
     out = []
     for e in entries:
         if key_eq is not None and (

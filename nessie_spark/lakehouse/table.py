@@ -195,12 +195,26 @@ class Table:
             return spark.createDataFrame([], FILE_ENTRY_DDL)
         return spark.read.schema(FILE_ENTRY_DDL).parquet(*paths)
 
-    def file_entries(self, snapshot_id: int | None = None) -> pa.Table:
-        """Driver-side arrow view of the live entries (small-metadata path)."""
+    def file_entries(
+        self, snapshot_id: int | None = None, columns: list[str] | None = None
+    ) -> pa.Table:
+        """Driver-side arrow view of the live entries (small-metadata path).
+
+        ``columns`` prunes the manifest read — the key_bloom column is
+        ~256 B/entry (most of an entry's bytes), so callers that don't do
+        point lookups should skip it: at 10^7 manifest entries that is the
+        difference between ~1 GB and ~2 GB crossing the driver."""
         paths = self.manifest_paths(snapshot_id)
+        schema = (
+            FILE_ENTRY_SCHEMA
+            if columns is None
+            else pa.schema([f for f in FILE_ENTRY_SCHEMA if f.name in columns])
+        )
         if not paths:
-            return FILE_ENTRY_SCHEMA.empty_table()
-        return pa.concat_tables([pq.read_table(p, schema=FILE_ENTRY_SCHEMA) for p in paths])
+            return schema.empty_table()
+        return pa.concat_tables(
+            [pq.read_table(p, schema=FILE_ENTRY_SCHEMA, columns=columns) for p in paths]
+        )
 
     # -- metadata tables (Iceberg $snapshots / $history / $manifests) -------
 

@@ -102,6 +102,60 @@ def pixel_verify(
     return j.mapInPandas(_check, "image_id string, psnr double, ok boolean, error string")
 
 
+def audit_snapshot(
+    spark: SparkSession,
+    table: Table,
+    snapshot_id: int,
+    check_pixels: bool = False,
+) -> dict:
+    """Canned audit for write-audit-publish: run the standard checks against
+    a pinned (usually STAGED) snapshot and return a verdict dict —
+    ``{"passed": bool, duplicate_ids, null_captions, bad_dimensions,
+    corrupt_rows, rows, new_rows}``. The caller publishes on ``passed`` and
+    drops otherwise; any bespoke DataFrame check composes the same way
+    (``scan(spark, table, snapshot_id=staged)``).
+
+    ``check_pixels`` adds the decode/phash corruption flagger — the
+    expensive full-bytes pass; the default audits metadata-shaped
+    invariants only (one column-pruned scan, no pixel bytes read)."""
+    df = scan(spark, table, snapshot_id=snapshot_id)
+    agg = (
+        df.select("image_id", "caption", "w", "h")
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.count_distinct("image_id").alias("distinct_ids"),
+            F.sum(F.col("caption").isNull().cast("long")).alias("null_captions"),
+            F.sum(
+                ((F.col("w") <= 0) | (F.col("h") <= 0)).cast("long")
+            ).alias("bad_dimensions"),
+        )
+        .first()
+    )
+    rows = agg["rows"] or 0
+    dup = rows - (agg["distinct_ids"] or 0)
+    corrupt = 0
+    if check_pixels:
+        corrupt = corruption_flags(df).where("flag").count()
+    cur = table.current_snapshot_id
+    cur_rows = scan(spark, table, snapshot_id=cur).count() if cur else 0
+    report = {
+        "rows": rows,
+        "new_rows": rows - cur_rows,
+        "duplicate_ids": dup,
+        "null_captions": int(agg["null_captions"] or 0),
+        "bad_dimensions": int(agg["bad_dimensions"] or 0),
+        "corrupt_rows": int(corrupt),
+    }
+    report["passed"] = (
+        dup == 0
+        and report["null_captions"] == 0
+        and report["bad_dimensions"] == 0
+        and corrupt == 0
+    )
+    return report
+
+
 def corruption_flags(df: DataFrame) -> DataFrame:
     """Flag rows whose stored bytes fail to decode or whose phash no longer
     matches the decoded pixels — the graft of the noise-injection detector

@@ -383,7 +383,9 @@ def run_staged(
     from nessie_spark.lakehouse.writer import stats_entry_for, write_table_file
 
     root = table.root
-    entries = table.file_entries().to_pylist()
+    entries = table.file_entries(
+        columns=["file_path", "file_size_bytes"]
+    ).to_pylist()
     total_bytes = sum(e["file_size_bytes"] for e in entries)
     # Task granularity: scatter bins and gather groups are DATA-sized at
     # ~64 MB — more executors mean fewer task waves over the SAME plan —
@@ -713,7 +715,9 @@ def cluster(
 
     require_no_pending_deletes(table, "zorder cluster")
 
-    entries = table.file_entries().to_pylist()
+    entries = table.file_entries(
+        columns=["file_path", "file_size_bytes", "record_count"]
+    ).to_pylist()
     if not entries:
         return ClusterResult(None, job_id, strategy, 0, 0, 0)
     total_bytes = sum(e["file_size_bytes"] for e in entries)

@@ -60,7 +60,11 @@ def ingest_batch(
         from nessie_spark.lakehouse.compact import compact
 
         t = table.refresh()
-        sizes = t.file_entries().column("file_size_bytes").to_pylist()
+        sizes = (
+            t.file_entries(columns=["file_size_bytes"])
+            .column("file_size_bytes")
+            .to_pylist()
+        )
         small = sum(1 for b in sizes if b < compact_target_bytes // 2)
         if small >= auto_compact_small_files:
             compact(

@@ -67,6 +67,27 @@ def test_publish_after_intervening_commit_conflicts(spark, tmp_path):
     assert scan(spark, t).count() == 256 + 8 + 16
 
 
+def test_audit_snapshot_verdicts(spark, tmp_path):
+    from nessie_spark.lakehouse.verify import audit_snapshot
+
+    t, _ = make_table(spark, str(tmp_path / "tb"))
+    # clean staged batch passes and reports the delta
+    good = _staged_append(spark, t, n=16, job_id="good")
+    t = t.refresh()
+    rep = audit_snapshot(spark, t, good)
+    assert rep["passed"] and rep["new_rows"] == 16 and rep["duplicate_ids"] == 0
+    t.publish_snapshot(good)
+    t = t.refresh()
+    # batch re-sending existing ids fails the duplicate check
+    bad = jobs.append(
+        spark, t, synth.images_df(spark, 8, seed=42), job_id="bad", stage_only=True
+    )
+    t = t.refresh()
+    rep = audit_snapshot(spark, t, bad)
+    assert not rep["passed"] and rep["duplicate_ids"] == 8
+    t.drop_staged(bad)
+
+
 def test_drop_staged_and_expiry_rules(spark, tmp_path):
     t, snap0 = make_table(spark, str(tmp_path / "tb"))
     sid = _staged_append(spark, t, job_id="stage1")
