@@ -3,8 +3,8 @@
 north_star (BASELINE.json:6): "manifest rewrite as a treeAggregate over
 manifest-entry DataFrames". The partial+final aggregation shape:
 
-    entries → bucket = hash(min_key) % n_out          [map-side assignment]
-            → groupBy(bucket): applyInPandas writes one manifest per bucket,
+    entries → repartitionByRange(n_out, min_key)      [sampled range exchange]
+            → mapInArrow writes one manifest per range bucket,
               emitting a one-row summary                [partial aggregate]
             → driver folds the n_out summaries into the manifest list
               and commits                               [final aggregate]
@@ -19,11 +19,9 @@ from __future__ import annotations
 import uuid
 from dataclasses import dataclass
 
-import pandas as pd
 import pyarrow as pa
 
 from pyspark.sql import SparkSession
-from pyspark.sql import functions as F
 
 from nessie_spark.lakehouse.table import FILE_ENTRY_SCHEMA, Table
 
@@ -55,31 +53,43 @@ def rewrite_manifests(
     n_out = target_manifests or max(1, (n_entries + 99_999) // 100_000)
     root = table.root
 
-    # deterministic bucket by key range rank → manifests stay key-clustered,
-    # which keeps MERGE matched-file pruning effective at the manifest level
-    bucketed = entries_df.withColumn(
-        "bucket", F.pmod(F.xxhash64("file_path"), F.lit(n_out)).cast("int")
-    )
+    # bucket by key-range rank (sampled range exchange), NOT by hash: each
+    # output manifest covers a narrow, near-disjoint [min_key, max_key]
+    # slice, so the manifest LIST's own ranges prune whole manifests for
+    # point lookups and key-range scans (scan.prune_manifest_summaries) —
+    # Iceberg's first pruning tier. Hash bucketing would give every
+    # manifest the full key width and make that tier useless.
+    ranged = entries_df.repartitionByRange(n_out, "min_key", "file_path")
 
-    def _write_bucket(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        b = int(key[0])
-        pdf = pdf.drop(columns=["bucket"]).sort_values("min_key")
-        tbl = pa.Table.from_pandas(pdf, schema=FILE_ENTRY_SCHEMA, preserve_index=False)
+    def _write_bucket(batches):
+        from pyspark import TaskContext
+
+        b = TaskContext.get().partitionId()
+        chunks = [pa.Table.from_batches([bt]) for bt in batches]
+        if not chunks:
+            return
+        tbl = pa.concat_tables(chunks).cast(FILE_ENTRY_SCHEMA)
+        if tbl.num_rows == 0:
+            return
+        tbl = tbl.sort_by("min_key")
         rel = f"metadata/manifest-rw{b:04d}-{uuid.uuid4().hex[:12]}.parquet"
         import os
 
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         pq.write_table(tbl, os.path.join(root, rel))
-        return pd.DataFrame(
+        yield pa.RecordBatch.from_pylist(
             [
                 {
                     "manifest_path": rel,
-                    "n_entries": len(pdf),
-                    "record_count": int(pdf["record_count"].sum()),
-                    "file_size_bytes": int(pdf["file_size_bytes"].sum()),
-                    "min_key": pdf["min_key"].min(),
-                    "max_key": pdf["max_key"].max(),
+                    "n_entries": tbl.num_rows,
+                    "record_count": int(pc.sum(tbl.column("record_count")).as_py() or 0),
+                    "file_size_bytes": int(
+                        pc.sum(tbl.column("file_size_bytes")).as_py() or 0
+                    ),
+                    "min_key": pc.min(tbl.column("min_key")).as_py(),
+                    "max_key": pc.max(tbl.column("max_key")).as_py(),
                 }
             ]
         )
@@ -87,9 +97,7 @@ def rewrite_manifests(
     from nessie_spark.session import no_coalesce
 
     with no_coalesce(spark):
-        summaries = (
-            bucketed.groupBy("bucket").applyInPandas(_write_bucket, SUMMARY_DDL).collect()
-        )
+        summaries = ranged.mapInArrow(_write_bucket, SUMMARY_DDL).collect()
     carried = [r.asDict() for r in summaries]
     snap = table.commit(
         "rewrite-manifests",

@@ -23,6 +23,37 @@ IMAGES_DDL = (
 )
 
 
+# above this many surviving manifest entries, "auto" plans the scan as a
+# Spark job over the manifests instead of pulling every entry through the
+# driver (same switch point philosophy as compact's distributed FFD planner)
+PLAN_DISTRIBUTED_ENTRIES = 65_536
+
+
+def prune_manifest_summaries(
+    summaries: list[dict],
+    key_eq: str | None = None,
+    key_range: tuple[str, str] | None = None,
+) -> list[dict]:
+    """Tier-1 pruning: drop whole MANIFESTS whose [min_key, max_key] cannot
+    contain the predicate. The manifest list is one row per manifest, so
+    this is O(#manifests) driver work no matter how many entries they hold.
+    Effective when manifests are key-clustered (rewrite_manifests range-
+    partitions on min_key; appends are naturally key-local); a manifest
+    with NULL key stats is kept (unknown ⇒ possible hit)."""
+    out = []
+    for m in summaries:
+        lo, hi = m.get("min_key"), m.get("max_key")
+        if lo is None or hi is None:
+            out.append(m)
+            continue
+        if key_eq is not None and (lo > key_eq or hi < key_eq):
+            continue
+        if key_range and (hi < key_range[0] or lo > key_range[1]):
+            continue
+        out.append(m)
+    return out
+
+
 def plan_files(
     table: Table,
     snapshot_id: int | None = None,
@@ -31,9 +62,18 @@ def plan_files(
     zkey_range: tuple[int, int] | None = None,
     key_range: tuple[str, str] | None = None,
     key_eq: str | None = None,
+    spark: SparkSession | None = None,
+    planner: str = "auto",
 ) -> list[dict]:
-    """Return live file entries surviving stats pruning (driver-side: the
-    entry list is manifest metadata, small relative to data).
+    """Return live file entries surviving stats pruning.
+
+    Tier 1 always runs on the driver: the manifest LIST's per-manifest key
+    ranges drop whole manifests (prune_manifest_summaries). Tier 2 — the
+    per-file stats checks — runs driver-side for ordinary manifests, or as
+    a Spark job over the manifest parquet when the surviving entry count
+    passes PLAN_DISTRIBUTED_ENTRIES (``planner="auto"``; force with
+    ``"driver"`` / ``"distributed"``): at 10^12-image scale the entry list
+    itself is GBs, and only the SURVIVORS' paths should cross the driver.
 
     ``key_eq``: point lookup on image_id — prunes on BOTH the min/max key
     range and the per-file key bloom (lakehouse/bloom.py). After a Z-order
@@ -43,6 +83,26 @@ def plan_files(
     from nessie_spark.lakehouse.bloom import bloom_might_contain
     from nessie_spark.lakehouse.table import FILE_ENTRY_SCHEMA
 
+    if planner not in ("auto", "driver", "distributed"):
+        raise ValueError(f"unknown planner {planner!r}")
+    mans = prune_manifest_summaries(
+        table.manifest_summaries(snapshot_id), key_eq=key_eq, key_range=key_range
+    )
+    if not mans:
+        return []
+    man_paths = [os.path.join(table.root, m["manifest_path"]) for m in mans]
+    n_entries = sum(m["n_entries"] or 0 for m in mans)
+    if planner == "distributed" or (
+        planner == "auto" and spark is not None and n_entries > PLAN_DISTRIBUTED_ENTRIES
+    ):
+        if spark is None:
+            raise ValueError("distributed planner needs a SparkSession")
+        return _plan_files_distributed(
+            spark, man_paths,
+            phash_range=phash_range, wh_range=wh_range, zkey_range=zkey_range,
+            key_range=key_range, key_eq=key_eq,
+        )
+
     # blooms are most of an entry's bytes — only pull them off the
     # manifests when this is actually a point lookup
     cols = (
@@ -50,7 +110,7 @@ def plan_files(
         if key_eq is not None
         else [f.name for f in FILE_ENTRY_SCHEMA if f.name != "key_bloom"]
     )
-    entries = table.file_entries(snapshot_id, columns=cols).to_pylist()
+    entries = table.file_entries(columns=cols, paths=man_paths).to_pylist()
     out = []
     for e in entries:
         if key_eq is not None and (
@@ -73,6 +133,67 @@ def plan_files(
             continue
         out.append(e)
     return out
+
+
+def _plan_files_distributed(
+    spark: SparkSession,
+    manifest_paths: list[str],
+    phash_range: tuple[int, int] | None = None,
+    wh_range: tuple[int, int] | None = None,
+    zkey_range: tuple[int, int] | None = None,
+    key_range: tuple[str, str] | None = None,
+    key_eq: str | None = None,
+) -> list[dict]:
+    """Tier-2 pruning as a Spark job: the same stats checks as the driver
+    loop, expressed as Catalyst predicates over the manifest parquet, so
+    executors read/filter the entries and only the SURVIVORS (file_path +
+    the columns scan() needs) collect. The bloom probe is an Arrow-batched
+    pandas UDF — it only ever sees rows that already passed the key-range
+    check, and column pruning keeps the 256 B/entry bloom bytes out of the
+    scan entirely unless this is a point lookup."""
+    from nessie_spark.lakehouse.table import FILE_ENTRY_DDL
+
+    df = spark.read.schema(FILE_ENTRY_DDL).parquet(*manifest_paths)
+    if key_eq is not None:
+        df = df.where(
+            (F.col("min_key") <= F.lit(key_eq)) & (F.col("max_key") >= F.lit(key_eq))
+        )
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("boolean")
+        def _bloom_hit(blooms):  # pd.Series[bytes|None] -> pd.Series[bool]
+            from nessie_spark.lakehouse.bloom import bloom_might_contain
+
+            return blooms.map(lambda b: bloom_might_contain(b, key_eq))
+
+        df = df.where(_bloom_hit(F.col("key_bloom")))
+    if phash_range:
+        df = df.where(
+            (F.col("max_phash") >= F.lit(phash_range[0]))
+            & (F.col("min_phash") <= F.lit(phash_range[1]))
+        )
+    if wh_range:
+        df = df.where(
+            (F.col("max_wh") >= F.lit(wh_range[0]))
+            & (F.col("min_wh") <= F.lit(wh_range[1]))
+        )
+    if zkey_range:
+        df = df.where(
+            F.col("zorder_lo").isNull()
+            | (
+                (F.col("zorder_hi") >= F.lit(zkey_range[0]))
+                & (F.col("zorder_lo") <= F.lit(zkey_range[1]))
+            )
+        )
+    if key_range:
+        df = df.where(
+            (F.col("max_key") >= F.lit(key_range[0]))
+            & (F.col("min_key") <= F.lit(key_range[1]))
+        )
+    rows = df.select(
+        "file_path", "added_snapshot_id", "record_count", "file_size_bytes"
+    ).collect()
+    return [r.asDict() for r in rows]
 
 
 # Snapshot operations that only REWRITE existing rows (same logical data,
@@ -194,8 +315,13 @@ def scan(
     as_of_ts_millis: int | None = None,
     ref: str | None = None,
     key_eq: str | None = None,
+    planner: str = "auto",
 ) -> DataFrame:
     """Read a pinned snapshot as a DataFrame, pruning files on stats.
+
+    ``planner``: how tier-2 file pruning runs — ``"auto"`` (driver-side
+    until the surviving manifests hold > PLAN_DISTRIBUTED_ENTRIES entries,
+    then a Spark job), ``"driver"``, or ``"distributed"`` (see plan_files).
 
     ``key_eq``: point lookup — bloom + range pruning (see plan_files), then
     the equality predicate re-applied Spark-side (bloom false positives
@@ -217,7 +343,7 @@ def scan(
         snapshot_id = snap["snapshot_id"]
     entries = plan_files(
         table, snapshot_id, phash_range=phash_range, wh_range=wh_range,
-        key_range=key_range, key_eq=key_eq,
+        key_range=key_range, key_eq=key_eq, spark=spark, planner=planner,
     )
     ddl = _snapshot_ddl(table, snapshot_id)
     if not entries:

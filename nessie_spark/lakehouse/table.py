@@ -176,6 +176,18 @@ class Table:
         dels = list((snap or {}).get("delete_files") or [])
         return sorted(dels, key=lambda d: d["snapshot_id"])
 
+    def manifest_summaries(self, snapshot_id: int | None = None) -> list[dict]:
+        """The snapshot's manifest-LIST entries (path + n_entries + key
+        range per manifest) — the first pruning tier: a point lookup or
+        key-range scan drops whole manifests here before any entry is
+        read. The list is tiny (one row per manifest) even when the
+        manifests themselves hold 10^7-10^8 entries."""
+        snap = self.snapshot(snapshot_id)
+        if snap is None:
+            return []
+        mlist = pq.read_table(os.path.join(self.root, snap["manifest_list"]))
+        return mlist.to_pylist()
+
     def manifest_paths(self, snapshot_id: int | None = None) -> list[str]:
         snap = self.snapshot(snapshot_id)
         if snap is None:
@@ -196,15 +208,21 @@ class Table:
         return spark.read.schema(FILE_ENTRY_DDL).parquet(*paths)
 
     def file_entries(
-        self, snapshot_id: int | None = None, columns: list[str] | None = None
+        self,
+        snapshot_id: int | None = None,
+        columns: list[str] | None = None,
+        paths: list[str] | None = None,
     ) -> pa.Table:
         """Driver-side arrow view of the live entries (small-metadata path).
 
         ``columns`` prunes the manifest read — the key_bloom column is
         ~256 B/entry (most of an entry's bytes), so callers that don't do
         point lookups should skip it: at 10^7 manifest entries that is the
-        difference between ~1 GB and ~2 GB crossing the driver."""
-        paths = self.manifest_paths(snapshot_id)
+        difference between ~1 GB and ~2 GB crossing the driver.
+        ``paths``: read only these manifests (absolute) — the caller has
+        already pruned the manifest list (scan.prune_manifest_summaries)."""
+        if paths is None:
+            paths = self.manifest_paths(snapshot_id)
         schema = (
             FILE_ENTRY_SCHEMA
             if columns is None
