@@ -229,29 +229,67 @@ def expire_snapshots(
 
 
 def gc_orphans(
-    spark: SparkSession, table: Table, dry_run: bool = False
+    spark: SparkSession, table: Table, dry_run: bool = False,
+    older_than_millis: int = 0,
 ) -> list[str]:
-    """Delete data files not referenced by ANY snapshot's manifests.
+    """Delete data AND metadata files not referenced by ANY snapshot.
 
     Filesystem listing LEFT ANTI JOIN reachable-file set. The listing is
     produced driver-side here (local fs); on object storage this becomes a
     distributed listing DataFrame — the join shape is unchanged.
-    """
+
+    Metadata orphans exist by design: a commit attempt that loses the
+    optimistic race leaves its freshly-written manifest and manifest-list
+    parquet unreferenced (table.py commit loop); only gc reclaims them.
+    Reachable metadata = every snapshot's manifest list + every manifest
+    those lists name; version JSONs are the table itself and never swept.
+
+    ``older_than_millis``: skip files younger than this (mtime) — on a
+    table with LIVE writers an in-flight commit's files are unreferenced
+    until its version file lands, so production sweeps should pass hours
+    (Iceberg's orphan GC defaults to days); 0 suits quiesced maintenance
+    windows and tests."""
+    import time
+
     data_dir = os.path.join(table.root, "data")
+    meta_dir = os.path.join(table.root, "metadata")
     listing = [
         os.path.join("data", f) for f in os.listdir(data_dir)
     ] if os.path.isdir(data_dir) else []
-    if not listing:
-        return []
-    all_ids = {s["snapshot_id"] for s in table.meta["snapshots"]}
-    reachable = _live_paths_df(spark, table, all_ids)
-    listing_df = spark.createDataFrame([(p,) for p in listing], "file_path string")
-    orphans = [
-        r.file_path
-        for r in listing_df.join(reachable, "file_path", "left_anti")
-        .where(~F.col("file_path").contains(".tmp-"))
-        .collect()
+    meta_listing = [
+        os.path.join("metadata", f)
+        for f in (os.listdir(meta_dir) if os.path.isdir(meta_dir) else [])
+        if f.endswith(".parquet")
     ]
+    if not listing and not meta_listing:
+        return []
+    if older_than_millis > 0:
+        cutoff = time.time() - older_than_millis / 1000.0
+        keep_young = lambda rel: os.path.getmtime(  # noqa: E731
+            os.path.join(table.root, rel)
+        ) >= cutoff
+        listing = [p for p in listing if not keep_young(p)]
+        meta_listing = [p for p in meta_listing if not keep_young(p)]
+    orphans: list[str] = []
+    if listing:
+        all_ids = {s["snapshot_id"] for s in table.meta["snapshots"]}
+        reachable = _live_paths_df(spark, table, all_ids)
+        listing_df = spark.createDataFrame([(p,) for p in listing], "file_path string")
+        orphans += [
+            r.file_path
+            for r in listing_df.join(reachable, "file_path", "left_anti")
+            .where(~F.col("file_path").contains(".tmp-"))
+            .collect()
+        ]
+    if meta_listing:
+        reachable_meta = set()
+        for s in table.meta["snapshots"]:
+            reachable_meta.add(s["manifest_list"])
+            reachable_meta.update(
+                os.path.relpath(p, table.root)
+                for p in table.manifest_paths(s["snapshot_id"])
+            )
+        orphans += [p for p in meta_listing if p not in reachable_meta]
     if not dry_run:
         for rel in orphans:
             os.remove(os.path.join(table.root, rel))

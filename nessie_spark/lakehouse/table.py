@@ -574,7 +574,17 @@ class Table:
                 _, msum = t.write_manifest(added, tag=f"s{snapshot_id}-add")
                 manifests.append(msum)
 
-            mlist_rel = f"metadata/snap-{snapshot_id}-manifest-list.parquet"
+            # UNIQUE path per ATTEMPT, not per snapshot id: two racing
+            # committers compute the same next id, and a fixed
+            # snap-{id}-manifest-list.parquet lets the LOSER overwrite the
+            # winner's list after the winner's O_EXCL version create — the
+            # winner's rows silently vanish from its own snapshot. With a
+            # uuid suffix the loser's list is just an orphan (gc sweeps
+            # unreachable metadata); atomicity lives solely in v{N}.json.
+            mlist_rel = (
+                f"metadata/snap-{snapshot_id}-manifest-list-"
+                f"{uuid.uuid4().hex[:12]}.parquet"
+            )
             pq.write_table(
                 pa.Table.from_pylist(manifests, schema=MANIFEST_LIST_SCHEMA),
                 os.path.join(t.root, mlist_rel),
