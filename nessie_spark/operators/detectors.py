@@ -406,30 +406,64 @@ def variation_ngrams_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(spark, T(spark, sf_dir, "documents").select("doc_id", "lang", "text"))
 
     def _occ_gen(batches):
-        import re
-
+        import numpy as np
         import pandas as pd
 
-        ws = re.compile(r"\s+")  # doc text is ASCII (synth contract), so
-        # Python/Java/RE2 \s agree and .lower() ≡ F.lower
+        # str.split() ≡ re.split(r"\s+") on stripped text (whitespace runs,
+        # no empties); doc text is ASCII (synth contract), so Python/Java/
+        # RE2 \s agree and .lower() ≡ F.lower. Gram construction is
+        # vectorized over ONE flat token array per batch (elementwise
+        # object-array concat, n-1 passes) instead of per-doc Python list
+        # comprehensions — same strings, ~3× less batch CPU.
         for pdf in batches:
-            cols = {k: [] for k in ("doc_id", "lang", "n", "pos", "gram", "prev", "nxt")}
-            for d, lg, tx in zip(pdf["doc_id"], pdf["lang"], pdf["text"]):
-                ts = [w.lower() for w in ws.split(tx.strip())] if tx and tx.strip() else []
-                ln = len(ts)
-                grams = ts  # length-1 "grams"; extended one token per level
-                for n in range(2, N_MAX + 1):
-                    if ln < n:
-                        break
-                    grams = [grams[i] + " " + ts[i + n - 1] for i in range(ln - n + 1)]
-                    cols["doc_id"].extend([d] * (ln - n + 1))
-                    cols["lang"].extend([lg] * (ln - n + 1))
-                    cols["n"].extend([n] * (ln - n + 1))
-                    cols["pos"].extend(range(ln - n + 1))
-                    cols["gram"].extend(grams)
-                    cols["prev"].extend([None] + ts[: ln - n])
-                    cols["nxt"].extend(ts[n:] + [None])
-            yield pd.DataFrame(cols)
+            toks = [
+                t.strip().lower().split() if isinstance(t, str) and t.strip() else []
+                for t in pdf["text"]
+            ]
+            lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
+            flat = np.array([w for ts in toks for w in ts], dtype=object)
+            if flat.size == 0:
+                continue
+            docidx = np.repeat(np.arange(len(lens)), lens)
+            starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            pos_in_doc = np.arange(flat.size) - np.repeat(starts, lens)
+            doc_ids = pdf["doc_id"].to_numpy()
+            langs = pdf["lang"].to_numpy()
+            parts = []
+            g = flat  # length-1 "grams"; extended one token per level
+            for n in range(2, N_MAX + 1):
+                if flat.size < n:
+                    break
+                g = g[: flat.size - n + 1] + " "
+                g = g + flat[n - 1 :]
+                # a start is valid when its n-th token is still in-doc
+                valid = docidx[: flat.size - n + 1] == docidx[n - 1 :]
+                idx = np.flatnonzero(valid)
+                if idx.size == 0:
+                    continue
+                di = docidx[idx]
+                prev = np.where(
+                    pos_in_doc[idx] > 0, flat[np.maximum(idx - 1, 0)], None
+                )
+                nxt_ok = (idx + n < flat.size) & (
+                    docidx[np.minimum(idx + n, flat.size - 1)] == di
+                )
+                nxt = np.where(nxt_ok, flat[np.minimum(idx + n, flat.size - 1)], None)
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": doc_ids[di],
+                            "lang": langs[di],
+                            "n": np.full(idx.size, n, dtype=np.int32),
+                            "pos": pos_in_doc[idx].astype(np.int32),
+                            "gram": g[idx],
+                            "prev": prev,
+                            "nxt": nxt,
+                        }
+                    )
+                )
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
 
     occ = docs.mapInPandas(
         _occ_gen,
