@@ -51,6 +51,9 @@ _SAMPLE_PRIORITY = [
     "maintenance_schema_evolution",
     "maintenance_rollback",
     "maintenance_data_skipping",
+    "maintenance_mor_delete",
+    "maintenance_wap",
+    "maintenance_changelog",
     "multimodal_pixel_stats",
     "multimodal_resize",
     "multimodal_frame_sample",

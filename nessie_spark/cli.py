@@ -3,7 +3,7 @@
 Usage:
     spark-submit --py-files nessie_spark.zip nessie_spark/cli.py \
         --table /path/to/images \
-        --job compact|zorder|hilbert|expire|gc|rewrite-manifests|merge|add-column|incremental|rollback|inspect|delete-where|purge-deletes \
+        --job compact|zorder|hilbert|expire|gc|rewrite-manifests|merge|add-column|incremental|changelog|rollback|inspect|delete-where|purge-deletes \
         [--target-bytes 134217728] [--job-id resumable-id]
 
     # synthesize a table first:
@@ -37,6 +37,7 @@ def main(argv: list[str] | None = None) -> int:
             "rewrite-manifests", "merge", "add-column", "incremental",
             "rollback", "inspect", "tag", "drop-tag", "delete-where",
             "purge-deletes", "stage-append", "publish", "drop-staged", "audit",
+            "changelog",
         ],
     )
     ap.add_argument(
@@ -54,8 +55,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--small-files", action="store_true", help="synth: lognormal small-file layout")
     ap.add_argument("--sort-order", default=None, help="synth: set the write.sort-order table property (zorder|hilbert)")
     ap.add_argument("--column", default=None, help="add-column: 'name:type' (e.g. quality:long)")
-    ap.add_argument("--from-snapshot", type=int, default=None, help="incremental: exclusive range start")
-    ap.add_argument("--to-snapshot", type=int, default=None, help="incremental: inclusive range end")
+    ap.add_argument("--from-snapshot", type=int, default=None, help="incremental/changelog: exclusive range start")
+    ap.add_argument("--to-snapshot", type=int, default=None, help="incremental/changelog: inclusive range end")
+    ap.add_argument("--net-changes", action="store_true", help="changelog: collapse the window to net per-row effects")
     args = ap.parse_args(argv)
 
     from nessie_spark.session import get_spark
@@ -242,6 +244,32 @@ def main(argv: list[str] | None = None) -> int:
             )
             out.update(
                 delta_rows=df.count(),
+                from_snapshot=args.from_snapshot,
+                to_snapshot=args.to_snapshot
+                if args.to_snapshot is not None
+                else t.current_snapshot_id,
+            )
+        elif args.job == "changelog":
+            from pyspark.sql import functions as F
+
+            from nessie_spark.lakehouse.changelog import scan_changelog
+
+            df = scan_changelog(
+                spark, t,
+                from_snapshot_id=args.from_snapshot,
+                to_snapshot_id=args.to_snapshot,
+                net_changes=args.net_changes,
+            )
+            counts = {
+                r["_change_type"]: r["n"]
+                for r in df.groupBy("_change_type")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            out.update(
+                inserts=int(counts.get("insert", 0)),
+                deletes=int(counts.get("delete", 0)),
+                net_changes=args.net_changes,
                 from_snapshot=args.from_snapshot,
                 to_snapshot=args.to_snapshot
                 if args.to_snapshot is not None

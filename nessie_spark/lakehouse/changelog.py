@@ -1,0 +1,202 @@
+"""Changelog (CDC) scan: row-level inserts/deletes between two snapshots.
+
+Iceberg's ``create_changelog_view`` analog, native to this table format.
+Where ``scan.scan_incremental`` refuses row-changing snapshots (Iceberg's
+append-only incremental-read rule), the changelog expresses EVERY snapshot
+on the ancestry chain as a stream of ``insert`` / ``delete`` row changes:
+
+- ``append``          → inserts (rows of the snapshot's added files);
+- ``delete``  (MoR)   → deletes (full rows: the delete-file keys joined
+                        back against the parent-visible rows — what Iceberg
+                        does for equality deletes);
+- ``merge`` (CoW, and any other row-changing rewrite) → the file diff
+  added-vs-removed, with CARRIED rows cancelled by a (key, row-hash)
+  anti-join in both directions: an updated row emits delete(old) +
+  insert(new), an untouched row copied into a rewritten file emits nothing;
+- pure rewrites (compact / zorder / hilbert / rewrite-manifests / expire /
+  gc / set-schema / purge-deletes) → nothing (same logical rows).
+
+Each change row carries ``_change_type`` ('insert'|'delete'),
+``_change_snapshot_id``, ``_change_ordinal`` (position of the snapshot on
+the walked chain, oldest = 0) and ``_commit_ts_millis`` — Iceberg's
+changelog metadata columns.
+
+``net_changes=True`` collapses the window to its net effect per row
+(Iceberg's ``net_changes``): a row inserted then deleted inside the window
+disappears; an updated-then-updated row emits only the final transition.
+Because a given (key, row-hash) can exist at most once at a time, its
+changes alternate insert/delete and the net is sign(Σ±1), realized by the
+LAST change of that row — one groupBy over the delta, O(changed rows).
+
+Scale shape: per contributing snapshot only that snapshot's added files /
+delete files / removed-file set are read — work is proportional to the
+CHANGED bytes in the window, never table size. The merge anti-joins
+shuffle 2×(rewritten bytes) on (image_id, row-hash); AQE picks
+broadcast when one side is small. Row identity uses ``xxhash64`` over all
+data columns (binary included) — a hash collision (p ≈ n²/2⁶⁵) could
+suppress one update's delete+insert pair, never fabricate a change.
+
+Reference parity: the reference engine has no lakehouse layer; this module
+extends the graft map (SURVEY.md §2.9) the same way deletes.py does.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nessie_spark.lakehouse.deletes import BROADCAST_KEYS_MAX, delete_keys_df
+from nessie_spark.lakehouse.scan import (
+    _REWRITE_OPS,
+    IMAGES_DDL,
+    _snapshot_ddl,
+    added_file_paths,
+    ancestry_between,
+    scan,
+)
+from nessie_spark.lakehouse.table import Table
+
+CHANGE_TYPE_INSERT = "insert"
+CHANGE_TYPE_DELETE = "delete"
+CHANGE_META_COLS = [
+    "_change_type",
+    "_change_snapshot_id",
+    "_change_ordinal",
+    "_commit_ts_millis",
+]
+
+
+def _tag(df: DataFrame, change_type: str, snap: dict, ordinal: int) -> DataFrame:
+    return (
+        df.withColumn("_change_type", F.lit(change_type))
+        .withColumn("_change_snapshot_id", F.lit(snap["snapshot_id"]).cast("long"))
+        .withColumn("_change_ordinal", F.lit(ordinal).cast("int"))
+        .withColumn("_commit_ts_millis", F.lit(snap["ts_millis"]).cast("long"))
+    )
+
+
+def scan_changelog(
+    spark: SparkSession,
+    table: Table,
+    from_snapshot_id: int | None = None,
+    to_snapshot_id: int | None = None,
+    net_changes: bool = False,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Row-level changes committed in ``(from_snapshot_id, to_snapshot_id]``.
+
+    ``from_snapshot_id=None`` starts at the beginning of history;
+    ``to_snapshot_id=None`` ends at the current snapshot. Endpoints must be
+    retained (un-expired) snapshots on one ancestry chain — a reconstruct-
+    able window — else this raises (mirroring ``scan_incremental``).
+
+    Returns the ``to``-snapshot schema (add-column evolution: pre-evolution
+    files read the new columns as NULL) plus the ``_change_*`` metadata
+    columns. ``columns`` projects the DATA columns; metadata columns are
+    always kept.
+    """
+    chain = ancestry_between(table, from_snapshot_id, to_snapshot_id)
+    to_id = to_snapshot_id if to_snapshot_id is not None else table.current_snapshot_id
+    ddl = (
+        _snapshot_ddl(table, to_id)
+        if to_id is not None
+        else table.meta.get("schema", IMAGES_DDL)
+    )
+    empty = spark.createDataFrame([], ddl)
+    data_cols = empty.columns
+    out_empty = _tag(empty, CHANGE_TYPE_INSERT, {"snapshot_id": 0, "ts_millis": 0}, 0).limit(0)
+
+    def _read(rel_paths: list[str]) -> DataFrame:
+        return spark.read.schema(ddl).parquet(
+            *[os.path.join(table.root, p) for p in rel_paths]
+        )
+
+    parts: list[DataFrame] = []
+    for ordinal, snap in enumerate(chain):
+        op, sid = snap["operation"], snap["snapshot_id"]
+        if op in _REWRITE_OPS:
+            continue
+        if op == "append":
+            added = added_file_paths(table, sid)
+            if added:
+                parts.append(_tag(_read(added), CHANGE_TYPE_INSERT, snap, ordinal))
+            continue
+        if op == "delete":
+            dels_here = [d for d in table.delete_files(sid) if d["snapshot_id"] == sid]
+            if not dels_here:
+                continue
+            keys = delete_keys_df(spark, table, dels_here)
+            total = sum(d["n_keys"] for d in dels_here)
+            key_lo = min(d["min_key"] for d in dels_here)
+            key_hi = max(d["max_key"] for d in dels_here)
+            # full deleted rows = parent-visible rows matching the keys;
+            # key_range prunes the parent scan to candidate files via
+            # manifest stats before the semi-join
+            parent_rows = scan(
+                spark, table, snapshot_id=snap["parent_id"],
+                key_range=(key_lo, key_hi),
+            )
+            side = F.broadcast(keys) if total <= BROADCAST_KEYS_MAX else keys
+            deleted = parent_rows.join(side, "image_id", "left_semi")
+            parts.append(_tag(deleted, CHANGE_TYPE_DELETE, snap, ordinal))
+            continue
+        # merge / any other row-changing rewrite: file diff vs parent,
+        # carried rows cancelled by (key, row-hash) in both directions
+        cur = set(
+            table.file_entries(sid, columns=["file_path"]).column("file_path").to_pylist()
+        )
+        par = set(
+            table.file_entries(snap["parent_id"], columns=["file_path"])
+            .column("file_path")
+            .to_pylist()
+        ) if snap["parent_id"] is not None else set()
+        added_rel = sorted(cur - par)
+        removed_rel = sorted(par - cur)
+        h = F.xxhash64(*data_cols)
+        ins_raw = _read(added_rel).withColumn("_h", h) if added_rel else None
+        del_raw = _read(removed_rel).withColumn("_h", h) if removed_rel else None
+        if ins_raw is not None and del_raw is not None:
+            ins = ins_raw.join(del_raw.select("image_id", "_h"), ["image_id", "_h"], "left_anti")
+            dele = del_raw.join(ins_raw.select("image_id", "_h"), ["image_id", "_h"], "left_anti")
+        else:
+            ins, dele = ins_raw, del_raw
+        if ins is not None:
+            parts.append(_tag(ins.drop("_h"), CHANGE_TYPE_INSERT, snap, ordinal))
+        if dele is not None:
+            parts.append(_tag(dele.drop("_h"), CHANGE_TYPE_DELETE, snap, ordinal))
+
+    if not parts:
+        df = out_empty
+    else:
+        # a delete part's parent scan may predate an add-column evolution
+        # inside the window: its missing columns read as NULL (exactly what
+        # the evolved schema says those rows held)
+        df = reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+        ).select(*data_cols, *CHANGE_META_COLS)
+
+    if net_changes and parts:
+        w = df.withColumn("_h", F.xxhash64(*data_cols))
+        agg = (
+            w.groupBy("image_id", "_h")
+            .agg(
+                F.sum(
+                    F.when(F.col("_change_type") == CHANGE_TYPE_INSERT, 1).otherwise(-1)
+                ).alias("_net"),
+                F.max("_change_ordinal").alias("_last_ord"),
+            )
+            .where(F.col("_net") != 0)
+            .select("image_id", "_h", "_last_ord")
+        )
+        df = (
+            w.join(agg, ["image_id", "_h"])
+            .where(F.col("_change_ordinal") == F.col("_last_ord"))
+            .drop("_h", "_last_ord")
+        )
+
+    if columns:
+        df = df.select(*columns, *CHANGE_META_COLS)
+    return df

@@ -210,6 +210,68 @@ def _snapshot_ddl(table: Table, snapshot_id: int | None) -> str:
     return (snap or {}).get("schema") or table.meta.get("schema", IMAGES_DDL)
 
 
+def ancestry_between(
+    table: Table, from_snapshot_id: int | None, to_snapshot_id: int | None
+) -> list[dict]:
+    """Snapshots on ``to``'s parent chain in ``(from, to]``, OLDEST first.
+
+    Walks the PARENT CHAIN rather than filtering on an id range: after a
+    rollback, abandoned-branch snapshots keep ids inside the range but are
+    not ancestors of ``to`` and must not contribute (Iceberg walks
+    ancestry). Ids are strictly increasing along any chain (max+1
+    allocation), so the walk terminates at ``from`` or at the root.
+    Raises if an endpoint is unknown, expired mid-chain, or ``from`` is not
+    an ancestor of ``to`` — a partial delta is worse than no delta."""
+    known = {s["snapshot_id"] for s in table.meta["snapshots"]}
+    if to_snapshot_id is not None and to_snapshot_id not in known:
+        raise ValueError(f"to_snapshot_id {to_snapshot_id} not in table history")
+    if from_snapshot_id is not None and from_snapshot_id not in known | {0}:
+        raise ValueError(
+            f"from_snapshot_id {from_snapshot_id} not in table history "
+            "(expired snapshots cannot anchor an incremental read)"
+        )
+    to_id = to_snapshot_id if to_snapshot_id is not None else table.current_snapshot_id
+    if to_id is None:
+        return []
+    lo = from_snapshot_id if from_snapshot_id is not None else 0
+    by_id = {s["snapshot_id"]: s for s in table.meta["snapshots"]}
+    in_range: list[dict] = []
+    sid: int | None = to_id
+    while sid is not None and sid != lo:
+        snap = by_id.get(sid)
+        if snap is None:
+            raise ValueError(
+                f"snapshot {sid} on the ancestry of {to_id} has been expired; "
+                "incremental read cannot be reconstructed"
+            )
+        in_range.append(snap)
+        sid = snap["parent_id"]
+    if sid is None and lo != 0:
+        raise ValueError(
+            f"from_snapshot_id {lo} is not an ancestor of to_snapshot_id {to_id} "
+            "(it was abandoned by a rollback); read a full snapshot instead"
+        )
+    return sorted(in_range, key=lambda s: s["snapshot_id"])
+
+
+def added_file_paths(table: Table, snapshot_id: int) -> list[str]:
+    """Data files ADDED by the snapshot (relative paths), read from its
+    ``-s{id}-add`` tagged manifest(s) when present — so carried-forward
+    manifests are never touched and driver work is proportional to NEW
+    data, not table size."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    mlist = table.manifest_paths(snapshot_id)
+    tagged = [p for p in mlist if f"-s{snapshot_id}-add-" in os.path.basename(p)]
+    paths: list[str] = []
+    for mp in tagged or mlist:
+        ents = pq.read_table(mp, columns=["file_path", "added_snapshot_id"])
+        mask = pc.equal(ents.column("added_snapshot_id"), snapshot_id)
+        paths.extend(ents.filter(mask).column("file_path").to_pylist())
+    return paths
+
+
 def scan_incremental(
     spark: SparkSession,
     table: Table,
@@ -235,17 +297,7 @@ def scan_incremental(
     must not have been expired; a missing endpoint raises (Iceberg
     semantics) rather than silently returning a partial delta.
     """
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-
-    known = {s["snapshot_id"] for s in table.meta["snapshots"]}
-    if to_snapshot_id is not None and to_snapshot_id not in known:
-        raise ValueError(f"to_snapshot_id {to_snapshot_id} not in table history")
-    if from_snapshot_id is not None and from_snapshot_id not in known | {0}:
-        raise ValueError(
-            f"from_snapshot_id {from_snapshot_id} not in table history "
-            "(expired snapshots cannot anchor an incremental read)"
-        )
+    in_range = ancestry_between(table, from_snapshot_id, to_snapshot_id)
     to_id = to_snapshot_id if to_snapshot_id is not None else table.current_snapshot_id
     schema = _snapshot_ddl(table, to_id) if to_id is not None else table.meta.get(
         "schema", IMAGES_DDL
@@ -253,31 +305,8 @@ def scan_incremental(
     empty = spark.createDataFrame([], schema)
     if to_id is None:
         return empty.select(*columns) if columns else empty
-    lo = from_snapshot_id if from_snapshot_id is not None else 0
-    # Walk to_id's PARENT CHAIN rather than filtering on an id range: after
-    # a rollback, abandoned-branch snapshots keep ids inside (lo, to_id]
-    # but are not ancestors of to_id and must not contribute (Iceberg walks
-    # ancestry). Ids are strictly increasing along any chain (max+1
-    # allocation), so the walk terminates at lo or at the root.
-    by_id = {s["snapshot_id"]: s for s in table.meta["snapshots"]}
-    in_range = []
-    sid: int | None = to_id
-    while sid is not None and sid != lo:
-        snap = by_id.get(sid)
-        if snap is None:
-            raise ValueError(
-                f"snapshot {sid} on the ancestry of {to_id} has been expired; "
-                "incremental read cannot be reconstructed"
-            )
-        in_range.append(snap)
-        sid = snap["parent_id"]
-    if sid is None and lo != 0:
-        raise ValueError(
-            f"from_snapshot_id {lo} is not an ancestor of to_snapshot_id {to_id} "
-            "(it was abandoned by a rollback); read a full snapshot instead"
-        )
     paths: list[str] = []
-    for snap in sorted(in_range, key=lambda s: s["snapshot_id"]):
+    for snap in in_range:
         op = snap["operation"]
         if op in _REWRITE_OPS:
             continue
@@ -286,18 +315,10 @@ def scan_incremental(
                 f"incremental scan crosses a row-changing '{op}' snapshot "
                 f"{snap['snapshot_id']}; read a full snapshot instead"
             )
-        sid = snap["snapshot_id"]
-        mlist = table.manifest_paths(sid)
-        # the snapshot's own additions live in its -add tagged manifest;
-        # fall back to scanning all (e.g. manifests renamed by a rewrite)
-        tagged = [p for p in mlist if f"-s{sid}-add-" in os.path.basename(p)]
-        for mp in tagged or mlist:
-            ents = pq.read_table(mp, columns=["file_path", "added_snapshot_id"])
-            mask = pc.equal(ents.column("added_snapshot_id"), sid)
-            paths.extend(
-                os.path.join(table.root, p)
-                for p in ents.filter(mask).column("file_path").to_pylist()
-            )
+        paths.extend(
+            os.path.join(table.root, p)
+            for p in added_file_paths(table, snap["snapshot_id"])
+        )
     if not paths:
         return empty.select(*columns) if columns else empty
     df = spark.read.schema(schema).parquet(*paths)

@@ -651,6 +651,82 @@ def maintenance_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def maintenance_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog (CDC) scan over a full table lifecycle
+    (lakehouse/changelog.py): append → compact (pure rewrite, silent) →
+    MoR delete (emits full deleted rows) → purge (physical realization of
+    already-visible deletes, silent) → CoW merge (updates emit
+    delete+insert pairs, new rows emit inserts). ``net_changes`` collapses
+    the window: deleted-inside-window rows vanish, updated rows emit only
+    their final version. All counts derive from the seeded layout →
+    deterministic rows-only check."""
+    import pandas as pd
+
+    from nessie_spark.lakehouse import deletes as D
+    from nessie_spark.lakehouse.changelog import scan_changelog
+
+    t, _, root = _fresh_table(spark)
+    try:
+        C.compact(spark, t, target_bytes=TARGET, job_id="demo-cl-compact")
+        t = t.refresh()
+        D.delete_where(
+            spark, t, F.col("image_id") < "img_000000000016", job_id="demo-cl-del"
+        )
+        t = t.refresh()
+        del_sid = t.current_snapshot_id
+        D.purge_deletes(spark, t, job_id="demo-cl-purge")
+        t = t.refresh()
+        rows = []
+        for i in range(32, N, 10):
+            r = synth.row_for(42, i)
+            r["caption"] = r["caption"] + " (edited)"
+            rows.append(r)
+        n_upd = len(rows)
+        for i in range(N, N + 8):
+            rows.append(synth.row_for(42, i))
+        src = spark.createDataFrame(pd.DataFrame(rows), schema=synth.IMAGES_SCHEMA)
+        merge.merge_into(spark, t, src, job_id="demo-cl-merge")
+        t = t.refresh()
+
+        cl = scan_changelog(spark, t).cache()
+        by = {
+            (r["_change_snapshot_id"], r["_change_type"]): r["n"]
+            for r in cl.groupBy("_change_snapshot_id", "_change_type")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        silent_sids = {s["snapshot_id"] for s in t.meta["snapshots"]} - {
+            sid for sid, _ in by
+        }
+        merge_sid = t.current_snapshot_id
+        net = scan_changelog(spark, t, net_changes=True)
+        net_counts = {
+            r["_change_type"]: r["n"]
+            for r in net.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+        }
+        tail = scan_changelog(spark, t, from_snapshot_id=del_sid).count()
+        cl.unpersist()
+        return spark.createDataFrame(
+            [
+                (
+                    by.get((1, "insert"), 0),
+                    by.get((del_sid, "delete"), 0),
+                    len(silent_sids),
+                    by.get((merge_sid, "delete"), 0),
+                    by.get((merge_sid, "insert"), 0) - n_upd,
+                    net_counts.get("insert", 0),
+                    net_counts.get("delete", 0),
+                    tail,
+                )
+            ],
+            "appended_inserts long, mor_deletes long, silent_rewrite_snapshots int, "
+            "update_pairs long, merge_new_inserts long, net_inserts long, "
+            "net_deletes long, tail_window_changes long",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 QUERIES: dict[str, tuple] = {
     "maintenance_compact": (maintenance_compact, None),
     "maintenance_zorder": (maintenance_zorder, None),
@@ -663,6 +739,7 @@ QUERIES: dict[str, tuple] = {
     "maintenance_data_skipping": (maintenance_data_skipping, None),
     "maintenance_mor_delete": (maintenance_mor_delete, None),
     "maintenance_wap": (maintenance_wap, None),
+    "maintenance_changelog": (maintenance_changelog, None),
     "multimodal_pixel_stats": (multimodal_pixel_stats, None),
     "multimodal_resize": (multimodal_resize, None),
     "multimodal_frame_sample": (multimodal_frame_sample, None),
