@@ -54,6 +54,7 @@ _SAMPLE_PRIORITY = [
     "maintenance_mor_delete",
     "maintenance_wap",
     "maintenance_changelog",
+    "maintenance_dedup_pipeline",
     "multimodal_pixel_stats",
     "multimodal_resize",
     "multimodal_frame_sample",

@@ -37,7 +37,7 @@ def main(argv: list[str] | None = None) -> int:
             "rewrite-manifests", "merge", "add-column", "incremental",
             "rollback", "inspect", "tag", "drop-tag", "delete-where",
             "purge-deletes", "stage-append", "publish", "drop-staged", "audit",
-            "changelog",
+            "changelog", "dedup-pipeline",
         ],
     )
     ap.add_argument(
@@ -58,6 +58,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--from-snapshot", type=int, default=None, help="incremental/changelog: exclusive range start")
     ap.add_argument("--to-snapshot", type=int, default=None, help="incremental/changelog: inclusive range end")
     ap.add_argument("--net-changes", action="store_true", help="changelog: collapse the window to net per-row effects")
+    ap.add_argument("--hamming-max", type=int, default=3, help="dedup-pipeline: max phash Hamming distance for near-dups")
     args = ap.parse_args(argv)
 
     from nessie_spark.session import get_spark
@@ -249,6 +250,18 @@ def main(argv: list[str] | None = None) -> int:
                 if args.to_snapshot is not None
                 else t.current_snapshot_id,
             )
+        elif args.job == "dedup-pipeline":
+            from dataclasses import asdict
+
+            from nessie_spark.lakehouse.pipeline import dedup_pipeline
+
+            res = dedup_pipeline(
+                spark, t,
+                job_id=args.job_id,
+                hamming_max=args.hamming_max,
+                target_bytes=args.target_bytes,
+            )
+            out.update(asdict(res))
         elif args.job == "changelog":
             from pyspark.sql import functions as F
 

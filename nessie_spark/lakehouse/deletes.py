@@ -136,8 +136,7 @@ def delete_where(
     parquet footer stats bound each file's key range exactly) and the
     snapshot's ``delete_files`` metadata carries them forward."""
     job_id = job_id or f"eqdel-{uuid.uuid4().hex[:8]}"
-    root = table.root
-    prev = lineage.committed_snapshot(root, job_id)
+    prev = lineage.committed_snapshot(table.root, job_id)
     if prev is not None:
         return DeleteResult(prev, job_id, 0, 0)
 
@@ -148,6 +147,47 @@ def delete_where(
     # once — keys here are exactly the rows a reader of the parent snapshot
     # would see matching the predicate
     keys = scan(spark, table).where(cond).select("image_id").distinct()
+    return _commit_delete_keys(spark, table, keys, job_id, keys_per_file)
+
+
+def delete_keys(
+    spark: SparkSession,
+    table: Table,
+    keys: DataFrame,
+    job_id: str | None = None,
+    keys_per_file: int = KEYS_PER_FILE,
+) -> DeleteResult:
+    """Commit a merge-on-read equality delete of an explicit key set
+    (a DataFrame with an ``image_id`` column — typically the output of a
+    detector: near-dup losers, quality-flagged rows, PII hits).
+
+    Keys are intersected with the CURRENTLY VISIBLE rows (left-semi
+    against the scan) so already-deleted or never-present ids are not
+    recorded — the delete files stay exactly as large as the rows they
+    remove, and re-running a detector over an already-cleaned table
+    commits nothing."""
+    job_id = job_id or f"eqdel-{uuid.uuid4().hex[:8]}"
+    prev = lineage.committed_snapshot(table.root, job_id)
+    if prev is not None:
+        return DeleteResult(prev, job_id, 0, 0)
+
+    from nessie_spark.lakehouse.scan import scan
+
+    visible = scan(spark, table, columns=["image_id"])
+    keys = (
+        keys.select("image_id").distinct().join(visible, "image_id", "left_semi")
+    )
+    return _commit_delete_keys(spark, table, keys, job_id, keys_per_file)
+
+
+def _commit_delete_keys(
+    spark: SparkSession,
+    table: Table,
+    keys: DataFrame,
+    job_id: str,
+    keys_per_file: int,
+) -> DeleteResult:
+    root = table.root
     n_keys = keys.count()
     if n_keys == 0:
         return DeleteResult(None, job_id, 0, 0)

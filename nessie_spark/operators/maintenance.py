@@ -727,6 +727,68 @@ def maintenance_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def maintenance_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline (lakehouse/pipeline.py): detect phash
+    near-duplicates on the stored table (banded equi-join, exact-clique
+    collapse) → MoR-delete the losers → purge → FFD compact → Z-order
+    cluster, each stage a committed, resumable snapshot. The fixture plants
+    exact-dup cliques (hot_pct) AND 1-bit near-dup copies; the check
+    asserts losers are gone, survivors are near-dup free, the row set is
+    exactly base−losers, and a full rerun is a metadata no-op. All counts
+    derive from the seeded layout → deterministic rows-only check."""
+    from nessie_spark.lakehouse.pipeline import dedup_pipeline, neardup_losers
+
+    t, _, root = _fresh_table(spark)
+    try:
+        # plant 1-bit near-dups of every 16th non-hot image
+        idx = F.substring("image_id", 5, 12).cast("long")
+        near = (
+            synth.images_df(spark, N, seed=42)
+            .withColumn("_i", idx)
+            .where(F.col("_i") % 16 == 8)
+            .select(
+                F.concat(F.lit("zdup-"), "image_id").alias("image_id"),
+                "bytes", "w", "h", "fmt", "caption",
+                F.expr("phash ^ shiftleft(1L, cast(_i % 63 as int))").alias("phash"),
+            )
+        )
+        jobs.append(spark, t, near, job_id="demo-pipe-dups")
+        t = t.refresh()
+        before = scan(spark, t).count()
+
+        res = dedup_pipeline(spark, t, job_id="demo-pipe", target_bytes=TARGET)
+        t = t.refresh()
+        after = scan(spark, t).count()
+        survivors_clean = (
+            neardup_losers(scan(spark, t, columns=["image_id", "phash"])).count()
+            == 0
+        )
+        head = t.current_snapshot_id
+        rerun = dedup_pipeline(spark, t, job_id="demo-pipe", target_bytes=TARGET)
+        t = t.refresh()
+        return spark.createDataFrame(
+            [
+                (
+                    before,
+                    res.losers,
+                    after,
+                    after == before - res.losers,
+                    survivors_clean,
+                    not t.delete_files(),
+                    res.purge_rewritten_files,
+                    t.current_snapshot_id == head
+                    and len(rerun.stages_skipped) >= 1,
+                )
+            ],
+            "rows_before long, neardup_losers long, rows_after long, "
+            "rowset_is_base_minus_losers boolean, survivors_neardup_free boolean, "
+            "no_pending_deletes boolean, purge_rewritten_files int, "
+            "rerun_is_noop boolean",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 QUERIES: dict[str, tuple] = {
     "maintenance_compact": (maintenance_compact, None),
     "maintenance_zorder": (maintenance_zorder, None),
@@ -740,6 +802,7 @@ QUERIES: dict[str, tuple] = {
     "maintenance_mor_delete": (maintenance_mor_delete, None),
     "maintenance_wap": (maintenance_wap, None),
     "maintenance_changelog": (maintenance_changelog, None),
+    "maintenance_dedup_pipeline": (maintenance_dedup_pipeline, None),
     "multimodal_pixel_stats": (multimodal_pixel_stats, None),
     "multimodal_resize": (multimodal_resize, None),
     "multimodal_frame_sample": (multimodal_frame_sample, None),
