@@ -55,6 +55,7 @@ _SAMPLE_PRIORITY = [
     "maintenance_wap",
     "maintenance_changelog",
     "maintenance_dedup_pipeline",
+    "maintenance_matview",
     "multimodal_pixel_stats",
     "multimodal_resize",
     "multimodal_frame_sample",

@@ -789,6 +789,78 @@ def maintenance_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def maintenance_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained materialized aggregate view
+    (lakehouse/matview.py): initial build, a changelog-driven incremental
+    refresh after append + MoR delete, a pure-rewrite no-op after compact,
+    and equality with a from-scratch recompute at every step. All counts
+    derive from the seeded layout → deterministic rows-only check."""
+    import tempfile as _tf
+
+    from nessie_spark.lakehouse import deletes as D
+    from nessie_spark.lakehouse.matview import read_matview, refresh_matview
+
+    t, _, root = _fresh_table(spark)
+    vr = _tf.mkdtemp(prefix="nessie-mv-")
+    try:
+        def _matches() -> bool:
+            got = sorted(map(tuple, read_matview(spark, vr).collect()))
+            want = sorted(
+                map(
+                    tuple,
+                    scan(spark, t)
+                    .groupBy("fmt")
+                    .agg(
+                        F.count(F.lit(1)).alias("cnt"),
+                        F.sum(F.col("w").cast("long")).alias("sum_w"),
+                        F.sum(F.col("h").cast("long")).alias("sum_h"),
+                    )
+                    .collect(),
+                )
+            )
+            return got == want
+
+        r0 = refresh_matview(spark, t, vr, name="demo")
+        ok0 = _matches()
+        extra = synth.images_df(spark, 32, seed=7).withColumn(
+            "image_id", F.concat(F.lit("mv-"), "image_id")
+        )
+        jobs.append(spark, t, extra, job_id="demo-mv-app")
+        t = t.refresh()
+        D.delete_where(
+            spark, t, F.col("image_id") < "img_000000000016", job_id="demo-mv-del"
+        )
+        t = t.refresh()
+        r1 = refresh_matview(spark, t, vr, name="demo")
+        ok1 = _matches()
+        D.purge_deletes(spark, t, job_id="demo-mv-purge")
+        t = t.refresh()
+        C.compact(spark, t, target_bytes=TARGET, job_id="demo-mv-c")
+        t = t.refresh()
+        r2 = refresh_matview(spark, t, vr, name="demo")
+        ok2 = _matches()
+        return spark.createDataFrame(
+            [
+                (
+                    r0.mode,
+                    ok0,
+                    r1.mode,
+                    r1.groups_changed,
+                    ok1,
+                    r2.mode,
+                    ok2,
+                    r0.view_rows,
+                )
+            ],
+            "initial_mode string, initial_matches boolean, refresh_mode string, "
+            "groups_changed long, refresh_matches boolean, rewrite_mode string, "
+            "rewrite_matches boolean, view_rows long",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(vr, ignore_errors=True)
+
+
 QUERIES: dict[str, tuple] = {
     "maintenance_compact": (maintenance_compact, None),
     "maintenance_zorder": (maintenance_zorder, None),
@@ -803,6 +875,7 @@ QUERIES: dict[str, tuple] = {
     "maintenance_wap": (maintenance_wap, None),
     "maintenance_changelog": (maintenance_changelog, None),
     "maintenance_dedup_pipeline": (maintenance_dedup_pipeline, None),
+    "maintenance_matview": (maintenance_matview, None),
     "multimodal_pixel_stats": (multimodal_pixel_stats, None),
     "multimodal_resize": (multimodal_resize, None),
     "multimodal_frame_sample": (multimodal_frame_sample, None),
