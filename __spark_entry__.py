@@ -56,6 +56,7 @@ _SAMPLE_PRIORITY = [
     "maintenance_changelog",
     "maintenance_dedup_pipeline",
     "maintenance_matview",
+    "maintenance_replica",
     "multimodal_pixel_stats",
     "multimodal_resize",
     "multimodal_frame_sample",

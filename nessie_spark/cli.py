@@ -37,7 +37,7 @@ def main(argv: list[str] | None = None) -> int:
             "rewrite-manifests", "merge", "add-column", "incremental",
             "rollback", "inspect", "tag", "drop-tag", "delete-where",
             "purge-deletes", "stage-append", "publish", "drop-staged", "audit",
-            "changelog", "dedup-pipeline",
+            "changelog", "dedup-pipeline", "refresh-matview", "sync-replica",
         ],
     )
     ap.add_argument(
@@ -59,6 +59,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--to-snapshot", type=int, default=None, help="incremental/changelog: inclusive range end")
     ap.add_argument("--net-changes", action="store_true", help="changelog: collapse the window to net per-row effects")
     ap.add_argument("--hamming-max", type=int, default=3, help="dedup-pipeline: max phash Hamming distance for near-dups")
+    ap.add_argument("--view-root", default=None, help="refresh-matview: directory holding the view state")
+    ap.add_argument("--view-name", default="view", help="refresh-matview: view name (also tags the anchor snapshot)")
+    ap.add_argument("--group-cols", default="fmt", help="refresh-matview: comma-separated grouping columns")
+    ap.add_argument("--sums", default="w,h", help="refresh-matview: comma-separated sum columns")
+    ap.add_argument("--replica-root", default=None, help="sync-replica: replica table root (created if missing)")
     args = ap.parse_args(argv)
 
     from nessie_spark.session import get_spark
@@ -262,6 +267,36 @@ def main(argv: list[str] | None = None) -> int:
                 target_bytes=args.target_bytes,
             )
             out.update(asdict(res))
+        elif args.job == "refresh-matview":
+            from dataclasses import asdict
+
+            from nessie_spark.lakehouse.matview import refresh_matview
+
+            if not args.view_root:
+                raise SystemExit("refresh-matview requires --view-root")
+            res = refresh_matview(
+                spark, t, args.view_root, name=args.view_name,
+                group_cols=args.group_cols.split(","),
+                sums=[c for c in args.sums.split(",") if c],
+            )
+            out.update(asdict(res))
+        elif args.job == "sync-replica":
+            from dataclasses import asdict
+
+            from nessie_spark.lakehouse.replicate import (
+                create_replica, sync_replica, verify_replica,
+            )
+            from nessie_spark.lakehouse.table import Table as _T
+
+            if not args.replica_root:
+                raise SystemExit("sync-replica requires --replica-root")
+            try:
+                dst = _T.load(args.replica_root)
+            except FileNotFoundError:
+                dst = create_replica(t, args.replica_root)
+            res = sync_replica(spark, t, dst, job_id=args.job_id)
+            out.update(asdict(res))
+            out["diff_rows"] = verify_replica(spark, t, dst.refresh())
         elif args.job == "changelog":
             from pyspark.sql import functions as F
 

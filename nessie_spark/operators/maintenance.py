@@ -861,6 +861,73 @@ def maintenance_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(vr, ignore_errors=True)
 
 
+def maintenance_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC replication (lakehouse/replicate.py): initial copy, then a sync
+    after append + MoR delete + CoW merge applies only the NET row changes;
+    pure rewrites move nothing; the replica verifies row-identical (full
+    key+row-hash diff = 0) after every cycle. All counts derive from the
+    seeded layout → deterministic rows-only check."""
+    import os
+    import tempfile as _tf
+
+    import pandas as pd
+
+    from nessie_spark.lakehouse import deletes as D
+    from nessie_spark.lakehouse.replicate import (
+        create_replica, sync_replica, verify_replica,
+    )
+
+    t, _, root = _fresh_table(spark)
+    droot = _tf.mkdtemp(prefix="nessie-rep-") + "/images"
+    try:
+        dst = create_replica(t, droot)
+        r0 = sync_replica(spark, t, dst, name="demo")
+        dst = dst.refresh()
+        ok0 = verify_replica(spark, t, dst) == 0
+
+        extra = synth.images_df(spark, 24, seed=13).withColumn(
+            "image_id", F.concat(F.lit("rep-"), "image_id")
+        )
+        jobs.append(spark, t, extra, job_id="demo-rep-app")
+        t = t.refresh()
+        D.delete_where(
+            spark, t, F.col("image_id") < "img_000000000008", job_id="demo-rep-del"
+        )
+        t = t.refresh()
+        D.purge_deletes(spark, t, job_id="demo-rep-purge")
+        t = t.refresh()
+        rows = []
+        for i in range(10, 16):
+            r = synth.row_for(42, i)
+            r["caption"] = r["caption"] + " v2"
+            rows.append(r)
+        src = spark.createDataFrame(pd.DataFrame(rows), schema=synth.IMAGES_SCHEMA)
+        merge.merge_into(spark, t, src, job_id="demo-rep-merge")
+        t = t.refresh()
+
+        r1 = sync_replica(spark, t, dst, name="demo")
+        dst = dst.refresh()
+        ok1 = verify_replica(spark, t, dst) == 0
+        C.compact(spark, t, target_bytes=TARGET, job_id="demo-rep-c")
+        t = t.refresh()
+        r2 = sync_replica(spark, t, dst, name="demo")
+        return spark.createDataFrame(
+            [
+                (
+                    r0.mode, r0.inserted, ok0,
+                    r1.mode, r1.deleted, r1.inserted, ok1,
+                    r2.deleted + r2.inserted,
+                )
+            ],
+            "initial_mode string, initial_rows long, initial_identical boolean, "
+            "sync_mode string, sync_deleted long, sync_inserted long, "
+            "sync_identical boolean, rewrite_window_rows_moved long",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(os.path.dirname(droot), ignore_errors=True)
+
+
 QUERIES: dict[str, tuple] = {
     "maintenance_compact": (maintenance_compact, None),
     "maintenance_zorder": (maintenance_zorder, None),
@@ -876,6 +943,7 @@ QUERIES: dict[str, tuple] = {
     "maintenance_changelog": (maintenance_changelog, None),
     "maintenance_dedup_pipeline": (maintenance_dedup_pipeline, None),
     "maintenance_matview": (maintenance_matview, None),
+    "maintenance_replica": (maintenance_replica, None),
     "multimodal_pixel_stats": (multimodal_pixel_stats, None),
     "multimodal_resize": (multimodal_resize, None),
     "multimodal_frame_sample": (multimodal_frame_sample, None),
