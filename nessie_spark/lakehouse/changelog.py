@@ -23,10 +23,11 @@ changelog metadata columns.
 
 ``net_changes=True`` collapses the window to its net effect per row
 (Iceberg's ``net_changes``): a row inserted then deleted inside the window
-disappears; an updated-then-updated row emits only the final transition.
-Because a given (key, row-hash) can exist at most once at a time, its
-changes alternate insert/delete and the net is sign(Σ±1), realized by the
-LAST change of that row — one groupBy over the delta, O(changed rows).
+disappears; an updated-then-updated row emits only the final transition;
+and duplicate-row multiplicities are preserved (the same row appended in
+two snapshots nets to TWO inserts — |Σ±1| copies of the last-touch
+representative, typed by the net's sign). One groupBy over the delta,
+O(changed rows).
 
 Scale shape: per contributing snapshot only that snapshot's added files /
 delete files / removed-file set are read — work is proportional to the
@@ -144,17 +145,34 @@ def scan_changelog(
             parts.append(_tag(deleted, CHANGE_TYPE_DELETE, snap, ordinal))
             continue
         # merge / any other row-changing rewrite: file diff vs parent,
-        # carried rows cancelled by (key, row-hash) in both directions
-        cur = set(
-            table.file_entries(sid, columns=["file_path"]).column("file_path").to_pylist()
+        # carried rows cancelled by (key, row-hash) in both directions.
+        # Diff the manifest LISTS first — commit() carries unchanged parent
+        # manifests forward verbatim (same path), so only manifests unique
+        # to one side can hold added/removed files; driver work is
+        # O(changed manifests), not O(table files).
+        import pyarrow.parquet as pq
+
+        m_cur = set(table.manifest_paths(sid))
+        m_par = (
+            set(table.manifest_paths(snap["parent_id"]))
+            if snap["parent_id"] is not None
+            else set()
         )
-        par = set(
-            table.file_entries(snap["parent_id"], columns=["file_path"])
-            .column("file_path")
-            .to_pylist()
-        ) if snap["parent_id"] is not None else set()
-        added_rel = sorted(cur - par)
-        removed_rel = sorted(par - cur)
+
+        def _file_paths(mpaths: set) -> set:
+            out: set = set()
+            for mp in sorted(mpaths):
+                out.update(
+                    pq.read_table(mp, columns=["file_path"])
+                    .column("file_path")
+                    .to_pylist()
+                )
+            return out
+
+        cur_only = _file_paths(m_cur - m_par)
+        par_only = _file_paths(m_par - m_cur)
+        added_rel = sorted(cur_only - par_only)
+        removed_rel = sorted(par_only - cur_only)
         h = F.xxhash64(*data_cols)
         ins_raw = _read(added_rel).withColumn("_h", h) if added_rel else None
         del_raw = _read(removed_rel).withColumn("_h", h) if removed_rel else None
@@ -179,22 +197,39 @@ def scan_changelog(
         ).select(*data_cols, *CHANGE_META_COLS)
 
     if net_changes and parts:
+        # net per (key, row-hash) = sign(Σ±1); emit |net| copies of the
+        # LAST-touch representative (duplicate-row multiplicities are
+        # preserved — e.g. the same row appended in two snapshots nets to
+        # TWO inserts, not one). The representative's metadata columns
+        # record the last change that touched the row; its type is
+        # overridden by the net's sign.
         w = df.withColumn("_h", F.xxhash64(*data_cols))
+        rep_cols = [c for c in data_cols if c != "image_id"] + [
+            "_change_snapshot_id",
+            "_change_ordinal",
+            "_commit_ts_millis",
+        ]
         agg = (
             w.groupBy("image_id", "_h")
             .agg(
                 F.sum(
                     F.when(F.col("_change_type") == CHANGE_TYPE_INSERT, 1).otherwise(-1)
                 ).alias("_net"),
-                F.max("_change_ordinal").alias("_last_ord"),
+                F.max_by(F.struct(*rep_cols), F.col("_change_ordinal")).alias("_rep"),
             )
             .where(F.col("_net") != 0)
-            .select("image_id", "_h", "_last_ord")
         )
         df = (
-            w.join(agg, ["image_id", "_h"])
-            .where(F.col("_change_ordinal") == F.col("_last_ord"))
-            .drop("_h", "_last_ord")
+            agg.select("image_id", "_net", F.col("_rep.*"))
+            .withColumn(
+                "_change_type",
+                F.when(F.col("_net") > 0, F.lit(CHANGE_TYPE_INSERT)).otherwise(
+                    F.lit(CHANGE_TYPE_DELETE)
+                ),
+            )
+            .withColumn("_dup", F.explode(F.sequence(F.lit(1), F.abs("_net"))))
+            .drop("_net", "_dup")
+            .select(*data_cols, *CHANGE_META_COLS)
         )
 
     if columns:

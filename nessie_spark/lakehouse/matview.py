@@ -23,9 +23,11 @@ never depends on history being intact, only cheapness does.
 
 State swap is atomic (version-suffixed parquet dir + ``os.replace`` of
 the JSON pointer), so a reader never sees a half-written view and a
-refresh crash leaves the previous version intact; a rerun re-derives the
-same delta from the same anchor (the changelog is deterministic given
-the snapshot range).
+refresh crash leaves the previous version intact; the immediately-
+previous version is kept until the NEXT refresh so an in-flight reader
+of the old pointer can finish its job. A rerun re-derives the same delta
+from the same anchor (the changelog is deterministic given the snapshot
+range).
 
 Reference parity: no lakehouse analog in the reference; the shape grafts
 its two-pass "aggregate then join back" detectors (SURVEY.md §2.3) onto
@@ -38,6 +40,7 @@ import json
 import os
 import shutil
 from dataclasses import dataclass
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -94,21 +97,24 @@ def refresh_matview(
     sums: list[str] | None = None,
 ) -> MatviewResult:
     """Create or incrementally refresh the view to the table's CURRENT
-    snapshot. ``group_cols``/``sums`` are fixed at creation; passing
-    different ones on a later refresh raises."""
-    group_cols = list(group_cols or ["fmt"])
-    sums = list(sums or ["w", "h"])
+    snapshot. ``group_cols``/``sums`` are fixed at creation (defaults:
+    fmt / w,h); omitting them on a later refresh reuses the stored spec,
+    passing DIFFERENT ones raises."""
     os.makedirs(view_root, exist_ok=True)
     st = _load_state(view_root)
+    group_cols = list(
+        group_cols if group_cols is not None
+        else (st["group_cols"] if st else ["fmt"])
+    )
+    sums = list(
+        sums if sums is not None else (st["sums"] if st else ["w", "h"])
+    )
     head = table.current_snapshot_id
     tag = f"matview:{name}"
 
-    def _retag(sid: int) -> None:
-        t = table.refresh()
-        if tag in t.refs:
-            t.drop_tag(tag)
-            t = t.refresh()
-        t.create_tag(tag, sid)
+    def _retag(sid: int | None) -> None:
+        if sid is not None:  # an empty table has no snapshot to anchor
+            table.refresh().replace_tag(tag, sid)
 
     def _commit(df: DataFrame, mode: str, anchor_from: int | None, changed: int) -> MatviewResult:
         version = (st["version"] + 1) if st else 1
@@ -129,10 +135,13 @@ def refresh_matview(
             )
         os.replace(tmp, _state_path(view_root))
         _retag(head)
-        if st:
-            shutil.rmtree(
-                os.path.join(view_root, st["data_dir"]), ignore_errors=True
-            )
+        # keep the IMMEDIATELY-previous version so readers that loaded the
+        # old pointer can finish their job (snapshot isolation for the
+        # view); versions older than that are reclaimed here
+        keep = {data_dir, st["data_dir"]} if st else {data_dir}
+        for d in os.listdir(view_root):
+            if d.startswith("state-v") and d not in keep:
+                shutil.rmtree(os.path.join(view_root, d), ignore_errors=True)
         rows = read_matview(spark, view_root).count()
         return MatviewResult(name, mode, anchor_from, head, changed, rows)
 
@@ -165,7 +174,10 @@ def refresh_matview(
     daggs = [F.sum(sign).alias("d_cnt")] + [
         F.sum(sign * F.col(c).cast("long")).alias(f"d_sum_{c}") for c in sums
     ]
-    dagg = delta.groupBy(*group_cols).agg(*daggs)
+    # materialize the per-group delta once (tiny: one row per changed
+    # group) — the count and the merge-write below otherwise re-execute
+    # the full changelog scan twice
+    dagg = delta.groupBy(*group_cols).agg(*daggs).localCheckpoint(eager=True)
     n_changed = dagg.count()
     if n_changed == 0:  # only pure rewrites in the window
         _retag(head)
@@ -178,14 +190,23 @@ def refresh_matview(
 
     old = read_matview(spark, view_root)
     zero = F.lit(0).cast("long")
+    # null-safe join on the group keys: a NULL group value is a real group
+    # (e.g. pre-evolution rows of an added column) and must match, which a
+    # USING-column join would reject
+    cond = reduce(
+        lambda a, b: a & b, [old[g].eqNullSafe(dagg[g]) for g in group_cols]
+    )
     merged = (
-        old.join(dagg, group_cols, "full_outer")
+        old.join(dagg, cond, "full_outer")
         .select(
-            *group_cols,
-            (F.coalesce("cnt", zero) + F.coalesce("d_cnt", zero)).alias("cnt"),
+            *[F.coalesce(old[g], dagg[g]).alias(g) for g in group_cols],
+            (F.coalesce(old["cnt"], zero) + F.coalesce(dagg["d_cnt"], zero)).alias(
+                "cnt"
+            ),
             *[
                 (
-                    F.coalesce(f"sum_{c}", zero) + F.coalesce(f"d_sum_{c}", zero)
+                    F.coalesce(old[f"sum_{c}"], zero)
+                    + F.coalesce(dagg[f"d_sum_{c}"], zero)
                 ).alias(f"sum_{c}")
                 for c in sums
             ],

@@ -174,6 +174,10 @@ def dedup_pipeline(
     if prev is not None:
         skipped.append("delete")
         del_snap: int | None = prev
+        # report the ORIGINAL loser count on resume (the commit summary
+        # carries it), not a misleading 0
+        snap_meta = table.snapshot(prev) or {}
+        losers_n = int((snap_meta.get("summary") or {}).get("deleted_keys", 0))
     else:
         losers = neardup_losers(
             scan(spark, table, columns=["image_id", "phash"]), hamming_max

@@ -28,6 +28,13 @@ shadowed by older deletes — applicability is by added_snapshot_id); run
 ``purge_deletes`` / the curation pipeline on the replica on its own
 schedule, exactly like any table.
 
+Key-uniqueness assumption: replication applies changes BY KEY (equality
+deletes on ``image_id``), so like Iceberg equality deletes it requires
+``image_id`` to be unique per table state — a duplicate-PK source (the
+same id visible twice) cannot be partially deleted and will not
+round-trip. The WAP duplicate audit (verify.audit_snapshot) is the
+guard upstream.
+
 Reference parity: no lakehouse analog in the reference; the shape grafts
 its gold-vs-noisy parallel-column comparisons (dataloader.py:47-55) onto
 two tables kept row-identical.
@@ -77,13 +84,9 @@ def _save_state(dst_root: str, state: dict) -> None:
     os.replace(tmp, os.path.join(dst_root, _STATE))
 
 
-def _retag(src: Table, name: str, sid: int) -> None:
-    tag = f"replica:{name}"
-    t = src.refresh()
-    if tag in t.refs:
-        t.drop_tag(tag)
-        t = t.refresh()
-    t.create_tag(tag, sid)
+def _retag(src: Table, name: str, sid: int | None) -> None:
+    if sid is not None:  # an empty source has no snapshot to anchor
+        src.refresh().replace_tag(f"replica:{name}", sid)
 
 
 def sync_replica(
@@ -111,14 +114,19 @@ def sync_replica(
         changes = None
     else:
         try:
+            # materialize the net window once — the delete-key projection,
+            # the insert count, and the append write below would otherwise
+            # each re-execute the changelog scan
             changes = scan_changelog(
                 spark, src, from_snapshot_id=anchor, net_changes=True
-            )
+            ).localCheckpoint(eager=True)
         except ValueError:
             mode = "full-diff"
             changes = None
 
-    data_cols = scan(spark, src).columns
+    from nessie_spark.lakehouse.writer import ddl_columns
+
+    data_cols = ddl_columns(src.meta["schema"])
     if changes is None:
         # full diff on (key, row-hash): rows only in dst → delete; rows
         # only in src (by content) → insert. Changed bytes move, not the

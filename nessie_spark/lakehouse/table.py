@@ -343,6 +343,30 @@ class Table:
             return
         raise CommitConflict(f"drop_tag lost {max_retries} races")
 
+    def replace_tag(self, name: str, snapshot_id: int, max_retries: int = 5) -> None:
+        """Atomically point ``name`` at ``snapshot_id``, creating it if
+        absent — ONE versioned commit, so there is no drop/create window
+        during which ``expire_snapshots`` could miss the anchor. Used by
+        consumers (matviews, replicas) that move a retention anchor
+        forward on every cycle."""
+        for attempt in range(max_retries):
+            t = self.refresh() if attempt else self
+            if t.snapshot(snapshot_id) is None:
+                raise KeyError(f"snapshot {snapshot_id} not found")
+            meta = dict(t.meta)
+            meta["refs"] = dict(
+                t.meta.get("refs", {}),
+                **{name: {"snapshot_id": snapshot_id, "type": "tag",
+                          "ts_millis": int(time.time() * 1000)}},
+            )
+            try:
+                t._write_version(t.version + 1, meta)
+            except FileExistsError:
+                continue
+            self.meta, self.version = meta, t.version + 1
+            return
+        raise CommitConflict(f"replace_tag lost {max_retries} races")
+
     def resolve_ref(self, name: str) -> int:
         ref = self.refs.get(name)
         if ref is None:

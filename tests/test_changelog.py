@@ -151,3 +151,23 @@ def test_changelog_ancestry_rules(spark, tmp_path):
         scan_changelog(spark, t, from_snapshot_id=999)
     # empty window is fine
     assert scan_changelog(spark, t, from_snapshot_id=snap0).count() == 0
+
+
+def test_net_changes_preserve_duplicate_multiplicity(spark, tmp_path):
+    """The same row appended in two snapshots nets to TWO inserts (a
+    consumer counting rows must see the true multiplicity), typed and
+    stamped by the last touch."""
+    t, _ = make_table(spark, str(tmp_path / "tb"), n=16)
+    dup = synth.images_df(spark, 4, seed=42)  # ids img_0..3 again, same bytes
+    jobs.append(spark, t, dup, job_id="dup-again")
+    t = t.refresh()
+    net = scan_changelog(spark, t, net_changes=True)
+    counts = {
+        r.image_id: r.n
+        for r in net.groupBy("image_id").agg(F.count("*").alias("n")).collect()
+    }
+    for i in range(4):
+        assert counts[f"img_{i:012d}"] == 2, counts
+    for i in range(4, 16):
+        assert counts[f"img_{i:012d}"] == 1
+    assert net.where(F.col("_change_type") == "delete").count() == 0

@@ -143,3 +143,59 @@ def test_schema_change_refused(spark, tmp_path):
     refresh_matview(spark, t, vr, name="v", group_cols=["fmt"], sums=["w"])
     with pytest.raises(ValueError, match="cannot change"):
         refresh_matview(spark, t, vr, name="v", group_cols=["fmt"], sums=["h"])
+
+
+def test_null_group_keys_merge_correctly(spark, tmp_path):
+    """A NULL group value is a real group (pre-evolution rows of an added
+    column): the incremental merge must match it null-safely — one NULL
+    row in the view, never two, and delete-only NULL deltas must land."""
+    from nessie_spark.lakehouse import evolve
+
+    t, _ = make_table(spark, str(tmp_path / "tb"), n=48)
+    evolve.add_column(t, "quality", "long")
+    t = t.refresh()
+    vr = str(tmp_path / "view")
+    refresh_matview(spark, t, vr, name="v", group_cols=["quality"], sums=["w"])
+
+    # delta touching BOTH the NULL group (more pre-style rows) and a
+    # non-null group
+    batch = (
+        synth.images_df(spark, 16, seed=3)
+        .withColumn("image_id", F.concat(F.lit("n-"), "image_id"))
+        .withColumn(
+            "quality",
+            F.when(F.col("w") % 2 == 0, F.lit(7)).cast("long"),
+        )
+    )
+    jobs.append(spark, t, batch, job_id="nv-app")
+    t = t.refresh()
+    r = refresh_matview(spark, t, vr, name="v")
+    assert r.mode == "incremental"
+    view = read_matview(spark, vr).collect()
+    null_rows = [x for x in view if x.quality is None]
+    assert len(null_rows) == 1, view
+
+    def _recount():
+        return sorted(
+            map(
+                tuple,
+                scan(spark, t)
+                .groupBy("quality")
+                .agg(F.count(F.lit(1)).alias("cnt"),
+                     F.sum(F.col("w").cast("long")).alias("sum_w"))
+                .collect(),
+            ),
+            key=str,
+        )
+
+    assert sorted(map(tuple, view), key=str) == _recount()
+
+    # delete-only delta against the NULL group
+    deletes.delete_where(
+        spark, t, F.col("quality").isNull() & (F.col("image_id") < "img_000000000024"),
+        job_id="nv-del",
+    )
+    t = t.refresh()
+    r2 = refresh_matview(spark, t, vr, name="v")
+    assert r2.mode == "incremental"
+    assert sorted(map(tuple, read_matview(spark, vr).collect()), key=str) == _recount()

@@ -144,6 +144,7 @@ def test_pipeline_resumes_after_partial_run(spark, tmp_path):
     t = t.refresh()
     assert "delete" in res.stages_skipped
     assert res.delete_snapshot == pre.snapshot_id
+    assert res.losers == pre.n_keys  # original count reported, not 0
     assert res.purge_snapshot and res.cluster_snapshot
     assert not t.delete_files()
 
