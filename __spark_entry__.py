@@ -57,6 +57,7 @@ _SAMPLE_PRIORITY = [
     "maintenance_dedup_pipeline",
     "maintenance_matview",
     "maintenance_replica",
+    "maintenance_scheduler",
     "multimodal_pixel_stats",
     "multimodal_resize",
     "multimodal_frame_sample",

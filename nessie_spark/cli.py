@@ -38,6 +38,7 @@ def main(argv: list[str] | None = None) -> int:
             "rollback", "inspect", "tag", "drop-tag", "delete-where",
             "purge-deletes", "stage-append", "publish", "drop-staged", "audit",
             "changelog", "dedup-pipeline", "refresh-matview", "sync-replica",
+            "maintain",
         ],
     )
     ap.add_argument(
@@ -64,6 +65,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--group-cols", default="fmt", help="refresh-matview: comma-separated grouping columns")
     ap.add_argument("--sums", default="w,h", help="refresh-matview: comma-separated sum columns")
     ap.add_argument("--replica-root", default=None, help="sync-replica: replica table root (created if missing)")
+    ap.add_argument("--dry-run", action="store_true", help="maintain: report health + plan without executing")
     args = ap.parse_args(argv)
 
     from nessie_spark.session import get_spark
@@ -280,6 +282,17 @@ def main(argv: list[str] | None = None) -> int:
                 sums=[c for c in args.sums.split(",") if c],
             )
             out.update(asdict(res))
+        elif args.job == "maintain":
+            from nessie_spark.lakehouse.maintain import (
+                MaintenancePolicy, maintain, report_as_dict,
+            )
+
+            rep = maintain(
+                spark, t,
+                MaintenancePolicy(target_bytes=args.target_bytes),
+                job_id=args.job_id, dry_run=args.dry_run,
+            )
+            out.update(report_as_dict(rep))
         elif args.job == "sync-replica":
             from dataclasses import asdict
 

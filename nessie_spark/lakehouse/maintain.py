@@ -1,0 +1,210 @@
+"""Policy-driven table maintenance: inspect health, run ONLY what's needed.
+
+The operational brain for a fleet of 10^12-image tables: a scheduler
+cannot hand-pick jobs per table, so ``maintain(table)`` computes a
+health report from MANIFEST STATS ALONE (driver-side metadata read — no
+data bytes touched), plans the needed actions against a policy, and runs
+them in dependency order:
+
+    purge-deletes  (pending delete keys block every CoW rewrite)
+    → compact      (small-file count ≥ threshold)
+    → cluster      (Z-order range overlap ≥ threshold — the layout has
+                    decayed under appends since the last clustering)
+    → rewrite-manifests (manifest count ≥ threshold)
+    → expire + GC  (ancestor history beyond the retention policy)
+
+Health signals and their costs:
+
+- ``small_files`` / ``fill``: file_size_bytes vs the policy target —
+  pure manifest arithmetic.
+- ``zorder_overlap_pct``: fraction of adjacent file pairs (sorted by
+  zorder_lo) whose key ranges overlap. 0.0 = perfectly clustered (what
+  ``cluster`` leaves behind: disjoint ranges); freshly-appended unsorted
+  files push it toward 1.0. Files with no zorder stats count as
+  overlapping (never clustered).
+- ``pending_delete_keys``: metadata of the MoR delete files.
+- ``ancestor_snapshots`` / ``manifests``: metadata list lengths.
+
+A healthy table is a metadata-only no-op — at fleet scale the scheduler
+sweeps every table cheaply and pays rewrite IO only where decay actually
+happened. Each executed action derives its job_id from the sweep's, so
+a crashed sweep resumes idempotently (the underlying jobs short-circuit
+on lineage markers).
+
+Reference parity: no analog (the reference is a library, not a service);
+this is the engine-side counterpart of its ``CallbackList`` orchestration
+(helper.py:78-135) — lifecycle hooks promoted to a policy loop.
+"""
+
+from __future__ import annotations
+
+import uuid
+from dataclasses import asdict, dataclass, field
+
+from pyspark.sql import SparkSession
+
+from nessie_spark.lakehouse import compact as _compact
+from nessie_spark.lakehouse import deletes as _deletes
+from nessie_spark.lakehouse import expire as _expire
+from nessie_spark.lakehouse import manifest as _manifest
+from nessie_spark.lakehouse import zorder as _zorder
+from nessie_spark.lakehouse.table import Table
+
+
+@dataclass
+class MaintenancePolicy:
+    target_bytes: int = _compact.DEFAULT_TARGET
+    small_file_ratio: float = 0.5  # "small" = size < ratio * target
+    compact_min_small_files: int = 8
+    recluster_overlap_pct: float = 0.25
+    cluster_strategy: str = "morton"
+    purge_min_delete_keys: int = 1
+    rewrite_manifests_min: int = 8
+    expire_retain_last: int | None = 20
+
+
+@dataclass
+class HealthReport:
+    live_files: int
+    live_rows: int
+    small_files: int
+    fill: float  # mean file size / target (1.0 = perfectly packed)
+    zorder_overlap_pct: float
+    pending_delete_files: int
+    pending_delete_keys: int
+    ancestor_snapshots: int
+    manifests: int
+
+
+@dataclass
+class MaintenanceReport:
+    job_id: str
+    health_before: HealthReport
+    actions: list[str]
+    snapshots: dict = field(default_factory=dict)
+    health_after: HealthReport | None = None
+
+
+def table_health(table: Table, policy: MaintenancePolicy | None = None) -> HealthReport:
+    """Metadata-only health snapshot (manifest + snapshot-list reads)."""
+    policy = policy or MaintenancePolicy()
+    ents = table.file_entries(
+        columns=["file_path", "record_count", "file_size_bytes",
+                 "zorder_lo", "zorder_hi"]
+    ).to_pylist()
+    n = len(ents)
+    small = sum(
+        1 for e in ents
+        if e["file_size_bytes"] < policy.small_file_ratio * policy.target_bytes
+    )
+    fill = (
+        sum(e["file_size_bytes"] for e in ents) / (n * policy.target_bytes)
+        if n else 0.0
+    )
+    with_z = [e for e in ents if e["zorder_lo"] is not None]
+    missing_z = n - len(with_z)
+    overlaps = missing_z  # unclustered files count as overlapping
+    with_z.sort(key=lambda e: (e["zorder_lo"], e["zorder_hi"]))
+    for a, b in zip(with_z, with_z[1:]):
+        if b["zorder_lo"] < a["zorder_hi"]:
+            overlaps += 1
+    overlap_pct = overlaps / n if n else 0.0
+    dels = table.delete_files()
+    # ancestor chain length from the current head
+    by_id = {s["snapshot_id"]: s for s in table.meta["snapshots"]}
+    depth, sid = 0, table.current_snapshot_id
+    while sid is not None:
+        depth += 1
+        snap = by_id.get(sid)
+        sid = snap["parent_id"] if snap else None
+    return HealthReport(
+        live_files=n,
+        live_rows=sum(e["record_count"] for e in ents),
+        small_files=small,
+        fill=round(fill, 4),
+        zorder_overlap_pct=round(overlap_pct, 4),
+        pending_delete_files=len(dels),
+        pending_delete_keys=sum(d["n_keys"] for d in dels),
+        ancestor_snapshots=depth,
+        manifests=len(table.manifest_paths()),
+    )
+
+
+def plan_maintenance(
+    health: HealthReport, policy: MaintenancePolicy | None = None
+) -> list[str]:
+    policy = policy or MaintenancePolicy()
+    actions: list[str] = []
+    if health.pending_delete_keys >= policy.purge_min_delete_keys and (
+        health.pending_delete_files > 0
+    ):
+        actions.append("purge-deletes")
+    if health.small_files >= policy.compact_min_small_files:
+        actions.append("compact")
+    if (
+        health.live_files > 1
+        and health.zorder_overlap_pct >= policy.recluster_overlap_pct
+    ):
+        actions.append("cluster")
+    if health.manifests >= policy.rewrite_manifests_min:
+        actions.append("rewrite-manifests")
+    if (
+        policy.expire_retain_last is not None
+        and health.ancestor_snapshots > policy.expire_retain_last
+    ):
+        actions.append("expire")
+    return actions
+
+
+def maintain(
+    spark: SparkSession,
+    table: Table,
+    policy: MaintenancePolicy | None = None,
+    job_id: str | None = None,
+    dry_run: bool = False,
+) -> MaintenanceReport:
+    """One maintenance sweep: health → plan → execute (unless dry_run)."""
+    policy = policy or MaintenancePolicy()
+    job_id = job_id or f"maintain-{uuid.uuid4().hex[:8]}"
+    before = table_health(table, policy)
+    actions = plan_maintenance(before, policy)
+    rep = MaintenanceReport(job_id=job_id, health_before=before, actions=actions)
+    if dry_run or not actions:
+        return rep
+
+    if "purge-deletes" in actions:
+        r = _deletes.purge_deletes(spark, table, job_id=f"{job_id}-purge")
+        table = table.refresh()
+        rep.snapshots["purge-deletes"] = r.snapshot_id
+    if "compact" in actions:
+        r = _compact.compact(
+            spark, table, target_bytes=policy.target_bytes,
+            job_id=f"{job_id}-compact",
+        )
+        table = table.refresh()
+        rep.snapshots["compact"] = r.snapshot_id
+    if "cluster" in actions:
+        r = _zorder.cluster(
+            spark, table, strategy=policy.cluster_strategy,
+            target_bytes=policy.target_bytes, job_id=f"{job_id}-cluster",
+        )
+        table = table.refresh()
+        rep.snapshots["cluster"] = r.snapshot_id
+    if "rewrite-manifests" in actions:
+        r = _manifest.rewrite_manifests(spark, table)
+        table = table.refresh()
+        rep.snapshots["rewrite-manifests"] = r.snapshot_id
+    if "expire" in actions:
+        _expire.expire_snapshots(
+            spark, table, retain_last=policy.expire_retain_last
+        )
+        table = table.refresh()
+        _expire.gc_orphans(spark, table, dry_run=False)
+        rep.snapshots["expire"] = table.current_snapshot_id
+
+    rep.health_after = table_health(table.refresh(), policy)
+    return rep
+
+
+def report_as_dict(rep: MaintenanceReport) -> dict:
+    return asdict(rep)

@@ -928,6 +928,52 @@ def maintenance_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(os.path.dirname(droot), ignore_errors=True)
 
 
+def maintenance_scheduler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy-driven maintenance sweep (lakehouse/maintain.py): health
+    signals from manifest stats only, plan against thresholds, execute in
+    dependency order (purge → compact → cluster → expire). The fixture is
+    fragmented + carries a pending MoR delete; the sweep heals it and a
+    second sweep plans nothing. All counts derive from the seeded layout →
+    deterministic rows-only check."""
+    from nessie_spark.lakehouse import deletes as D
+    from nessie_spark.lakehouse.maintain import MaintenancePolicy, maintain
+
+    t, _, root = _fresh_table(spark)
+    try:
+        D.delete_where(
+            spark, t, F.col("image_id") < "img_000000000008", job_id="demo-sch-del"
+        )
+        t = t.refresh()
+        pol = MaintenancePolicy(
+            target_bytes=TARGET, compact_min_small_files=4, expire_retain_last=20
+        )
+        rep = maintain(spark, t, pol, job_id="demo-sweep")
+        t = t.refresh()
+        rep2 = maintain(spark, t, pol, job_id="demo-sweep-2")
+        return spark.createDataFrame(
+            [
+                (
+                    rep.health_before.live_files,
+                    rep.health_before.small_files,
+                    rep.health_before.zorder_overlap_pct,
+                    rep.health_before.pending_delete_keys,
+                    " ".join(rep.actions),
+                    rep.health_after.small_files,
+                    rep.health_after.zorder_overlap_pct,
+                    rep.health_after.pending_delete_keys,
+                    scan(spark, t).count(),
+                    len(rep2.actions) == 0,
+                )
+            ],
+            "files_before int, small_before int, overlap_before double, "
+            "pending_keys_before long, actions string, small_after int, "
+            "overlap_after double, pending_keys_after long, rows long, "
+            "second_sweep_noop boolean",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 QUERIES: dict[str, tuple] = {
     "maintenance_compact": (maintenance_compact, None),
     "maintenance_zorder": (maintenance_zorder, None),
@@ -944,6 +990,7 @@ QUERIES: dict[str, tuple] = {
     "maintenance_dedup_pipeline": (maintenance_dedup_pipeline, None),
     "maintenance_matview": (maintenance_matview, None),
     "maintenance_replica": (maintenance_replica, None),
+    "maintenance_scheduler": (maintenance_scheduler, None),
     "multimodal_pixel_stats": (multimodal_pixel_stats, None),
     "multimodal_resize": (multimodal_resize, None),
     "multimodal_frame_sample": (multimodal_frame_sample, None),
