@@ -82,10 +82,6 @@ def require_no_pending_deletes(table: Table, op: str) -> None:
         )
 
 
-def _delete_paths_suffix(dels: list[dict], start: int) -> list[str]:
-    return [d["file_path"] for d in dels[start:]]
-
-
 def delete_keys_df(
     spark: SparkSession, table: Table, dels: list[dict]
 ) -> DataFrame:
@@ -279,29 +275,57 @@ def purge_deletes(
     entries = table.file_entries(
         columns=["file_path", "min_key", "max_key", "added_snapshot_id"]
     ).to_pylist()
-    sids = [d["snapshot_id"] for d in dels]
-
-    # candidate files: ≥1 delete key inside [min_key, max_key] (conservative
-    # superset — a file matched only by a non-applicable delete's key is
-    # rewritten to identical rows, wasted work but never wrong rows)
-    stats_df = spark.createDataFrame(
-        [(e["file_path"], e["min_key"], e["max_key"]) for e in entries],
-        "file_path string, min_key string, max_key string",
-    )
-    src_keys = delete_keys_df(spark, table, dels).select(
-        F.col("image_id").alias("_k")
-    ).distinct()
-    matched = {r.file_path for r in matched_files_df(src_keys, stats_df).collect()}
     by_path = {e["file_path"]: e for e in entries}
-    # drop files NO delete applies to (added at/after every delete sid)
-    cand = [
-        p for p in sorted(matched)
-        if bisect_right(sids, by_path[p]["added_snapshot_id"]) < len(sids)
-    ]
+
+    # The PLAN (candidate list + delete-file set) is pinned in lineage on
+    # the first attempt: resume unit ids are positional indexes into the
+    # candidate list, so a resume MUST replay against the same plan — a
+    # delete committed between crash and resume would otherwise shift the
+    # indexes (mis-binding completed units to different files) and, worse,
+    # be wiped by the commit without its keys ever being subtracted.
+    planned = lineage.read_phase(root, job_id, "plan").to_pylist()
+    if planned:
+        cand = list(planned[0]["input_files"])
+        del_paths_rel = list(planned[0]["output_files"])
+        if {d["file_path"] for d in dels} != set(del_paths_rel):
+            raise ValueError(
+                f"purge {job_id!r} was planned against "
+                f"{len(del_paths_rel)} pending delete file(s) but the set "
+                "has changed since (a delete committed after the purge "
+                "started); its keys were not folded into the completed "
+                "units — rerun purge_deletes with a NEW job_id"
+            )
+        dels = [d for d in dels if d["file_path"] in set(del_paths_rel)]
+        sids = [d["snapshot_id"] for d in dels]
+    else:
+        sids = [d["snapshot_id"] for d in dels]
+        # candidate files: ≥1 delete key inside [min_key, max_key]
+        # (conservative superset — a file matched only by a non-applicable
+        # delete's key is rewritten to identical rows, wasted work but
+        # never wrong rows)
+        stats_df = spark.createDataFrame(
+            [(e["file_path"], e["min_key"], e["max_key"]) for e in entries],
+            "file_path string, min_key string, max_key string",
+        )
+        src_keys = delete_keys_df(spark, table, dels).select(
+            F.col("image_id").alias("_k")
+        ).distinct()
+        matched = {
+            r.file_path for r in matched_files_df(src_keys, stats_df).collect()
+        }
+        # drop files NO delete applies to (added at/after every delete sid)
+        cand = [
+            p for p in sorted(matched)
+            if bisect_right(sids, by_path[p]["added_snapshot_id"]) < len(sids)
+        ]
+        del_paths_rel = [d["file_path"] for d in dels]
+        lineage.write_unit(
+            root, job_id, "plan", 0,
+            input_files=cand, output_files=del_paths_rel, rows=0, nbytes=0,
+        )
 
     table_ddl = table.meta.get("schema", IMAGES_DDL)
     done = lineage.completed_units(root, job_id, "purge")
-    del_paths_rel = [d["file_path"] for d in dels]
     todo = [
         (i, p, bisect_right(sids, by_path[p]["added_snapshot_id"]))
         for i, p in enumerate(cand)
@@ -371,12 +395,19 @@ def purge_deletes(
             )
     added = pa.Table.from_pylist(added_entries) if added_entries else None
 
+    # keep (never wipe) any delete file the plan did not fold — the resume
+    # guard above makes this empty in practice, but the override must stay
+    # exact: un-deleting keys is the one unrecoverable failure here
+    leftover = [
+        d for d in table.delete_files()
+        if d["file_path"] not in set(del_paths_rel)
+    ]
     snap = table.commit(
         "purge-deletes",
         added=added,
         deleted_paths=set(cand),
         summary={"job_id": job_id, "purged_delete_files": len(dels)},
-        delete_files_override=[],
+        delete_files_override=leftover,
     )
     lineage.mark_committed(root, job_id, snap)
     return PurgeResult(snap, job_id, len(cand), len(added_entries), len(dels))

@@ -168,7 +168,9 @@ def expire_snapshots(
     if not dry_run:
         # manifest-file reachability, same rule as data files: manifests
         # referenced ONLY by expired snapshots are deleted too (r1 leaked
-        # them forever — gc_orphans only scans data/)
+        # them forever — gc_orphans only scans data/). Computed BEFORE the
+        # metadata write (expired snapshots are unreadable after it);
+        # retry rescues below only ever SHRINK the doomed sets.
         kept_manifests: set[str] = set()
         for sid in retained:
             kept_manifests.update(table.manifest_paths(sid))
@@ -184,6 +186,7 @@ def expire_snapshots(
         # metadata pointing at deleted files.
         t = table
         mlists: list[str] = []
+        retained_grew = False
         for _ in range(5):
             meta = dict(t.meta)
             kept_snaps = [s for s in meta["snapshots"] if s["snapshot_id"] in retained]
@@ -204,16 +207,51 @@ def expire_snapshots(
             except FileExistsError:
                 base_ids = {x["snapshot_id"] for x in table.meta["snapshots"]}
                 t = t.refresh()
-                # snapshots committed concurrently are implicitly retained
+                # snapshots committed concurrently are implicitly retained,
+                # and so is anything a concurrent rollback / replace_tag /
+                # staged commit made a HEAD of (plus its ancestry) — the
+                # stale retained set would otherwise drop the new current
+                # pointer's snapshot and delete its files
                 retained.update(
                     s["snapshot_id"] for s in t.meta["snapshots"]
                     if s["snapshot_id"] not in base_ids
                 )
+                new_heads = (
+                    ({t.current_snapshot_id} if t.current_snapshot_id else set())
+                    | {r["snapshot_id"] for r in t.meta.get("refs", {}).values()}
+                    | {s["snapshot_id"] for s in t.meta["snapshots"] if s.get("staged")}
+                )
+                missing = new_heads - retained
+                if missing:
+                    retained.update(reachable_snapshots(t, sorted(missing)))
+                    retained_grew = True
                 continue
             table.meta, table.version = meta, t.version + 1
             break
         else:
             raise RuntimeError("expire_snapshots: metadata update lost 5 races")
+
+        if retained_grew:
+            # a snapshot rescued by the retry (concurrent rollback /
+            # replace_tag / staged commit made it reachable again) must
+            # keep its files and manifests: subtract everything the FINAL
+            # retained set can reach. Rescued snapshots live in the kept
+            # metadata, so the reads below resolve post-write.
+            keep_df = _live_paths_df(spark, table, retained)
+            doomed_df = spark.createDataFrame(
+                [(p,) for p in doomed], "file_path string"
+            )
+            doomed = [
+                r.file_path
+                for r in doomed_df.join(keep_df, "file_path", "left_anti").collect()
+            ]
+            for sid in retained:
+                kept_manifests.update(table.manifest_paths(sid))
+            report = ExpiryReport(
+                sorted(retained),
+                sorted(all_ids - retained),
+                doomed, [], dry_run,
+            )
 
         for rel in doomed:
             p = os.path.join(table.root, rel)
@@ -270,6 +308,26 @@ def gc_orphans(
         ) >= cutoff
         listing = [p for p in listing if not keep_young(p)]
         meta_listing = [p for p in meta_listing if not keep_young(p)]
+    # outputs of UNCOMMITTED resumable jobs are referenced only by their
+    # lineage units until the commit lands — deleting them would break the
+    # resume contract (the same reason sweep_committed_stage_dirs keeps
+    # uncommitted stage dirs), so they join the reachable set
+    pending: set[str] = set()
+    lin_root = os.path.join(table.root, "_lineage")
+    if os.path.isdir(lin_root):
+        from nessie_spark.lakehouse import lineage as _lineage
+
+        for job in os.listdir(lin_root):
+            jdir = os.path.join(lin_root, job)
+            if not os.path.isdir(jdir) or os.path.exists(
+                os.path.join(jdir, "COMMITTED")
+            ):
+                continue
+            for phase in os.listdir(jdir):
+                if not os.path.isdir(os.path.join(jdir, phase)):
+                    continue
+                for u in _lineage.read_phase(table.root, job, phase).to_pylist():
+                    pending.update(u["output_files"])
     orphans: list[str] = []
     if listing:
         all_ids = {s["snapshot_id"] for s in table.meta["snapshots"]}
@@ -280,6 +338,7 @@ def gc_orphans(
             for r in listing_df.join(reachable, "file_path", "left_anti")
             .where(~F.col("file_path").contains(".tmp-"))
             .collect()
+            if r.file_path not in pending
         ]
     if meta_listing:
         reachable_meta = set()

@@ -232,14 +232,17 @@ def merge_into(
     else:
         target = spark.createDataFrame([], table_ddl)
 
-    # Duplicate source keys would produce duplicate rows in the rewritten
-    # table (r1 ADVICE); SQL MERGE makes them an error — we dedupe
-    # deterministically instead (max row per key under a total column
-    # order), one shuffle of the (small) source side.
+    # Duplicate source ROWS (same image_id) would produce duplicate rows
+    # in the rewritten table (r1 ADVICE); SQL MERGE makes them an error —
+    # we dedupe deterministically instead (max row per image_id under a
+    # total column order), one shuffle of the (small) source side. The
+    # dedup is by the table's unique row key, NOT the merge key: under a
+    # multi-row key (phash) two DISTINCT images sharing a hash are both
+    # legitimate source rows and must both survive to insert.
     from pyspark.sql.window import Window
 
-    wdup = Window.partitionBy(key).orderBy(
-        *[F.desc(c) for c in data_cols if c != key]
+    wdup = Window.partitionBy("image_id").orderBy(
+        *[F.desc(c) for c in data_cols if c != "image_id"]
     )
     source = (
         source.withColumn("_rn", F.row_number().over(wdup))
@@ -374,6 +377,7 @@ def merge_into(
     # output: deleted = matched_rows − unchanged = matched_rows −
     # (written − inserted); one slim count on source keys ⋉ target keys
     # resolves it (ids only — not the full row join).
+    n_deleted = 0
     if when_matched == "update" and when_not_matched == "insert":
         n_inserted = max(0, total_written - matched_rows)
         n_updated = n_src - n_inserted
@@ -398,9 +402,21 @@ def merge_into(
             n_tgt_matched = (
                 target.select(key).join(src.select(key), key, "left_semi").count()
             )
-        n_updated = n_tgt_matched
+        # a delete-merge DELETES its matched target rows — recording them
+        # as "updated" would double-count deletes as updates in permanent
+        # snapshot summaries
+        if when_matched == "delete":
+            n_deleted, n_updated = n_tgt_matched, 0
+        else:
+            n_updated = n_tgt_matched
         n_inserted = (n_src - n_src_matched) if when_not_matched == "insert" else 0
         n_unchanged = matched_rows - n_tgt_matched
+
+    if not matched_set and total_written == 0:
+        # nothing matched, nothing written: committing an (empty) 'merge'
+        # snapshot would permanently poison incremental reads over the
+        # window (scan_incremental refuses to cross row-changing ops)
+        return MergeResult(None, job_id, 0, 0, 0, 0, 0)
 
     lineage.write_unit(
         root, job_id, "merge", 0,
@@ -419,10 +435,10 @@ def merge_into(
         "merge",
         added=stats if stats.num_rows else None,
         deleted_paths=matched_set,
-        summary={"job_id": job_id, "updated": n_updated, "inserted": n_inserted},
+        summary={"job_id": job_id, "updated": n_updated,
+                 "inserted": n_inserted, "deleted": n_deleted},
     )
     lineage.mark_committed(root, job_id, snap)
-    n_deleted = n_updated if when_matched == "delete" else 0
     return MergeResult(
         snap, job_id, len(matched_paths), n_updated, n_unchanged, n_inserted, n_deleted
     )

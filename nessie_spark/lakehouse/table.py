@@ -147,16 +147,30 @@ class Table:
         return self.meta["current_snapshot_id"]
 
     def snapshot_as_of(self, ts_millis: int) -> dict | None:
-        """Time travel: the snapshot current as of ``ts_millis`` (the last
-        one committed at or before it — Iceberg's AS OF semantics). None if
-        the table had no snapshot yet at that time."""
+        """Time travel: what was CURRENT as of ``ts_millis``, resolved via
+        the made-current history log (Iceberg AS OF uses the snapshot log,
+        not the snapshot list): the latest log entry at or before the
+        timestamp. Staged (WAP) snapshots never enter the log, so an
+        unpublished batch is never exposed; after a rollback, timestamps
+        before it resolve to the branch that was current THEN and
+        timestamps after it to the rolled-back-to snapshot. None if the
+        table had no current snapshot at that time; raises if the resolved
+        snapshot has since been expired (partial history is worse than an
+        error)."""
         best = None
-        for s in self.meta["snapshots"]:
-            if s["ts_millis"] <= ts_millis and (
-                best is None or s["snapshot_id"] > best["snapshot_id"]
-            ):
-                best = s
-        return best
+        for h in _history_base(self.meta):  # append-ordered
+            if h["ts_millis"] <= ts_millis:
+                best = h
+        if best is None:
+            return None
+        snap = self.snapshot(best["snapshot_id"])
+        if snap is None:
+            raise ValueError(
+                f"snapshot {best['snapshot_id']} (current as of "
+                f"{ts_millis}) has been expired; time travel to that "
+                "timestamp is no longer possible"
+            )
+        return snap
 
     def snapshot(self, snapshot_id: int | None = None) -> dict | None:
         sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id

@@ -91,7 +91,9 @@ def zorder_key(strategy: str = "morton"):
 
 def _bucket_udf(bounds: list[int]):
     """Vectorized searchsorted over the broadcast boundary list (ints only —
-    the pixel bytes never enter this UDF's columns)."""
+    the pixel bytes never enter this UDF's columns). merge._bucket_udf is
+    the object-dtype sibling for string keys; this one stays int64 because
+    it sits on the zkey hot path."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 

@@ -1,0 +1,154 @@
+"""Regression tests for the round-3 adversarial-review fixes: purge
+resume plan pinning, made-current time travel, merge dedup/count/empty
+semantics, gc protection of uncommitted resumable outputs, and expire's
+concurrent-head rescue."""
+
+import os
+import time
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from nessie_spark import synth
+from nessie_spark.lakehouse import deletes, expire, jobs, lineage, merge
+from nessie_spark.lakehouse.scan import scan
+from nessie_spark.lakehouse.table import Table
+from tests.conftest import make_table
+
+
+def test_purge_resume_refuses_changed_delete_set(spark, tmp_path):
+    """A delete committed between a purge crash and its resume must not be
+    silently wiped (its keys were never folded): the resume raises and a
+    NEW purge folds everything."""
+    t, _ = make_table(spark, str(tmp_path / "tb"), n=64)
+    deletes.delete_where(spark, t, F.col("image_id") < "img_000000000008",
+                         job_id="pr-d1")
+    t = t.refresh()
+    # simulate "crashed after planning": write only the plan by running a
+    # purge whose first unit we pre-mark... simplest faithful simulation:
+    # plan is written by a real purge we let finish planning, then a second
+    # delete lands before the (re)run.
+    # Plan-pin directly via the same lineage record purge_deletes writes.
+    lineage.write_unit(
+        t.root, "pr-purge", "plan", 0,
+        input_files=["data/whatever.parquet"],
+        output_files=[d["file_path"] for d in t.delete_files()],
+        rows=0, nbytes=0,
+    )
+    deletes.delete_where(spark, t, F.col("image_id") >= "img_000000000056",
+                         job_id="pr-d2")
+    t = t.refresh()
+    with pytest.raises(ValueError, match="NEW job_id"):
+        deletes.purge_deletes(spark, t, job_id="pr-purge")
+    # a fresh job id folds both deletes and leaves nothing pending
+    res = deletes.purge_deletes(spark, t, job_id="pr-purge-2")
+    t = t.refresh()
+    assert res.snapshot_id and not t.delete_files()
+    assert scan(spark, t).count() == 64 - 8 - 8
+
+
+def test_as_of_never_exposes_staged_or_abandoned(spark, tmp_path):
+    t, s1 = make_table(spark, str(tmp_path / "tb"), n=32)
+    rows_before = scan(spark, t).count()
+    batch = synth.images_df(spark, 8, seed=3).withColumn(
+        "image_id", F.concat(F.lit("w-"), "image_id")
+    )
+    staged = jobs.append(spark, t, batch, job_id="aof-stage", stage_only=True)
+    t = t.refresh()
+    now = int(time.time() * 1000) + 1
+    # a staged (unpublished) snapshot is newer but must NOT be exposed
+    assert t.snapshot_as_of(now)["snapshot_id"] == s1
+    assert scan(spark, t, as_of_ts_millis=now).count() == rows_before
+    t.publish_snapshot(staged)
+    t = t.refresh()
+    after_publish = int(time.time() * 1000) + 1
+    assert t.snapshot_as_of(after_publish)["snapshot_id"] == staged
+
+    # rollback: times after it resolve to the rolled-back-to snapshot,
+    # times before it to the branch that was current then
+    time.sleep(0.01)
+    t.rollback(s1)
+    t = t.refresh()
+    assert t.snapshot_as_of(int(time.time() * 1000) + 1)["snapshot_id"] == s1
+    assert t.snapshot_as_of(after_publish)["snapshot_id"] == staged
+
+
+def test_merge_keeps_distinct_images_sharing_phash(spark, tmp_path):
+    t, _ = make_table(spark, str(tmp_path / "tb"), n=32)
+    r1 = synth.row_for(42, 900)
+    r2 = synth.row_for(42, 901)
+    r1["phash"] = r2["phash"] = 1234567  # absent from the table
+    src = spark.createDataFrame(pd.DataFrame([r1, r2]), schema=synth.IMAGES_SCHEMA)
+    res = merge.merge_into(
+        spark, t, src, job_id="mp-2", key="phash",
+        when_matched="delete", when_not_matched="insert",
+    )
+    t = t.refresh()
+    assert res.inserted == 2 and res.deleted == 0 and res.updated == 0
+    assert scan(spark, t).where(F.col("phash") == 1234567).count() == 2
+
+
+def test_empty_merge_commits_nothing(spark, tmp_path):
+    from nessie_spark.lakehouse.scan import scan_incremental
+
+    t, s1 = make_table(spark, str(tmp_path / "tb"), n=32)
+    empty = spark.createDataFrame([], synth.IMAGES_SCHEMA)
+    res = merge.merge_into(spark, t, empty, job_id="m-empty")
+    t = t.refresh()
+    assert res.snapshot_id is None
+    assert t.current_snapshot_id == s1
+    # the window stays incrementally readable (no poison 'merge' snapshot)
+    batch = synth.images_df(spark, 4, seed=5).withColumn(
+        "image_id", F.concat(F.lit("em-"), "image_id")
+    )
+    jobs.append(spark, t, batch, job_id="m-after")
+    t = t.refresh()
+    assert scan_incremental(spark, t, from_snapshot_id=s1).count() == 4
+
+
+def test_gc_keeps_uncommitted_resumable_outputs(spark, tmp_path):
+    t, _ = make_table(spark, str(tmp_path / "tb"), n=32)
+    # an uncommitted job's unit output: unreferenced by any snapshot but
+    # recorded in lineage — the resume contract depends on it surviving gc
+    rel = "data/halfdone-purge-f00000.parquet"
+    src = os.path.join(t.root, t.file_entries().to_pylist()[0]["file_path"])
+    with open(src, "rb") as f, open(os.path.join(t.root, rel), "wb") as g:
+        g.write(f.read())
+    lineage.write_unit(
+        t.root, "halfdone", "purge", 0,
+        input_files=[], output_files=[rel], rows=1, nbytes=1,
+    )
+    # plus a true orphan that must still be reclaimed
+    orphan = os.path.join(t.root, "data", "junk.parquet")
+    with open(orphan, "wb") as g:
+        g.write(b"junk")
+    removed = expire.gc_orphans(spark, t, dry_run=False)
+    assert "data/junk.parquet" in removed
+    assert rel not in removed and os.path.exists(os.path.join(t.root, rel))
+    # once the job is marked committed, its outputs follow snapshot
+    # reachability like everything else
+    lineage.mark_committed(t.root, "halfdone", 999)
+    removed2 = expire.gc_orphans(spark, t, dry_run=False)
+    assert rel in removed2
+
+
+def test_expire_rescues_concurrent_rollback_target(spark, tmp_path):
+    t, s1 = make_table(spark, str(tmp_path / "tb"), n=32)
+    for k in range(3):
+        batch = synth.images_df(spark, 4, seed=20 + k).withColumn(
+            "image_id", F.concat(F.lit(f"x{k}-"), "image_id")
+        )
+        jobs.append(spark, t, batch, job_id=f"xr-{k}")
+        t = t.refresh()
+    # stale handle for the expirer; a "concurrent" rollback wins the race
+    stale = Table.load(t.root)
+    other = Table.load(t.root)
+    other.rollback(s1)
+    rep = expire.expire_snapshots(spark, stale, retain_last=1)
+    t = Table.load(t.root)
+    # the rollback target is current, present, and readable with its files
+    assert t.current_snapshot_id == s1
+    assert t.snapshot(s1) is not None
+    assert s1 in rep.retained_snapshots
+    assert scan(spark, t).count() == 32
