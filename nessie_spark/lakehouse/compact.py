@@ -84,6 +84,33 @@ def compact(
 
     require_no_pending_deletes(table, "compact")
 
+    # Resume replays against the PINNED plan: work units are identified by
+    # their index into the bin list, so re-planning against a table that
+    # changed between crash and resume would mis-bind completed units
+    # (losing rows of files that moved into a "done" index and duplicating
+    # rows of files that moved out). If a planned input is no longer live
+    # (another job rewrote it), a safe resume is impossible — raise.
+    planned = lineage.read_plan(root, job_id)
+    if planned is not None:
+        bin_paths = [list(b) for b in planned["bins"]]
+        hist = {int(k): v for k, v in planned["hist"].items()}
+        live = {
+            e["file_path"]
+            for e in table.file_entries(columns=["file_path"]).to_pylist()
+        }
+        gone = sorted({p for b in bin_paths for p in b} - live)
+        if gone:
+            raise ValueError(
+                f"compact {job_id!r} planned against {len(gone)} input "
+                f"file(s) that are no longer live (e.g. {gone[0]}); the "
+                "table changed since the crashed attempt — rerun with a "
+                "NEW job_id"
+            )
+        return _execute_bins(
+            spark, table, job_id, bin_paths, hist, reencode, verify_psnr,
+            fail_after_bins,
+        )
+
     # The distributed planner must never materialize the stats list on the
     # driver — that driver strain is the very thing it exists to avoid — so
     # counting, the histogram, and the packing all stay Spark-side on that
@@ -125,6 +152,7 @@ def compact(
             .collect()
         }
         if n_small < min_input_files:
+            fdf.unpersist()
             return CompactionResult(None, job_id, 0, 0, n_small, 0, 0, hist)
         bin_paths = [
             p
@@ -151,11 +179,33 @@ def compact(
     if not bin_paths:
         n_in = n_small if use_dist else len(small)
         return CompactionResult(None, job_id, 0, 0, n_in, 0, 0, hist)
+    lineage.write_plan(
+        root, job_id,
+        {"bins": bin_paths, "hist": {str(k): v for k, v in hist.items()}},
+    )
+    return _execute_bins(
+        spark, table, job_id, bin_paths, hist, reencode, verify_psnr,
+        fail_after_bins,
+    )
+
+
+def _execute_bins(
+    spark: SparkSession,
+    table: Table,
+    job_id: str,
+    bin_paths: list[list[str]],
+    hist: dict,
+    reencode: bool,
+    verify_psnr: bool,
+    fail_after_bins: int | None,
+) -> CompactionResult:
+    """Rewrite the planned bins (resume-safe: completed units skipped by
+    index into the PINNED plan) and commit."""
+    root = table.root
     done = lineage.completed_units(root, job_id, "compact")
     todo = [(i, paths) for i, paths in enumerate(bin_paths) if i not in done]
 
     if todo:
-        limit = fail_after_bins
         from nessie_spark.lakehouse.scan import IMAGES_DDL
         from nessie_spark.lakehouse.writer import align_to_schema, arrow_schema_from_ddl
 
@@ -167,8 +217,6 @@ def compact(
 
         def _rewrite_unit(unit: tuple) -> dict:
             bin_id = int(unit[0])
-            if limit is not None and bin_id >= limit:
-                raise RuntimeError(f"injected failure at bin {bin_id}")
             paths = list(unit[1])
             tbl = pa.concat_tables(
                 [
@@ -178,17 +226,9 @@ def compact(
             )
             metrics: dict[str, float] = {"input_files": float(len(paths))}
             if reencode:
-                mn = 99.0
-                new_bytes = []
-                for data, fmt in zip(
+                new_bytes, mn = K.reencode_verify(
                     tbl.column("bytes").to_pylist(), tbl.column("fmt").to_pylist()
-                ):
-                    px = K.decode(bytes(data), fmt)
-                    enc = K.encode(px, fmt)
-                    p_db = K.psnr(px, K.decode(enc, fmt))
-                    mn = min(mn, p_db)
-                    assert p_db >= (40.0 if fmt == "jpeg" else 99.0), "PSNR gate"
-                    new_bytes.append(enc)
+                )
                 tbl = tbl.set_column(
                     tbl.schema.get_field_index("bytes"), "bytes",
                     pa.array(new_bytes, pa.binary()),
@@ -219,6 +259,20 @@ def compact(
         # one task — a straggler tail that costs scaling efficiency exactly
         # when waves are few (4N-core runs). Only tiny plan tuples cross the
         # driver→task boundary; image bytes stay in pyarrow inside the task.
+        if fail_after_bins is not None:
+            # crash injection for resume tests: DETERMINISTIC — run exactly
+            # the allowed units to completion, then die on the driver. The
+            # previous in-task raise raced the sibling tasks (a concurrent
+            # failure cancels them mid-unit), so the set of completed units
+            # varied run to run.
+            allowed = [u for u in todo if u[0] < fail_after_bins]
+            if allowed:
+                spark.sparkContext.parallelize(allowed, len(allowed)).map(
+                    _rewrite_unit
+                ).collect()
+            raise RuntimeError(
+                f"injected failure after {len(allowed)} bin(s)"
+            )
         fresh_stats = (
             spark.sparkContext.parallelize(todo, len(todo)).map(_rewrite_unit).collect()
         )

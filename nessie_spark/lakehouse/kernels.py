@@ -155,6 +155,25 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return 10.0 * np.log10(255.0 * 255.0 / mse)
 
 
+def reencode_verify(datas, fmts) -> tuple[list[bytes], float]:
+    """Decode → re-encode → PSNR-gate a batch of images (the north-star
+    rewrite pixel path). Returns (re-encoded bytes, min PSNR seen).
+    Raises if any image fails the per-row invariant (>= 40 dB lossy,
+    exact for lossless). The ONE copy of this loop — compact bins, the
+    zorder shuffle writer, and the staged gather all call it, so the gate
+    cannot silently diverge between rewrite paths."""
+    mn = 99.0
+    out: list[bytes] = []
+    for data, fmt in zip(datas, fmts):
+        px = decode(bytes(data), fmt)
+        enc = encode(px, fmt)
+        p_db = psnr(px, decode(enc, fmt))
+        mn = min(mn, p_db)
+        assert p_db >= (40.0 if fmt == "jpeg" else 99.0), "PSNR gate"
+        out.append(enc)
+    return out, mn
+
+
 def pixel_digest(pixels: np.ndarray) -> str:
     """sha256 of the raw RGB array bytes (golden_scan oracle, FIXTURES.md §5)."""
     import hashlib

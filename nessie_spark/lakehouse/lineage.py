@@ -92,6 +92,37 @@ def completed_units(root: str, job_id: str, phase: str) -> set[int]:
     return set(read_phase(root, job_id, phase).column("partition_id").to_pylist())
 
 
+def write_plan(root: str, job_id: str, plan: dict) -> None:
+    """Pin a job's PLAN (bin/group composition, bounds, input set) before
+    any work unit runs. Resume unit ids are positional indexes into the
+    planned work list, so a resume MUST replay against the same plan — a
+    table mutated between crash and resume would otherwise shift indexes
+    (mis-binding completed units) and lose or duplicate rows. Write-once
+    (tmp + rename; the first attempt's plan wins)."""
+    import json
+
+    d = os.path.join(root, "_lineage", job_id)
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "PLAN.json")
+    if os.path.exists(path):
+        return
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(plan, fh)
+    os.replace(tmp, path)
+
+
+def read_plan(root: str, job_id: str) -> dict | None:
+    import json
+
+    path = os.path.join(root, "_lineage", job_id, "PLAN.json")
+    try:
+        with open(path) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return None
+
+
 def mark_committed(root: str, job_id: str, snapshot_id: int) -> None:
     d = os.path.join(root, "_lineage", job_id)
     os.makedirs(d, exist_ok=True)

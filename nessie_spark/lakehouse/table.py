@@ -39,8 +39,10 @@ FILE_ENTRY_SCHEMA = pa.schema(
         ("file_size_bytes", pa.int64()),
         ("min_phash", pa.int64()),
         ("max_phash", pa.int64()),
-        ("min_wh", pa.int32()),
-        ("max_wh", pa.int32()),
+        # int64: wh = w*h of int32 dims overflows int32 (a 47k x 47k image
+        # is legal input); the zkey path masks to 31 bits but stats don't
+        ("min_wh", pa.int64()),
+        ("max_wh", pa.int64()),
         ("zorder_lo", pa.int64()),
         ("zorder_hi", pa.int64()),
         ("min_key", pa.string()),
@@ -52,7 +54,7 @@ FILE_ENTRY_SCHEMA = pa.schema(
 
 FILE_ENTRY_DDL = (
     "file_path string, file_format string, partition string, record_count long, "
-    "file_size_bytes long, min_phash long, max_phash long, min_wh int, max_wh int, "
+    "file_size_bytes long, min_phash long, max_phash long, min_wh long, max_wh long, "
     "zorder_lo long, zorder_hi long, min_key string, max_key string, "
     "key_bloom binary, added_snapshot_id long"
 )
@@ -95,6 +97,10 @@ def _history_base(meta: dict) -> list[dict]:
         or [
             {"ts_millis": s["ts_millis"], "snapshot_id": s["snapshot_id"], "action": s["operation"]}
             for s in meta["snapshots"]
+            # staged (WAP) snapshots never became current — synthesizing a
+            # log entry for one would expose an unpublished batch to
+            # time travel
+            if not s.get("staged")
         ]
     )
 
@@ -500,10 +506,20 @@ class Table:
     # -- commit -------------------------------------------------------------
 
     def _write_version(self, v: int, meta: dict) -> None:
+        # write-tmp-then-hard-link: keeps put-if-absent (os.link raises
+        # FileExistsError, same contract as O_CREAT|O_EXCL) AND crash
+        # atomicity — a kill mid-dump leaves only a .tmp, never a truncated
+        # v{N}.json that load() would pick as latest and choke on
         path = os.path.join(self.root, "metadata", f"v{v}.json")
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)  # put-if-absent
-        with os.fdopen(fd, "w") as fh:
+        tmp_v = path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp_v, "w") as fh:
             json.dump(meta, fh, indent=1)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp_v, path)
+        finally:
+            os.unlink(tmp_v)
         hint = os.path.join(self.root, "metadata", "version-hint.text")
         tmp = hint + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
@@ -570,9 +586,27 @@ class Table:
         reads use the schema their data was written under.
         """
         deleted_paths = deleted_paths or set()
+        base_parent = self.snapshot()
         for attempt in range(max_retries):
             t = self.refresh() if attempt else self
             parent = t.snapshot()
+            if (
+                attempt
+                and carried_manifest_summaries is not None
+                and (parent or {}).get("snapshot_id")
+                != (base_parent or {}).get("snapshot_id")
+            ):
+                # an EXPLICIT carried list was computed against the original
+                # parent; replaying it over a moved parent would drop the
+                # concurrent committer's files from the table (the default
+                # carry path re-derives from the refreshed parent instead)
+                raise CommitConflict(
+                    f"{operation} commit computed its manifest carry-over "
+                    f"against snapshot {(base_parent or {}).get('snapshot_id')} "
+                    f"but the table advanced to "
+                    f"{(parent or {}).get('snapshot_id')} — re-plan against "
+                    "the current snapshot"
+                )
             # max+1, NOT parent+1: after a rollback the current snapshot is
             # no longer the newest, and reusing an abandoned branch's id
             # would corrupt time travel

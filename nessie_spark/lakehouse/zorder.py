@@ -281,14 +281,9 @@ def write_zorder_buckets(
                     from nessie_spark.lakehouse import kernels as K
 
                     bi = cols.index("bytes")
-                    fmts = sl.column("fmt").to_pylist()
-                    new_bytes = []
-                    for data, fmt in zip(sl.column("bytes").to_pylist(), fmts):
-                        px = K.decode(bytes(data), fmt)
-                        enc = K.encode(px, fmt)
-                        p_db = K.psnr(px, K.decode(enc, fmt))
-                        assert p_db >= (40.0 if fmt == "jpeg" else 99.0), "PSNR gate"
-                        new_bytes.append(enc)
+                    new_bytes, _mn = K.reencode_verify(
+                        sl.column("bytes").to_pylist(), sl.column("fmt").to_pylist()
+                    )
                     arrs[bi] = pa.array(new_bytes, pa.binary())
                 state["writer"].write_batch(
                     pa.record_batch(arrs, schema=data_schema)
@@ -431,8 +426,12 @@ def run_staged(
 
     # Pin the plan across attempts: a resume on a different core count must
     # keep the original (bounds, n_files, n_groups) or completed scatter
-    # units' shards would land in inconsistent groups (north-star resume
-    # contract: per-partition lineage replays against the SAME plan).
+    # units' shards would land in inconsistent groups — and it must keep
+    # the SCATTER-BIN COMPOSITION, or a table mutated between crash and
+    # resume would re-bin the inputs under the same unit indexes, skipping
+    # never-scattered files (row loss) and re-scattering moved ones (row
+    # duplication). (North-star resume contract: per-partition lineage
+    # replays against the SAME plan.)
     import json as _json
 
     plan_path = os.path.join(stage_dir, "PLAN.json")
@@ -442,19 +441,34 @@ def run_staged(
         bounds_arr = [int(x) for x in planned["bounds"]]
         n_files = int(planned["n_files"])
         n_groups = int(planned["n_groups"])
+        sbins = [list(b) for b in planned["sbins"]]
+        live = {e["file_path"] for e in entries}
+        plan_set = {p for b in sbins for p in b}
+        # a cluster is a FULL rewrite (the commit carries nothing): the
+        # planned inputs must equal the live set EXACTLY — a file appended
+        # after the crash would otherwise silently drop out of the table,
+        # and a rewritten-away input can no longer be read
+        if plan_set != live:
+            diff = sorted(plan_set.symmetric_difference(live))
+            raise ValueError(
+                f"staged zorder {job_id!r} was planned against a different "
+                f"live file set ({len(diff)} file(s) differ, e.g. "
+                f"{diff[0]}); the table changed since the crashed attempt "
+                "— rerun with a NEW job_id"
+            )
     else:
+        sbins = _pack_scatter_bins(entries, 8 * DEFAULT_TARGET)
         os.makedirs(stage_dir, exist_ok=True)
         tmp = plan_path + ".tmp"
         with open(tmp, "w") as fh:
             _json.dump(
                 {"bounds": [int(x) for x in bounds_arr], "n_files": n_files,
-                 "n_groups": n_groups},
+                 "n_groups": n_groups, "sbins": sbins},
                 fh,
             )
         os.replace(tmp, plan_path)
 
     # --- scatter ----------------------------------------------------------
-    sbins = _pack_scatter_bins(entries, 8 * DEFAULT_TARGET)
     done = lineage.completed_units(root, job_id, "scatter")
     todo = [(i, paths) for i, paths in enumerate(sbins) if i not in done]
     from nessie_spark.lakehouse.scan import IMAGES_DDL
@@ -603,16 +617,10 @@ def run_staged(
             if reencode:
                 from nessie_spark.lakehouse import kernels as K
 
-                new_bytes = []
-                for data, fmt in zip(
+                new_bytes, _mn = K.reencode_verify(
                     sl.column("bytes").to_pylist(), sl.column("fmt").to_pylist()
-                ):
-                    px = K.decode(bytes(data), fmt)
-                    enc = K.encode(px, fmt)
-                    p_db = K.psnr(px, K.decode(enc, fmt))
-                    mn_psnr = min(mn_psnr, p_db)
-                    assert p_db >= (40.0 if fmt == "jpeg" else 99.0), "PSNR gate"
-                    new_bytes.append(enc)
+                )
+                mn_psnr = min(mn_psnr, _mn)
                 sl = sl.set_column(
                     sl.schema.get_field_index("bytes"), "bytes",
                     pa.array(new_bytes, pa.binary()),
@@ -747,7 +755,21 @@ def cluster(
     prof = _os.environ.get("NESSIE_ZORDER_PROF") == "1"
     t0 = _time.time()
     total_rows = sum(e["record_count"] for e in entries)
-    bounds = equi_depth_bounds(base.select("zkey", "wh"), n_files, total_rows)
+    pinned = None
+    if execution == "staged":
+        plan_path = os.path.join(root, "_stage", job_id, "PLAN.json")
+        if os.path.exists(plan_path):
+            import json as _json
+
+            with open(plan_path) as fh:
+                pinned = _json.load(fh)
+    if pinned is not None:
+        # resume: run_staged replays the pinned plan anyway — re-running
+        # the sampling job here would only be discarded work
+        bounds = [int(x) for x in pinned["bounds"]]
+        n_files = int(pinned["n_files"])
+    else:
+        bounds = equi_depth_bounds(base.select("zkey", "wh"), n_files, total_rows)
     t1 = _time.time()
 
     # pass 2: move every row to its zkey bucket — staged (two-phase

@@ -152,3 +152,107 @@ def test_expire_rescues_concurrent_rollback_target(spark, tmp_path):
     assert t.snapshot(s1) is not None
     assert s1 in rep.retained_snapshots
     assert scan(spark, t).count() == 32
+
+
+def test_compact_resume_refuses_changed_table(spark, tmp_path):
+    """A compact resume must replay the pinned plan; if another job
+    rewrote a planned input in between, a safe resume is impossible."""
+    from nessie_spark.lakehouse import compact, zorder
+
+    t, _ = make_table(spark, str(tmp_path / "tb"), n=96, mean_rows=8)
+    with pytest.raises(RuntimeError, match="injected"):
+        compact.compact(spark, t, target_bytes=256 * 1024, job_id="cr",
+                        fail_after_bins=1)
+    assert lineage.completed_units(t.root, "cr", "compact") == {0}
+    # another job rewrites the table before the resume
+    zorder.cluster(spark, t, target_bytes=256 * 1024, job_id="cr-z")
+    t = t.refresh()
+    with pytest.raises(ValueError, match="NEW job_id"):
+        compact.compact(spark, t, target_bytes=256 * 1024, job_id="cr")
+
+
+def test_zorder_resume_refuses_changed_table(spark, tmp_path):
+    from nessie_spark.lakehouse import compact, zorder
+
+    t, _ = make_table(spark, str(tmp_path / "tb"), n=96, mean_rows=8)
+    # fabricate a crashed staged attempt: pin a plan whose inputs are the
+    # current live set, then mutate the table before the "resume"
+    import json
+
+    stage = os.path.join(t.root, "_stage", "zr")
+    os.makedirs(stage, exist_ok=True)
+    live = sorted(
+        e["file_path"] for e in t.file_entries(columns=["file_path"]).to_pylist()
+    )
+    with open(os.path.join(stage, "PLAN.json"), "w") as fh:
+        json.dump({"bounds": [], "n_files": 1, "n_groups": 1,
+                   "sbins": [live]}, fh)
+    compact.compact(spark, t, target_bytes=256 * 1024, job_id="zr-c")
+    t = t.refresh()
+    with pytest.raises(ValueError, match="NEW job_id"):
+        zorder.cluster(spark, t, target_bytes=256 * 1024, job_id="zr")
+
+
+def test_commit_with_stale_explicit_carry_raises(spark, tmp_path):
+    from nessie_spark.lakehouse.table import CommitConflict
+
+    t, _ = make_table(spark, str(tmp_path / "tb"), n=16)
+    stale = Table.load(t.root)
+    batch = synth.images_df(spark, 4, seed=2).withColumn(
+        "image_id", F.concat(F.lit("cc-"), "image_id")
+    )
+    jobs.append(spark, t.refresh(), batch, job_id="cc-win")
+    with pytest.raises(CommitConflict, match="re-plan"):
+        stale.commit(
+            "zorder", added=None,
+            deleted_paths={
+                e["file_path"]
+                for e in stale.file_entries(columns=["file_path"]).to_pylist()
+            },
+            carried_manifest_summaries=[],
+        )
+
+
+def test_truncated_version_file_never_selected(spark, tmp_path):
+    """_write_version is crash-atomic: a kill mid-write leaves only a .tmp
+    that load() ignores."""
+    t, _ = make_table(spark, str(tmp_path / "tb"), n=8)
+    mdir = os.path.join(t.root, "metadata")
+    v = t.version
+    # simulate the old failure mode artifact: a tmp left behind mid-crash
+    with open(os.path.join(mdir, f"v{v+1}.json.tmp-dead"), "w") as fh:
+        fh.write('{"trunc')
+    t2 = Table.load(t.root)
+    assert t2.version == v  # tmp ignored, table loads fine
+    t2.create_tag("ok", t2.current_snapshot_id)  # next commit still works
+
+
+def test_wap_only_history_not_exposed_by_time_travel(spark, tmp_path):
+    """A table whose only commit so far is STAGED must not leak it through
+    the synthesized made-current log."""
+    from nessie_spark.lakehouse import jobs as J
+
+    root = str(tmp_path / "tw" / "images")
+    t = J.create_images_table(root)
+    df = synth.images_df(spark, 8, seed=4)
+    J.append(spark, t, df, job_id="w0", stage_only=True)
+    t = t.refresh()
+    t.meta.pop("history", None)  # force the synthesis fallback
+    assert t.snapshot_as_of(int(time.time() * 1000) + 1) is None
+
+
+def test_huge_image_dimensions_fit_stats(spark, tmp_path):
+    """w*h beyond int32 must not crash the manifest build."""
+    import pyarrow as pa
+
+    from nessie_spark.lakehouse.writer import stats_entry_for
+
+    tbl = pa.table({
+        "image_id": ["big"], "w": pa.array([47000], pa.int32()),
+        "h": pa.array([47000], pa.int32()), "phash": pa.array([7], pa.int64()),
+    })
+    e = stats_entry_for(tbl, "data/x.parquet", 1)
+    assert e["min_wh"] == 47000 * 47000
+    from nessie_spark.lakehouse.table import FILE_ENTRY_SCHEMA
+
+    pa.Table.from_pylist([e], schema=FILE_ENTRY_SCHEMA)  # must not raise
