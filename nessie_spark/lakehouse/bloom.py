@@ -9,10 +9,19 @@ touches the handful of files whose bloom fires instead of the whole table.
 
 Deterministic double hashing (Kirsch–Mitzenmacher over the two 64-bit
 halves of md5) — the same scheme the dedup operators use — so filters are
-reproducible across writers and resumable jobs. Sizing: m=2048 bits
-(256 bytes/entry), k=5 → false-positive ≈ 0.05% at 100 keys/file, ≈ 0.9%
-at 64 MB files of ~300 k small rows; a false positive costs one extra file
-read, never a wrong row (readers re-apply the predicate).
+reproducible across writers and resumable jobs. (md5 per key is a Python
+loop at write time: ~1 µs/key, amortized against the file's pixel IO; a
+CRC pair would be faster but CRC-with-different-init is affine in the
+input, so h2−h1 collapses to a constant over the equal-length image_ids
+and the probe sequence degenerates.)
+
+Sizing is ADAPTIVE: ~10 bits/key rounded up to a power of two, floored at
+2048 bits and capped at 2^18 (32 KB/manifest-entry) — a fixed 2048-bit
+filter saturates to a 100% hit rate around ~1 k keys, silently turning
+point-lookup pruning off for large files. Readers derive m from the
+stored filter's length, so mixed sizes coexist in one manifest. k=5 →
+false-positive ≈ 1% at 10 bits/key; a false positive costs one extra
+file read, never a wrong row (readers re-apply the predicate).
 """
 
 from __future__ import annotations
@@ -21,22 +30,35 @@ import hashlib
 
 import numpy as np
 
-BLOOM_BITS = 2048
+BLOOM_MIN_BITS = 2048
+BLOOM_MAX_BITS = 1 << 18
+BLOOM_BITS_PER_KEY = 10
 BLOOM_K = 5
 
 
-def _bit_positions(key: str) -> list[int]:
+def bloom_bits_for(n_keys: int) -> int:
+    """Power-of-two filter size for ``n_keys`` (floored / capped)."""
+    want = max(BLOOM_MIN_BITS, BLOOM_BITS_PER_KEY * max(1, n_keys))
+    return min(BLOOM_MAX_BITS, 1 << (want - 1).bit_length())
+
+
+def _bit_positions(key: str, m: int) -> list[int]:
     d = hashlib.md5(str(key).encode()).digest()
     h1 = int.from_bytes(d[:8], "little")
     h2 = int.from_bytes(d[8:], "little") | 1  # odd → full-cycle probing
-    return [(h1 + i * h2) % BLOOM_BITS for i in range(BLOOM_K)]
+    return [(h1 + i * h2) % m for i in range(BLOOM_K)]
 
 
-def bloom_from_keys(keys) -> bytes:
-    """Build one filter over an iterable of string keys."""
-    bits = np.zeros(BLOOM_BITS // 8, dtype=np.uint8)
-    for k in keys:
-        for p in _bit_positions(k):
+def bloom_from_keys(keys, m: int | None = None) -> bytes:
+    """Build one filter over an iterable of string keys. ``m`` (bits)
+    defaults to the adaptive size for the key count; streaming folds that
+    cannot know the final count pass an explicit ``m`` (bloom_or requires
+    equal sizes)."""
+    ks = list(keys)
+    m = m if m is not None else bloom_bits_for(len(ks))
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    for k in ks:
+        for p in _bit_positions(k, m):
             bits[p >> 3] |= 1 << (p & 7)
     return bits.tobytes()
 
@@ -54,8 +76,11 @@ def bloom_or(a: bytes | None, b: bytes | None) -> bytes | None:
 
 def bloom_might_contain(bloom: bytes | None, key: str) -> bool:
     """False ⇒ the key is definitely absent. ``None`` (an entry written
-    before blooms existed) ⇒ unknown, treated as a possible hit."""
+    before blooms existed) ⇒ unknown, treated as a possible hit. The
+    filter size is derived from the stored bytes, so entries written
+    under different adaptive sizes coexist."""
     if bloom is None:
         return True
     bits = np.frombuffer(bloom, dtype=np.uint8)
-    return all(bits[p >> 3] & (1 << (p & 7)) for p in _bit_positions(key))
+    m = len(bloom) * 8
+    return all(bits[p >> 3] & (1 << (p & 7)) for p in _bit_positions(key, m))

@@ -35,7 +35,14 @@ def add_column(table: Table, name: str, sql_type: str, doc: str | None = None) -
         raise ValueError(
             f"unsupported type {sql_type!r}; supported: {sorted(_DDL_ARROW)}"
         )
-    if name in ddl_columns(table.meta["schema"]):
+    def _dupe(ddl: str) -> bool:
+        # case-INSENSITIVE: Spark analysis is case-insensitive by default,
+        # so 'Caption' next to 'caption' makes every read of either column
+        # AMBIGUOUS_REFERENCE — and drop/rename are unsupported, so the
+        # table would be permanently broken
+        return name.lower() in {c.lower() for c in ddl_columns(ddl)}
+
+    if _dupe(table.meta["schema"]):
         raise ValueError(f"column {name!r} already exists")
 
     def _update(meta: dict) -> dict:
@@ -43,7 +50,7 @@ def add_column(table: Table, name: str, sql_type: str, doc: str | None = None) -
         # a schema string precomputed from a stale base would silently drop
         # a concurrent writer's column on optimistic retry (lost update).
         ddl = meta["schema"]
-        if name in ddl_columns(ddl):
+        if _dupe(ddl):
             raise ValueError(f"column {name!r} already exists")
         return {"schema": f"{ddl}, {name} {sql_type.lower()}"}
 

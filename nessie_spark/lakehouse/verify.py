@@ -50,7 +50,9 @@ def caption_flags(
         .join(b.alias("b"), "image_id")
         .select(
             "image_id",
-            (F.col("a.caption") != F.col("b.caption")).alias("flag"),
+            # null-SAFE inequality: a caption changing to/from NULL is a
+            # corruption and must flag True, not NULL (which .where drops)
+            (~F.col("a.caption").eqNullSafe(F.col("b.caption"))).alias("flag"),
         )
     )
 
@@ -93,8 +95,15 @@ def pixel_verify(
                         continue
                     p = K.psnr(pa_, pb_)
                     lossless = fa == "png" and fb == "png"
-                    ok = (p >= 99.0) if lossless else (p >= psnr_floor)
-                    out.append((iid, float(p), bool(ok), ""))
+                    # lossless = byte-exact pixels, NOT a PSNR floor: a
+                    # large image with one flipped sample scores >99 dB
+                    # yet is corrupt
+                    ok = (
+                        bool((pa_ == pb_).all())
+                        if lossless
+                        else bool(p >= psnr_floor)
+                    )
+                    out.append((iid, float(p), ok, ""))
                 except Exception as e:  # undecodable → flagged
                     out.append((iid, 0.0, False, type(e).__name__))
             yield pd.DataFrame(out, columns=["image_id", "psnr", "ok", "error"])

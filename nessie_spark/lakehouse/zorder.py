@@ -253,10 +253,17 @@ def write_zorder_buckets(
             mx("zhi", pc.max(sl.column("zkey")).as_py())
             mn("min_key", pc.min(sl.column("image_id")).as_py())
             mx("max_key", pc.max(sl.column("image_id")).as_py())
-            from nessie_spark.lakehouse.bloom import bloom_from_keys, bloom_or
+            from nessie_spark.lakehouse.bloom import (
+                bloom_bits_for, bloom_from_keys, bloom_or,
+            )
 
+            # streaming fold: per-batch blooms must share one size (the
+            # final key count is unknown mid-fold) — size for a generous
+            # per-file row budget instead of this batch's count
+            m = bloom_bits_for(10_000)
             st["bloom"] = bloom_or(
-                st["bloom"], bloom_from_keys(sl.column("image_id").to_pylist())
+                st["bloom"],
+                bloom_from_keys(sl.column("image_id").to_pylist(), m=m),
             )
 
         data_schema = None

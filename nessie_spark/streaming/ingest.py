@@ -29,6 +29,11 @@ from pyspark.sql.streaming import StreamingQuery
 from nessie_spark.lakehouse import jobs
 from nessie_spark.lakehouse.table import Table
 
+# driver-side small-file estimate per (table_root, stream_id): lets the
+# per-batch auto-compact check stay O(#manifests) instead of scanning
+# every manifest entry on every micro-batch (see ingest_batch)
+_SMALL_FILE_ESTIMATE: dict = {}
+
 
 def ingest_batch(
     table_root: str,
@@ -45,9 +50,14 @@ def ingest_batch(
     the compaction target, run bin-packing compaction inline. The compact
     job_id derives from (stream_id, batch_id), so a replayed micro-batch
     replays into the same committed-marker no-op as the append itself —
-    exactly-once holds for the maintenance commit too. The threshold keeps
-    the common batch on the cheap path (one manifest read, no pixel
-    work); None (default) leaves maintenance fully out of the hot path."""
+    exactly-once holds for the maintenance commit too.
+
+    Hot-path cost: the per-batch check maintains a driver-side ESTIMATE of
+    the small-file count (last measured count + files appended since, read
+    from the batch's own -add manifest summary — one manifest-LIST read,
+    O(#manifests)); the full O(#table-files) manifest scan runs only when
+    the estimate reaches the threshold. None (default) leaves maintenance
+    fully out of the hot path."""
     spark = batch_df.sparkSession
     table = Table.load(table_root)
     snap = jobs.append(
@@ -57,22 +67,50 @@ def ingest_batch(
         job_id=f"{stream_id}-b{batch_id}",
     )
     if auto_compact_small_files:
+        import os
+
+        import pyarrow.parquet as pq
+
         from nessie_spark.lakehouse.compact import compact
 
         t = table.refresh()
-        sizes = (
-            t.file_entries(columns=["file_size_bytes"])
-            .column("file_size_bytes")
-            .to_pylist()
-        )
-        small = sum(1 for b in sizes if b < compact_target_bytes // 2)
-        if small >= auto_compact_small_files:
-            compact(
-                spark,
-                t,
-                target_bytes=compact_target_bytes,
-                job_id=f"{stream_id}-b{batch_id}-autocompact",
+        key = (table_root, stream_id)
+        est = _SMALL_FILE_ESTIMATE.get(key)
+        if est is None:
+            est = auto_compact_small_files  # unknown → measure this batch
+        else:
+            # files this batch added = n_entries of its -add manifest
+            # (appends are rarely larger than the small-file bar)
+            mlist = pq.read_table(
+                os.path.join(t.root, t.snapshot()["manifest_list"])
             )
+            est += sum(
+                int(n)
+                for p, n in zip(
+                    mlist.column("manifest_path").to_pylist(),
+                    mlist.column("n_entries").to_pylist(),
+                )
+                if f"-s{snap}-add-" in os.path.basename(p)
+            )
+        if est >= auto_compact_small_files:
+            sizes = (
+                t.file_entries(columns=["file_size_bytes"])
+                .column("file_size_bytes")
+                .to_pylist()
+            )
+            small = sum(1 for b in sizes if b < compact_target_bytes // 2)
+            if small >= auto_compact_small_files:
+                res = compact(
+                    spark,
+                    t,
+                    target_bytes=compact_target_bytes,
+                    job_id=f"{stream_id}-b{batch_id}-autocompact",
+                )
+                # residue estimate: uncompacted singletons plus the bin
+                # outputs (counted small conservatively)
+                small = max(0, small - res.input_files + res.output_files)
+            est = small
+        _SMALL_FILE_ESTIMATE[key] = est
     return snap
 
 
@@ -90,8 +128,14 @@ def start_auto_ingest(
 
     ``available_now=True`` drains everything currently available and stops
     (the batch-backfill / test mode); pass ``trigger_seconds`` for a
-    continuous micro-batch cadence instead. ``auto_compact_small_files``
-    turns on continuous maintenance (see ``ingest_batch``)."""
+    continuous micro-batch cadence instead (an explicit cadence overrides
+    the default drain mode — the two are mutually exclusive).
+    ``auto_compact_small_files`` turns on continuous maintenance (see
+    ``ingest_batch``)."""
+    if trigger_seconds is not None:
+        # an explicit cadence means continuous mode; silently draining and
+        # stopping instead would ignore the caller's stated intent
+        available_now = False
     writer = stream_df.writeStream.foreachBatch(
         lambda bdf, bid: ingest_batch(
             table_root, stream_id, bdf, bid,

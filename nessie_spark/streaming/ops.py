@@ -14,12 +14,22 @@ from pyspark.sql import functions as F
 def dedup_stream(
     events: DataFrame, key_cols: list[str], ts_col: str = "ts", watermark: str = "1 hour"
 ) -> DataFrame:
-    """Exact dedup on a stream: watermark bounds the dedup state window —
-    duplicates farther apart than the watermark are out of contract (they
-    are caught by the batch dedup_exact pass in the lakehouse).
+    """Exact dedup on a stream: the watermark bounds the dedup state
+    window — duplicates farther apart than the watermark are out of
+    contract (they are caught by the batch dedup_exact pass in the
+    lakehouse).
+
+    ``dropDuplicatesWithinWatermark``, NOT ``dropDuplicates``: with plain
+    dropDuplicates the watermark only evicts state when the event-time
+    column is part of the key, so keyed dedup state would grow without
+    bound — the exact failure mode this module exists to prevent.
 
     Streaming twin of operators/dedup.dedup_exact."""
-    return events.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
+    deduped = events.withWatermark(ts_col, watermark)
+    if events.isStreaming:
+        return deduped.dropDuplicatesWithinWatermark(key_cols)
+    # batch twin for parity tests: no state to bound
+    return deduped.dropDuplicates(key_cols)
 
 
 def sessionize_stateful(events: DataFrame, gap_s: int = 1800) -> DataFrame:
@@ -91,18 +101,25 @@ def hourly_rollup_stream(
     events: DataFrame, ts_col: str = "ts", watermark: str = "2 hours"
 ) -> DataFrame:
     """Windowed rollup with late-data handling: the streaming twin of
-    operators/events.events_hourly (same grouping keys and aggregates)."""
+    operators/events.events_hourly (same grouping keys and aggregates —
+    except ``n_users``, where exact countDistinct is unsupported in
+    streaming aggregations, so the twin reports
+    ``approx_count_distinct`` (HLL, default 5% relative error) under the
+    same column name; consumers moving between modes keep the column but
+    must treat it as approximate in streaming)."""
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, "1 hour").alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(20,4)")).alias("sum_value_d"),
+            F.approx_count_distinct("user_id").alias("n_users"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("hour_epoch"),
             "event_type",
             "n_events",
             F.col("sum_value_d").cast("double").alias("sum_value"),
+            "n_users",
         )
     )

@@ -256,3 +256,105 @@ def test_huge_image_dimensions_fit_stats(spark, tmp_path):
     from nessie_spark.lakehouse.table import FILE_ENTRY_SCHEMA
 
     pa.Table.from_pylist([e], schema=FILE_ENTRY_SCHEMA)  # must not raise
+
+
+def test_caption_flags_null_safe(spark, tmp_path):
+    from nessie_spark.lakehouse import evolve, verify
+
+    t, s1 = make_table(spark, str(tmp_path / "tb"), n=16)
+    # second snapshot where one caption becomes NULL (merge with evolved
+    # source is overkill: write the corruption directly via merge update)
+    r = synth.row_for(42, 3)
+    r["caption"] = None
+    src = spark.createDataFrame(
+        pd.DataFrame([r]), schema=synth.IMAGES_SCHEMA
+    )
+    merge.merge_into(spark, t, src, job_id="nc-m")
+    t = t.refresh()
+    flags = verify.caption_flags(spark, t, s1, t.current_snapshot_id)
+    flagged = {x.image_id for x in flags.where("flag").collect()}
+    assert flagged == {"img_000000000003"}
+
+
+def test_pixel_verify_lossless_requires_exactness(spark, tmp_path):
+    """A large PNG with one flipped sample has PSNR > 99 dB but is NOT
+    exact — the lossless gate must fail it."""
+    import numpy as np
+
+    from nessie_spark.lakehouse import kernels as K
+
+    px = np.zeros((256, 256, 3), dtype=np.uint8)
+    corrupt = px.copy()
+    corrupt[0, 0, 0] = 1
+    assert K.psnr(px, corrupt) > 99.0  # the old gate would pass it
+    # drive through pixel_verify via two snapshots differing in one sample
+    t, s1 = make_table(spark, str(tmp_path / "tb"), n=4)
+    from nessie_spark.lakehouse import verify
+
+    row = scan(spark, t).where("fmt = 'png'").select("image_id", "bytes", "fmt").first()
+    pix = K.decode(bytes(row.bytes), row.fmt)
+    bad = pix.copy()
+    bad[0, 0, 0] = np.uint8(int(bad[0, 0, 0]) ^ 1)
+    r = synth.row_for(42, int(row.image_id[4:]))
+    r["bytes"] = bytearray(K.encode(bad, "png"))
+    src = spark.createDataFrame(pd.DataFrame([r]), schema=synth.IMAGES_SCHEMA)
+    merge.merge_into(spark, t, src, job_id="pv-m")
+    t = t.refresh()
+    res = verify.pixel_verify(spark, t, s1, t.current_snapshot_id)
+    bad_rows = {x.image_id for x in res.where("NOT ok").collect()}
+    assert row.image_id in bad_rows
+
+
+def test_add_column_rejects_case_variant(spark, tmp_path):
+    from nessie_spark.lakehouse import evolve
+
+    t, _ = make_table(spark, str(tmp_path / "tb"), n=4)
+    with pytest.raises(ValueError, match="already exists"):
+        evolve.add_column(t, "Caption", "string")
+
+
+def test_bloom_adaptive_sizing_keeps_pruning_power(spark):
+    from nessie_spark.lakehouse.bloom import (
+        bloom_bits_for, bloom_from_keys, bloom_might_contain,
+    )
+
+    keys = [f"img_{i:012d}" for i in range(20_000)]
+    b = bloom_from_keys(keys)
+    assert len(b) * 8 == bloom_bits_for(20_000) > 2048
+    assert all(bloom_might_contain(b, k) for k in keys[:100])
+    misses = sum(
+        bloom_might_contain(b, f"zzz_{i}") for i in range(2_000)
+    )
+    assert misses < 200  # ~1-2% FP, not the saturated 100%
+    # mixed sizes coexist: a small filter still answers correctly
+    small = bloom_from_keys(keys[:10])
+    assert len(small) * 8 == 2048
+    assert bloom_might_contain(small, keys[0])
+
+
+def test_trigger_seconds_selects_continuous_mode(spark, tmp_path):
+    """An explicit cadence must not silently drain-and-stop."""
+    import nessie_spark.streaming.ingest as ing
+
+    captured = {}
+
+    class _W:
+        def foreachBatch(self, fn):
+            return self
+
+        def option(self, *a):
+            return self
+
+        def trigger(self, **kw):
+            captured.update(kw)
+            return self
+
+        def start(self):
+            return None
+
+    class _DF:
+        writeStream = _W()
+
+    ing.start_auto_ingest(_DF(), str(tmp_path), str(tmp_path / "ck"),
+                          trigger_seconds=7.0)
+    assert captured == {"processingTime": "7.0 seconds"}
