@@ -98,7 +98,11 @@ def _label_idx(label_col: str, classes: list[str] | None) -> Column:
         return _c(label_col).cast("int")
     pos = F.array_position(F.array(*[F.lit(c) for c in classes]), _c(label_col))
     return (
-        F.when(pos > 0, pos - 1)
+        # NULL label → NULL index (the module's NULL-row-survives rule:
+        # the row keeps a NULL score instead of crashing the job); a
+        # non-NULL label OUTSIDE the dictionary still raises
+        F.when(_c(label_col).isNull(), F.lit(None))
+        .when(pos > 0, pos - 1)
         .otherwise(
             F.raise_error(F.concat(F.lit("label not in classes: "), _c(label_col)))
         )
@@ -167,14 +171,13 @@ class MajorityLabelPerSurfaceFormBaseline(Detector):
         self.text_col, self.label_col, self.lowercase = text_col, label_col, lowercase
 
     def _modal(self, df: DataFrame) -> DataFrame:
+        # delegates to the ONE modal-label rule (desc count, asc label)
+        # shared with the surface scorers — a tie-rule fix lands once
         sf = _surface(self.text_col, self.lowercase)
-        counts = df.groupBy(sf.alias("_sf"), _c(self.label_col).alias("_lb")).count()
-        w = Window.partitionBy("_sf").orderBy(F.desc("count"), F.asc("_lb"))
-        return (
-            counts.withColumn("_rk", F.row_number().over(w))
-            .where(F.col("_rk") == 1)
-            .select("_sf", F.col("_lb").alias("_modal"))
+        counts = df.groupBy(sf.alias("_sf"), _c(self.label_col).alias("_lb")).agg(
+            F.count(F.lit(1)).alias("_cnt")
         )
+        return _SurfaceScorer._modal_of(counts)
 
     def _joined(self, df: DataFrame) -> DataFrame:
         sf = _surface(self.text_col, self.lowercase)
@@ -615,12 +618,25 @@ class LabelAggregation(Detector):
         if getattr(self, "_cache", None) is not None and self._cache[0] is df:
             return self._cache[1]
 
+        # NULL / ragged vote arrays cannot be adjudicated: exclude them
+        # from the histogram (their rows keep NULL outputs via the
+        # left-join-back, per the module's NULL convention)
+        w_expected = F.size(_c(self.votes_col))
+        mode_w = (
+            df.where(_c(self.votes_col).isNotNull())
+            .groupBy(w_expected.alias("_w")).count()
+            .orderBy(F.desc("count")).limit(1)
+        ).collect()
         hist = (
-            df.groupBy(_c(self.votes_col).alias("_v"))
+            df.where(
+                _c(self.votes_col).isNotNull()
+                & (F.size(_c(self.votes_col)) == int(mode_w[0]["_w"]))
+            )
+            .groupBy(_c(self.votes_col).alias("_v"))
             .agg(F.count(F.lit(1)).alias("_m"))
             .orderBy("_v")
             .collect()
-        )
+        ) if mode_w else []
         spark = df.sparkSession
         if not hist:
             model = spark.createDataFrame([], "_v array<int>, _z int")

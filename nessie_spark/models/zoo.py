@@ -54,6 +54,24 @@ class SparkModel:
     def predict_proba(self, df: DataFrame) -> DataFrame:
         raise NotImplementedError
 
+    # shared: pyspark.ml output → (probs padded to n_classes, ml columns
+    # dropped, pred appended). A fold's train split may not contain every
+    # global class — the model's probability vector is then shorter than C
+    # and the missing classes pad with 0.0. ONE copy of this rule: the
+    # classifier slots all call it, so the padding can never diverge.
+    def _proba_out(self, transformed: DataFrame, fit_c: int) -> DataFrame:
+        from pyspark.ml.functions import vector_to_array
+
+        probs = vector_to_array(F.col("probability"))
+        if fit_c < self.n_classes:
+            probs = F.concat(
+                probs, F.array_repeat(F.lit(0.0), self.n_classes - fit_c)
+            )
+        scored = transformed.withColumn("probs", probs).drop(
+            "fvec", "rawPrediction", "probability", "prediction"
+        )
+        return self._with_pred(scored)
+
     # shared: pred = argmax(probs) with reference's first-max tie rule
     def _with_pred(self, scored: DataFrame) -> DataFrame:
         idx = F.array_position(
@@ -120,20 +138,9 @@ class MaxEntClassifier(SparkModel):
         return self
 
     def predict_proba(self, df: DataFrame) -> DataFrame:
-        from pyspark.ml.functions import vector_to_array
-
-        out = self.model.transform(self._vec(df))
-        fit_c = self.model.numClasses
-        probs = vector_to_array(F.col("probability"))
-        # a fold's train split may not contain every global class: pad to C
-        if fit_c < self.n_classes:
-            probs = F.concat(
-                probs, F.array_repeat(F.lit(0.0), self.n_classes - fit_c)
-            )
-        scored = out.withColumn("probs", probs).drop(
-            "fvec", "rawPrediction", "probability", "prediction"
+        return self._proba_out(
+            self.model.transform(self._vec(df)), self.model.numClasses
         )
-        return self._with_pred(scored)
 
 
 class GradientTreeClassifier(SparkModel):
@@ -168,17 +175,9 @@ class GradientTreeClassifier(SparkModel):
         return self
 
     def predict_proba(self, df: DataFrame) -> DataFrame:
-        from pyspark.ml.functions import vector_to_array
-
-        out = self.model.transform(MaxEntClassifier._vec(df))
-        fit_c = self.model.numClasses
-        probs = vector_to_array(F.col("probability"))
-        if fit_c < self.n_classes:
-            probs = F.concat(probs, F.array_repeat(F.lit(0.0), self.n_classes - fit_c))
-        scored = out.withColumn("probs", probs).drop(
-            "fvec", "rawPrediction", "probability", "prediction"
+        return self._proba_out(
+            self.model.transform(MaxEntClassifier._vec(df)), self.model.numClasses
         )
-        return self._with_pred(scored)
 
 
 class BagOfWordsNB(SparkModel):
@@ -208,17 +207,9 @@ class BagOfWordsNB(SparkModel):
         return self
 
     def predict_proba(self, df: DataFrame) -> DataFrame:
-        from pyspark.ml.functions import vector_to_array
-
-        out = self.model.transform(self._tf(df))
-        fit_c = self.model.numClasses
-        probs = vector_to_array(F.col("probability"))
-        if fit_c < self.n_classes:
-            probs = F.concat(probs, F.array_repeat(F.lit(0.0), self.n_classes - fit_c))
-        scored = out.withColumn("probs", probs).drop(
-            "fvec", "rawPrediction", "probability", "prediction"
+        return self._proba_out(
+            self.model.transform(self._tf(df)), self.model.numClasses
         )
-        return self._with_pred(scored)
 
 
 class FastTextClassifier(SparkModel):
@@ -274,17 +265,9 @@ class FastTextClassifier(SparkModel):
         return self
 
     def predict_proba(self, df: DataFrame) -> DataFrame:
-        from pyspark.ml.functions import vector_to_array
-
-        out = self.model.transform(self._tf(df))
-        fit_c = self.model.numClasses
-        probs = vector_to_array(F.col("probability"))
-        if fit_c < self.n_classes:
-            probs = F.concat(probs, F.array_repeat(F.lit(0.0), self.n_classes - fit_c))
-        scored = out.withColumn("probs", probs).drop(
-            "fvec", "rawPrediction", "probability", "prediction"
+        return self._proba_out(
+            self.model.transform(self._tf(df)), self.model.numClasses
         )
-        return self._with_pred(scored)
 
 
 class MLPClassifier(SparkModel):

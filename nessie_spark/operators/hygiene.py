@@ -51,11 +51,15 @@ def _doc_grams(df: DataFrame) -> DataFrame:
 
         import pandas as pd
 
-        ws = re.compile(r"\s+")
+        # ASCII \s and space-only strip: the exact dialect of the DuckDB
+        # twin (RE2 \s is ASCII; trim() trims spaces) — Unicode Python
+        # semantics would silently shift every gram on a doc with a
+        # leading tab or NBSP
+        ws = re.compile(r"\s+", re.ASCII)
         for pdf in batches:
             ids, srcs, grams = [], [], []
             for d, s, tx in zip(pdf["doc_id"], pdf["source"], pdf["text"]):
-                ts = ws.split(tx.strip().lower()) if tx and tx.strip() else []
+                ts = ws.split(tx.strip(" ").lower()) if tx and tx.strip(" ") else []
                 seen = set()
                 for i in range(len(ts) - N_GRAM + 1):
                     seen.add(" ".join(ts[i : i + N_GRAM]))
@@ -76,12 +80,18 @@ def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the oracle)."""
     from nessie_spark.operators.dedup import _spread
 
-    g = _doc_grams(_spread(spark, T(spark, sf_dir, "documents")))
+    docs = _spread(spark, T(spark, sf_dir, "documents"))
+    # split BEFORE tokenizing: each doc is gram-enumerated exactly once
+    # (one logical corpus pass split across the two subplans) — deriving
+    # both sides from one _doc_grams DataFrame re-executed the full-corpus
+    # Arrow pass twice, since Spark cannot push the source filter below
+    # mapInPandas or dedupe non-exchange subtrees
     bench = (
-        g.where(F.col("source") == BENCH_SOURCE).select("gram").distinct()
+        _doc_grams(docs.where(F.col("source") == BENCH_SOURCE))
+        .select("gram").distinct()
         .withColumn("hit", F.lit(1))
     )
-    train = g.where(F.col("source") != BENCH_SOURCE)
+    train = _doc_grams(docs.where(F.col("source") != BENCH_SOURCE))
     return (
         train.join(F.broadcast(bench), "gram", "left")
         .groupBy("doc_id", "source")
@@ -139,14 +149,17 @@ ORDER BY g.doc_id
 
 def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redact emails / IPv4s / SSN-shaped ids; per-doc redaction count.
-    All-JVM regexp inside codegen (no UDF); counts come from
-    ``regexp_extract_all`` on the ORIGINAL text per pattern, so they are
-    order-independent."""
+    All-JVM regexp inside codegen (no UDF). Counts are taken SEQUENTIALLY
+    on the progressively-scrubbed text — exactly the matches the chained
+    replacements actually apply. Counting every pattern on the original
+    text disagrees in both directions: an email whose local part contains
+    an SSN shape counts a phantom <SSN>, and a boundary created by an
+    earlier substitution can surface a real match the original missed."""
     docs = T(spark, sf_dir, "documents")
     clean = F.col("text")
     n = F.lit(0).cast("long")
     for tag, pat in _PII_PATTERNS:
-        n = n + F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0)))
+        n = n + F.size(F.regexp_extract_all(clean, F.lit(pat), F.lit(0)))
         clean = F.regexp_replace(clean, pat, tag)
     return docs.select(
         "doc_id",
@@ -158,8 +171,10 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PII_SQL_EXPR = "text"
 _PII_N_EXPR = []
 for _tag, _pat in _PII_PATTERNS:
+    # counts mirror the engine: each pattern counted on the text AFTER the
+    # previous replacements (sequential semantics)
+    _PII_N_EXPR.append(f"len(regexp_extract_all({_PII_SQL_EXPR}, '{_pat}'))")
     _PII_SQL_EXPR = f"regexp_replace({_PII_SQL_EXPR}, '{_pat}', '{_tag}', 'g')"
-    _PII_N_EXPR.append(f"len(regexp_extract_all(text, '{_pat}'))")
 
 PII_SCRUB_SQL = f"""
 SELECT doc_id,

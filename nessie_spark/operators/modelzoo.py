@@ -115,14 +115,12 @@ def model_zoo_maxent_cv_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
-def model_zoo_bow_nb_cv_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bag-of-words NaiveBayes zoo slot (fasttext role) on the documents
-    table: tokens = whitespace split, label = dense lang index (deterministic
-    row_number over the distinct langs). Rows-only gate (float posteriors);
-    pytest gates the contract."""
-    from nessie_spark.models.cv import cross_val_predict
-    from nessie_spark.models.zoo import BagOfWordsNB
-
+def _docs_lang_tokens(spark: SparkSession, sf_dir: str):
+    """Shared text-task framing for the classic-text zoo slots (bow_nb and
+    fasttext stay directly comparable because this is ONE function):
+    tokens = lower/trim whitespace split, label = dense lang index
+    (deterministic row_number over the distinct langs). Returns
+    (DataFrame[doc_id, tokens, label], n_classes)."""
     docs = T(spark, sf_dir, "documents")
     langs = docs.select("lang").distinct().withColumn(
         "label", (F.row_number().over(Window.orderBy("lang")) - 1).cast("int")
@@ -136,6 +134,18 @@ def model_zoo_bow_nb_cv_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
         )
     )
+    return df, n_cls
+
+
+def model_zoo_bow_nb_cv_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words NaiveBayes zoo slot (fasttext role) on the documents
+    table: tokens = whitespace split, label = dense lang index (deterministic
+    row_number over the distinct langs). Rows-only gate (float posteriors);
+    pytest gates the contract."""
+    from nessie_spark.models.cv import cross_val_predict
+    from nessie_spark.models.zoo import BagOfWordsNB
+
+    df, n_cls = _docs_lang_tokens(spark, sf_dir)
     out = cross_val_predict(df, BagOfWordsNB(n_cls), "doc_id", K_FOLDS)
     return out.select(
         "doc_id", "fold", "pred", (F.col("pred") != F.col("label")).alias("flag")
@@ -153,19 +163,7 @@ def model_zoo_fasttext_cv_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nessie_spark.models.cv import cross_val_predict
     from nessie_spark.models.zoo import FastTextClassifier
 
-    docs = T(spark, sf_dir, "documents")
-    langs = docs.select("lang").distinct().withColumn(
-        "label", (F.row_number().over(Window.orderBy("lang")) - 1).cast("int")
-    )
-    n_cls = langs.count()
-    df = (
-        docs.join(F.broadcast(langs), "lang")
-        .select(
-            "doc_id",
-            F.split(F.lower(F.trim("text")), r"\s+").alias("tokens"),
-            "label",
-        )
-    )
+    df, n_cls = _docs_lang_tokens(spark, sf_dir)
     # smaller solver budget than the class defaults and 3 folds: the gate
     # checks the distributed CV plumbing, not squeezed accuracy (pytest owns
     # semantics); each L-BFGS iteration is a fixed-overhead treeAggregate
@@ -202,11 +200,13 @@ def model_zoo_repeated_probas(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "label", F.col("probs").alias(f"p{t}")
         )
         out = p if out is None else out.join(p.drop("label"), "vec_id")
-    mean = F.zip_with(
-        F.zip_with("p0", "p1", lambda a, b: a + b),
-        F.col("p2"),
-        lambda ab, c: (ab + c) / T_REPS,
-    )
+    # mean built by folding over ALL T_REPS run columns — hard-coding
+    # p0..p2 would silently ignore extra runs (and mis-divide) if T_REPS
+    # is ever tuned
+    acc = F.col("p0")
+    for t in range(1, T_REPS):
+        acc = F.zip_with(acc, F.col(f"p{t}"), lambda a, b: a + b)
+    mean = F.transform(acc, lambda s: s / T_REPS)
     score = -F.aggregate(
         mean, F.lit(0.0), lambda acc, m: acc + m * F.log(m + F.lit(1e-300))
     )
@@ -524,8 +524,11 @@ def model_zoo_token_tagger_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         feat.select("doc_id", "pos", "label", toks.alias("toks"))
         .withColumn(
             "fold",
+            # h64, not xxhash64: every pseudo-random decision in the engine
+            # derives from the md5-based h64 (functions/core.py), which has
+            # a DuckDB twin — keeps this query promotable to an oracle pair
             F.pmod(
-                F.xxhash64(F.concat(F.lit("tagfold|"), F.col("doc_id").cast("string"))),
+                h64(F.concat(F.lit("tagfold|"), F.col("doc_id").cast("string"))),
                 F.lit(K_FOLDS),
             ).cast("int"),
         )

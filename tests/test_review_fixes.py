@@ -358,3 +358,50 @@ def test_trigger_seconds_selects_continuous_mode(spark, tmp_path):
     ing.start_auto_ingest(_DF(), str(tmp_path), str(tmp_path / "ck"),
                           trigger_seconds=7.0)
     assert captured == {"processingTime": "7.0 seconds"}
+
+
+def test_pii_counts_match_applied_redactions(spark):
+    """Chained replacements: counts reflect what was ACTUALLY redacted."""
+    from nessie_spark.operators.hygiene import pii_scrub
+
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="pii-")
+    spark.createDataFrame(
+        [
+            (1, "contact 123-45-6789@x.co today", "en", "s"),
+            (2, "ssn 123-45-6789 and ip 10.0.0.1", "en", "s"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = {r.doc_id: r for r in pii_scrub(spark, d).collect()}
+    # the email consumed the SSN shape: ONE redaction, not two
+    assert rows[1].clean_text == "contact <EMAIL> today"
+    assert rows[1].n_redactions == 1
+    assert rows[2].clean_text == "ssn <SSN> and ip <IP>"
+    assert rows[2].n_redactions == 2
+
+
+def test_api_null_label_rows_survive(spark):
+    from nessie_spark.api import ClassificationUncertainty, LabelAggregation
+
+    df = spark.createDataFrame(
+        [
+            ("a", [0.7, 0.3], [0, 0, 1]),
+            ("b", None, None),
+        ],
+        "label string, probabilities array<double>, ensemble_predictions array<int>",
+    ).withColumn("label", F.when(F.col("label") == "b", None).otherwise("a"))
+    cu = ClassificationUncertainty(classes=["a", "z"]).score(df)
+    got = {r.label: r.score for r in cu.collect()}
+    assert got["a"] is not None and got[None] is None
+
+    la = LabelAggregation(n_classes=2, label_col="lbl")
+    df2 = spark.createDataFrame(
+        [(0, [0, 0, 1]), (1, [1, 1, 1]), (0, None)],
+        "lbl int, ensemble_predictions array<int>",
+    )
+    out = la.score(df2).collect()
+    null_rows = [r for r in out if r.ensemble_predictions is None]
+    assert len(null_rows) == 1 and null_rows[0].flag is None
+    assert all(r.flag is not None for r in out if r.ensemble_predictions)
