@@ -25,6 +25,14 @@ from nessie_spark.operators.common import T, h64_sql
 N_MINHASH = 32
 N_BANDS = 8  # 4 rows per band
 JACCARD_T = 0.5
+
+# tokenizer whitespace: the EXPLICIT class valid identically in Java regex,
+# RE2 (DuckDB) and Python re — \s differs across the three dialects
+# (Java/Python include \x0B, RE2 does not), so any doc containing one of
+# the disputed characters would silently break engine/oracle parity
+import re as _re
+
+_WS = _re.compile(r"[ \t\n\f\r]+")
 DF_CAP = 64  # ngram_jaccard stop-shingle cutoff (max k² join fanout per shingle)
 
 
@@ -55,7 +63,7 @@ def _shingles(col):
 
         out = []
         for t in texts:
-            ts = (t or "").strip().split()
+            ts = _WS.split((t or "").strip(" ")) if (t or "").strip(" ") else []
             if len(ts) >= 3:
                 out.append(
                     list(dict.fromkeys(" ".join(ts[i : i + 3]) for i in range(len(ts) - 2)))
@@ -73,7 +81,7 @@ _SHINGLES_SQL = """
               THEN list_distinct([ ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
                                    for i in range(1, len(ts) - 1) ])
               ELSE [array_to_string(ts, ' ')] END AS sh
-  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM documents)
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\f\\r]+') AS ts FROM documents)
 """
 
 
@@ -99,26 +107,6 @@ FROM documents GROUP BY md5(text) ORDER BY canonical_id
 
 
 _MH_MOD = (1 << 60) - 93  # prime below 2^60
-
-
-def _mh_pair(s):
-    """(h1, h2) from ONE md5 per shingle: hex chars 1-15 and 16-30.
-
-    Double hashing mh_i = (h1 + i·h2) mod p gives 32 independent-enough
-    hash families at 1/32 the digest cost (the standard Kirsch-Mitzenmacher
-    construction) — and stays exactly reproducible in the oracle.
-    """
-    md = F.md5(s)
-    # h1: 60 bits (15 hex), h2: 56 bits (14 hex) so h1 + 31·h2 < 2^63
-    # (ANSI-safe: no int64 overflow for i ≤ 31)
-    h1 = F.conv(F.substring(md, 1, 15), 16, 10).cast("long")
-    h2 = F.conv(F.substring(md, 16, 14), 16, 10).cast("long")
-    return h1, h2
-
-
-def _mh_i(s, i: int):
-    h1, h2 = _mh_pair(s)
-    return (h1 + h2 * F.lit(i)) % F.lit(_MH_MOD)
 
 
 def _mh_sigs(sh_col, n_fams: int):
@@ -152,41 +140,6 @@ def _mh_sigs(sh_col, n_fams: int):
         return pd.Series(out)
 
     return _sig(sh_col)
-
-
-def _mh_pairs_arr(sh):
-    """Per-shingle (h1, h2) structs, md5 evaluated ONCE per shingle.
-
-    The naive per-family formulation recomputes md5 2×32 = 64 times per
-    shingle (Catalyst does not share subexpressions across separate
-    transform() calls); hashing once and deriving all 32 families by
-    integer math cut the sf0.1 LSH pipeline from 46 s to the cost of the
-    band join itself."""
-    hx = F.transform(sh, lambda s: F.md5(s))
-    return F.transform(
-        hx,
-        lambda m: F.struct(
-            F.conv(F.substring(m, 1, 15), 16, 10).cast("long").alias("h1"),
-            F.conv(F.substring(m, 16, 14), 16, 10).cast("long").alias("h2"),
-        ),
-    )
-
-
-def _mh_min_from_pairs(hp, i: int):
-    """min over precomputed (h1, h2) pairs of hash family i.
-
-    NB: the transform lambda must take exactly ONE parameter — PySpark
-    treats a second lambda parameter as the ARRAY INDEX, which would
-    silently replace the family index (a bug this function exists to
-    prevent)."""
-    return F.array_min(
-        F.transform(hp, lambda p: (p["h1"] + p["h2"] * F.lit(i)) % F.lit(_MH_MOD))
-    )
-
-
-def _mh_min(sh, i: int):
-    """min over shingles of hash family i (single-family convenience)."""
-    return _mh_min_from_pairs(_mh_pairs_arr(sh), i)
 
 
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -227,8 +180,17 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture's planted dups have J ≈ 1 — a pair at the 0.5 threshold is
     banding-missed with p ≈ 0.6 and would have failed the gate; ADVICE r1)."""
     docs = _spread(spark, T(spark, sf_dir, "documents"))
-    d = docs.select("doc_id", _shingles(F.col("text")).alias("sh"))
-    sig = d.select("doc_id", _mh_sigs(F.col("sh"), N_MINHASH).alias("sig"))
+    # materialize the two UDF stages once: d feeds sig plus BOTH candidate
+    # join-backs, and sig's banded form sits on both sides of the
+    # self-join — uncheckpointed, Catalyst re-executes the shingle UDF ~5x
+    # and the 32-family minhash UDF 2x (the same multi-consumer
+    # recomputation ngram_jaccard_top1 measured at 4x and fixed)
+    d = docs.select("doc_id", _shingles(F.col("text")).alias("sh")).localCheckpoint(
+        eager=True
+    )
+    sig = d.select(
+        "doc_id", _mh_sigs(F.col("sh"), N_MINHASH).alias("sig")
+    ).localCheckpoint(eager=True)
     rows_per_band = N_MINHASH // N_BANDS
     # band keys only — the shingle arrays do NOT ride the 8× band explode
     # through the shuffle; they are re-joined for the (few) candidate pairs
@@ -312,8 +274,8 @@ SELECT id_a, id_b,
        ROUND(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
              / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 6) AS jaccard
 FROM cand
-WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
-      / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= {JACCARD_T}
+WHERE ROUND(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+      / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 6) >= {JACCARD_T}
 ORDER BY id_a, id_b
 """
 
@@ -335,7 +297,7 @@ def _simhash_udf():
         shifts = np.arange(60, dtype=np.int64)
         out = []
         for t in texts:
-            ts = re.split(r"\s+", (t or "").strip())
+            ts = _WS.split((t or "").strip(" ")) if (t or "").strip(" ") else []
             H = np.array(
                 [
                     int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
@@ -376,7 +338,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_SIMHASH_SQL = f"""
 WITH th AS (
   SELECT doc_id, {h64_sql(x="t.tok")} AS h
-  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\f\\r]+')) AS tok
         FROM documents) t
 ), bits AS (
   SELECT doc_id, b.b AS b,
@@ -585,11 +547,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Physical plan (the 10^9-vector shape — NO driver collect, r1's
     ``emb.collect()`` was a driver OOM at scale): random-hyperplane sign
     bands (similarity.band_keys_udf, one vectorized matmul per Arrow batch)
-    → one exploded (band, key) equi-join for candidates → exact JVM-side
-    cosine on candidates only → min-aggregate. Duplicate candidate pairs
-    from multiple agreeing bands are NOT deduped before the aggregate: MIN
-    is idempotent and map-side partial aggregation absorbs them — cheaper
-    than a distinct shuffle.
+    → one exploded ID-ONLY (band, key) equi-join for candidates (the
+    embedding arrays are ~25x the bytes of the ids and must not ride the
+    band explode) → pair dedup → arrays joined back → exact JVM-side
+    cosine once per pair → min-aggregate.
 
     Recall contract: candidates require one agreeing 8-plane band of 8;
     P(candidate | cos) = 1-(1-p^8)^8 with p = 1-acos(cos)/π — ≈0.99 at
@@ -605,23 +566,31 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("e")
         ),
     )
+    # ID-ONLY candidate pairs through the band shuffle (the knn_pairs_from
+    # lesson: the 64-double arrays are ~25x the bytes of the ids); arrays
+    # join back AFTER pair dedup, so the exact cosine runs once per pair
+    # instead of once per agreeing band
     banded = emb.select(
         "vec_id",
-        "e",
         F.posexplode(band_keys_udf(EMB_BANDS, EMB_PLANES)(F.col("e"))).alias(
             "band", "bk"
         ),
     )
-    cand = (
-        banded.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), "band", "bk")
+    pairs = (
+        banded.select(F.col("vec_id").alias("id_a"), "band", "bk")
         .join(
-            banded.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"), "band", "bk"),
+            banded.select(F.col("vec_id").alias("id_b"), "band", "bk"),
             ["band", "bk"],
         )
         .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
+    scored = pairs.join(
+        emb.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea")), "id_a"
+    ).join(emb.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb")), "id_b")
     neigh = (
-        cand.where(F.round(cosine_sim(F.col("ea"), F.col("eb")), 6) >= COS_T)
+        scored.where(F.round(cosine_sim(F.col("ea"), F.col("eb")), 6) >= COS_T)
         .groupBy("id_a")
         .agg(F.min("id_b").alias("min_n"))
     )

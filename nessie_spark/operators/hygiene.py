@@ -55,7 +55,7 @@ def _doc_grams(df: DataFrame) -> DataFrame:
         # twin (RE2 \s is ASCII; trim() trims spaces) — Unicode Python
         # semantics would silently shift every gram on a doc with a
         # leading tab or NBSP
-        ws = re.compile(r"\s+", re.ASCII)
+        ws = re.compile(r"[ \t\n\f\r]+")  # explicit Java∩RE2∩Python class
         for pdf in batches:
             ids, srcs, grams = [], [], []
             for d, s, tx in zip(pdf["doc_id"], pdf["source"], pdf["text"]):
@@ -116,7 +116,7 @@ def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 CONTAMINATION_SQL = f"""
 WITH toks AS (
     SELECT doc_id, source,
-           regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+           regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\f\\r]+') AS ts
     FROM documents
     WHERE trim(text) <> ''
 ), grams AS (

@@ -405,7 +405,10 @@ def mean_distance_lof_scores(spark: SparkSession, sf_dir: str, k: int = LOF_K) -
     )
     return (
         emb.select("vec_id", "label")
-        .join(lof.select(F.col("qid").alias("vec_id"), "lof"), "vec_id")
+        # LEFT join: a point in a singleton class has no within-class
+        # neighbors and no defined LOF — it keeps a NULL score instead of
+        # silently vanishing from the output (the dense twin mirrors this)
+        .join(lof.select(F.col("qid").alias("vec_id"), "lof"), "vec_id", "left")
         .select("vec_id", "label", F.round("lof", 6).alias("score"))
         .orderBy("vec_id")
     )
@@ -423,6 +426,13 @@ def mean_distance_lof_scores_dense(spark: SparkSession, sf_dir: str) -> DataFram
     def _lof(pdf: pd.DataFrame) -> pd.DataFrame:
         X = np.stack(pdf["e"].to_numpy())  # (n, d)
         n = len(X)
+        if n == 1:
+            # singleton class: LOF undefined → NULL score (matches the
+            # distributed query's left-join semantics)
+            return pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "label": pdf["label"],
+                 "score": [None]}
+            )
         k = min(LOF_K, n - 1)
         # pairwise euclidean distances
         sq = ((X[:, None, :] - X[None, :, :]) ** 2).sum(-1)
@@ -617,23 +627,35 @@ def knn_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     (count-based p = c/k — exact rationals, identical across engines)."""
     nn = _knn_pairs(spark, sf_dir, k=5)
     counts = nn.groupBy("qid", "nlabel").agg(F.count(F.lit(1)).alias("cnt"))
+    # p = c / (actual neighborhood size), NOT c/k: an LSH-isolated point
+    # with fewer than k candidates must still see a proper distribution
+    # (reference semantics normalize over the returned neighbors)
     return (
         counts.groupBy("qid")
         .agg(
-            F.round(
-                -F.sum((F.col("cnt") / 5.0) * F.log(F.col("cnt") / 5.0)), 6
-            ).alias("score")
+            F.sum("cnt").alias("tot"),
+            (-F.sum(F.col("cnt") * F.log("cnt"))).alias("_nlogn"),
         )
-        .select(F.col("qid").alias("vec_id"), "score")
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.round(
+                F.col("_nlogn") / F.col("tot") + F.log("tot"), 6
+            ).alias("score"),
+        )
         .orderBy("vec_id")
     )
 
 
 KNN_ENTROPY_SQL = f"""
 WITH nn AS (SELECT * FROM ({_KNN_PAIRS_SQL}) WHERE rk <= 5),
-counts AS (SELECT qid, nlabel, COUNT(*) AS cnt FROM nn GROUP BY qid, nlabel)
-SELECT qid AS vec_id, ROUND(-SUM((cnt / 5.0) * ln(cnt / 5.0)), 6) AS score
-FROM counts GROUP BY qid ORDER BY vec_id
+counts AS (SELECT qid, nlabel, COUNT(*) AS cnt FROM nn GROUP BY qid, nlabel),
+ent AS (
+  SELECT qid, SUM(cnt) AS tot,
+         0.0 - SUM(cnt * ln(cnt)) AS nlogn
+  FROM counts GROUP BY qid
+)
+SELECT qid AS vec_id, ROUND(nlogn / tot + ln(tot), 6) AS score
+FROM ent ORDER BY vec_id
 """
 
 
@@ -646,7 +668,8 @@ def _knn_softmax_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Float discipline: neighbors are folded in rank order from a sorted
     array; the max-shift (min distance) cancels exactly in the ratio; class
     sums add a literal 0.0 for non-matching slots so both engines perform
-    the identical ordered float adds. Returns (vec_id, label, probs[4])."""
+    the identical ordered float adds. Returns (vec_id, label, probs[10] —
+    the full embeddings label domain)."""
     nn = _knn_pairs(spark, sf_dir, k=5)
     agg = nn.groupBy(
         F.col("qid").alias("vec_id"), F.col("qlabel").alias("label")
@@ -655,7 +678,10 @@ def _knn_softmax_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
     labs = F.transform("arr", lambda s: s["nlabel"])
     m = F.array_min(dists)
     sc = F.transform(
-        F.sequence(F.lit(0), F.lit(3)),  # N_CLASSES=4 (detectors3)
+        # the raw embeddings label domain is [0, 10) — the neighborhood
+        # distribution must cover it (a 4-class truncation would zero the
+        # probs of every point labeled >= 4 and unconditionally flag it)
+        F.sequence(F.lit(0), F.lit(9)),
         lambda c: F.aggregate(
             F.zip_with(dists, labs, lambda d, l: F.when(l == c, F.exp(m - d)).otherwise(F.lit(0.0))),
             F.lit(0.0),
@@ -685,7 +711,7 @@ sm AS (
 ),
 probs AS (
   SELECT vec_id, label,
-         list_transform([0, 1, 2, 3],
+         list_transform([0, 1, 2, 3, 4, 5, 6, 7, 8, 9],
            c -> list_sum(list_transform(list_zip(dists, labs),
                   t -> CASE WHEN t[2] = c THEN exp(m - t[1]) ELSE 0.0 END)) / s) AS p
   FROM sm

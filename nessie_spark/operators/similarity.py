@@ -155,25 +155,30 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     apples-to-apples). One self-join on the bucket key replaces the old
     union of per-band joins (8 copies of the band subplan)."""
     emb = _emb(spark, sf_dir)
+    # ID-only band join (the knn_pairs_from shape): the 64-double arrays
+    # stay out of the band explode and join back per deduped pair
     banded = emb.select(
-        "vec_id", "e", F.posexplode(_band_keys_udf()(F.col("e"))).alias("band", "bk")
+        "vec_id", F.posexplode(_band_keys_udf()(F.col("e"))).alias("band", "bk")
     )
     cand = (
         banded.where(F.col("vec_id") < N_QUERIES)
-        .select(
-            F.col("vec_id").alias("qid"), F.col("e").alias("qe"), "band", "bk"
-        )
+        .select(F.col("vec_id").alias("qid"), "band", "bk")
         .join(
-            banded.select(
-                F.col("vec_id").alias("nid"), F.col("e").alias("ne"), "band", "bk"
-            ),
+            banded.select(F.col("vec_id").alias("nid"), "band", "bk"),
             ["band", "bk"],
         )
         .where(F.col("qid") != F.col("nid"))
+        .select("qid", "nid")
         .dropDuplicates(["qid", "nid"])
     )
-    scored = cand.select(
-        "qid", "nid", F.round(cosine_sim(F.col("qe"), F.col("ne")), 6).alias("cos")
+    scored = (
+        cand.join(
+            emb.select(F.col("vec_id").alias("qid"), F.col("e").alias("qe")), "qid"
+        )
+        .join(emb.select(F.col("vec_id").alias("nid"), F.col("e").alias("ne")), "nid")
+        .select(
+            "qid", "nid", F.round(cosine_sim(F.col("qe"), F.col("ne")), 6).alias("cos")
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
     return (

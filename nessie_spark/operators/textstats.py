@@ -31,7 +31,7 @@ def lang_id_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID: count marker hits per language, predict the
     argmax (ties broken by fixed language order). Integer-exact."""
     docs = T(spark, sf_dir, "documents")
-    ts = F.split(F.trim(F.lower("text")), r"\s+")
+    ts = F.split(F.trim(F.lower("text")), r"[ \t\n\f\r]+")
     d = docs.select("doc_id", "lang", ts.alias("ts"))
     for lang in _LANG_ORDER:
         markers = F.array(*[F.lit(m) for m in _MARKERS[lang]])
@@ -67,7 +67,7 @@ def _lang_sql() -> str:
     cols = ", ".join(f"{cnt[lang]} AS c_{lang}" for lang in _LANG_ORDER)
     return f"""
 WITH d AS (
-  SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+  SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\f\\r]+') AS ts
   FROM documents
 ), counted AS (
   SELECT doc_id, lang, {cols} FROM d
@@ -84,7 +84,7 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     op; same shape as the reference's handcrafted featurizer P10,
     /root/reference/nessie/models/tagging/util.py:5-44)."""
     docs = T(spark, sf_dir, "documents")
-    ts = F.split(F.trim("text"), r"\s+")
+    ts = F.split(F.trim("text"), r"[ \t\n\f\r]+")
     stop = F.array(*[F.lit(w) for w in _MARKERS["en"]])
     n_tok = F.size(ts)
     mean_len = (F.length(F.trim("text")) - (n_tok - 1)).cast("double") / n_tok
@@ -111,7 +111,7 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUALITY_SQL = """
 WITH d AS (
-  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS ts
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '[ \\t\\n\\f\\r]+') AS ts
   FROM documents
 ), m AS (
   SELECT doc_id,
@@ -138,8 +138,8 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     regex ([a-z]+ runs, digit runs, other non-space chars) — the standard
     pre-tokenizer shape. Integer-exact."""
     docs = T(spark, sf_dir, "documents")
-    ws = F.size(F.split(F.trim("text"), r"\s+"))
-    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0))
+    ws = F.size(F.split(F.trim("text"), r"[ \t\n\f\r]+"))
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\f\r]"), 0))
     return docs.select(
         "doc_id",
         ws.alias("ws_tokens"),
@@ -152,9 +152,9 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TOKEN_COUNTS_SQL = """
 SELECT doc_id,
-       len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
-       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS bpe_tokens,
-       ROUND(CAST(n_chars AS DOUBLE) / len(regexp_split_to_array(trim(text), '\\s+')), 6)
+       len(regexp_split_to_array(trim(text), '[ \\t\\n\\f\\r]+')) AS ws_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\f\\r]')) AS bpe_tokens,
+       ROUND(CAST(n_chars AS DOUBLE) / len(regexp_split_to_array(trim(text), '[ \\t\\n\\f\\r]+')), 6)
          AS chars_per_token
 FROM documents ORDER BY doc_id
 """
@@ -171,7 +171,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     Values stay < 2^39 → no int64 overflow, ANSI-safe, exact in both
     engines. The task brief's document-fingerprinting op."""
     docs = T(spark, sf_dir, "documents")
-    ts = F.split(F.trim("text"), r"\s+")
+    ts = F.split(F.trim("text"), r"[ \t\n\f\r]+")
     fp = F.aggregate(
         F.transform(ts, lambda t: h64(t) % _MOD),
         F.lit(0).cast("long"),
@@ -184,7 +184,7 @@ DOC_FINGERPRINT_SQL = f"""
 SELECT doc_id,
        list_reduce(
          list_prepend(CAST(0 AS BIGINT),
-           list_transform(regexp_split_to_array(trim(text), '\\s+'),
+           list_transform(regexp_split_to_array(trim(text), '[ \\t\\n\\f\\r]+'),
                           t -> {h64_sql(x='t')} % {_MOD})),
          (acc, x) -> (acc * {_BASE} + x) % {_MOD}) AS fingerprint
 FROM documents ORDER BY doc_id

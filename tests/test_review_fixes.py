@@ -405,3 +405,67 @@ def test_api_null_label_rows_survive(spark):
     null_rows = [r for r in out if r.ensemble_predictions is None]
     assert len(null_rows) == 1 and null_rows[0].flag is None
     assert all(r.flag is not None for r in out if r.ensemble_predictions)
+
+
+def test_lof_singleton_class_keeps_row_with_null(spark, tmp_path):
+    import tempfile
+
+    import numpy as np
+
+    from nessie_spark.operators.probability import (
+        mean_distance_lof_scores,
+        mean_distance_lof_scores_dense,
+    )
+
+    d = tempfile.mkdtemp(prefix="lof-")
+    rng = np.random.RandomState(7)
+    rows = [
+        (int(i), [float(x) for x in rng.rand(64)], int(0 if i < 19 else 5))
+        for i in range(20)  # label 5 is a singleton class
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    out = {r.vec_id: r.score for r in mean_distance_lof_scores(spark, d).collect()}
+    assert len(out) == 20  # the singleton row SURVIVES
+    assert out[19] is None
+    dense = {
+        r.vec_id: r.score
+        for r in mean_distance_lof_scores_dense(spark, d).collect()
+    }
+    assert len(dense) == 20 and dense[19] is None
+
+
+def test_tokenizer_dialect_parity_on_hostile_whitespace(spark, tmp_path):
+    """Planted tabs/newlines/unicode-ws: engine and DuckDB oracle must
+    agree byte-for-byte (the \\s dialect divergence the review flagged)."""
+    import tempfile
+
+    import duckdb
+
+    import __spark_entry__ as E
+
+    d = tempfile.mkdtemp(prefix="ws-")
+    texts = [
+        "\tred fox jumps over the lazy dog and runs home fast",
+        "red fox jumps over the lazy dog and runs home fast\n",
+        "red fox\x0bjumps over the lazy dog and runs home fast",
+        "red fox jumps over the lazy dog and runs home fast",
+        "  red fox jumps over the lazy dog and runs home fast  ",
+        "plain words here with no tricks at all in sight today",
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", f"src{i % 2}", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    qs, sqls = E.queries(), E.oracle_sql()
+    for name in ("dedup_minhash_signatures", "dedup_simhash", "token_counts",
+                 "doc_fingerprints", "contamination_report"):
+        got = sorted(map(str, map(tuple, qs[name](spark, d).collect())))
+        want = sorted(map(str, map(tuple, con.execute(sqls[name]).fetchall())))
+        assert got == want, f"{name} diverges on hostile whitespace"
