@@ -386,8 +386,69 @@ DS_SOFT_TOL = 1e-12  # fixed-point early stop (post-convergence rounds are no-op
 _DS_FLOOR = 1e-12  # probability floor on confusion entries (zero-vote guard)
 
 
+DS_MAX_DRIVER_PATTERNS = 100_000  # above this, EM runs distributed
+
+
+def _ds_posterior(pat, pi, E, C):
+    """e-step: p_pc ∝ π_c · Π_w E_w(c, v_pw) — shared by both EM paths
+    (identical float order: ((π·E1)·E2)·…)."""
+    import numpy as np
+
+    s = np.tile(pi, (pat.shape[0], 1))
+    for w in range(pat.shape[1]):
+        s = s * E[w][:, pat[:, w]].T
+    return s / s.sum(axis=1, keepdims=True)
+
+
+def _ds_init_posterior(pat, C):
+    """Vote-fraction init (crowd-kit's majority-probability start)."""
+    import numpy as np
+
+    p = np.zeros((pat.shape[0], C))
+    for c in range(C):
+        p[:, c] = (pat == c).sum(axis=1) / pat.shape[1]
+    return p
+
+
+def _ds_mstep(Pi_sum, S, n, C, nW):
+    """m-step from the weighted sufficient statistics:
+    Pi_sum[c] = Σ_p m_p·p_pc;  S[w,c,k] = Σ_{p: v_pw=k} m_p·p_pc."""
+    import numpy as np
+
+    pi = Pi_sum / n
+    E = np.zeros((nW, C, C))
+    for w in range(nW):
+        for c in range(C):
+            tot = S[w, c].sum()
+            E[w, c] = (
+                np.maximum(S[w, c] / tot, _DS_FLOOR) if tot > 0 else 1.0 / C
+            )
+    return pi, E
+
+
+def _ds_batch_stats(pat, m, pi, E, C):
+    """Per-batch weighted stats for one EM round. pi/E None → init round."""
+    import numpy as np
+
+    nW = pat.shape[1]
+    p = _ds_init_posterior(pat, C) if pi is None else _ds_posterior(pat, pi, E, C)
+    wp = p * m[:, None]
+    Pi_part = wp.sum(axis=0)
+    S_part = np.zeros((nW, C, C))
+    for w in range(nW):
+        for k in range(C):
+            sel = pat[:, w] == k
+            if sel.any():
+                S_part[w, :, k] = wp[sel].sum(axis=0)
+    return Pi_part, S_part
+
+
 def soft_dawid_skene(
-    votes: DataFrame, n_classes: int = N_CLASSES, n_iter: int = DS_SOFT_ITERS
+    votes: DataFrame,
+    n_classes: int = N_CLASSES,
+    n_iter: int = DS_SOFT_ITERS,
+    workers: tuple = ("v1", "v2", "v3"),
+    max_driver_patterns: int = DS_MAX_DRIVER_PATTERNS,
 ) -> DataFrame:
     """SOFT (probabilistic) Dawid–Skene EM — the reference's crowd-kit
     semantics (/root/reference/nessie/detectors/label_aggregation.py:22-80:
@@ -399,13 +460,24 @@ def soft_dawid_skene(
     the exact-hash discipline).
 
     Distributed shape: one groupBy reduces the task table to its
-    sufficient statistic (the ≤ C^|W| vote-pattern histogram), the EM
-    rounds run weighted on that model-sized statistic, and one broadcast
-    join maps posteriors back to tasks — so 100 iterations cost one
-    shuffle + one join regardless of row count (no per-round jobs, no
-    lineage accretion, no checkpoints).
+    sufficient statistic (the ≤ C^|W| vote-pattern histogram), and the EM
+    rounds run WEIGHTED on the histogram, never on rows. Two regimes:
 
-    votes: DataFrame[vec_id, noisy, v1, v2, v3] with int class ids.
+    - **P ≤ max_driver_patterns** (e.g. the W=3 voters: 64 patterns): the
+      histogram collects to the driver (model-sized, same role as k-means
+      centroids) and 100 NumPy rounds cost one shuffle + one broadcast
+      join-back total.
+    - **P > max_driver_patterns** (many annotators — T MC-dropout passes is
+      C^T patterns): the histogram is localCheckpointed once and each EM
+      round is ONE Arrow-batched pass over it (mapInPandas partial stats →
+      driver sums the ≤ partitions model-sized partials → m-step on the
+      driver, |W|·C² + C doubles). State per round is the model only, so
+      lineage never accretes; the posterior join-back keys on the worker
+      columns (sort-merge at scale, AQE broadcasts when small). Both paths
+      share the same _ds_* kernels — tests/test_dawid_skene_soft.py proves
+      the forced-distributed W=8 run matches the straight-line NumPy twin.
+
+    votes: DataFrame[vec_id, noisy, *workers] with int class ids.
     Returns [vec_id, noisy, p0..p{C-1}, adjudicated, flag].
     """
     import numpy as np
@@ -413,74 +485,155 @@ def soft_dawid_skene(
     spark = votes.sparkSession
 
     C = n_classes
-    W = ["v1", "v2", "v3"]
+    W = list(workers)
+    nW = len(W)
 
-    # Sufficient statistic: the vote-pattern histogram. Every task with the
-    # same (v1, v2, v3) has the identical posterior in every EM round, so
-    # ONE distributed groupBy reduces 10^9 tasks to ≤ C^|W| = 64 weighted
-    # patterns; the 100 EM rounds then run weighted on the driver (same
-    # role as collecting 16 k-means centroids — model-sized, never
-    # row-sized). For many workers (T MC-dropout passes: C^T patterns) the
-    # histogram itself stays a DataFrame and EM falls back to per-round
-    # distributed aggregates; at this operator's W=3 the collect is exact
-    # and 64 rows.
-    hist = (
-        votes.groupBy(*W).agg(F.count(F.lit(1)).alias("m")).orderBy(*W).collect()
-    )
-    pat = np.array([[r[c] for c in W] for r in hist], dtype=np.int64)  # (P, |W|)
-    wts = np.array([r["m"] for r in hist], dtype=np.float64)  # (P,)
-    n = float(wts.sum())
-    P, nW = pat.shape
+    hist_df = votes.groupBy(*W).agg(F.count(F.lit(1)).alias("m"))
+    # orderBy fixes the driver path's float-sum order; limit(P_max+1) makes
+    # the regime probe and the driver-path collect the same single job.
+    hist = hist_df.orderBy(*W).limit(max_driver_patterns + 1).collect()
+    if not hist:  # empty votes table: empty result, not a shape error
+        return spark.createDataFrame(
+            [],
+            "vec_id long, noisy int, "
+            + ", ".join(f"p{c} double" for c in range(C))
+            + ", adjudicated int, flag boolean",
+        )
 
-    p = np.zeros((P, C))
-    for c in range(C):
-        p[:, c] = (pat == c).sum(axis=1) / nW
-    prev = None
-    for _ in range(n_iter):
-        # m-step (weighted): π_c = Σ_p m_p·p_pc / n;  e_w(c,k) ∝ Σ_{p: v_pw=k} m_p·p_pc
-        wp = p * wts[:, None]
-        pi = wp.sum(axis=0) / n
-        E = np.zeros((nW, C, C))
-        for w in range(nW):
-            for c in range(C):
-                s = np.array([wp[pat[:, w] == k, c].sum() for k in range(C)])
-                tot = s.sum()
-                E[w, c] = np.maximum(s / tot, _DS_FLOOR) if tot > 0 else 1.0 / C
-        flat = np.concatenate([pi, E.ravel()])
-        if prev is not None and np.max(np.abs(flat - prev)) < DS_SOFT_TOL:
-            break
-        prev = flat
-        # e-step: p_pc ∝ π_c · Π_w e_w(c, v_pw)
-        s = np.tile(pi, (P, 1))
-        for w in range(nW):
-            s = s * E[w][:, pat[:, w]].T
-        p = s / s.sum(axis=1, keepdims=True)
+    if len(hist) <= max_driver_patterns:
+        pat = np.array([[r[c] for c in W] for r in hist], dtype=np.int64)
+        wts = np.array([r["m"] for r in hist], dtype=np.float64)
+        n = float(wts.sum())
+        P = pat.shape[0]
 
-    adj = np.argmax(p, axis=1)  # first max ⇒ smallest class on ties
-    model = spark.createDataFrame(
-        [
-            (
-                *[int(x) for x in pat[i]],
-                *[float(x) for x in p[i]],
-                int(adj[i]),
-            )
-            for i in range(P)
-        ],
-        ", ".join(f"{c} int" for c in W)
-        + ", "
-        + ", ".join(f"p{c} double" for c in range(C))
-        + ", adjudicated int",
-    )
-    # join-back is a broadcast hash join on the ≤64-row model table
+        p = _ds_init_posterior(pat, C)
+        prev = None
+        for _ in range(n_iter):
+            wp = p * wts[:, None]
+            Pi_sum = wp.sum(axis=0)
+            S = np.zeros((nW, C, C))
+            for w in range(nW):
+                for c in range(C):
+                    S[w, c] = np.array(
+                        [wp[pat[:, w] == k, c].sum() for k in range(C)]
+                    )
+            pi, E = _ds_mstep(Pi_sum, S, n, C, nW)
+            flat = np.concatenate([pi, E.ravel()])
+            if prev is not None and np.max(np.abs(flat - prev)) < DS_SOFT_TOL:
+                break
+            prev = flat
+            p = _ds_posterior(pat, pi, E, C)
+
+        adj = np.argmax(p, axis=1)  # first max ⇒ smallest class on ties
+        model = spark.createDataFrame(
+            [
+                (
+                    *[int(x) for x in pat[i]],
+                    *[float(x) for x in p[i]],
+                    int(adj[i]),
+                )
+                for i in range(P)
+            ],
+            ", ".join(f"{c} int" for c in W)
+            + ", "
+            + ", ".join(f"p{c} double" for c in range(C))
+            + ", adjudicated int",
+        )
+        model = F.broadcast(model)  # ≤ max_driver_patterns rows
+    else:
+        model = _soft_ds_distributed_model(hist_df, W, C, n_iter)
+
     return (
         votes.select("vec_id", "noisy", *W)
-        .join(F.broadcast(model), W)
+        .join(model, W)
         .select(
             "vec_id", "noisy", *[f"p{c}" for c in range(C)], "adjudicated",
             (F.col("adjudicated") != F.col("noisy")).alias("flag"),
         )
         .orderBy("vec_id")
     )
+
+
+def _soft_ds_distributed_model(
+    hist_df: DataFrame, W: list, C: int, n_iter: int
+) -> DataFrame:
+    """Distributed weighted EM over a too-big-for-the-driver vote-pattern
+    histogram. Each round: one Arrow pass emits per-batch partial
+    (Pi, S) sufficient statistics (model-sized arrays), the driver sums
+    them and runs the m-step; the e-step is implicit in the next round's
+    pass (posterior recomputed from the broadcast model — no row-scale
+    state, no lineage growth on the checkpointed histogram)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    hist = hist_df.localCheckpoint(eager=True)  # one materialization, reused n_iter×
+    nW = len(W)
+
+    def stats_pass(pi, E):
+        def f(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            Pi_acc = np.zeros(C)
+            S_acc = np.zeros((nW, C, C))
+            m_acc = 0.0
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                pat = pdf[W].to_numpy(dtype=np.int64)
+                m = pdf["m"].to_numpy(dtype=np.float64)
+                Pi_p, S_p = _ds_batch_stats(pat, m, pi, E, C)
+                Pi_acc += Pi_p
+                S_acc += S_p
+                m_acc += float(m.sum())
+            yield pd.DataFrame(
+                {
+                    "pi": [Pi_acc.tolist()],
+                    "s": [S_acc.ravel().tolist()],
+                    "n": [m_acc],
+                }
+            )
+
+        parts = hist.mapInPandas(
+            f, "pi array<double>, s array<double>, n double"
+        ).collect()
+        Pi_sum = np.sum([np.array(r["pi"]) for r in parts], axis=0)
+        S = np.sum(
+            [np.array(r["s"]).reshape(nW, C, C) for r in parts], axis=0
+        )
+        n = float(sum(r["n"] for r in parts))
+        return Pi_sum, S, n
+
+    pi, E = None, None
+    prev = None
+    for _ in range(n_iter):
+        Pi_sum, S, n = stats_pass(pi, E)
+        pi, E = _ds_mstep(Pi_sum, S, n, C, nW)
+        flat = np.concatenate([pi, E.ravel()])
+        if prev is not None and np.max(np.abs(flat - prev)) < DS_SOFT_TOL:
+            break
+        prev = flat
+
+    pi_f, E_f = pi, E
+
+    def posterior_pass(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pat = pdf[W].to_numpy(dtype=np.int64)
+            p = _ds_posterior(pat, pi_f, E_f, C)
+            out = pdf[W].copy()
+            for c in range(C):
+                out[f"p{c}"] = p[:, c]
+            out["adjudicated"] = np.argmax(p, axis=1).astype(np.int32)
+            yield out
+
+    schema = (
+        ", ".join(f"{c} int" for c in W)
+        + ", "
+        + ", ".join(f"p{c} double" for c in range(C))
+        + ", adjudicated int"
+    )
+    return hist.drop("m").mapInPandas(posterior_pass, schema)
 
 
 def dawid_skene_soft_labels(spark: SparkSession, sf_dir: str) -> DataFrame:

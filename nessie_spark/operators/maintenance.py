@@ -492,9 +492,12 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = []
             for vid, data, n in zip(pdf["video_id"], pdf["data"], pdf["n_frames"]):
                 frames = K.decode_video_frames(bytes(data), every_k=3)
+                # digests is a comma-joined scalar (not array<string>): the
+                # driver's canonicalizer sorts/hashes every column and cannot
+                # factorize list values.
                 out.append(
                     (vid, int(n), len(frames),
-                     [K.pixel_digest(f)[:12] for f in frames])
+                     ",".join(K.pixel_digest(f)[:12] for f in frames))
                 )
             yield pd.DataFrame(
                 out, columns=["video_id", "n_frames", "n_sampled", "digests"]
@@ -502,7 +505,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return vids.mapInPandas(
         sample,
-        "video_id string, n_frames int, n_sampled int, digests array<string>",
+        "video_id string, n_frames int, n_sampled int, digests string",
     ).orderBy("video_id")
 
 

@@ -496,7 +496,29 @@ def _knn_pairs_exact(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     return pairs.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
 
 
+# The four knn_* registry queries share the banded-candidates subplan
+# byte-for-byte; without reuse each query recomputes the LSH band join from
+# the parquet scan (the same multi-consumer recompute the dedup ops fixed in
+# r3 with localCheckpoint). Memoized per (application, sf_dir, k): the first
+# query materializes the pairs once (localCheckpoint → block manager), the
+# other three read the checkpointed partitions. Keyed by applicationId so a
+# stopped/restarted session never sees a stale frame.
+_KNN_PAIRS_MEMO: dict[tuple, DataFrame] = {}
+
+
 def _knn_pairs(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, k)
+    hit = _KNN_PAIRS_MEMO.get(key)
+    if hit is not None:
+        return hit
+    nn = _knn_pairs_build(spark, sf_dir, k).localCheckpoint(eager=False)
+    if len(_KNN_PAIRS_MEMO) > 32:  # dead-session entries; bounded anyway
+        _KNN_PAIRS_MEMO.clear()
+    _KNN_PAIRS_MEMO[key] = nn
+    return nn
+
+
+def _knn_pairs_build(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     """k-NN pairs, LSH-bucketed (the 10^9-row shape — r1's crossJoin was a
     scale-killer): random-hyperplane sign bands → one exploded (band, key)
     equi-join for candidates → exact L2 on candidates → top-k. The fixture
@@ -765,6 +787,44 @@ FROM probs ORDER BY vec_id
 """
 
 
+def knn_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN as a first-class registry query — the reference's DEFAULT
+    kNN path (/root/reference/nessie/detectors/knn_entropy.py:64-74 builds a
+    faiss IndexFlatL2: exact L2, all-vs-all). The shipped knn_* detectors
+    use the LSH-bucketed candidates because all-pairs is the 10^9-row
+    scale-killer; this query is the exact correctness baseline (same role
+    as ann_cosine_topk for similarity search), O(N²) by construction and
+    documented as such. Ties break by (round(dist,4), nid) in both engines."""
+    nn = _knn_pairs_exact(spark, sf_dir, k=5)
+    return nn.select(
+        F.col("qid").alias("vec_id"),
+        F.col("qlabel").alias("label"),
+        "rk",
+        "nid",
+        "nlabel",
+        "dist",
+    ).orderBy("vec_id", "rk")
+
+
+KNN_EXACT_TOPK_SQL = """
+WITH emb AS (
+  SELECT vec_id, label, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS qid, a.label AS qlabel, b.vec_id AS nid, b.label AS nlabel,
+         ROUND(list_sum([ (x[1] - x[2]) * (x[1] - x[2])
+                          for x in list_zip(a.e, b.e) ]), 4) AS dist
+  FROM emb a JOIN emb b ON a.vec_id != b.vec_id
+), ranked AS (
+  SELECT qid, qlabel, nid, nlabel, dist,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS rk
+  FROM pairs
+)
+SELECT qid AS vec_id, qlabel AS label, rk, nid, nlabel, dist
+FROM ranked WHERE rk <= 5 ORDER BY vec_id, rk
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "classification_entropy_scores": (classification_entropy_scores, CLASSIFICATION_ENTROPY_SQL),
     "prediction_margin_scores": (prediction_margin_scores, PREDICTION_MARGIN_SQL),
@@ -781,4 +841,5 @@ QUERIES: dict[str, tuple] = {
     "knn_entropy_scores": (knn_entropy_scores, KNN_ENTROPY_SQL),
     "knn_softmax_entropy_scores": (knn_softmax_entropy_scores, KNN_SOFTMAX_ENTROPY_SQL),
     "knn_softmax_flagger_flags": (knn_softmax_flagger_flags, KNN_SOFTMAX_FLAGGER_SQL),
+    "knn_exact_topk": (knn_exact_topk, KNN_EXACT_TOPK_SQL),
 }

@@ -104,3 +104,48 @@ def test_spark_soft_ds_matches_numpy_twin(spark, votes_np):
     np.testing.assert_allclose(p_spark, p_twin, atol=1e-8, rtol=1e-6)
     assert [r.adjudicated for r in out] == adj_twin.tolist()
     assert all(r.flag == (r.adjudicated != r.noisy) for r in out)
+
+
+def test_distributed_path_matches_twin_w8(spark):
+    """Scale regime: W=8 annotators force the distributed weighted-EM path
+    (max_driver_patterns=1 ⇒ the histogram never collects; every round is
+    an Arrow stats pass + driver m-step). Must match the straight-line
+    NumPy twin — proving the two regimes implement ONE set of update
+    rules, so the operator no longer carries a C^W driver cap."""
+    rng = np.random.default_rng(7)
+    n, Wn = 60, 8
+    votes = rng.integers(0, C, size=(n, Wn)).astype(np.int64)
+    cols = [f"w{i}" for i in range(Wn)]
+    df = spark.createDataFrame(
+        [
+            (i, int(votes[i, 0]), *[int(x) for x in votes[i]])
+            for i in range(n)
+        ],
+        "vec_id long, noisy int, " + ", ".join(f"{c} int" for c in cols),
+    )
+    out = soft_dawid_skene(
+        df, workers=tuple(cols), n_iter=30, max_driver_patterns=1
+    ).collect()
+    p_twin, adj_twin = soft_ds_twin(votes, n_iter=30)
+
+    assert [r.vec_id for r in out] == list(range(n))
+    p_spark = np.array([[r[f"p{c}"] for c in range(C)] for r in out])
+    np.testing.assert_allclose(p_spark, p_twin, atol=1e-8, rtol=1e-6)
+    assert [r.adjudicated for r in out] == adj_twin.tolist()
+    assert all(r.flag == (r.adjudicated != r.noisy) for r in out)
+
+
+def test_driver_and_distributed_paths_agree(spark):
+    """The SAME input through both regimes (threshold flipped) produces
+    allclose posteriors and identical adjudications."""
+    votes_np = np.asarray(VOTES, dtype=np.int64)
+    df = spark.createDataFrame(
+        [(i, NOISY[i], int(v[0]), int(v[1]), int(v[2])) for i, v in enumerate(VOTES)],
+        "vec_id long, noisy int, v1 int, v2 int, v3 int",
+    )
+    drv = soft_dawid_skene(df, n_iter=40).collect()
+    dist = soft_dawid_skene(df, n_iter=40, max_driver_patterns=1).collect()
+    p_d = np.array([[r[f"p{c}"] for c in range(C)] for r in drv])
+    p_x = np.array([[r[f"p{c}"] for c in range(C)] for r in dist])
+    np.testing.assert_allclose(p_x, p_d, atol=1e-8, rtol=1e-6)
+    assert [r.adjudicated for r in drv] == [r.adjudicated for r in dist]
