@@ -622,10 +622,13 @@ class LabelAggregation(Detector):
         # from the histogram (their rows keep NULL outputs via the
         # left-join-back, per the module's NULL convention)
         w_expected = F.size(_c(self.votes_col))
+        # tie-break on the smaller width: desc(count) alone is
+        # nondeterministic across partitionings when two widths share the
+        # modal row count (r3 ADVICE)
         mode_w = (
             df.where(_c(self.votes_col).isNotNull())
             .groupBy(w_expected.alias("_w")).count()
-            .orderBy(F.desc("count")).limit(1)
+            .orderBy(F.desc("count"), F.asc("_w")).limit(1)
         ).collect()
         hist = (
             df.where(

@@ -177,8 +177,29 @@ def scan_changelog(
         ins_raw = _read(added_rel).withColumn("_h", h) if added_rel else None
         del_raw = _read(removed_rel).withColumn("_h", h) if removed_rel else None
         if ins_raw is not None and del_raw is not None:
-            ins = ins_raw.join(del_raw.select("image_id", "_h"), ["image_id", "_h"], "left_anti")
-            dele = del_raw.join(ins_raw.select("image_id", "_h"), ["image_id", "_h"], "left_anti")
+            # cancel by MULTIPLICITY, not existence: a left_anti on
+            # (key, hash) drops ALL copies when any match exists, so a
+            # rewrite that removed one of two identical rows would emit
+            # nothing (r3 ADVICE). Per side, keep count_this − count_other
+            # copies: rank duplicates and drop the first count_other of
+            # them (rows within a (key, hash) group are identical, so
+            # which copies survive is immaterial).
+            from pyspark.sql.window import Window
+
+            wdup = Window.partitionBy("image_id", "_h").orderBy("_h")
+            cd = del_raw.groupBy("image_id", "_h").agg(F.count(F.lit(1)).alias("_n_other"))
+            ci = ins_raw.groupBy("image_id", "_h").agg(F.count(F.lit(1)).alias("_n_other"))
+
+            def _cancel(side: DataFrame, other_counts: DataFrame) -> DataFrame:
+                return (
+                    side.join(other_counts, ["image_id", "_h"], "left")
+                    .withColumn("_rn", F.row_number().over(wdup))
+                    .where(F.col("_rn") > F.coalesce(F.col("_n_other"), F.lit(0)))
+                    .drop("_n_other", "_rn")
+                )
+
+            ins = _cancel(ins_raw, cd)
+            dele = _cancel(del_raw, ci)
         else:
             ins, dele = ins_raw, del_raw
         if ins is not None:

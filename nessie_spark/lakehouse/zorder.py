@@ -154,6 +154,7 @@ def equi_depth_bounds(
 def write_zorder_buckets(
     spark, df, root: str, job_id: str, phase: str, n_files: int,
     reencode: bool = False, data_columns: list[str] | None = None,
+    rows_per_file: int | None = None,
 ):
     """One data file per zkey bucket, bytes JVM-side until the final write:
     ``repartition(n_files, pid)`` co-locates each bucket in one task,
@@ -176,6 +177,14 @@ def write_zorder_buckets(
     from nessie_spark.lakehouse.writer import DATA_COLUMNS
 
     cols = data_columns or DATA_COLUMNS
+    # streaming fold: per-batch blooms must share one size (the final key
+    # count is unknown mid-fold), so size for the PLANNED rows per file —
+    # a fixed 10k budget saturates on big files (~300k rows/64MB) and
+    # silently disables point-lookup pruning on exactly the files Z-order
+    # clusters (r3 ADVICE). bloom_bits_for floors/caps the result.
+    from nessie_spark.lakehouse.bloom import bloom_bits_for
+
+    bloom_m = bloom_bits_for(rows_per_file or 10_000)
 
     def _write(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import os as _os
@@ -253,17 +262,11 @@ def write_zorder_buckets(
             mx("zhi", pc.max(sl.column("zkey")).as_py())
             mn("min_key", pc.min(sl.column("image_id")).as_py())
             mx("max_key", pc.max(sl.column("image_id")).as_py())
-            from nessie_spark.lakehouse.bloom import (
-                bloom_bits_for, bloom_from_keys, bloom_or,
-            )
+            from nessie_spark.lakehouse.bloom import bloom_from_keys, bloom_or
 
-            # streaming fold: per-batch blooms must share one size (the
-            # final key count is unknown mid-fold) — size for a generous
-            # per-file row budget instead of this batch's count
-            m = bloom_bits_for(10_000)
             st["bloom"] = bloom_or(
                 st["bloom"],
-                bloom_from_keys(sl.column("image_id").to_pylist(), m=m),
+                bloom_from_keys(sl.column("image_id").to_pylist(), m=bloom_m),
             )
 
         data_schema = None
@@ -795,6 +798,7 @@ def cluster(
         stats = write_zorder_buckets(
             spark, df, root, job_id, strategy, n_files, reencode=reencode,
             data_columns=ddl_columns(table.meta.get("schema", IMAGES_DDL)),
+            rows_per_file=-(-total_rows // max(1, n_files)),
         )
     else:
         raise NotImplementedError(f"unknown zorder execution {execution!r}")

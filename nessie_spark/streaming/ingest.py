@@ -29,10 +29,15 @@ from pyspark.sql.streaming import StreamingQuery
 from nessie_spark.lakehouse import jobs
 from nessie_spark.lakehouse.table import Table
 
-# driver-side small-file estimate per (table_root, stream_id): lets the
-# per-batch auto-compact check stay O(#manifests) instead of scanning
-# every manifest entry on every micro-batch (see ingest_batch)
+# driver-side small-file estimate per table_root: lets the per-batch
+# auto-compact check stay O(#manifests) instead of scanning every manifest
+# entry on every micro-batch (see ingest_batch). Keyed by table ONLY —
+# concurrent streams into one table share the counter, so each sees the
+# others' appends and compaction fires on the table-wide count (r3 ADVICE:
+# per-stream keys drifted low). Other-process writers still aren't visible;
+# _ESTIMATE_RESYNC_BATCHES bounds that drift with a periodic re-measure.
 _SMALL_FILE_ESTIMATE: dict = {}
+_ESTIMATE_RESYNC_BATCHES = 32  # force a full re-measure every N batches
 
 
 def ingest_batch(
@@ -60,11 +65,17 @@ def ingest_batch(
     fully out of the hot path."""
     spark = batch_df.sparkSession
     table = Table.load(table_root)
+    from nessie_spark.lakehouse import lineage
+
+    job_id = f"{stream_id}-b{batch_id}"
+    # detect a replayed micro-batch BEFORE appending: its -add manifest
+    # entries are already in the estimate; re-counting them double-counts
+    replayed = lineage.committed_snapshot(table.root, job_id) is not None
     snap = jobs.append(
         spark,
         table,
         batch_df,
-        job_id=f"{stream_id}-b{batch_id}",
+        job_id=job_id,
     )
     if auto_compact_small_files:
         import os
@@ -74,10 +85,12 @@ def ingest_batch(
         from nessie_spark.lakehouse.compact import compact
 
         t = table.refresh()
-        key = (table_root, stream_id)
+        key = table_root
         est = _SMALL_FILE_ESTIMATE.get(key)
-        if est is None:
-            est = auto_compact_small_files  # unknown → measure this batch
+        if est is None or batch_id % _ESTIMATE_RESYNC_BATCHES == 0:
+            est = auto_compact_small_files  # unknown/stale → measure this batch
+        elif replayed:
+            pass  # short-circuited append added no files
         else:
             # files this batch added = n_entries of its -add manifest
             # (appends are rarely larger than the small-file bar)

@@ -171,3 +171,52 @@ def test_net_changes_preserve_duplicate_multiplicity(spark, tmp_path):
     for i in range(4, 16):
         assert counts[f"img_{i:012d}"] == 1
     assert net.where(F.col("_change_type") == "delete").count() == 0
+
+
+def test_merge_branch_cancels_by_multiplicity(spark, tmp_path):
+    """A rewrite that drops ONE of two fully identical rows must emit ONE
+    delete — bidirectional existence anti-joins would cancel both copies
+    and emit nothing (r3 ADVICE: the docstring's duplicate-multiplicity
+    guarantee). Built by hand: append a file holding the same row twice,
+    then commit a merge-op snapshot replacing it with a one-copy file."""
+    import os
+
+    import pyarrow as pa
+
+    from nessie_spark.lakehouse.table import FILE_ENTRY_SCHEMA
+    from nessie_spark.lakehouse.writer import (
+        IMAGES_ARROW,
+        stats_entry_for,
+        write_table_file,
+    )
+
+    t, snap0 = make_table(spark, str(tmp_path / "tb"), n=8)
+    one = synth.images_df(spark, 1, seed=42)
+    snap1 = jobs.append(spark, t, one.unionByName(one), job_id="dup2")
+    t = t.refresh()
+
+    dup_paths = {
+        p
+        for p in t.file_entries(snap1, columns=["file_path"])
+        .column("file_path")
+        .to_pylist()
+        if "dup2" in p
+    }
+    full = pa.Table.from_pylist(
+        [r.asDict() for r in one.collect()], schema=IMAGES_ARROW
+    )
+    rel = "data/manual-merge-p00000.parquet"
+    size = write_table_file(full, os.path.join(t.root, rel))
+    entry = stats_entry_for(full, rel, size)
+    t.commit(
+        "merge",
+        added=pa.Table.from_pylist([entry], schema=FILE_ENTRY_SCHEMA),
+        deleted_paths=dup_paths,
+    )
+    t = t.refresh()
+
+    cl = scan_changelog(spark, t, from_snapshot_id=snap1)
+    rows = cl.collect()
+    assert len(rows) == 1, rows
+    assert rows[0]._change_type == "delete"
+    assert rows[0].image_id == "img_000000000000"
