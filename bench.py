@@ -206,10 +206,12 @@ def warm_up(spark) -> None:
     spark.range(0, 10_000, 1, 64).mapInArrow(_touch, "id long").count()
 
 
-def run_maintenance(spark, root: str) -> float:
+def run_maintenance(spark, root: str) -> tuple[float, dict]:
     """The timed job: FFD compaction (decode + PSNR verify) + Z-order
-    rewrite + stats + commits. Returns elapsed seconds; prints per-phase
-    timings to stderr (diagnosing WHICH phase loses scaling efficiency)."""
+    rewrite + stats + commits. Returns (elapsed seconds, per-phase dict) —
+    the breakdown diagnoses WHICH phase loses scaling efficiency or
+    regresses between rounds (r3's 41→51 s question was unanswerable from
+    one end-to-end number)."""
     from nessie_spark.lakehouse import compact, zorder
     from nessie_spark.lakehouse.table import Table
 
@@ -221,8 +223,9 @@ def run_maintenance(spark, root: str) -> float:
     t = t.refresh()
     zorder.cluster(spark, t, target_bytes=TARGET, job_id="bench-zorder", reencode=True)
     t2 = time.time()
+    phases = {"compact": round(t1 - t0, 3), "zorder": round(t2 - t1, 3)}
     print(f"[phases] compact={t1 - t0:.2f}s zorder={t2 - t1:.2f}s", file=sys.stderr)
-    return t2 - t0
+    return t2 - t0, phases
 
 
 def time_queries(spark) -> dict[str, float]:
@@ -249,7 +252,7 @@ def time_queries(spark) -> dict[str, float]:
     return out
 
 
-def one_run(base: str, cores: int, rep: int) -> tuple[float, float]:
+def one_run(base: str, cores: int, rep: int) -> tuple[float, float, dict]:
     """Each timed run in a FRESH subprocess: create/stop SparkSession
     cycles inside one JVM contaminate later runs (metaspace/GC state),
     and each rep runs low-then-high — reusing the process biased the
@@ -274,6 +277,7 @@ def one_run(base: str, cores: int, rep: int) -> tuple[float, float]:
     _drop_caches()
     el = None
     speed = -1.0
+    phases: dict = {}
     last_err = ""
     for att in range(2):
         try:
@@ -297,6 +301,8 @@ def one_run(base: str, cores: int, rep: int) -> tuple[float, float]:
                 for ln in lines:
                     if ln.startswith("SPEED "):
                         speed = float(ln.split()[1])
+                    elif ln.startswith("PHASES "):
+                        phases = json.loads(ln[len("PHASES "):])
                 break
             except (ValueError, IndexError):
                 last_err = "unparseable child stdout: " + out.stdout[-500:]
@@ -313,17 +319,24 @@ def one_run(base: str, cores: int, rep: int) -> tuple[float, float]:
         sampler = _SpeedSampler()
         sampler.start()
         try:
-            el = run_maintenance(s, root)
+            el, phases = run_maintenance(s, root)
         finally:
             speed = sampler.stop()
             s.stop()
     shutil.rmtree(os.path.dirname(root), ignore_errors=True)
     shutil.rmtree(os.path.join(WORK, f"spark-local-{cores}"), ignore_errors=True)
-    return el, speed
+    return el, speed, phases
 
 
-def run_scaling(low: int, mid: int) -> tuple[dict[int, float], list[tuple[float, float]], int]:
-    """Interleaved scaling measurement. Returns (runs, rep_times, rejected)."""
+def run_scaling(
+    low: int, mid: int
+) -> tuple[dict[int, float], list[tuple[float, float]], int, dict[int, dict]]:
+    """Interleaved scaling measurement.
+
+    Returns (runs, rep_times, rejected, phases_by_level) — phases_by_level
+    carries the compact/zorder split of the FASTEST run at each level, so a
+    round-over-round wall regression can be pinned to a phase instead of
+    re-litigating host drift from one end-to-end number (r3 postmortem)."""
     os.makedirs(WORK, exist_ok=True)
     base = os.path.join(WORK, "base", "images")
 
@@ -354,6 +367,7 @@ def run_scaling(low: int, mid: int) -> tuple[dict[int, float], list[tuple[float,
     #      doubt — or where a sampler died (speed < 0).
     # Each rep entry: (t_low, t_high, corrected_eff, s_low, s_high).
     rep_times: list[tuple[float, float, float, float, float]] = []
+    phase_best: dict[int, tuple[float, dict]] = {}
     rejected = 0
     max_reps = n_runs + (0 if FAST else 7)
     attempt = 0
@@ -369,14 +383,17 @@ def run_scaling(low: int, mid: int) -> tuple[dict[int, float], list[tuple[float,
         and (time.time() - loop_t0 < budget_s or not rep_times)
     ):
         low_first = attempt % 2 == 0
-        t_first, sp_first = one_run(base, low if low_first else mid, attempt)
-        t_second, sp_second = one_run(base, mid if low_first else low, attempt)
+        t_first, sp_first, ph_first = one_run(base, low if low_first else mid, attempt)
+        t_second, sp_second, ph_second = one_run(base, mid if low_first else low, attempt)
         attempt += 1
-        (t_low, s_low), (t_high, s_high) = (
-            ((t_first, sp_first), (t_second, sp_second))
+        (t_low, s_low, ph_low), (t_high, s_high, ph_high) = (
+            ((t_first, sp_first, ph_first), (t_second, sp_second, ph_second))
             if low_first
-            else ((t_second, sp_second), (t_first, sp_first))
+            else ((t_second, sp_second, ph_second), (t_first, sp_first, ph_first))
         )
+        for c, t, ph in ((low, t_low, ph_low), (mid, t_high, ph_high)):
+            if ph and (c not in phase_best or t < phase_best[c][0]):
+                phase_best[c] = (t, ph)
         print(
             f"[bench] rep{attempt - 1} speeds low={s_low:.1f} high={s_high:.1f}",
             file=sys.stderr,
@@ -402,12 +419,15 @@ def run_scaling(low: int, mid: int) -> tuple[dict[int, float], list[tuple[float,
     runs = {low: best_low, mid: best_high}
     if CPUS > mid:
         try:
-            runs[CPUS] = one_run(base, CPUS, 0)[0]
+            t_smt, _sp, ph_smt = one_run(base, CPUS, 0)
+            runs[CPUS] = t_smt
+            if ph_smt:
+                phase_best[CPUS] = (t_smt, ph_smt)
         except Exception:
             print("[bench] SMT-regime run failed (secondary; skipped):", file=sys.stderr)
             traceback.print_exc()
     shutil.rmtree(os.path.join(WORK, "base"), ignore_errors=True)
-    return runs, rep_times, rejected
+    return runs, rep_times, rejected, {c: ph for c, (_t, ph) in phase_best.items()}
 
 
 def main() -> None:
@@ -421,8 +441,9 @@ def main() -> None:
     runs: dict[int, float] = {}
     rep_times: list[tuple[float, float]] = []
     rejected = 0
+    phases_by_level: dict[int, dict] = {}
     try:
-        runs, rep_times, rejected = run_scaling(low, mid)
+        runs, rep_times, rejected, phases_by_level = run_scaling(low, mid)
     except Exception:
         # A dead scaling phase must not zero the whole bench (r1 shipped
         # parsed=null); emit queries + the error instead.
@@ -486,6 +507,9 @@ def main() -> None:
             ),
             "rejected_reps": rejected,
             "passes_0_8": eff_primary >= 0.8,
+            # compact/zorder wall split of the fastest run at each level —
+            # pins any round-over-round regression to a phase
+            "phases": {str(c): ph for c, ph in sorted(phases_by_level.items())},
             "per_rep": [
                 {
                     "sec_low": round(tl, 3),
@@ -517,6 +541,15 @@ def main() -> None:
             traceback.print_exc()
     else:
         result["scaling"] = {"error": scaling_err or "no successful runs"}
+    # Durable full copy: the driver's BENCH_r{N}.json capture truncated the
+    # per-query dict in r3 ("parsed": null) — a file in-repo survives that.
+    try:
+        if not FAST:
+            os.makedirs("BENCH", exist_ok=True)
+            with open("BENCH/BENCH_local.json", "w") as fh:
+                json.dump(result, fh, indent=2)
+    except Exception:
+        traceback.print_exc()
     print(json.dumps(result))
 
 
@@ -575,9 +608,10 @@ def _one_run_child(cores: int, root: str) -> None:
     sampler.start()  # only around the TIMED section: warm_up is untimed but
     # cheap relative to the run; starting here keeps the sampler window a
     # strict superset of the timed window with ~1 s of slack at each end
-    el = run_maintenance(s, root)
+    el, phases = run_maintenance(s, root)
     speed = sampler.stop()
     s.stop()
+    print(f"PHASES {json.dumps(phases)}")
     print(f"SPEED {speed}")
     print(el)
 

@@ -130,6 +130,9 @@ def refresh_matview(
                     "anchor_snapshot_id": head,
                     "group_cols": group_cols,
                     "sums": sums,
+                    # durable audit: lets operators (and tests) verify the
+                    # view is being maintained incrementally, not rebuilt
+                    "last_mode": mode,
                 },
                 fh,
             )
@@ -183,7 +186,7 @@ def refresh_matview(
         _retag(head)
         tmp = _state_path(view_root) + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump({**st, "anchor_snapshot_id": head}, fh)
+            json.dump({**st, "anchor_snapshot_id": head, "last_mode": "noop"}, fh)
         os.replace(tmp, _state_path(view_root))
         rows = read_matview(spark, view_root).count()
         return MatviewResult(name, "noop", anchor, head, 0, rows)

@@ -47,8 +47,20 @@ def ingest_batch(
     batch_id: int,
     auto_compact_small_files: int | None = None,
     compact_target_bytes: int = 8 * 1024 * 1024,
+    matviews: list[dict] | None = None,
 ) -> int:
     """Append one micro-batch; replay-safe via the derived job_id.
+
+    ``matviews``: materialized views to keep current with the stream —
+    each dict is ``{"view_root": str, "name"?, "group_cols"?, "sums"?}``
+    (spec fields only matter on the creating batch; later refreshes reuse
+    the stored spec). After the append (and any auto-compaction) each view
+    incrementally refreshes from its changelog anchor — cost ∝ this
+    batch's rows + |view|, never table size. Replay/crash safety comes
+    from the anchor being a SNAPSHOT id, not a batch id: a replayed batch
+    short-circuits to the committed snapshot and the refresh is a noop; a
+    crash between append and refresh just widens the next refresh's
+    changelog window. No separate matview journal needed.
 
     ``auto_compact_small_files``: continuous maintenance — after the
     append, if the live snapshot holds at least this many files below half
@@ -124,6 +136,19 @@ def ingest_batch(
                 small = max(0, small - res.input_files + res.output_files)
             est = small
         _SMALL_FILE_ESTIMATE[key] = est
+    if matviews:
+        from nessie_spark.lakehouse.matview import refresh_matview
+
+        t = table.refresh()
+        for spec in matviews:
+            refresh_matview(
+                spark,
+                t,
+                spec["view_root"],
+                name=spec.get("name", "view"),
+                group_cols=spec.get("group_cols"),
+                sums=spec.get("sums"),
+            )
     return snap
 
 
@@ -136,6 +161,7 @@ def start_auto_ingest(
     trigger_seconds: float | None = None,
     auto_compact_small_files: int | None = None,
     compact_target_bytes: int = 8 * 1024 * 1024,
+    matviews: list[dict] | None = None,
 ) -> StreamingQuery:
     """Start ingesting ``stream_df`` (images schema) into the table.
 
@@ -143,8 +169,9 @@ def start_auto_ingest(
     (the batch-backfill / test mode); pass ``trigger_seconds`` for a
     continuous micro-batch cadence instead (an explicit cadence overrides
     the default drain mode — the two are mutually exclusive).
-    ``auto_compact_small_files`` turns on continuous maintenance (see
-    ``ingest_batch``)."""
+    ``auto_compact_small_files`` turns on continuous maintenance and
+    ``matviews`` keeps materialized aggregate views current per batch
+    (see ``ingest_batch``)."""
     if trigger_seconds is not None:
         # an explicit cadence means continuous mode; silently draining and
         # stopping instead would ignore the caller's stated intent
@@ -154,6 +181,7 @@ def start_auto_ingest(
             table_root, stream_id, bdf, bid,
             auto_compact_small_files=auto_compact_small_files,
             compact_target_bytes=compact_target_bytes,
+            matviews=matviews,
         )
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:

@@ -145,3 +145,77 @@ def test_streaming_auto_compact_maintains_file_count(spark, tmp_path):
     t = Table.load(root)
     assert len(t.meta["snapshots"]) == snaps_before
     assert scan(spark, t).count() == 60
+
+
+def test_streaming_matview_stays_consistent(spark, tmp_path):
+    """foreachBatch → incremental matview refresh: appends via auto_ingest
+    keep the view equal to a full re-aggregate WITHOUT rebuilds — after the
+    first (initial) batch every refresh must run in incremental/noop mode
+    (last_mode audit in the view state)."""
+    import json
+
+    from nessie_spark.lakehouse.matview import read_matview
+    from nessie_spark.lakehouse.table import Table
+
+    root = str(tmp_path / "images")
+    src_dir = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    view = str(tmp_path / "mv")
+    jobs.create_images_table(root)
+    synth.images_df(spark, 40, seed=11).write.mode("append").parquet(src_dir)
+
+    stream = spark.readStream.schema(
+        synth.images_df(spark, 1, seed=11).schema
+    ).option("maxFilesPerTrigger", "1").parquet(src_dir)
+    mvspec = [
+        {"view_root": view, "name": "by_fmt", "group_cols": ["fmt"], "sums": ["w", "h"]}
+    ]
+    q = start_auto_ingest(stream, root, ckpt, stream_id="mv1", matviews=mvspec)
+    assert q.awaitTermination(180)
+
+    def _full_agg(t):
+        return {
+            (r["fmt"],): (r["cnt"], r["sum_w"], r["sum_h"])
+            for r in scan(spark, t)
+            .groupBy("fmt")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.col("w").cast("long")).alias("sum_w"),
+                F.sum(F.col("h").cast("long")).alias("sum_h"),
+            )
+            .collect()
+        }
+
+    def _view_agg():
+        return {
+            (r["fmt"],): (r["cnt"], r["sum_w"], r["sum_h"])
+            for r in read_matview(spark, view).collect()
+        }
+
+    t = Table.load(root)
+    assert _view_agg() == _full_agg(t)
+    st = json.load(open(os.path.join(view, "_matview.json")))
+    assert st["anchor_snapshot_id"] == t.current_snapshot_id
+
+    # second wave of files + stream restart: the view follows incrementally
+    synth.images_df(spark, 20, seed=12).withColumn(
+        "image_id", F.concat(F.lit("z-"), "image_id")
+    ).write.mode("append").parquet(src_dir)
+    q2 = start_auto_ingest(stream, root, ckpt, stream_id="mv1", matviews=mvspec)
+    assert q2.awaitTermination(180)
+
+    t = Table.load(root)
+    assert scan(spark, t).count() == 60
+    assert _view_agg() == _full_agg(t)
+    st = json.load(open(os.path.join(view, "_matview.json")))
+    assert st["last_mode"] in ("incremental", "noop")  # never a rebuild
+    assert st["version"] > 1  # it DID refresh past the initial build
+
+    # replayed micro-batch: append short-circuits, refresh is a pure noop
+    ver_before = st["version"]
+    ingest_batch(
+        root, "mv1", synth.images_df(spark, 40, seed=11), batch_id=0, matviews=mvspec
+    )
+    st = json.load(open(os.path.join(view, "_matview.json")))
+    assert st["version"] == ver_before  # noop path rewrites no data dir
+    assert _view_agg() == _full_agg(Table.load(root))
