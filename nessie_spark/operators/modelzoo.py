@@ -562,6 +562,216 @@ def model_zoo_token_tagger_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "pos")
 
 
+# ---------------------------------------------------------------------------
+# O14 — CRF-style sequence tagger: structured perceptron, parameter mixing
+# ---------------------------------------------------------------------------
+
+CRF_D = 1 << 12  # hashed feature space (matches the MaxEnt tagger's 2^12)
+CRF_L = 3  # O / B / I
+CRF_SHARDS = 8
+CRF_ROUNDS = 3  # parameter-mixing rounds
+CRF_EPOCHS = 2  # local perceptron epochs per shard per round
+
+
+def _crf_feats(words: list, i: int):
+    """Hashed active-feature indices for token i — the same window the
+    reference featurizer spans (models/tagging/util.py:5-44: word, prefix,
+    suffix, ±1 words, bias), crc32-hashed (process-stable, unlike Python's
+    salted hash) into CRF_D buckets."""
+    import zlib
+
+    w = words[i].lower()
+    pw = words[i - 1].lower() if i > 0 else "^"
+    nw = words[i + 1].lower() if i < len(words) - 1 else "$"
+    fs = ("w=" + w, "p3=" + w[:3], "s3=" + w[-3:], "pw=" + pw, "nw=" + nw, "bias")
+    return [zlib.crc32(f.encode()) % CRF_D for f in fs]
+
+
+def _crf_viterbi(esc, tmat):
+    """Max-score label path. esc: (n, L) emission scores; tmat: (L+1, L)
+    transitions, row L = start. O(n·L²), vectorized over L."""
+    import numpy as np
+
+    n, L = esc.shape
+    dp = esc[0] + tmat[L]
+    bp = np.zeros((n, L), dtype=np.int64)
+    for t in range(1, n):
+        cand = dp[:, None] + tmat[:L]  # (from, to)
+        bp[t] = np.argmax(cand, axis=0)  # ties → lowest label id
+        dp = cand[bp[t], np.arange(L)] + esc[t]
+    path = np.empty(n, dtype=np.int64)
+    path[-1] = int(np.argmax(dp))
+    for t in range(n - 1, 0, -1):
+        path[t - 1] = bp[t, path[t]]
+    return path
+
+
+def _crf_sentences(pdf):
+    """(feats, gold, doc_id, pos) per sentence, in deterministic doc order —
+    perceptron updates are order-dependent, so the order must not depend on
+    partitioning."""
+    import numpy as np
+
+    pdf = pdf.sort_values(["doc_id", "pos"])
+    out = []
+    for doc, g in pdf.groupby("doc_id", sort=True):
+        words = g["word"].tolist()
+        feats = np.array([_crf_feats(words, i) for i in range(len(words))])
+        out.append((feats, g["label"].to_numpy(), doc, g["pos"].to_numpy()))
+    return out
+
+
+def _crf_train_udf(w_em, w_tr):
+    """Per-shard AVERAGED structured perceptron (Collins 2002) from the
+    broadcast-in weights; returns one (shard, n_sentences, flat weights)
+    row for the driver's per-round weighted average — iterative parameter
+    mixing (McDonald et al. 2010), the standard distributed perceptron."""
+
+    def fit(pdf):
+        import numpy as np
+        import pandas as pd
+
+        W = w_em.copy()
+        Tm = w_tr.copy()
+        Wa = np.zeros_like(W)
+        Ta = np.zeros_like(Tm)
+        c = 0
+        sents = _crf_sentences(pdf)
+        for _ep in range(CRF_EPOCHS):
+            for feats, gold, _doc, _pos in sents:
+                esc = W[:, feats].sum(axis=2).T  # (n, L)
+                pred = _crf_viterbi(esc, Tm)
+                if not np.array_equal(pred, gold):
+                    for t in range(len(gold)):
+                        if pred[t] != gold[t]:
+                            W[gold[t], feats[t]] += 1.0
+                            W[pred[t], feats[t]] -= 1.0
+                    Tm[CRF_L, gold[0]] += 1.0
+                    Tm[CRF_L, pred[0]] -= 1.0
+                    for t in range(1, len(gold)):
+                        Tm[gold[t - 1], gold[t]] += 1.0
+                        Tm[pred[t - 1], pred[t]] -= 1.0
+                Wa += W
+                Ta += Tm
+                c += 1
+        if c:
+            Wa, Ta = Wa / c, Ta / c
+        else:  # empty shard: pass the inits through untouched
+            Wa, Ta = W, Tm
+        flat = np.concatenate([Wa.ravel(), Ta.ravel()])
+        return pd.DataFrame(
+            {
+                "shard": [int(pdf["shard"].iloc[0]) if len(pdf) else -1],
+                "n": [len(sents)],
+                "w": [flat.tolist()],
+            }
+        )
+
+    return fit
+
+
+def _crf_decode_udf(w_em, w_tr):
+    def dec(pdf):
+        import pandas as pd
+
+        rows = {"doc_id": [], "pos": [], "label": [], "pred": []}
+        for feats, gold, doc, pos in _crf_sentences(pdf):
+            esc = w_em[:, feats].sum(axis=2).T
+            pred = _crf_viterbi(esc, w_tr)
+            rows["doc_id"].extend([doc] * len(pos))
+            rows["pos"].extend(int(p) for p in pos)
+            rows["label"].extend(int(v) for v in gold)
+            rows["pred"].extend(int(v) for v in pred)
+        return pd.DataFrame(rows)
+
+    return dec
+
+
+def model_zoo_crf_tagger_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRF sequence tagger under O2 sentence-fold CV — the last reference
+    model family without a stand-in (r3 VERDICT missing #1).
+
+    Reference: models/tagging/handcrafted_crf_sequence_tagger.py:13-86
+    (sklearn_crfsuite lbfgs CRF over the handcrafted window features).
+    Spark-first re-expression: the linear-chain structure (emission +
+    transition scores, Viterbi decode) is kept exactly, but training is the
+    STRUCTURED PERCEPTRON with iterative parameter mixing — shards train
+    locally in one ``applyInPandas`` pass per round, the driver averages
+    the (L·D + (L+1)·L ≈ 12.3k-float) weight vectors weighted by shard
+    size, and re-broadcasts. Collect traffic is CRF_SHARDS tiny weight
+    rows per round, never token rows; every token-touching step is an
+    Arrow-batched grouped map. Deterministic end to end: crc32 feature
+    hashing, h64 fold/shard assignment, doc-sorted update order, uniform
+    argmax tie-breaks.
+
+    Labels: the corpus's deterministic BIO rule (runs of words of length
+    ≥5), shared with the MaxEnt tagger — so transitions carry real signal
+    (I never follows O). Output: Retag-shape flags. Rows-only gate (the
+    mixing average is no DuckDB one-liner); semantics gated in pytest
+    (held-out accuracy ≫ majority baseline + planted-noise recall)."""
+    import numpy as np
+
+    docs = T(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id", F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "word")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    fl = F.length("word") >= 5
+    did = F.col("doc_id").cast("string")
+    base = (
+        ex.select("doc_id", "pos", "word", fl.alias("fl"), F.lag(fl).over(w).alias("pfl"))
+        .select(
+            "doc_id",
+            "pos",
+            "word",
+            F.when(~F.col("fl"), 0)
+            .when(F.col("pfl").isNull() | ~F.col("pfl"), 1)
+            .otherwise(2)
+            .cast("int")
+            .alias("label"),
+            F.pmod(h64(F.concat(F.lit("tagfold|"), did)), F.lit(K_FOLDS))
+            .cast("int")
+            .alias("fold"),  # same folds as the MaxEnt tagger: comparable CV
+            F.pmod(h64(F.concat(F.lit("crfshard|"), did)), F.lit(CRF_SHARDS))
+            .cast("int")
+            .alias("shard"),
+        )
+        .localCheckpoint(eager=True)  # reused by K_FOLDS × (ROUNDS + 1) passes
+    )
+    parts = []
+    for f in range(K_FOLDS):
+        train = base.where(F.col("fold") != f)
+        w_em = np.zeros((CRF_L, CRF_D))
+        w_tr = np.zeros((CRF_L + 1, CRF_L))
+        for _r in range(CRF_ROUNDS):
+            rows = (
+                train.groupBy("shard")
+                .applyInPandas(_crf_train_udf(w_em, w_tr), "shard int, n long, w array<double>")
+                .collect()
+            )
+            tot = sum(r["n"] for r in rows) or 1
+            flat = sum(np.asarray(r["w"]) * r["n"] for r in rows) / tot
+            w_em = flat[: CRF_L * CRF_D].reshape(CRF_L, CRF_D)
+            w_tr = flat[CRF_L * CRF_D:].reshape(CRF_L + 1, CRF_L)
+        pred = (
+            base.where(F.col("fold") == f)
+            .groupBy("shard")
+            .applyInPandas(
+                _crf_decode_udf(w_em, w_tr), "doc_id long, pos int, label int, pred int"
+            )
+            .withColumn("fold", F.lit(f))
+        )
+        parts.append(pred)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "doc_id", "pos", "fold",
+        F.col("label").alias("noisy"), "pred",
+        (F.col("pred") != F.col("label")).alias("flag"),
+    ).orderBy("doc_id", "pos")
+
+
 def model_zoo_mlp_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neural zoo slot (flair/transformer classifier role →
     MultilayerPerceptronClassifier, distributed L-BFGS). Single seeded
@@ -603,6 +813,7 @@ QUERIES: dict[str, tuple] = {
     "curriculum_spotter_model_scores": (curriculum_spotter_model_scores, None),
     "leitner_spotter_model_scores": (leitner_spotter_model_scores, None),
     "model_zoo_token_tagger_cv": (model_zoo_token_tagger_cv, None),
+    "model_zoo_crf_tagger_cv": (model_zoo_crf_tagger_cv, None),
     "model_zoo_mlp_flags": (model_zoo_mlp_flags, None),
     "model_zoo_gbt_flags": (model_zoo_gbt_flags, None),
     "model_zoo_fasttext_cv_flags": (model_zoo_fasttext_cv_flags, None),
