@@ -74,6 +74,7 @@ _SAMPLE_PRIORITY = [
     "multimodal_frame_sample",
     # new in r4
     "knn_exact_topk",
+    "model_zoo_crf_tagger_cv",
 ]
 
 

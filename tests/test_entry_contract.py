@@ -64,6 +64,9 @@ def test_queries_registry_shape(spark):
         "model_zoo_fasttext_cv_flags",
         # IVF ANN (tests/test_ivf.py): float centroids; recall-gated
         "ann_ivf_topk",
+        # CRF tagger (tests/test_crf_tagger.py): parameter-mixing average
+        # is no DuckDB one-liner — accuracy/transition/noise-recall gated
+        "model_zoo_crf_tagger_cv",
     }
     no_oracle = {k for k in qs if k not in oracles} - PYTEST_GATED
     assert all(k.startswith(("maintenance_", "multimodal_")) for k in no_oracle)
