@@ -75,6 +75,8 @@ _SAMPLE_PRIORITY = [
     # new in r4
     "knn_exact_topk",
     "model_zoo_crf_tagger_cv",
+    "dropout_original_scores",
+    "dropout_variance_scores",
 ]
 
 

@@ -49,6 +49,46 @@ def dropout_uncertainty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def dropout_original_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DropoutUncertainty, ORIGINAL formulation (/root/reference/nessie/
+    detectors/dropout_uncertainty.py:55-69 — commented out in the
+    reference's live path, ported for completeness, r3 VERDICT missing #3):
+    score = (Σ_t y_t·y_t)/T − ȳ·ȳ over the same T=3 repeated softmax
+    distributions as the entropy formulation. Pure in-row array math —
+    zero shuffle, whole-stage codegen, a map over the scan at any scale."""
+    emb = T(spark, sf_dir, "embeddings")
+    p1, p2, p3 = (softmax_arr(_slice(lo)) for lo in (1, 5, 9))
+
+    def dot(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    mean = F.transform(
+        F.zip_with(F.zip_with(p1, p2, lambda a, b: a + b), p3, lambda s, c: s + c),
+        lambda v: v / F.lit(3.0),
+    )
+    first = (dot(p1, p1) + dot(p2, p2) + dot(p3, p3)) / F.lit(3.0)
+    return emb.select(
+        "vec_id", F.round(first - dot(mean, mean), 6).alias("score")
+    ).orderBy("vec_id")
+
+
+def dropout_variance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DropoutUncertainty, VARIANCE formulation (dropout_uncertainty.py:
+    72-77, the reference's other dead option): population variance of the
+    T=3 per-run argmax predictions — Var = E[x²] − E[x]². argmax ties
+    break to the FIRST max in numpy, Spark array_position, and DuckDB
+    list_position alike, so the gate is exact. Pure map, zero shuffle."""
+    emb = T(spark, sf_dir, "embeddings")
+    a1, a2, a3 = (_pred(lo).cast("double") for lo in (1, 5, 9))
+    mean = (a1 + a2 + a3) / F.lit(3.0)
+    meansq = (a1 * a1 + a2 * a2 + a3 * a3) / F.lit(3.0)
+    return emb.select(
+        "vec_id", F.round(meansq - mean * mean, 6).alias("score")
+    ).orderBy("vec_id")
+
+
 def _softmax_sql(lo: int, hi: int) -> str:
     return f"""
       (SELECT list_transform(
@@ -75,6 +115,50 @@ SELECT vec_id,
        ROUND(-list_sum(list_transform(mean,
              x -> CASE WHEN x > 0 THEN x * ln(x) ELSE 0.0 END)), 6) AS score
 FROM m ORDER BY vec_id
+"""
+
+
+DROPOUT_ORIGINAL_SQL = f"""
+WITH p AS (
+  SELECT vec_id,
+         {_softmax_sql(1, 4)} AS p1,
+         {_softmax_sql(5, 8)} AS p2,
+         {_softmax_sql(9, 12)} AS p3
+  FROM embeddings
+), m AS (
+  SELECT vec_id, p1, p2, p3,
+         list_transform(list_zip(p1, p2, p3),
+                        t -> ((t[1] + t[2]) + t[3]) / 3.0) AS mean
+  FROM p
+)
+SELECT vec_id,
+       ROUND((list_sum([x * x for x in p1])
+              + list_sum([x * x for x in p2])
+              + list_sum([x * x for x in p3])) / 3.0
+             - list_sum([x * x for x in mean]), 6) AS score
+FROM m ORDER BY vec_id
+"""
+
+
+def _argmax_sql(lo: int, hi: int) -> str:
+    return f"""
+      (SELECT CAST(list_position(e, list_max(e)) - 1 AS DOUBLE)
+       FROM (SELECT list_transform(embedding[{lo}:{hi}], v -> CAST(v AS DOUBLE)) AS e))
+    """
+
+
+DROPOUT_VARIANCE_SQL = f"""
+WITH s AS (
+  SELECT vec_id,
+         {_argmax_sql(1, 4)} AS a1,
+         {_argmax_sql(5, 8)} AS a2,
+         {_argmax_sql(9, 12)} AS a3
+  FROM embeddings
+)
+SELECT vec_id,
+       ROUND((a1 * a1 + a2 * a2 + a3 * a3) / 3.0
+             - ((a1 + a2 + a3) / 3.0) * ((a1 + a2 + a3) / 3.0), 6) AS score
+FROM s ORDER BY vec_id
 """
 
 
@@ -1415,6 +1499,8 @@ LEITNER_SQL = _leitner_sql()
 
 QUERIES: dict[str, tuple] = {
     "dropout_uncertainty_scores": (dropout_uncertainty_scores, DROPOUT_UNCERTAINTY_SQL),
+    "dropout_original_scores": (dropout_original_scores, DROPOUT_ORIGINAL_SQL),
+    "dropout_variance_scores": (dropout_variance_scores, DROPOUT_VARIANCE_SQL),
     "span_alignment": (span_alignment, SPAN_ALIGNMENT_SQL),
     "span_prob_aggregation": (span_prob_aggregation, SPAN_PROB_AGG_SQL),
     "variation_ngrams_span": (variation_ngrams_span, VARIATION_NGRAMS_SPAN_SQL),
