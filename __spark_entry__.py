@@ -75,6 +75,9 @@ _SAMPLE_PRIORITY = [
     # new in r4
     "knn_exact_topk",
     "model_zoo_crf_tagger_cv",
+    "maintenance_cluster_delta",
+    # below the driver's 50-row sampling window: oracle+pytest evidence
+    # locally, rotate into the window next round
     "dropout_original_scores",
     "dropout_variance_scores",
 ]

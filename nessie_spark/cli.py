@@ -33,7 +33,8 @@ def main(argv: list[str] | None = None) -> int:
         "--job",
         required=True,
         choices=[
-            "synth", "compact", "zorder", "hilbert", "expire", "gc",
+            "synth", "compact", "zorder", "hilbert", "zorder-delta",
+            "expire", "gc",
             "rewrite-manifests", "merge", "add-column", "incremental",
             "rollback", "inspect", "tag", "drop-tag", "delete-where",
             "purge-deletes", "stage-append", "publish", "drop-staged", "audit",
@@ -74,13 +75,22 @@ def main(argv: list[str] | None = None) -> int:
     out: dict = {"job": args.job, "table": args.table}
 
     if args.job == "synth":
+        import os as _os
+
         from nessie_spark import synth
         from nessie_spark.lakehouse import jobs
+        from nessie_spark.lakehouse.table import Table
 
-        t = jobs.create_images_table(
-            args.table,
-            properties={"write.sort-order": args.sort_order} if args.sort_order else None,
-        )
+        # create-or-append: a second synth run appends a fresh batch (the
+        # layout-decay fixture for zorder-delta / maintain demos) — vary
+        # --seed or the batch duplicates image_ids
+        if _os.path.exists(_os.path.join(args.table, "metadata")):
+            t = Table.load(args.table)
+        else:
+            t = jobs.create_images_table(
+                args.table,
+                properties={"write.sort-order": args.sort_order} if args.sort_order else None,
+            )
         df = synth.images_df(spark, args.rows, seed=args.seed)
         bounds = (
             synth.lognormal_file_boundaries(args.rows, seed=args.seed)
@@ -106,6 +116,13 @@ def main(argv: list[str] | None = None) -> int:
             strategy = "morton" if args.job == "zorder" else "hilbert"
             r = cluster(
                 spark, t, strategy=strategy, target_bytes=args.target_bytes, job_id=args.job_id
+            )
+            out.update(vars(r))
+        elif args.job == "zorder-delta":
+            from nessie_spark.lakehouse.zorder import cluster_incremental
+
+            r = cluster_incremental(
+                spark, t, target_bytes=args.target_bytes, job_id=args.job_id
             )
             out.update(vars(r))
         elif args.job == "expire":

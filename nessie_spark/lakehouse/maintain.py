@@ -8,8 +8,14 @@ them in dependency order:
 
     purge-deletes  (pending delete keys block every CoW rewrite)
     → compact      (small-file count ≥ threshold)
-    → cluster      (Z-order range overlap ≥ threshold — the layout has
-                    decayed under appends since the last clustering)
+    → cluster / cluster-delta
+                   (Z-order layout decayed under appends: the MINOR
+                    incremental cluster — zorder.cluster_incremental, cost
+                    ∝ unclustered delta — while the delta is a small
+                    fraction of the table and sorted runs haven't piled
+                    past max_sorted_runs; the MAJOR full rewrite — cost ∝
+                    table — otherwise. Compact runs first, so the delta
+                    the minor pass sorts is already bin-packed.)
     → rewrite-manifests (manifest count ≥ threshold)
     → expire + GC  (ancestor history beyond the retention policy)
 
@@ -58,6 +64,13 @@ class MaintenancePolicy:
     compact_min_small_files: int = 8
     recluster_overlap_pct: float = 0.25
     cluster_strategy: str = "morton"
+    # minor/major split (LSM discipline): layout decay is fixed by the
+    # CHEAP incremental cluster (cost ∝ unclustered delta) while the delta
+    # stays small and the sorted-run count stays low; a full rewrite (cost
+    # ∝ table) runs only when runs pile past max_sorted_runs or the decay
+    # is so large a full rewrite is no dearer per byte.
+    incremental_cluster_max_pct: float = 0.3  # delta bytes / table bytes
+    max_sorted_runs: int = 4
     purge_min_delete_keys: int = 1
     rewrite_manifests_min: int = 8
     expire_retain_last: int | None = 20
@@ -70,6 +83,9 @@ class HealthReport:
     small_files: int
     fill: float  # mean file size / target (1.0 = perfectly packed)
     zorder_overlap_pct: float
+    unclustered_files: int  # NULL zorder stats — never curve-ordered
+    unclustered_bytes_pct: float
+    sorted_runs: int  # max zkey-range overlap depth among clustered files
     pending_delete_files: int
     pending_delete_keys: int
     ancestor_snapshots: int
@@ -109,6 +125,22 @@ def table_health(table: Table, policy: MaintenancePolicy | None = None) -> Healt
         if b["zorder_lo"] < a["zorder_hi"]:
             overlaps += 1
     overlap_pct = overlaps / n if n else 0.0
+    total_bytes = sum(e["file_size_bytes"] for e in ents)
+    unclustered_bytes = sum(
+        e["file_size_bytes"] for e in ents if e["zorder_lo"] is None
+    )
+    # sorted runs = max zkey-range overlap depth (interval sweep): 1 after
+    # a full cluster (disjoint ranges), +1 per incremental run layered on
+    # top — the signal that decides minor vs major clustering.
+    events = sorted(
+        [(e["zorder_lo"], 1) for e in with_z]
+        + [(e["zorder_hi"], -1) for e in with_z],
+        key=lambda t: (t[0], t[1]),  # close before open at equal key
+    )
+    depth = runs = 0
+    for _, d in events:
+        depth += d
+        runs = max(runs, depth)
     dels = table.delete_files()
     # ancestor chain length from the current head
     by_id = {s["snapshot_id"]: s for s in table.meta["snapshots"]}
@@ -123,6 +155,11 @@ def table_health(table: Table, policy: MaintenancePolicy | None = None) -> Healt
         small_files=small,
         fill=round(fill, 4),
         zorder_overlap_pct=round(overlap_pct, 4),
+        unclustered_files=missing_z,
+        unclustered_bytes_pct=round(
+            unclustered_bytes / total_bytes if total_bytes else 0.0, 4
+        ),
+        sorted_runs=runs,
         pending_delete_files=len(dels),
         pending_delete_keys=sum(d["n_keys"] for d in dels),
         ancestor_snapshots=depth,
@@ -141,11 +178,24 @@ def plan_maintenance(
         actions.append("purge-deletes")
     if health.small_files >= policy.compact_min_small_files:
         actions.append("compact")
-    if (
-        health.live_files > 1
-        and health.zorder_overlap_pct >= policy.recluster_overlap_pct
-    ):
-        actions.append("cluster")
+    if health.live_files > 1:
+        if health.sorted_runs > policy.max_sorted_runs:
+            # runs piled up (each a prior minor cluster / the base layout):
+            # only a FULL rewrite merges them back to one disjoint layer
+            actions.append("cluster")
+        elif (
+            health.zorder_overlap_pct >= policy.recluster_overlap_pct
+            and health.unclustered_files > 0
+        ):
+            # layout decayed under appends — minor (delta-only) cluster
+            # while the decay is a small fraction of the table, full
+            # rewrite when it isn't (no cheaper per byte at that point,
+            # and it resets the run count for free)
+            actions.append(
+                "cluster"
+                if health.unclustered_bytes_pct > policy.incremental_cluster_max_pct
+                else "cluster-delta"
+            )
     if health.manifests >= policy.rewrite_manifests_min:
         actions.append("rewrite-manifests")
     if (
@@ -190,6 +240,13 @@ def maintain(
         )
         table = table.refresh()
         rep.snapshots["cluster"] = r.snapshot_id
+    if "cluster-delta" in actions:
+        r = _zorder.cluster_incremental(
+            spark, table, strategy=policy.cluster_strategy,
+            target_bytes=policy.target_bytes, job_id=f"{job_id}-zdelta",
+        )
+        table = table.refresh()
+        rep.snapshots["cluster-delta"] = r.snapshot_id
     if "rewrite-manifests" in actions:
         r = _manifest.rewrite_manifests(spark, table)
         table = table.refresh()

@@ -198,8 +198,9 @@ def _plan_files_distributed(
 
 # Snapshot operations that only REWRITE existing rows (same logical data,
 # new file layout) — an incremental append scan skips them entirely.
-_REWRITE_OPS = {"compact", "zorder", "hilbert", "rewrite-manifests", "expire", "gc",
-                "set-schema", "purge-deletes"}
+_REWRITE_OPS = {"compact", "zorder", "hilbert", "zorder-delta",
+                "rewrite-manifests", "expire", "gc", "set-schema",
+                "purge-deletes"}
 
 
 def _snapshot_ddl(table: Table, snapshot_id: int | None) -> str:

@@ -353,6 +353,7 @@ def run_staged(
     job_id: str,
     strategy: str,
     reencode: bool,
+    entries: list[dict] | None = None,
 ):
     """Staged two-phase Z-order rewrite — the engine's scale executor.
 
@@ -390,9 +391,15 @@ def run_staged(
     from nessie_spark.lakehouse.writer import stats_entry_for, write_table_file
 
     root = table.root
-    entries = table.file_entries(
+    # ``entries=None`` = full rewrite (every live file); a subset = an
+    # INCREMENTAL rewrite (cluster_incremental) — the caller deletes exactly
+    # these inputs and the commit carries the rest of the table forward.
+    subset = entries is not None
+    live_entries = table.file_entries(
         columns=["file_path", "file_size_bytes"]
     ).to_pylist()
+    if entries is None:
+        entries = live_entries
     total_bytes = sum(e["file_size_bytes"] for e in entries)
     # Task granularity: scatter bins and gather groups are DATA-sized at
     # ~64 MB — more executors mean fewer task waves over the SAME plan —
@@ -452,13 +459,25 @@ def run_staged(
         n_files = int(planned["n_files"])
         n_groups = int(planned["n_groups"])
         sbins = [list(b) for b in planned["sbins"]]
-        live = {e["file_path"] for e in entries}
+        live = {e["file_path"] for e in live_entries}
         plan_set = {p for b in sbins for p in b}
-        # a cluster is a FULL rewrite (the commit carries nothing): the
-        # planned inputs must equal the live set EXACTLY — a file appended
-        # after the crash would otherwise silently drop out of the table,
-        # and a rewritten-away input can no longer be read
-        if plan_set != live:
+        if subset:
+            # an incremental cluster rewrites a SUBSET: every planned input
+            # must still be live (a rewritten-away input can no longer be
+            # read), but files appended after the crash simply stay outside
+            # this job — the commit carries them forward untouched
+            gone = sorted(plan_set - live)
+            if gone:
+                raise ValueError(
+                    f"staged zorder {job_id!r} planned against {len(gone)} "
+                    f"input file(s) no longer live (e.g. {gone[0]}); the "
+                    "table changed since the crashed attempt — rerun with "
+                    "a NEW job_id"
+                )
+        elif plan_set != live:
+            # a full cluster's commit carries nothing: the planned inputs
+            # must equal the live set EXACTLY — a file appended after the
+            # crash would otherwise silently drop out of the table
             diff = sorted(plan_set.symmetric_difference(live))
             raise ValueError(
                 f"staged zorder {job_id!r} was planned against a different "
@@ -830,3 +849,116 @@ def cluster(
 
         _shutil.rmtree(stage_dir, ignore_errors=True)
     return ClusterResult(snap, job_id, strategy, len(entries), len(out_paths), rows)
+
+
+def cluster_incremental(
+    spark: SparkSession,
+    table: Table,
+    strategy: str = "morton",
+    target_bytes: int = DEFAULT_TARGET,
+    job_id: str | None = None,
+    reencode: bool = False,
+) -> ClusterResult:
+    """Minor (incremental) clustering: Z-order ONLY the files that have
+    never been curve-ordered — fresh appends and compaction outputs, whose
+    manifest entries carry NULL zorder stats — into one new sorted run,
+    carrying every already-clustered file forward untouched.
+
+    The LSM analog of ``cluster``: at 10^12 images a full-table rewrite
+    after every append batch is absurd (cost ∝ table), while this job's
+    cost is ∝ the DELTA — it reads and rewrites only the unclustered bytes.
+    The table afterwards holds multiple sorted runs, each internally
+    disjoint in zkey; tier-2 pruning already skips per file on zorder_lo/hi
+    whatever run a file belongs to, so a phash-range scan pays one extra
+    candidate file per run at worst, versus reading EVERY delta file when
+    the delta has no stats at all. ``maintain`` escalates to the full
+    ``cluster`` rewrite (merging all runs) only when runs pile past the
+    policy's ``max_sorted_runs`` — the classic minor/major compaction
+    split, amortizing full-rewrite IO across many append cycles.
+
+    Same staged two-phase executor, resume contract (pinned plan; planned
+    inputs must all still be live — files appended after a crash stay
+    outside the job), idempotent commit marker, and pixel path
+    (``reencode``) as ``cluster``. Reference parity: no analog (the
+    reference is a single-node library); this is Iceberg's
+    ``rewrite_data_files(strategy => 'sort', where => <new files>)`` role.
+    """
+    job_id = job_id or f"zdelta-{uuid.uuid4().hex[:8]}"
+    root = table.root
+
+    prev = lineage.committed_snapshot(root, job_id)
+    if prev is not None:
+        import shutil as _shutil
+
+        _shutil.rmtree(os.path.join(root, "_stage", job_id), ignore_errors=True)
+        return ClusterResult(prev, job_id, strategy, 0, 0, 0)
+    from nessie_spark.lakehouse.deletes import require_no_pending_deletes
+
+    require_no_pending_deletes(table, "incremental zorder cluster")
+
+    live = {
+        e["file_path"]: e
+        for e in table.file_entries(
+            columns=["file_path", "file_size_bytes", "record_count", "zorder_lo"]
+        ).to_pylist()
+    }
+
+    # Resume replays the PINNED delta: the plan's scatter bins define the
+    # input set (and the commit's deleted set) — re-deriving "unclustered"
+    # from a table that gained appends mid-crash would silently widen the
+    # job past its plan.
+    pinned = None
+    plan_path = os.path.join(root, "_stage", job_id, "PLAN.json")
+    if os.path.exists(plan_path):
+        import json as _json
+
+        with open(plan_path) as fh:
+            pinned = _json.load(fh)
+    if pinned is not None:
+        bounds = [int(x) for x in pinned["bounds"]]
+        n_files = int(pinned["n_files"])
+        delta_paths = [p for b in pinned["sbins"] for p in b]
+        delta = [live[p] for p in delta_paths if p in live]  # run_staged
+        # raises on any missing planned input before work starts
+    else:
+        delta = [e for e in live.values() if e["zorder_lo"] is None]
+        delta_paths = [e["file_path"] for e in delta]
+        if not delta:
+            return ClusterResult(None, job_id, strategy, 0, 0, 0)
+        delta_bytes = sum(e["file_size_bytes"] for e in delta)
+        n_files = max(1, math.ceil(delta_bytes / target_bytes))
+        key = zorder_key(strategy)
+        keys_df = (
+            spark.read.parquet(*[os.path.join(root, p) for p in delta_paths])
+            .select("phash", "w", "h")
+            .withColumn("zkey", key(F.col("phash"), F.col("w"), F.col("h")))
+            .withColumn("wh", F.col("w").cast("long") * F.col("h").cast("long"))
+        )
+        total_rows = sum(e["record_count"] for e in delta)
+        bounds = equi_depth_bounds(keys_df, n_files, total_rows)
+
+    stats, stage_dir = run_staged(
+        spark, table, bounds, n_files, job_id, strategy, reencode,
+        entries=delta,
+    )
+    out_paths = stats.column("file_path").to_pylist()
+    rows = int(sum(stats.column("record_count").to_pylist() or [0]))
+    lineage.write_unit(
+        root, job_id, strategy, 0,
+        input_files=list(delta_paths), output_files=out_paths, rows=rows,
+        nbytes=int(sum(stats.column("file_size_bytes").to_pylist() or [0])),
+        metrics={"n_files_planned": float(n_files), "incremental": 1.0},
+    )
+    snap = table.commit(
+        "zorder-delta",
+        added=stats,
+        deleted_paths=set(delta_paths),
+        summary={"job_id": job_id, "strategy": strategy,
+                 "delta_files": len(delta_paths)},
+    )
+    lineage.mark_committed(root, job_id, snap)
+    if stage_dir:
+        import shutil as _shutil
+
+        _shutil.rmtree(stage_dir, ignore_errors=True)
+    return ClusterResult(snap, job_id, strategy, len(delta_paths), len(out_paths), rows)

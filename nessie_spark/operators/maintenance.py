@@ -78,6 +78,62 @@ def maintenance_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def maintenance_cluster_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minor (incremental) clustering (zorder.cluster_incremental): after a
+    full cluster + an append, only the appended delta is rewritten — the
+    clustered base carries forward untouched (cost ∝ delta, the 10^12-image
+    maintenance loop), the new run is internally disjoint in zkey, and the
+    row set is preserved. Deterministic counts from the seeded layout."""
+    t, _, root = _fresh_table(spark)
+    try:
+        zorder.cluster(spark, t, strategy="morton", target_bytes=TARGET, job_id="demo-zfull")
+        t = t.refresh()
+        base_paths = {e["file_path"] for e in t.file_entries().to_pylist()}
+        delta_df = synth.images_df(spark, 96, seed=7)
+        jobs.append(spark, t, delta_df, job_id="demo-zd-append",
+                    file_boundaries=synth.lognormal_file_boundaries(96, seed=7, mean_rows=16))
+        t = t.refresh()
+        snap1 = t.current_snapshot_id
+        n_delta = sum(
+            1 for e in t.file_entries(columns=["file_path", "zorder_lo"]).to_pylist()
+            if e["zorder_lo"] is None
+        )
+        res = zorder.cluster_incremental(
+            spark, t, target_bytes=TARGET, job_id="demo-zdelta"
+        )
+        t = t.refresh()
+        after = t.file_entries(
+            columns=["file_path", "zorder_lo", "zorder_hi"]
+        ).to_pylist()
+        base_kept = base_paths <= {e["file_path"] for e in after}
+        run = sorted(
+            (e for e in after if e["file_path"] not in base_paths),
+            key=lambda e: e["zorder_lo"],
+        )
+        run_disjoint = all(
+            a["zorder_hi"] <= b["zorder_lo"] for a, b in zip(run, run[1:])
+        )
+        diff = verify.snapshot_rowset_diff(spark, t, snap1, t.current_snapshot_id).count()
+        return spark.createDataFrame(
+            [
+                (
+                    res.input_files,
+                    n_delta,
+                    res.input_files == n_delta,
+                    base_kept,
+                    run_disjoint,
+                    all(e["zorder_lo"] is not None for e in after),
+                    diff == 0,
+                )
+            ],
+            "delta_inputs int, unclustered_before int, cost_is_delta_only boolean, "
+            "base_untouched boolean, run_disjoint boolean, all_clustered boolean, "
+            "rowset_preserved boolean",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def maintenance_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
@@ -980,6 +1036,7 @@ def maintenance_scheduler(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, tuple] = {
     "maintenance_compact": (maintenance_compact, None),
     "maintenance_zorder": (maintenance_zorder, None),
+    "maintenance_cluster_delta": (maintenance_cluster_delta, None),
     "maintenance_merge": (maintenance_merge, None),
     "maintenance_expire_gc": (maintenance_expire_gc, None),
     "maintenance_incremental": (maintenance_incremental, None),
