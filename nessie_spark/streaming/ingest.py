@@ -48,6 +48,8 @@ def ingest_batch(
     auto_compact_small_files: int | None = None,
     compact_target_bytes: int = 8 * 1024 * 1024,
     matviews: list[dict] | None = None,
+    mode: str = "append",
+    version_col: str | None = None,
 ) -> int:
     """Append one micro-batch; replay-safe via the derived job_id.
 
@@ -74,7 +76,22 @@ def ingest_batch(
     from the batch's own -add manifest summary — one manifest-LIST read,
     O(#manifests)); the full O(#table-files) manifest scan runs only when
     the estimate reaches the threshold. None (default) leaves maintenance
-    fully out of the hot path."""
+    fully out of the hot path.
+
+    ``mode``: ``"append"`` (default) or ``"upsert"`` — the CDC pattern
+    (foreachBatch MERGE INTO, as Iceberg/Delta streaming upserts do): each
+    batch merges by ``image_id`` (matched rows updated copy-on-write,
+    unmatched inserted). Exactly-once holds by the same argument as
+    append: ``merge_into`` is idempotent per the derived job_id, so a
+    replayed batch is a metadata no-op. Pending MoR deletes block CoW
+    merges (deletes.py contract), so purge before streaming upserts.
+    ``version_col``: with intra-batch duplicate keys, keep the row with
+    the highest value of this column per image_id (latest-wins, exact);
+    without it duplicates collapse via dropDuplicates — an arbitrary but
+    replay-safe pick (the committed marker means a replay never commits a
+    different choice)."""
+    if mode not in ("append", "upsert"):
+        raise ValueError(f"unknown ingest mode {mode!r}; use append|upsert")
     spark = batch_df.sparkSession
     table = Table.load(table_root)
     from nessie_spark.lakehouse import lineage
@@ -83,12 +100,43 @@ def ingest_batch(
     # detect a replayed micro-batch BEFORE appending: its -add manifest
     # entries are already in the estimate; re-counting them double-counts
     replayed = lineage.committed_snapshot(table.root, job_id) is not None
-    snap = jobs.append(
-        spark,
-        table,
-        batch_df,
-        job_id=job_id,
-    )
+    if mode == "upsert":
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from nessie_spark.lakehouse.merge import merge_into
+
+        src = batch_df
+        if version_col is not None:
+            from nessie_spark.lakehouse.scan import IMAGES_DDL
+            from nessie_spark.lakehouse.writer import ddl_columns
+
+            w = Window.partitionBy("image_id").orderBy(F.desc(version_col))
+            src = (
+                src.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            # a stream-only ordering column (not a table column) must not
+            # reach the merge writer
+            if version_col not in ddl_columns(
+                table.meta.get("schema", IMAGES_DDL)
+            ):
+                src = src.drop(version_col)
+        else:
+            src = src.dropDuplicates(["image_id"])
+        res = merge_into(
+            spark, table, src, job_id=job_id,
+            when_matched="update", when_not_matched="insert",
+        )
+        snap = res.snapshot_id
+    else:
+        snap = jobs.append(
+            spark,
+            table,
+            batch_df,
+            job_id=job_id,
+        )
     if auto_compact_small_files:
         import os
 
@@ -105,7 +153,9 @@ def ingest_batch(
             pass  # short-circuited append added no files
         else:
             # files this batch added = n_entries of its -add manifest
-            # (appends are rarely larger than the small-file bar)
+            # (appends are rarely larger than the small-file bar; upsert
+            # adds also count rewritten near-target files — a conservative
+            # overcount that only triggers the exact re-measure earlier)
             mlist = pq.read_table(
                 os.path.join(t.root, t.snapshot()["manifest_list"])
             )
@@ -162,6 +212,8 @@ def start_auto_ingest(
     auto_compact_small_files: int | None = None,
     compact_target_bytes: int = 8 * 1024 * 1024,
     matviews: list[dict] | None = None,
+    mode: str = "append",
+    version_col: str | None = None,
 ) -> StreamingQuery:
     """Start ingesting ``stream_df`` (images schema) into the table.
 
@@ -170,8 +222,10 @@ def start_auto_ingest(
     continuous micro-batch cadence instead (an explicit cadence overrides
     the default drain mode — the two are mutually exclusive).
     ``auto_compact_small_files`` turns on continuous maintenance and
-    ``matviews`` keeps materialized aggregate views current per batch
-    (see ``ingest_batch``)."""
+    ``matviews`` keeps materialized aggregate views current per batch;
+    ``mode="upsert"`` merges each batch by image_id instead of appending
+    (CDC pattern, ``version_col`` = intra-batch latest-wins ordering) —
+    see ``ingest_batch``."""
     if trigger_seconds is not None:
         # an explicit cadence means continuous mode; silently draining and
         # stopping instead would ignore the caller's stated intent
@@ -182,6 +236,8 @@ def start_auto_ingest(
             auto_compact_small_files=auto_compact_small_files,
             compact_target_bytes=compact_target_bytes,
             matviews=matviews,
+            mode=mode,
+            version_col=version_col,
         )
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:
