@@ -85,6 +85,11 @@ def main(argv: list[str] | None = None) -> int:
         # layout-decay fixture for zorder-delta / maintain demos) — vary
         # --seed or the batch duplicates image_ids
         if _os.path.exists(_os.path.join(args.table, "metadata")):
+            if args.sort_order:
+                raise SystemExit(
+                    "--sort-order only applies when synth CREATES the "
+                    "table; it cannot be set on an existing table"
+                )
             t = Table.load(args.table)
         else:
             t = jobs.create_images_table(

@@ -22,6 +22,19 @@ point-lookup pruning off for large files. Readers derive m from the
 stored filter's length, so mixed sizes coexist in one manifest. k=5 →
 false-positive ≈ 1% at 10 bits/key; a false positive costs one extra
 file read, never a wrong row (readers re-apply the predicate).
+
+Beyond capacity the filter is OMITTED, not saturated: past BLOOM_MAX_KEYS
+(capped size / 5 bits-per-key ≈ 52 k keys, FP ≈ 10% — the last point the
+filter still prunes) more keys would only push the capped filter toward a
+~100% hit rate, i.e. 32 KB of manifest weight that prunes nothing while
+claiming the r3-ADVICE fix. ``None`` reads as unknown (file scanned), the
+same outcome as a saturated filter, honestly and for free. This only
+bites key-dense files (10^5+ tiny rows per file — the bench's synthetic
+small images at a 64 MB target); at the north-star payload (~10^5-byte
+images, 8 MB files → 10^2-ish keys/file) every file stays well inside
+capacity. A parquet-native per-row-group bloom inside the data file is
+the scale answer for key-dense layouts; the manifest is the wrong home
+for megabyte filters.
 """
 
 from __future__ import annotations
@@ -33,11 +46,17 @@ import numpy as np
 BLOOM_MIN_BITS = 2048
 BLOOM_MAX_BITS = 1 << 18
 BLOOM_BITS_PER_KEY = 10
+BLOOM_MIN_BITS_PER_KEY = 5  # below this the capped filter stops pruning
+BLOOM_MAX_KEYS = BLOOM_MAX_BITS // BLOOM_MIN_BITS_PER_KEY
 BLOOM_K = 5
 
 
-def bloom_bits_for(n_keys: int) -> int:
-    """Power-of-two filter size for ``n_keys`` (floored / capped)."""
+def bloom_bits_for(n_keys: int) -> int | None:
+    """Power-of-two filter size for ``n_keys`` (floored / capped), or
+    ``None`` when the key count exceeds what the capped size can usefully
+    filter (see module docstring: omit, don't saturate)."""
+    if n_keys > BLOOM_MAX_KEYS:
+        return None
     want = max(BLOOM_MIN_BITS, BLOOM_BITS_PER_KEY * max(1, n_keys))
     return min(BLOOM_MAX_BITS, 1 << (want - 1).bit_length())
 
@@ -49,13 +68,17 @@ def _bit_positions(key: str, m: int) -> list[int]:
     return [(h1 + i * h2) % m for i in range(BLOOM_K)]
 
 
-def bloom_from_keys(keys, m: int | None = None) -> bytes:
-    """Build one filter over an iterable of string keys. ``m`` (bits)
-    defaults to the adaptive size for the key count; streaming folds that
-    cannot know the final count pass an explicit ``m`` (bloom_or requires
-    equal sizes)."""
+def bloom_from_keys(keys, m: int | None = None) -> bytes | None:
+    """Build one filter over an iterable of string keys, or ``None`` for
+    over-capacity key counts (omit, don't saturate). ``m`` (bits) defaults
+    to the adaptive size for the key count; streaming folds that cannot
+    know the final count pass an explicit ``m`` (bloom_or requires equal
+    sizes) and apply the capacity rule at planning time instead."""
     ks = list(keys)
-    m = m if m is not None else bloom_bits_for(len(ks))
+    if m is None:
+        m = bloom_bits_for(len(ks))
+        if m is None:
+            return None
     bits = np.zeros(m // 8, dtype=np.uint8)
     for k in ks:
         for p in _bit_positions(k, m):

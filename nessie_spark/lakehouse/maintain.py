@@ -131,15 +131,20 @@ def table_health(table: Table, policy: MaintenancePolicy | None = None) -> Healt
     )
     # sorted runs = max zkey-range overlap depth (interval sweep): 1 after
     # a full cluster (disjoint ranges), +1 per incremental run layered on
-    # top — the signal that decides minor vs major clustering.
+    # top — the signal that decides minor vs major clustering. Ranges are
+    # CLOSED ([lo, hi], hi inclusive — a single-zkey file has lo == hi), so
+    # open before close at equal key: a zero-width file must count depth 1
+    # and a file touching another at one shared key value does stack —
+    # buckets within one rewrite job are strictly disjoint (hi_i < lo_i+1),
+    # so equal-boundary contact only ever happens ACROSS runs.
+    OPEN, CLOSE = 0, 1  # open sorts before close at the same key
     events = sorted(
-        [(e["zorder_lo"], 1) for e in with_z]
-        + [(e["zorder_hi"], -1) for e in with_z],
-        key=lambda t: (t[0], t[1]),  # close before open at equal key
+        [(e["zorder_lo"], OPEN) for e in with_z]
+        + [(e["zorder_hi"], CLOSE) for e in with_z]
     )
     depth = runs = 0
-    for _, d in events:
-        depth += d
+    for _, kind in events:
+        depth += 1 if kind == OPEN else -1
         runs = max(runs, depth)
     dels = table.delete_files()
     # ancestor chain length from the current head

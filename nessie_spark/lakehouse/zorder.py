@@ -181,7 +181,10 @@ def write_zorder_buckets(
     # count is unknown mid-fold), so size for the PLANNED rows per file —
     # a fixed 10k budget saturates on big files (~300k rows/64MB) and
     # silently disables point-lookup pruning on exactly the files Z-order
-    # clusters (r3 ADVICE). bloom_bits_for floors/caps the result.
+    # clusters (r3 ADVICE). bloom_bits_for floors/caps the result, and
+    # returns None past filter capacity (key-dense files, ~52k+ keys): a
+    # saturated capped filter prunes nothing, so those entries honestly
+    # carry no bloom and readers fall back to range pruning.
     from nessie_spark.lakehouse.bloom import bloom_bits_for
 
     bloom_m = bloom_bits_for(rows_per_file or 10_000)
@@ -262,12 +265,13 @@ def write_zorder_buckets(
             mx("zhi", pc.max(sl.column("zkey")).as_py())
             mn("min_key", pc.min(sl.column("image_id")).as_py())
             mx("max_key", pc.max(sl.column("image_id")).as_py())
-            from nessie_spark.lakehouse.bloom import bloom_from_keys, bloom_or
+            if bloom_m is not None:
+                from nessie_spark.lakehouse.bloom import bloom_from_keys, bloom_or
 
-            st["bloom"] = bloom_or(
-                st["bloom"],
-                bloom_from_keys(sl.column("image_id").to_pylist(), m=bloom_m),
-            )
+                st["bloom"] = bloom_or(
+                    st["bloom"],
+                    bloom_from_keys(sl.column("image_id").to_pylist(), m=bloom_m),
+                )
 
         data_schema = None
         for batch in batches:
@@ -725,6 +729,66 @@ def run_staged(
     return pa.Table.from_pylist(added, schema=FILE_ENTRY_SCHEMA), stage_dir
 
 
+def _cluster_short_circuit(
+    table: Table, job_id: str, strategy: str, guard: str
+) -> ClusterResult | None:
+    """Shared cluster-job prologue: committed-marker idempotency (a rerun
+    after a crash between mark_committed and stage cleanup must still sweep
+    its dead staging shards) + the pending-MoR-delete CoW guard."""
+    prev = lineage.committed_snapshot(table.root, job_id)
+    if prev is not None:
+        import shutil as _shutil
+
+        _shutil.rmtree(
+            os.path.join(table.root, "_stage", job_id), ignore_errors=True
+        )
+        return ClusterResult(prev, job_id, strategy, 0, 0, 0)
+    from nessie_spark.lakehouse.deletes import require_no_pending_deletes
+
+    require_no_pending_deletes(table, guard)
+    return None
+
+
+def _cluster_commit(
+    table: Table,
+    job_id: str,
+    strategy: str,
+    stats,
+    deleted_paths: set,
+    operation: str,
+    summary: dict,
+    metrics: dict,
+    stage_dir: str | None,
+    carried_manifest_summaries: list | None,
+) -> ClusterResult:
+    """Shared cluster-job epilogue: lineage unit → atomic snapshot commit →
+    committed marker → staging sweep. Crash-recovery contract lives HERE
+    once for both the full and the incremental rewrite."""
+    out_paths = stats.column("file_path").to_pylist()
+    rows = int(sum(stats.column("record_count").to_pylist() or [0]))
+    lineage.write_unit(
+        table.root, job_id, strategy, 0,
+        input_files=sorted(deleted_paths), output_files=out_paths, rows=rows,
+        nbytes=int(sum(stats.column("file_size_bytes").to_pylist() or [0])),
+        metrics=metrics,
+    )
+    snap = table.commit(
+        operation,
+        added=stats,
+        deleted_paths=deleted_paths,
+        carried_manifest_summaries=carried_manifest_summaries,
+        summary=summary,
+    )
+    lineage.mark_committed(table.root, job_id, snap)
+    if stage_dir:  # staging shards are dead once the snapshot is durable
+        import shutil as _shutil
+
+        _shutil.rmtree(stage_dir, ignore_errors=True)
+    return ClusterResult(
+        snap, job_id, strategy, len(deleted_paths), len(out_paths), rows
+    )
+
+
 def cluster(
     spark: SparkSession,
     table: Table,
@@ -742,17 +806,9 @@ def cluster(
     job_id = job_id or f"zorder-{uuid.uuid4().hex[:8]}"
     root = table.root
 
-    prev = lineage.committed_snapshot(root, job_id)
-    if prev is not None:
-        # A rerun after commit (e.g. crash between mark_committed and the
-        # cleanup below) must still sweep its dead staging shards.
-        import shutil as _shutil
-
-        _shutil.rmtree(os.path.join(root, "_stage", job_id), ignore_errors=True)
-        return ClusterResult(prev, job_id, strategy, 0, 0, 0)
-    from nessie_spark.lakehouse.deletes import require_no_pending_deletes
-
-    require_no_pending_deletes(table, "zorder cluster")
+    done = _cluster_short_circuit(table, job_id, strategy, "zorder cluster")
+    if done is not None:
+        return done
 
     entries = table.file_entries(
         columns=["file_path", "file_size_bytes", "record_count"]
@@ -827,28 +883,16 @@ def cluster(
             f"n_files={n_files} rows={total_rows} execution={execution}",
             file=_sys.stderr,
         )
-    out_paths = stats.column("file_path").to_pylist()
-    rows = int(sum(stats.column("record_count").to_pylist() or [0]))
-    lineage.write_unit(
-        root, job_id, strategy, 0,
-        input_files=[e["file_path"] for e in entries],
-        output_files=out_paths, rows=rows,
-        nbytes=int(sum(stats.column("file_size_bytes").to_pylist() or [0])),
-        metrics={"n_files_planned": float(n_files), "strategy_hilbert": float(strategy == "hilbert")},
-    )
-    snap = table.commit(
-        strategy if strategy != "morton" else "zorder",
-        added=stats,
+    return _cluster_commit(
+        table, job_id, strategy, stats,
         deleted_paths={e["file_path"] for e in entries},
-        carried_manifest_summaries=[],  # full rewrite: nothing carried
+        operation=strategy if strategy != "morton" else "zorder",
         summary={"job_id": job_id, "strategy": strategy},
+        metrics={"n_files_planned": float(n_files),
+                 "strategy_hilbert": float(strategy == "hilbert")},
+        stage_dir=stage_dir,
+        carried_manifest_summaries=[],  # full rewrite: nothing carried
     )
-    lineage.mark_committed(root, job_id, snap)
-    if stage_dir:  # staging shards are dead once the snapshot is durable
-        import shutil as _shutil
-
-        _shutil.rmtree(stage_dir, ignore_errors=True)
-    return ClusterResult(snap, job_id, strategy, len(entries), len(out_paths), rows)
 
 
 def cluster_incremental(
@@ -886,15 +930,11 @@ def cluster_incremental(
     job_id = job_id or f"zdelta-{uuid.uuid4().hex[:8]}"
     root = table.root
 
-    prev = lineage.committed_snapshot(root, job_id)
-    if prev is not None:
-        import shutil as _shutil
-
-        _shutil.rmtree(os.path.join(root, "_stage", job_id), ignore_errors=True)
-        return ClusterResult(prev, job_id, strategy, 0, 0, 0)
-    from nessie_spark.lakehouse.deletes import require_no_pending_deletes
-
-    require_no_pending_deletes(table, "incremental zorder cluster")
+    done = _cluster_short_circuit(
+        table, job_id, strategy, "incremental zorder cluster"
+    )
+    if done is not None:
+        return done
 
     live = {
         e["file_path"]: e
@@ -941,24 +981,13 @@ def cluster_incremental(
         spark, table, bounds, n_files, job_id, strategy, reencode,
         entries=delta,
     )
-    out_paths = stats.column("file_path").to_pylist()
-    rows = int(sum(stats.column("record_count").to_pylist() or [0]))
-    lineage.write_unit(
-        root, job_id, strategy, 0,
-        input_files=list(delta_paths), output_files=out_paths, rows=rows,
-        nbytes=int(sum(stats.column("file_size_bytes").to_pylist() or [0])),
-        metrics={"n_files_planned": float(n_files), "incremental": 1.0},
-    )
-    snap = table.commit(
-        "zorder-delta",
-        added=stats,
+    return _cluster_commit(
+        table, job_id, strategy, stats,
         deleted_paths=set(delta_paths),
+        operation="zorder-delta",
         summary={"job_id": job_id, "strategy": strategy,
                  "delta_files": len(delta_paths)},
+        metrics={"n_files_planned": float(n_files), "incremental": 1.0},
+        stage_dir=stage_dir,
+        carried_manifest_summaries=None,  # carry the untouched base runs
     )
-    lineage.mark_committed(root, job_id, snap)
-    if stage_dir:
-        import shutil as _shutil
-
-        _shutil.rmtree(stage_dir, ignore_errors=True)
-    return ClusterResult(snap, job_id, strategy, len(delta_paths), len(out_paths), rows)

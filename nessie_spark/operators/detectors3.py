@@ -590,23 +590,22 @@ def soft_dawid_skene(
         n = float(wts.sum())
         P = pat.shape[0]
 
-        p = _ds_init_posterior(pat, C)
+        # SAME kernels as the distributed regime (_ds_batch_stats folds the
+        # e-step posterior into the weighted sufficient statistics), so a
+        # stats-kernel fix applies to both paths by construction. Output
+        # posterior comes from the FINAL model, as the distributed
+        # posterior_pass does; at a tol-break the final and previous models
+        # differ < DS_SOFT_TOL, orders below the twin test's atol.
+        pi, E = None, None
         prev = None
         for _ in range(n_iter):
-            wp = p * wts[:, None]
-            Pi_sum = wp.sum(axis=0)
-            S = np.zeros((nW, C, C))
-            for w in range(nW):
-                for c in range(C):
-                    S[w, c] = np.array(
-                        [wp[pat[:, w] == k, c].sum() for k in range(C)]
-                    )
+            Pi_sum, S = _ds_batch_stats(pat, wts, pi, E, C)
             pi, E = _ds_mstep(Pi_sum, S, n, C, nW)
             flat = np.concatenate([pi, E.ravel()])
             if prev is not None and np.max(np.abs(flat - prev)) < DS_SOFT_TOL:
                 break
             prev = flat
-            p = _ds_posterior(pat, pi, E, C)
+        p = _ds_posterior(pat, pi, E, C)
 
         adj = np.argmax(p, axis=1)  # first max ⇒ smallest class on ties
         model = spark.createDataFrame(

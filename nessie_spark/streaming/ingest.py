@@ -36,8 +36,23 @@ from nessie_spark.lakehouse.table import Table
 # others' appends and compaction fires on the table-wide count (r3 ADVICE:
 # per-stream keys drifted low). Other-process writers still aren't visible;
 # _ESTIMATE_RESYNC_BATCHES bounds that drift with a periodic re-measure.
+# Concurrent foreachBatch threads (several streams, one table, one driver)
+# serialize the whole estimate/compact section through a per-table lock:
+# the read-modify-write spans blocking Spark work, so an unguarded update
+# would lose the other stream's increment — the exact drift the shared key
+# exists to prevent — and serializing inline compaction is desirable
+# anyway (two concurrent compactions of one table conflict at commit).
+import threading as _threading
+
 _SMALL_FILE_ESTIMATE: dict = {}
+_ESTIMATE_LOCKS: dict = {}
+_ESTIMATE_LOCKS_GUARD = _threading.Lock()
 _ESTIMATE_RESYNC_BATCHES = 32  # force a full re-measure every N batches
+
+
+def _estimate_lock(table_root: str) -> "_threading.Lock":
+    with _ESTIMATE_LOCKS_GUARD:
+        return _ESTIMATE_LOCKS.setdefault(table_root, _threading.Lock())
 
 
 def ingest_batch(
@@ -144,48 +159,49 @@ def ingest_batch(
 
         from nessie_spark.lakehouse.compact import compact
 
-        t = table.refresh()
-        key = table_root
-        est = _SMALL_FILE_ESTIMATE.get(key)
-        if est is None or batch_id % _ESTIMATE_RESYNC_BATCHES == 0:
-            est = auto_compact_small_files  # unknown/stale → measure this batch
-        elif replayed:
-            pass  # short-circuited append added no files
-        else:
-            # files this batch added = n_entries of its -add manifest
-            # (appends are rarely larger than the small-file bar; upsert
-            # adds also count rewritten near-target files — a conservative
-            # overcount that only triggers the exact re-measure earlier)
-            mlist = pq.read_table(
-                os.path.join(t.root, t.snapshot()["manifest_list"])
-            )
-            est += sum(
-                int(n)
-                for p, n in zip(
-                    mlist.column("manifest_path").to_pylist(),
-                    mlist.column("n_entries").to_pylist(),
+        with _estimate_lock(table_root):
+            t = table.refresh()
+            key = table_root
+            est = _SMALL_FILE_ESTIMATE.get(key)
+            if est is None or batch_id % _ESTIMATE_RESYNC_BATCHES == 0:
+                est = auto_compact_small_files  # unknown/stale → measure this batch
+            elif replayed:
+                pass  # short-circuited append added no files
+            else:
+                # files this batch added = n_entries of its -add manifest
+                # (appends are rarely larger than the small-file bar; upsert
+                # adds also count rewritten near-target files — a conservative
+                # overcount that only triggers the exact re-measure earlier)
+                mlist = pq.read_table(
+                    os.path.join(t.root, t.snapshot()["manifest_list"])
                 )
-                if f"-s{snap}-add-" in os.path.basename(p)
-            )
-        if est >= auto_compact_small_files:
-            sizes = (
-                t.file_entries(columns=["file_size_bytes"])
-                .column("file_size_bytes")
-                .to_pylist()
-            )
-            small = sum(1 for b in sizes if b < compact_target_bytes // 2)
-            if small >= auto_compact_small_files:
-                res = compact(
-                    spark,
-                    t,
-                    target_bytes=compact_target_bytes,
-                    job_id=f"{stream_id}-b{batch_id}-autocompact",
+                est += sum(
+                    int(n)
+                    for p, n in zip(
+                        mlist.column("manifest_path").to_pylist(),
+                        mlist.column("n_entries").to_pylist(),
+                    )
+                    if f"-s{snap}-add-" in os.path.basename(p)
                 )
-                # residue estimate: uncompacted singletons plus the bin
-                # outputs (counted small conservatively)
-                small = max(0, small - res.input_files + res.output_files)
-            est = small
-        _SMALL_FILE_ESTIMATE[key] = est
+            if est >= auto_compact_small_files:
+                sizes = (
+                    t.file_entries(columns=["file_size_bytes"])
+                    .column("file_size_bytes")
+                    .to_pylist()
+                )
+                small = sum(1 for b in sizes if b < compact_target_bytes // 2)
+                if small >= auto_compact_small_files:
+                    res = compact(
+                        spark,
+                        t,
+                        target_bytes=compact_target_bytes,
+                        job_id=f"{stream_id}-b{batch_id}-autocompact",
+                    )
+                    # residue estimate: uncompacted singletons plus the bin
+                    # outputs (counted small conservatively)
+                    small = max(0, small - res.input_files + res.output_files)
+                est = small
+            _SMALL_FILE_ESTIMATE[key] = est
     if matviews:
         from nessie_spark.lakehouse.matview import refresh_matview
 

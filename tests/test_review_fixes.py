@@ -332,6 +332,25 @@ def test_bloom_adaptive_sizing_keeps_pruning_power(spark):
     assert bloom_might_contain(small, keys[0])
 
 
+def test_bloom_omitted_past_capacity_not_saturated():
+    """Past capacity the filter is OMITTED (None = unknown, scan the file)
+    rather than stored saturated: a 300k-key file at the 2^18-bit cap would
+    carry 32 KB of ~98%-FP filter that prunes nothing (r4 review)."""
+    from nessie_spark.lakehouse.bloom import (
+        BLOOM_MAX_KEYS, bloom_bits_for, bloom_from_keys, bloom_might_contain,
+    )
+
+    assert bloom_bits_for(300_000) is None
+    assert bloom_from_keys((f"img_{i}" for i in range(BLOOM_MAX_KEYS + 1))) is None
+    assert bloom_might_contain(None, "anything")  # unknown → must read
+    # at capacity the filter still exists and still prunes (≲ ~10% FP)
+    m = bloom_bits_for(BLOOM_MAX_KEYS)
+    assert m is not None
+    b = bloom_from_keys([f"img_{i:012d}" for i in range(BLOOM_MAX_KEYS)], m=m)
+    misses = sum(bloom_might_contain(b, f"zzz_{i}") for i in range(2_000))
+    assert misses < 400  # prunes ≥80% of absent keys even at capacity
+
+
 def test_trigger_seconds_selects_continuous_mode(spark, tmp_path):
     """An explicit cadence must not silently drain-and-stop."""
     import nessie_spark.streaming.ingest as ing
