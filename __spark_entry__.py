@@ -76,6 +76,18 @@ _SAMPLE_PRIORITY = [
     "knn_exact_topk",
     "model_zoo_crf_tagger_cv",
     "maintenance_cluster_delta",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    "q22_sales_opportunity",
     # below the driver's 50-row sampling window: oracle+pytest evidence
     # locally, rotate into the window next round
     "dropout_original_scores",
@@ -85,14 +97,15 @@ _SAMPLE_PRIORITY = [
 
 def _registry() -> dict[str, tuple]:
     from nessie_spark.operators import (
-        analytics, dedup, detectors, detectors2, detectors3, events, hygiene,
-        maintenance, modelzoo, probability, similarity, textstats,
+        analytics, analytics2, dedup, detectors, detectors2, detectors3,
+        events, hygiene, maintenance, modelzoo, probability, similarity,
+        textstats,
     )
 
     reg: dict[str, tuple] = {}
-    for mod in (analytics, detectors, detectors2, detectors3, probability,
-                dedup, similarity, textstats, hygiene, events, maintenance,
-                modelzoo):
+    for mod in (analytics, analytics2, detectors, detectors2, detectors3,
+                probability, dedup, similarity, textstats, hygiene, events,
+                maintenance, modelzoo):
         for name, pair in mod.QUERIES.items():
             assert name not in reg, f"duplicate query name {name}"
             reg[name] = pair

@@ -119,3 +119,38 @@ def test_zorder_scan_prunes_files(spark, tmp_path):
     pruned = scan_mod.plan_files(t, phash_range=(lo, lo))
     assert len(all_files) > 1
     assert len(pruned) < len(all_files)
+
+
+def test_q6_predicates_reach_scan(spark):
+    """Q6's ship-date range + discount band + quantity cut must all push to
+    the parquet scan — the selective-scan query IS the pushdown probe."""
+    df = E.queries()["q6_forecast_revenue"](spark, SF)
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity,24" in plan
+
+
+def test_q10_dimension_joins_broadcast_fact_join_shuffles(spark):
+    """Q10: customer/nation are broadcast; only lineitem⋈orders may shuffle
+    — no BroadcastNestedLoopJoin, no CartesianProduct anywhere."""
+    df = E.queries()["q10_returned_items"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q17_threshold_join_is_broadcast(spark):
+    """Q17's per-part stats join-back must broadcast (parts << lineitem);
+    a sort-merge here would shuffle the fact twice."""
+    df = E.queries()["q17_small_quantity_revenue"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q22_anti_join_shape(spark):
+    """Q22's no-recent-orders predicate must compile to a real anti join."""
+    df = E.queries()["q22_sales_opportunity"](spark, SF)
+    plan = _plan(df)
+    assert "LeftAnti" in plan
