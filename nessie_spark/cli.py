@@ -37,7 +37,8 @@ def main(argv: list[str] | None = None) -> int:
             "expire", "gc",
             "rewrite-manifests", "merge", "add-column", "incremental",
             "rollback", "inspect", "tag", "drop-tag", "delete-where",
-            "purge-deletes", "stage-append", "publish", "drop-staged", "audit",
+            "purge-deletes", "stage-append", "publish", "cherry-pick",
+            "drop-staged", "audit",
             "changelog", "dedup-pipeline", "refresh-matview", "sync-replica",
             "maintain",
         ],
@@ -227,6 +228,15 @@ def main(argv: list[str] | None = None) -> int:
                 ap.error("--to-snapshot required for publish")
             t.publish_snapshot(args.to_snapshot)
             out.update(current_snapshot_id=t.current_snapshot_id)
+        elif args.job == "cherry-pick":
+            if args.to_snapshot is None:
+                ap.error("--to-snapshot required for cherry-pick")
+            new_id = t.cherrypick_snapshot(args.to_snapshot)
+            out.update(
+                source_snapshot_id=args.to_snapshot,
+                current_snapshot_id=t.current_snapshot_id,
+                fast_forwarded=(new_id == args.to_snapshot),
+            )
         elif args.job == "drop-staged":
             if args.to_snapshot is None:
                 ap.error("--to-snapshot required for drop-staged")

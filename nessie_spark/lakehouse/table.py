@@ -496,6 +496,131 @@ class Table:
         moved since staging (strict fast-forward, no cherry-pick)."""
         self._staged_flag_update(snapshot_id, True, "publish", max_retries)
 
+    def cherrypick_snapshot(self, snapshot_id: int, max_retries: int = 5) -> int:
+        """Iceberg ``cherrypick_snapshot``: publish a STAGED snapshot even
+        after the table moved since staging — the case ``publish_snapshot``'s
+        strict fast-forward refuses.
+
+        Fast path: if the current snapshot is still on the staged
+        snapshot's ancestry, this IS a fast-forward (delegates to
+        ``publish_snapshot``; no new snapshot, returns the staged id).
+        Otherwise the staged snapshot's delta against its parent (files it
+        added, files it removed) is REPLAYED on top of the current head as
+        a new ``cherry-pick`` commit and the source's staged marker is
+        cleared (it becomes ordinary abandoned history; its data files
+        stay live through the replay commit's manifests).
+
+        Conflict rules (Iceberg's):
+        - pure appends always replay (appends commute with any concurrent
+          commit);
+        - a staged REWRITE (deletes files) replays only if every file it
+          deletes is still live at the current head — if a concurrent
+          compaction/cluster/merge already rewrote one, both rewrites
+          touched the same rows and replaying would resurrect or duplicate
+          them → CommitConflict, re-stage against the new head;
+        - staged commits that changed the schema or added merge-on-read
+          delete files don't replay (their effects are anchored to the
+          parent snapshot's state) → ValueError.
+
+        Metadata-only except for rewritten carry manifests: the replay
+        re-references the staged snapshot's already-durable data files.
+        """
+        try:
+            self.publish_snapshot(snapshot_id, max_retries)
+            return snapshot_id
+        except CommitConflict:
+            pass  # head moved since staging — replay below
+        t = self.refresh()
+        snap = t.snapshot(snapshot_id)
+        parent = (
+            t.snapshot(snap["parent_id"]) if snap.get("parent_id") is not None else None
+        )
+        if snap.get("schema") != (parent or {}).get("schema"):
+            raise ValueError(
+                f"cannot cherry-pick {snapshot_id}: it changed the table "
+                "schema; re-stage the evolution against the current head"
+            )
+        if (snap.get("delete_files") or []) != ((parent or {}).get("delete_files") or []):
+            raise ValueError(
+                f"cannot cherry-pick {snapshot_id}: it added merge-on-read "
+                "delete files whose applicability window is anchored to its "
+                "parent; re-stage against the current head"
+            )
+        s_entries = t.file_entries(snapshot_id=snapshot_id)
+        s_paths = set(s_entries.column("file_path").to_pylist())
+        p_paths = (
+            set(
+                t.file_entries(
+                    snapshot_id=snap["parent_id"], columns=["file_path"]
+                ).column("file_path").to_pylist()
+            )
+            if parent is not None
+            else set()
+        )
+        added_paths = s_paths - p_paths
+        deleted_paths = p_paths - s_paths
+        added = s_entries.filter(
+            pa.compute.is_in(
+                s_entries.column("file_path"),
+                value_set=pa.array(sorted(added_paths), pa.string()),
+            )
+        )
+        for attempt in range(max_retries):
+            t = self.refresh()
+            cur_paths = set(
+                t.file_entries(columns=["file_path"]).column("file_path").to_pylist()
+            )
+            gone = deleted_paths - cur_paths
+            if gone:
+                raise CommitConflict(
+                    f"cannot cherry-pick {snapshot_id}: {len(gone)} file(s) "
+                    "it rewrites were already rewritten/deleted by a "
+                    f"concurrent commit (e.g. {sorted(gone)[0]}); re-stage "
+                    "against the current head"
+                )
+            if deleted_paths:
+                # explicit carry list (current head's manifests, filtered of
+                # the replayed deletes) so commit() raises CommitConflict if
+                # ANOTHER commit lands between this plan and the version
+                # write — the liveness check above must not go stale
+                carried = []
+                for row in t.manifest_summaries():
+                    mpath = os.path.join(t.root, row["manifest_path"])
+                    entries = pq.read_table(mpath, schema=FILE_ENTRY_SCHEMA)
+                    hit = set(entries.column("file_path").to_pylist()) & deleted_paths
+                    if not hit:
+                        carried.append(
+                            {k: row[k] for k in row if k != "added_snapshot_id"}
+                        )
+                        continue
+                    keep = entries.filter(
+                        pa.compute.invert(
+                            pa.compute.is_in(
+                                entries.column("file_path"),
+                                value_set=pa.array(sorted(deleted_paths), pa.string()),
+                            )
+                        )
+                    )
+                    if keep.num_rows:
+                        _, msum = t.write_manifest(keep, tag="cherry-rw")
+                        carried.append(msum)
+            else:
+                carried = None  # pure append: default carry, commutes freely
+            try:
+                new_id = t.commit(
+                    "cherry-pick",
+                    added=added if added.num_rows else None,
+                    deleted_paths=deleted_paths,
+                    carried_manifest_summaries=carried,
+                    summary={"source_snapshot_id": snapshot_id},
+                )
+            except CommitConflict:
+                continue  # head moved mid-replay: re-validate and re-plan
+            self.meta, self.version = t.meta, t.version
+            self._staged_flag_update(snapshot_id, False, "cherry-pick", max_retries)
+            return new_id
+        raise CommitConflict(f"cherry-pick of {snapshot_id} lost {max_retries} races")
+
     def drop_staged(self, snapshot_id: int, max_retries: int = 5) -> None:
         """Abandon a staged snapshot whose audit failed: the pointer never
         moves, the staged marker is cleared, and the branch becomes ordinary
