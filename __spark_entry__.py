@@ -76,6 +76,7 @@ _SAMPLE_PRIORITY = [
     "knn_exact_topk",
     "model_zoo_crf_tagger_cv",
     "maintenance_cluster_delta",
+    "maintenance_partition_pruning",
     "q6_forecast_revenue",
     "q7_volume_shipping",
     "q8_market_share",

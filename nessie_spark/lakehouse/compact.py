@@ -93,6 +93,7 @@ def compact(
     planned = lineage.read_plan(root, job_id)
     if planned is not None:
         bin_paths = [list(b) for b in planned["bins"]]
+        bin_parts = [str(x) for x in planned.get("parts", [""] * len(bin_paths))]
         hist = {int(k): v for k, v in planned["hist"].items()}
         live = {
             e["file_path"]
@@ -107,8 +108,8 @@ def compact(
                 "NEW job_id"
             )
         return _execute_bins(
-            spark, table, job_id, bin_paths, hist, reencode, verify_psnr,
-            fail_after_bins,
+            spark, table, job_id, bin_paths, bin_parts, hist, reencode,
+            verify_psnr, fail_after_bins,
         )
 
     # The distributed planner must never materialize the stats list on the
@@ -135,7 +136,7 @@ def compact(
         fdf = (
             table.files_df(spark)
             .where(F.col("file_size_bytes") < target_bytes)
-            .select("file_path", "file_size_bytes")
+            .select("file_path", "file_size_bytes", "partition")
             .cache()  # three consumers: count, histogram, packing
         )
         n_small = fdf.count()
@@ -154,38 +155,58 @@ def compact(
         if n_small < min_input_files:
             fdf.unpersist()
             return CompactionResult(None, job_id, 0, 0, n_small, 0, 0, hist)
-        bin_paths = [
-            p
+        # hidden partitioning: one distributed pack per partition value —
+        # partition count is the table's layout knob (bounded; collecting
+        # the distinct values is manifest-metadata-sized), files per value
+        # is what actually scales, and that stays inside ffd_pack_distributed
+        pvals = sorted(
+            r["partition"] or ""
+            for r in fdf.select("partition").distinct().collect()
+        )
+        bin_paths, bin_parts = [], []
+        for pval in pvals:
+            sub = fdf.where(F.coalesce(F.col("partition"), F.lit("")) == pval)
+            n_sub = n_small if len(pvals) == 1 else sub.count()
             for p, _ in ffd_pack_distributed(
-                spark, fdf, target_bytes, shard_rows=planner_shard_rows,
-                n_rows=n_small,
-            )
-            if len(p) >= 2  # singleton bins are no-ops
-        ]
+                spark, sub, target_bytes, shard_rows=planner_shard_rows,
+                n_rows=n_sub,
+            ):
+                if len(p) >= 2:  # singleton bins are no-ops
+                    bin_paths.append(p)
+                    bin_parts.append(pval)
         fdf.unpersist()
     else:
         entries = table.file_entries(
-            columns=["file_path", "file_size_bytes"]
+            columns=["file_path", "file_size_bytes", "partition"]
         ).to_pylist()
         small = [e for e in entries if e["file_size_bytes"] < target_bytes]
         hist = ffd_histogram([e["file_size_bytes"] for e in small], target_bytes)
         if len(small) < min_input_files:
             return CompactionResult(None, job_id, 0, 0, len(small), 0, 0, hist)
-        bins = ffd_pack([e["file_size_bytes"] for e in small], target_bytes)
-        # singleton bins are no-ops (rewriting one file buys nothing)
-        bin_paths = [
-            [small[j]["file_path"] for j in b] for b in bins if len(b) >= 2
-        ]
+        # hidden partitioning: bins never span partition values — pack each
+        # value's files separately so output files stay prunable ("" =
+        # unpartitioned/pre-spec files, packed together as before)
+        groups: dict[str, list[dict]] = {}
+        for e in small:
+            groups.setdefault(e["partition"] or "", []).append(e)
+        bin_paths, bin_parts = [], []
+        for pval in sorted(groups):
+            g = groups[pval]
+            for b in ffd_pack([e["file_size_bytes"] for e in g], target_bytes):
+                if len(b) >= 2:  # singleton bins are no-ops
+                    bin_paths.append([g[j]["file_path"] for j in b])
+                    bin_parts.append(pval)
     if not bin_paths:
         n_in = n_small if use_dist else len(small)
         return CompactionResult(None, job_id, 0, 0, n_in, 0, 0, hist)
     lineage.write_plan(
         root, job_id,
-        {"bins": bin_paths, "hist": {str(k): v for k, v in hist.items()}},
+        {"bins": bin_paths, "parts": bin_parts,
+         "hist": {str(k): v for k, v in hist.items()}},
     )
     return _execute_bins(
-        spark, table, job_id, bin_paths, hist, reencode, verify_psnr,
-        fail_after_bins,
+        spark, table, job_id, bin_paths, bin_parts, hist, reencode,
+        verify_psnr, fail_after_bins,
     )
 
 
@@ -194,16 +215,23 @@ def _execute_bins(
     table: Table,
     job_id: str,
     bin_paths: list[list[str]],
+    bin_parts: list[str],
     hist: dict,
     reencode: bool,
     verify_psnr: bool,
     fail_after_bins: int | None,
 ) -> CompactionResult:
     """Rewrite the planned bins (resume-safe: completed units skipped by
-    index into the PINNED plan) and commit."""
+    index into the PINNED plan) and commit. ``bin_parts[i]`` is bin i's
+    hidden-partition value, stamped onto its output entry ("" =
+    unpartitioned)."""
     root = table.root
     done = lineage.completed_units(root, job_id, "compact")
-    todo = [(i, paths) for i, paths in enumerate(bin_paths) if i not in done]
+    todo = [
+        (i, paths, bin_parts[i])
+        for i, paths in enumerate(bin_paths)
+        if i not in done
+    ]
 
     if todo:
         from nessie_spark.lakehouse.scan import IMAGES_DDL
@@ -244,7 +272,7 @@ def _execute_bins(
                 metrics["min_psnr"] = mn
             rel = f"data/{job_id}-compact-b{bin_id:05d}.parquet"
             size = write_table_file(tbl, os.path.join(root, rel))
-            entry = stats_entry_for(tbl, rel, size)
+            entry = stats_entry_for(tbl, rel, size, partition=str(unit[2]))
             lineage.write_unit(
                 root, job_id, "compact", bin_id,
                 input_files=paths, output_files=[rel],
@@ -283,6 +311,11 @@ def _execute_bins(
     units = lineage.read_phase(root, job_id, "compact").to_pylist()
     deleted = {p for u in units for p in u["input_files"]}
     out_paths = [p for u in units for p in u["output_files"]]
+    part_of = {
+        p: bin_parts[u["partition_id"]] if u["partition_id"] < len(bin_parts) else ""
+        for u in units
+        for p in u["output_files"]
+    }
     # manifest entries: reuse the stats returned by the rewrite tasks; only
     # units completed before a crash (resume path) are re-read — with column
     # pruning, so pixel bytes never reach the driver
@@ -294,7 +327,12 @@ def _execute_bins(
         tbl = pq.read_table(
             os.path.join(root, p), columns=["image_id", "w", "h", "phash"]
         )
-        added_entries.append(stats_entry_for(tbl, p, os.path.getsize(os.path.join(root, p))))
+        added_entries.append(
+            stats_entry_for(
+                tbl, p, os.path.getsize(os.path.join(root, p)),
+                partition=part_of.get(p, ""),
+            )
+        )
     added = pa.Table.from_pylist(added_entries) if added_entries else None
 
     snap = table.commit(

@@ -97,7 +97,11 @@ def append(
 
         entries = collect_grouped_stats(spark, stats)
     else:
+        from nessie_spark.lakehouse.partition import PVAL_COL, stamp_pval, table_spec
+
+        spec = table_spec(table)
         order = sort_order or (table.meta.get("properties") or {}).get("write.sort-order")
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
         if order:
             from nessie_spark.lakehouse.zorder import zorder_key
 
@@ -108,11 +112,22 @@ def append(
             # every range into one file and destroys the per-file stats this
             # feature exists to narrow. shuffle.partitions is the session's
             # parallelism knob — the same sizing rule as any append shuffle.
-            n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-            df = (
-                df.withColumn("zkey", key)
-                .repartitionByRange(n_parts, F.col("zkey"))
-                .sortWithinPartitions("zkey")
+            df = df.withColumn("zkey", key)
+            range_cols = [F.col("zkey")]
+        else:
+            range_cols = []
+        if spec:
+            # hidden partitioning: range-partition on (pval, ...) — NOT a
+            # hash on pval alone, which would funnel each partition value
+            # into one task (a low-cardinality identity spec like fmt would
+            # serialize the whole append). Ranges keep tasks ~single-value
+            # while spreading big values over many tasks; the writer splits
+            # the few boundary tasks per value.
+            df = stamp_pval(df, spec)
+            range_cols = [F.col(PVAL_COL)] + (range_cols or [F.col(id_col)])
+        if range_cols:
+            df = df.repartitionByRange(n_parts, *range_cols).sortWithinPartitions(
+                *range_cols
             )
         stats = write_partition_files(
             df, table.root, job_id, "append", data_columns=table_cols

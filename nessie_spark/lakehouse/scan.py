@@ -62,10 +62,18 @@ def plan_files(
     zkey_range: tuple[int, int] | None = None,
     key_range: tuple[str, str] | None = None,
     key_eq: str | None = None,
+    source_eq: dict | None = None,
     spark: SparkSession | None = None,
     planner: str = "auto",
 ) -> list[dict]:
     """Return live file entries surviving stats pruning.
+
+    ``source_eq``: hidden-partition pruning — equality predicates on
+    partition SOURCE columns (e.g. ``{"fmt": "png"}``), mapped through the
+    table's partition spec (lakehouse/partition.py) to the manifest
+    ``partition`` segments they pin; runs as tier 0, before any stats.
+    Ignored (with every file kept) when the table has no spec or no pinned
+    source; pre-spec files ("" partition) are never pruned.
 
     Tier 1 always runs on the driver: the manifest LIST's per-manifest key
     ranges drop whole manifests (prune_manifest_summaries). Tier 2 — the
@@ -85,6 +93,12 @@ def plan_files(
 
     if planner not in ("auto", "driver", "distributed"):
         raise ValueError(f"unknown planner {planner!r}")
+    expected = None
+    if source_eq:
+        from nessie_spark.lakehouse.partition import expected_segments, table_spec
+
+        spec = table_spec(table)
+        expected = expected_segments(spec, source_eq) if spec else None
     mans = prune_manifest_summaries(
         table.manifest_summaries(snapshot_id), key_eq=key_eq, key_range=key_range
     )
@@ -100,7 +114,7 @@ def plan_files(
         return _plan_files_distributed(
             spark, man_paths,
             phash_range=phash_range, wh_range=wh_range, zkey_range=zkey_range,
-            key_range=key_range, key_eq=key_eq,
+            key_range=key_range, key_eq=key_eq, expected_partition=expected,
         )
 
     # blooms are most of an entry's bytes — only pull them off the
@@ -111,8 +125,12 @@ def plan_files(
         else [f.name for f in FILE_ENTRY_SCHEMA if f.name != "key_bloom"]
     )
     entries = table.file_entries(columns=cols, paths=man_paths).to_pylist()
+    from nessie_spark.lakehouse.partition import entry_matches
+
     out = []
     for e in entries:
+        if expected and not entry_matches(e["partition"], expected):
+            continue
         if key_eq is not None and (
             e["min_key"] > key_eq
             or e["max_key"] < key_eq
@@ -143,6 +161,7 @@ def _plan_files_distributed(
     zkey_range: tuple[int, int] | None = None,
     key_range: tuple[str, str] | None = None,
     key_eq: str | None = None,
+    expected_partition: dict | None = None,
 ) -> list[dict]:
     """Tier-2 pruning as a Spark job: the same stats checks as the driver
     loop, expressed as Catalyst predicates over the manifest parquet, so
@@ -154,6 +173,16 @@ def _plan_files_distributed(
     from nessie_spark.lakehouse.table import FILE_ENTRY_DDL
 
     df = spark.read.schema(FILE_ENTRY_DDL).parquet(*manifest_paths)
+    if expected_partition:
+        # tier-0 hidden-partition prune: keep pre-spec files ("" — no
+        # segments) and files whose segments don't contradict a pinned one
+        m = F.str_to_map(F.col("partition"), F.lit("/"), F.lit("="))
+        cond = F.lit(True)
+        for k, v in sorted(expected_partition.items()):
+            cond = cond & (
+                F.coalesce(F.element_at(m, F.lit(k)), F.lit(v)) == F.lit(v)
+            )
+        df = df.where((F.col("partition") == "") | cond)
     if key_eq is not None:
         df = df.where(
             (F.col("min_key") <= F.lit(key_eq)) & (F.col("max_key") >= F.lit(key_eq))
@@ -337,9 +366,15 @@ def scan(
     as_of_ts_millis: int | None = None,
     ref: str | None = None,
     key_eq: str | None = None,
+    source_eq: dict | None = None,
     planner: str = "auto",
 ) -> DataFrame:
     """Read a pinned snapshot as a DataFrame, pruning files on stats.
+
+    ``source_eq``: hidden-partition predicates (``{"fmt": "png"}``) — files
+    of other partitions are pruned via the spec (plan_files tier 0) AND the
+    predicate is re-applied row-wise Spark-side, so pre-spec files and
+    boundary cases never leak wrong rows (same contract as key_eq).
 
     ``planner``: how tier-2 file pruning runs — ``"auto"`` (driver-side
     until the surviving manifests hold > PLAN_DISTRIBUTED_ENTRIES entries,
@@ -365,7 +400,8 @@ def scan(
         snapshot_id = snap["snapshot_id"]
     entries = plan_files(
         table, snapshot_id, phash_range=phash_range, wh_range=wh_range,
-        key_range=key_range, key_eq=key_eq, spark=spark, planner=planner,
+        key_range=key_range, key_eq=key_eq, source_eq=source_eq,
+        spark=spark, planner=planner,
     )
     ddl = _snapshot_ddl(table, snapshot_id)
     if not entries:
@@ -410,6 +446,9 @@ def scan(
         df = df.where(F.col("image_id").between(*key_range))
     if key_eq is not None:
         df = df.where(F.col("image_id") == key_eq)
+    if source_eq:
+        for c, v in sorted(source_eq.items()):
+            df = df.where(F.col(c) == F.lit(v))
     if columns:
         df = df.select(*columns)
     return df

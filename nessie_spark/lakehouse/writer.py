@@ -86,15 +86,19 @@ def align_to_schema(tbl: pa.Table, schema: pa.Schema) -> pa.Table:
     return pa.Table.from_arrays(arrays, schema=schema)
 
 
-def stats_entry_for(tbl: pa.Table, path: str, size_bytes: int) -> dict:
+def stats_entry_for(
+    tbl: pa.Table, path: str, size_bytes: int, partition: str = ""
+) -> dict:
     """Manifest-entry stats for one written file (FIXTURES.md §2 goldens:
-    min/max must actually bound the file's rows — asserted in tests)."""
+    min/max must actually bound the file's rows — asserted in tests).
+    ``partition``: the file's hidden-partition value (lakehouse/partition.py)
+    — "" for unpartitioned tables and pre-spec files."""
     wh = pc.multiply(tbl.column("w").cast(pa.int64()), tbl.column("h").cast(pa.int64()))
     has_z = "zkey" in tbl.schema.names
     return {
         "file_path": path,
         "file_format": "parquet",
-        "partition": "",
+        "partition": partition,
         "record_count": tbl.num_rows,
         "file_size_bytes": size_bytes,
         "min_phash": pc.min(tbl.column("phash")).as_py(),
@@ -131,6 +135,7 @@ def write_partition_files(
     from ``df`` are simply not written; readers NULL-backfill).
     """
     cols = data_columns or DATA_COLUMNS
+    from nessie_spark.lakehouse.partition import PVAL_COL
 
     def _write(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         pid = TaskContext.get().partitionId()
@@ -140,12 +145,26 @@ def write_partition_files(
         tbl = pa.Table.from_batches(rows)
         if tbl.num_rows == 0:
             return
-        rel = f"data/{job_id}-{phase}-p{pid:05d}.parquet"
-        abs_path = os.path.join(table_root, rel)
-        data_tbl = tbl.select([c for c in cols if c in tbl.schema.names])
-        size = write_table_file(data_tbl, abs_path)
-        entry = stats_entry_for(tbl, rel, size)
-        yield pa.RecordBatch.from_pylist([entry], schema=FILE_ENTRY_SCHEMA)
+        # hidden partitioning: a data file never spans partition values.
+        # The append shuffle range-partitions on (pval, id), so nearly
+        # every task holds ONE value and this split is a no-op; boundary
+        # tasks split into one file per value (deterministic order).
+        if PVAL_COL in tbl.schema.names:
+            groups = sorted(set(tbl.column(PVAL_COL).to_pylist()))
+            slices = [
+                (g, tbl.filter(pc.equal(tbl.column(PVAL_COL), g)))
+                for g in groups
+            ]
+        else:
+            slices = [("", tbl)]
+        for k, (pval, part_tbl) in enumerate(slices):
+            suffix = f"-{k}" if len(slices) > 1 else ""
+            rel = f"data/{job_id}-{phase}-p{pid:05d}{suffix}.parquet"
+            abs_path = os.path.join(table_root, rel)
+            data_tbl = part_tbl.select([c for c in cols if c in part_tbl.schema.names])
+            size = write_table_file(data_tbl, abs_path)
+            entry = stats_entry_for(part_tbl, rel, size, partition=pval)
+            yield pa.RecordBatch.from_pylist([entry], schema=FILE_ENTRY_SCHEMA)
 
     return df.mapInArrow(_write, FILE_ENTRY_DDL)
 

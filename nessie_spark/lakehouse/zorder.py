@@ -737,11 +737,15 @@ def _cluster_short_circuit(
     its dead staging shards) + the pending-MoR-delete CoW guard."""
     prev = lineage.committed_snapshot(table.root, job_id)
     if prev is not None:
+        import glob as _glob
         import shutil as _shutil
 
         _shutil.rmtree(
             os.path.join(table.root, "_stage", job_id), ignore_errors=True
         )
+        # partitioned clustering stages per-group sub-jobs at {job_id}-part*
+        for d in _glob.glob(os.path.join(table.root, "_stage", f"{job_id}-part*")):
+            _shutil.rmtree(d, ignore_errors=True)
         return ClusterResult(prev, job_id, strategy, 0, 0, 0)
     from nessie_spark.lakehouse.deletes import require_no_pending_deletes
 
@@ -758,7 +762,7 @@ def _cluster_commit(
     operation: str,
     summary: dict,
     metrics: dict,
-    stage_dir: str | None,
+    stage_dir: str | list | None,
     carried_manifest_summaries: list | None,
 ) -> ClusterResult:
     """Shared cluster-job epilogue: lineage unit → atomic snapshot commit →
@@ -783,9 +787,140 @@ def _cluster_commit(
     if stage_dir:  # staging shards are dead once the snapshot is durable
         import shutil as _shutil
 
-        _shutil.rmtree(stage_dir, ignore_errors=True)
+        dirs = stage_dir if isinstance(stage_dir, list) else [stage_dir]
+        for d in dirs:
+            _shutil.rmtree(d, ignore_errors=True)
     return ClusterResult(
         snap, job_id, strategy, len(deleted_paths), len(out_paths), rows
+    )
+
+
+def _cluster_partitioned(
+    spark: SparkSession,
+    table: Table,
+    entries: list[dict],
+    strategy: str,
+    target_bytes: int,
+    job_id: str,
+    reencode: bool,
+    operation: str,
+    carried_manifest_summaries: list | None,
+    summary_extra: dict,
+    incremental: bool,
+) -> ClusterResult:
+    """Per-partition clustering loop for hidden-partitioned tables
+    (lakehouse/partition.py): data files never span partition values, so
+    the curve order is built WITHIN each value — one equi-depth plan and
+    one staged rewrite per partition group, all committed as a single
+    atomic snapshot stamping each output entry with its group's value.
+
+    Resume contract: the group list (paths + value per group) is pinned to
+    ``_stage/{job_id}/GROUPS.json`` before any work — a rerun after a crash
+    replays the SAME groups (each sub-run resumes from its own pinned
+    PLAN.json); re-deriving groups from a table that gained appends
+    mid-crash would widen the job past its plan. Planned inputs no longer
+    live raise inside run_staged, same as the unpartitioned path.
+
+    Scale: partition count is the table's layout knob (bounded); bytes per
+    partition is what actually grows, and that stays inside run_staged's
+    data-sized scatter/gather bins. The loop is sequential over groups but
+    each group's rewrite uses the whole cluster.
+    """
+    import json as _json
+
+    import pyarrow as pa
+
+    from nessie_spark.lakehouse.table import FILE_ENTRY_SCHEMA
+
+    root = table.root
+    stage_parent = os.path.join(root, "_stage", job_id)
+    gpath = os.path.join(stage_parent, "GROUPS.json")
+    if os.path.exists(gpath):
+        with open(gpath) as fh:
+            groups = _json.load(fh)["groups"]
+        live = {
+            e["file_path"]: e
+            for e in table.file_entries(
+                columns=["file_path", "file_size_bytes", "record_count"]
+            ).to_pylist()
+        }
+        grouped = [
+            (g["pval"], [live[pp] for pp in g["paths"] if pp in live], g["paths"])
+            for g in groups
+        ]
+    else:
+        by: dict[str, list[dict]] = {}
+        for e in entries:
+            by.setdefault(e.get("partition") or "", []).append(e)
+        grouped = [
+            (pv, by[pv], [e["file_path"] for e in by[pv]]) for pv in sorted(by)
+        ]
+        os.makedirs(stage_parent, exist_ok=True)
+        tmp = gpath + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            _json.dump(
+                {"groups": [{"pval": pv, "paths": ps} for pv, _g, ps in grouped]},
+                fh,
+            )
+        os.replace(tmp, gpath)
+
+    key = zorder_key(strategy)
+    all_stats: list[pa.Table] = []
+    stage_dirs: list = [stage_parent]
+    deleted: set = set()
+    n_planned = 0
+    for i, (pval, g, gpaths) in enumerate(grouped):
+        sub_id = f"{job_id}-part{i:04d}"
+        sub_plan = os.path.join(root, "_stage", sub_id, "PLAN.json")
+        if os.path.exists(sub_plan):
+            with open(sub_plan) as fh:
+                pinned = _json.load(fh)
+            bounds = [int(x) for x in pinned["bounds"]]
+            n_g = int(pinned["n_files"])
+        else:
+            gbytes = sum(e["file_size_bytes"] for e in g)
+            n_g = max(1, math.ceil(gbytes / target_bytes))
+            keys_df = (
+                spark.read.parquet(*[os.path.join(root, pp) for pp in gpaths])
+                .select("phash", "w", "h")
+                .withColumn("zkey", key(F.col("phash"), F.col("w"), F.col("h")))
+                .withColumn("wh", F.col("w").cast("long") * F.col("h").cast("long"))
+            )
+            bounds = equi_depth_bounds(
+                keys_df, n_g, sum(e["record_count"] for e in g)
+            )
+        stats_g, sd = run_staged(
+            spark, table, bounds, n_g, sub_id, strategy, reencode, entries=g
+        )
+        if stats_g.num_rows:
+            idx = stats_g.schema.get_field_index("partition")
+            stats_g = stats_g.set_column(
+                idx, "partition", pa.array([pval] * stats_g.num_rows, pa.string())
+            )
+        all_stats.append(stats_g)
+        stage_dirs.append(sd)
+        deleted |= set(gpaths)
+        n_planned += n_g
+
+    nonempty = [s_ for s_ in all_stats if s_.num_rows]
+    stats = (
+        pa.concat_tables(nonempty) if nonempty else FILE_ENTRY_SCHEMA.empty_table()
+    )
+    return _cluster_commit(
+        table, job_id, strategy, stats,
+        deleted_paths=deleted,
+        operation=operation,
+        summary=dict(
+            {"job_id": job_id, "strategy": strategy, "partitions": len(grouped)},
+            **summary_extra,
+        ),
+        metrics={
+            "n_files_planned": float(n_planned),
+            "partition_groups": float(len(grouped)),
+            "incremental": float(incremental),
+        },
+        stage_dir=stage_dirs,
+        carried_manifest_summaries=carried_manifest_summaries,
     )
 
 
@@ -811,10 +946,22 @@ def cluster(
         return done
 
     entries = table.file_entries(
-        columns=["file_path", "file_size_bytes", "record_count"]
+        columns=["file_path", "file_size_bytes", "record_count", "partition"]
     ).to_pylist()
     if not entries:
         return ClusterResult(None, job_id, strategy, 0, 0, 0)
+    from nessie_spark.lakehouse.partition import table_spec
+
+    if table_spec(table) and {e.get("partition") or "" for e in entries} - {""}:
+        # hidden-partitioned table: curve-order WITHIN each partition value
+        # (files must not span values or pruning dies); n_files is derived
+        # per group from target_bytes, the staged executor is the one path
+        return _cluster_partitioned(
+            spark, table, entries, strategy, target_bytes, job_id, reencode,
+            operation=strategy if strategy != "morton" else "zorder",
+            carried_manifest_summaries=[],  # full rewrite: nothing carried
+            summary_extra={}, incremental=False,
+        )
     total_bytes = sum(e["file_size_bytes"] for e in entries)
     if n_files is None:
         n_files = max(1, math.ceil(total_bytes / target_bytes))
@@ -939,9 +1086,32 @@ def cluster_incremental(
     live = {
         e["file_path"]: e
         for e in table.file_entries(
-            columns=["file_path", "file_size_bytes", "record_count", "zorder_lo"]
+            columns=[
+                "file_path", "file_size_bytes", "record_count", "zorder_lo",
+                "partition",
+            ]
         ).to_pylist()
     }
+    from nessie_spark.lakehouse.partition import table_spec
+
+    if table_spec(table):
+        groups_pinned = os.path.exists(
+            os.path.join(root, "_stage", job_id, "GROUPS.json")
+        )
+        delta = [e for e in live.values() if e["zorder_lo"] is None]
+        if groups_pinned or {e.get("partition") or "" for e in delta} - {""}:
+            # hidden-partitioned delta: per-partition sorted runs (same
+            # group pinning / resume contract as the full partitioned
+            # rewrite; carried=None keeps the untouched base runs)
+            if not delta and not groups_pinned:
+                return ClusterResult(None, job_id, strategy, 0, 0, 0)
+            return _cluster_partitioned(
+                spark, table, delta, strategy, target_bytes, job_id, reencode,
+                operation="zorder-delta",
+                carried_manifest_summaries=None,
+                summary_extra={"delta_files": len(delta)},
+                incremental=True,
+            )
 
     # Resume replays the PINNED delta: the plan's scatter bins define the
     # input set (and the commit's deleted set) — re-deriving "unclustered"

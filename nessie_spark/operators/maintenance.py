@@ -374,6 +374,59 @@ def maintenance_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def maintenance_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden partitioning end-to-end (lakehouse/partition.py): create a
+    table with an identity(fmt) spec, append (files split per value),
+    compact + cluster (both must keep files partition-pure), and quantify
+    tier-0 pruning: a fmt-pinned plan must touch only that value's files
+    while the row set matches a full-scan filter exactly."""
+    import collections
+
+    from nessie_spark.lakehouse.scan import plan_files
+
+    root = tempfile.mkdtemp(prefix="nessie-demo-") + "/images"
+    t = jobs.create_images_table(
+        root,
+        properties={"partition-spec": [{"source": "fmt", "transform": "identity"}]},
+    )
+    try:
+        df = synth.images_df(spark, N, seed=42)
+        jobs.append(spark, t, df, job_id="ingest")
+        t = t.refresh()
+        C.compact(spark, t, target_bytes=TARGET, job_id="demo-pp-compact")
+        t = t.refresh()
+        zorder.cluster(spark, t, target_bytes=TARGET, job_id="demo-pp-cluster")
+        t = t.refresh()
+        ents = t.file_entries(columns=["file_path", "partition"]).to_pylist()
+        vals = collections.Counter(e["partition"] for e in ents)
+        pruned = plan_files(t, source_eq={"fmt": "png"}, spark=spark)
+        ids_pruned = {
+            r.image_id
+            for r in scan(spark, t, source_eq={"fmt": "png"}).select("image_id").collect()
+        }
+        ids_full = {
+            r.image_id
+            for r in scan(spark, t).where("fmt = 'png'").select("image_id").collect()
+        }
+        return spark.createDataFrame(
+            [
+                (
+                    len(ents),
+                    len(vals),
+                    len(pruned),
+                    all(e["partition"] == "fmt=png" for e in pruned),
+                    len(pruned) < len(ents),
+                    ids_pruned == ids_full,
+                    len(ids_pruned),
+                )
+            ],
+            "files int, partition_values int, files_hit int, hits_all_png boolean, "
+            "pruned_some boolean, rowset_identical boolean, matched_rows int",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def maintenance_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot rollback + metadata tables end-to-end: append (s1) →
     compact (s2) → a second append (s3) → ``rollback(2)`` → the current
@@ -1044,6 +1097,7 @@ QUERIES: dict[str, tuple] = {
     "maintenance_schema_evolution": (maintenance_schema_evolution, None),
     "maintenance_rollback": (maintenance_rollback, None),
     "maintenance_data_skipping": (maintenance_data_skipping, None),
+    "maintenance_partition_pruning": (maintenance_partition_pruning, None),
     "maintenance_mor_delete": (maintenance_mor_delete, None),
     "maintenance_wap": (maintenance_wap, None),
     "maintenance_changelog": (maintenance_changelog, None),

@@ -1,0 +1,170 @@
+"""Hidden partitioning (lakehouse/partition.py): spec-driven write split,
+tier-0 partition pruning in scan planning (driver + distributed planners),
+and partition preservation through compaction and clustering.
+
+Contract under test: data files never span partition values; pruning never
+drops a matching row (pre-spec "" files always survive); maintenance
+rewrites stamp partition values so pruning keeps working after them.
+"""
+
+import collections
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from nessie_spark import synth
+from nessie_spark.lakehouse import jobs
+from nessie_spark.lakehouse.compact import compact
+from nessie_spark.lakehouse.partition import (
+    entry_matches, expected_segments, transform_py, validate_spec,
+)
+from nessie_spark.lakehouse.scan import plan_files, scan
+from nessie_spark.lakehouse.zorder import cluster, cluster_incremental
+
+FMT_SPEC = [{"source": "fmt", "transform": "identity"}]
+
+
+def _make(spark, root, spec, n=400, seed=7, job_id="a1"):
+    t = jobs.create_images_table(root, properties={"partition-spec": spec})
+    df = synth.images_df(spark, n, seed=seed)
+    jobs.append(spark, t, df, job_id=job_id)
+    return t.refresh(), df
+
+
+def _file_fmts(t, path):
+    return set(
+        pq.read_table(os.path.join(t.root, path), columns=["fmt"])
+        .column("fmt").to_pylist()
+    )
+
+
+def test_spec_validation_rejects_bad_fields():
+    with pytest.raises(ValueError, match="transform"):
+        validate_spec([{"source": "fmt", "transform": "year"}])
+    with pytest.raises(ValueError, match="bucket"):
+        validate_spec([{"source": "phash", "transform": "bucket", "n": 0}])
+    with pytest.raises(ValueError, match="duplicate"):
+        validate_spec([
+            {"source": "fmt", "transform": "identity"},
+            {"source": "fmt", "transform": "truncate", "width": 2},
+        ])
+
+
+def test_partitioned_append_files_never_span_values(spark, tmp_path):
+    t, _ = _make(spark, str(tmp_path / "tb"), FMT_SPEC)
+    ents = t.file_entries(columns=["file_path", "partition"]).to_pylist()
+    vals = collections.Counter(e["partition"] for e in ents)
+    assert set(vals) == {"fmt=png", "fmt=jpeg"}
+    for e in ents:
+        fmts = _file_fmts(t, e["file_path"])
+        assert len(fmts) == 1
+        assert e["partition"] == f"fmt={next(iter(fmts))}"
+
+
+def test_partition_pruning_drops_files_and_keeps_rows(spark, tmp_path):
+    t, df = _make(spark, str(tmp_path / "tb"), FMT_SPEC)
+    all_ents = t.file_entries(columns=["file_path"]).num_rows
+    pruned = plan_files(t, source_eq={"fmt": "png"}, spark=spark)
+    assert 0 < len(pruned) < all_ents
+    got = scan(spark, t, source_eq={"fmt": "png"}).count()
+    assert got == df.where("fmt = 'png'").count()
+    # distributed planner agrees file-for-file with the driver planner
+    dist = plan_files(t, source_eq={"fmt": "png"}, spark=spark, planner="distributed")
+    assert sorted(e["file_path"] for e in dist) == sorted(
+        e["file_path"] for e in pruned
+    )
+
+
+def test_bucket_transform_spark_python_twins_agree(spark, tmp_path):
+    spec = [{"source": "phash", "transform": "bucket", "n": 8}]
+    t, df = _make(spark, str(tmp_path / "tb"), spec)
+    ents = t.file_entries(columns=["file_path", "partition"]).to_pylist()
+    # every file's rows hash to exactly the bucket its entry claims
+    for e in ents:
+        ph = pq.read_table(
+            os.path.join(t.root, e["file_path"]), columns=["phash"]
+        ).column("phash").to_pylist()
+        buckets = {transform_py(spec[0], v) for v in ph}
+        assert e["partition"] == f"phash_bucket={buckets.pop()}" and not buckets
+    # point lookup through the transform prunes to one bucket's files
+    some = df.select("phash").head(1)[0].phash
+    pruned = plan_files(t, source_eq={"phash": some}, spark=spark)
+    want_seg = expected_segments(spec, {"phash": some})
+    assert all(entry_matches(e["partition"], want_seg) for e in pruned)
+    assert len(pruned) < len(ents)
+    rows = scan(spark, t, source_eq={"phash": some}).count()
+    assert rows == df.where(df.phash == some).count() >= 1
+
+
+def test_prespec_files_are_never_pruned(spark, tmp_path):
+    # table created WITHOUT a spec, then the spec is added to properties:
+    # old "" files must survive every partition-pruned plan
+    root = str(tmp_path / "tb")
+    t = jobs.create_images_table(root)
+    jobs.append(spark, t, synth.images_df(spark, 120, seed=3), job_id="old")
+    t = t.refresh()
+    props = dict(t.meta.get("properties") or {})
+    props["partition-spec"] = FMT_SPEC
+    t.meta["properties"] = props
+    t._write_version(t.version + 1, t.meta)
+    t = t.refresh()
+    jobs.append(spark, t, synth.images_df(spark, 120, seed=4), job_id="new")
+    t = t.refresh()
+    pruned = plan_files(t, source_eq={"fmt": "png"}, spark=spark)
+    prespec = [e for e in pruned if e["partition"] == ""]
+    assert prespec, "pre-spec files must survive partition pruning"
+    got = scan(spark, t, source_eq={"fmt": "png"}).count()
+    want = (
+        synth.images_df(spark, 120, seed=3).union(synth.images_df(spark, 120, seed=4))
+        .where("fmt = 'png'").count()
+    )
+    assert got == want
+
+
+def test_compact_respects_partitions(spark, tmp_path):
+    t, _ = _make(spark, str(tmp_path / "tb"), FMT_SPEC, n=600)
+    before = sorted(r.image_id for r in scan(spark, t).select("image_id").collect())
+    r = compact(spark, t, target_bytes=1 << 22, job_id="c1")
+    assert r.output_files >= 2  # at least one bin per partition value
+    t = t.refresh()
+    for e in t.file_entries(columns=["file_path", "partition"]).to_pylist():
+        fmts = _file_fmts(t, e["file_path"])
+        assert len(fmts) == 1 and e["partition"] == f"fmt={next(iter(fmts))}"
+    after = sorted(r.image_id for r in scan(spark, t).select("image_id").collect())
+    assert before == after
+
+
+def test_cluster_full_and_incremental_respect_partitions(spark, tmp_path):
+    t, _ = _make(spark, str(tmp_path / "tb"), FMT_SPEC, n=500, seed=5)
+    before = sorted(r.image_id for r in scan(spark, t).select("image_id").collect())
+    r = cluster(spark, t, job_id="z1", target_bytes=1 << 21)
+    t = t.refresh()
+    ents = t.file_entries(
+        columns=["file_path", "partition", "zorder_lo"]
+    ).to_pylist()
+    assert all(e["zorder_lo"] is not None for e in ents)
+    assert all(e["partition"].startswith("fmt=") for e in ents)
+    for e in ents:
+        assert len(_file_fmts(t, e["file_path"])) == 1
+    # idempotent rerun returns the committed snapshot
+    assert cluster(spark, t, job_id="z1").snapshot_id == r.snapshot_id
+
+    # fresh partitioned appends → incremental run clusters ONLY the delta
+    jobs.append(spark, t, synth.images_df(spark, 150, seed=9), job_id="a2")
+    t = t.refresh()
+    ri = cluster_incremental(spark, t, job_id="zd1", target_bytes=1 << 21)
+    assert 0 < ri.input_files < len(t.refresh().file_entries().to_pylist()) + ri.input_files
+    t = t.refresh()
+    ents2 = t.file_entries(columns=["file_path", "partition", "zorder_lo"]).to_pylist()
+    assert all(e["zorder_lo"] is not None for e in ents2)
+    assert all(e["partition"].startswith("fmt=") for e in ents2)
+    after = sorted(r2.image_id for r2 in scan(spark, t).select("image_id").collect())
+    want = sorted(
+        before
+        + [r3.image_id for r3 in synth.images_df(spark, 150, seed=9).select("image_id").collect()]
+    )
+    assert after == want
+    # pruning still works post-maintenance
+    pruned = plan_files(t, source_eq={"fmt": "jpeg"}, spark=spark)
+    assert 0 < len(pruned) < len(ents2)
