@@ -273,7 +273,7 @@ def purge_deletes(
     from nessie_spark.lakehouse.writer import align_to_schema, arrow_schema_from_ddl
 
     entries = table.file_entries(
-        columns=["file_path", "min_key", "max_key", "added_snapshot_id"]
+        columns=["file_path", "min_key", "max_key", "added_snapshot_id", "partition"]
     ).to_pylist()
     by_path = {e["file_path"]: e for e in entries}
 
@@ -327,13 +327,20 @@ def purge_deletes(
     table_ddl = table.meta.get("schema", IMAGES_DDL)
     done = lineage.completed_units(root, job_id, "purge")
     todo = [
-        (i, p, bisect_right(sids, by_path[p]["added_snapshot_id"]))
+        (
+            i, p, bisect_right(sids, by_path[p]["added_snapshot_id"]),
+            by_path[p].get("partition") or "",
+        )
         for i, p in enumerate(cand)
         if i not in done
     ]
 
     def _purge_unit(unit: tuple) -> list[dict]:
-        i, path, suffix = int(unit[0]), str(unit[1]), int(unit[2])
+        # the rewrite is 1:1 per input file, so the output inherits the
+        # input's hidden-partition value (stays prunable on spec'd tables)
+        i, path, suffix, pval = (
+            int(unit[0]), str(unit[1]), int(unit[2]), str(unit[3]),
+        )
         aschema = arrow_schema_from_ddl(table_ddl)
         tbl = align_to_schema(pq.read_table(os.path.join(root, path)), aschema)
         mn = pc.min(tbl.column("image_id")).as_py()
@@ -358,7 +365,7 @@ def purge_deletes(
         rel = f"data/{job_id}-purge-f{i:05d}.parquet"
         if out.num_rows:
             size = write_table_file(out, os.path.join(root, rel))
-            outs.append(stats_entry_for(out, rel, size))
+            outs.append(stats_entry_for(out, rel, size, partition=pval))
         lineage.write_unit(
             root, job_id, "purge", i,
             input_files=[path], output_files=[e["file_path"] for e in outs],
@@ -384,6 +391,14 @@ def purge_deletes(
     have = {e["file_path"] for e in fresh}
     added_entries = list(fresh)
     for u in units:
+        in_pval = next(
+            (
+                by_path[ip].get("partition") or ""
+                for ip in u["input_files"]
+                if ip in by_path
+            ),
+            "",
+        )
         for p in u["output_files"]:
             if p in have:
                 continue
@@ -391,7 +406,9 @@ def purge_deletes(
                 os.path.join(root, p), columns=["image_id", "w", "h", "phash"]
             )
             added_entries.append(
-                stats_entry_for(t, p, os.path.getsize(os.path.join(root, p)))
+                stats_entry_for(
+                    t, p, os.path.getsize(os.path.join(root, p)), partition=in_pval
+                )
             )
     added = pa.Table.from_pylist(added_entries) if added_entries else None
 

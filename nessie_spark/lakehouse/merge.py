@@ -361,7 +361,18 @@ def merge_into(
     )
     est_bytes = matched_bytes + bytes_per_row * n_src
     n_files = max(1, math.ceil(est_bytes / target_bytes))
-    new_rows = new_rows.repartition(n_files, "image_id")
+    from nessie_spark.lakehouse.partition import PVAL_COL, stamp_pval, table_spec
+
+    spec = table_spec(table)
+    if spec:
+        # hidden-partitioned table: merged rows re-derive their partition
+        # value and range-partition on (pval, key) so rewritten files stay
+        # partition-pure and prunable (writer splits boundary tasks)
+        new_rows = stamp_pval(new_rows, spec).repartitionByRange(
+            n_files, F.col(PVAL_COL), F.col("image_id")
+        )
+    else:
+        new_rows = new_rows.repartition(n_files, "image_id")
 
     stats = write_partition_files(
         new_rows, root, job_id, "merge", data_columns=data_cols

@@ -168,3 +168,39 @@ def test_cluster_full_and_incremental_respect_partitions(spark, tmp_path):
     # pruning still works post-maintenance
     pruned = plan_files(t, source_eq={"fmt": "jpeg"}, spark=spark)
     assert 0 < len(pruned) < len(ents2)
+
+
+def test_merge_and_purge_preserve_partitions(spark, tmp_path):
+    """MERGE INTO re-derives partition values for rewritten rows;
+    purge_deletes' 1:1 rewrites inherit the input file's value — a
+    partitioned table stays fully prunable through its DML lifecycle."""
+    import pandas as pd
+
+    from nessie_spark.lakehouse import merge
+    from nessie_spark.lakehouse.deletes import delete_where, purge_deletes
+
+    t, _ = _make(spark, str(tmp_path / "tb"), FMT_SPEC, n=300, seed=11)
+    rows = [synth.row_for(11, i) for i in range(0, 300, 15)]
+    for r in rows:
+        r["caption"] = r["caption"] + " (edited)"
+    src = spark.createDataFrame(pd.DataFrame(rows), schema=synth.IMAGES_SCHEMA)
+    merge.merge_into(spark, t, src, job_id="m1")
+    t = t.refresh()
+    ents = t.file_entries(columns=["file_path", "partition"]).to_pylist()
+    assert all(e["partition"].startswith("fmt=") for e in ents)
+    for e in ents:
+        fmts = _file_fmts(t, e["file_path"])
+        assert len(fmts) == 1 and e["partition"] == f"fmt={next(iter(fmts))}"
+
+    victim = scan(spark, t).select("image_id").head(3)
+    ids = ", ".join(f"'{r.image_id}'" for r in victim)
+    delete_where(spark, t, f"image_id IN ({ids})", job_id="d1")
+    t = t.refresh()
+    purge_deletes(spark, t, job_id="p1")
+    t = t.refresh()
+    ents2 = t.file_entries(columns=["file_path", "partition"]).to_pylist()
+    assert all(e["partition"].startswith("fmt=") for e in ents2)
+    for e in ents2:
+        fmts = _file_fmts(t, e["file_path"])
+        assert len(fmts) == 1 and e["partition"] == f"fmt={next(iter(fmts))}"
+    assert scan(spark, t).count() == 300 - 3
