@@ -26,6 +26,25 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _parse_partition_by(spec_str: str) -> list[dict]:
+    """CLI shorthand → partition spec: 'fmt' | 'bucket(phash,16)' |
+    'truncate(image_id,4)'; comma between fields at the top level is not
+    supported (one field per flag keeps the grammar trivial)."""
+    import re as _re
+
+    m = _re.fullmatch(r"bucket\((\w+),(\d+)\)", spec_str)
+    if m:
+        return [{"source": m.group(1), "transform": "bucket", "n": int(m.group(2))}]
+    m = _re.fullmatch(r"truncate\((\w+),(\d+)\)", spec_str)
+    if m:
+        return [
+            {"source": m.group(1), "transform": "truncate", "width": int(m.group(2))}
+        ]
+    if _re.fullmatch(r"\w+", spec_str):
+        return [{"source": spec_str, "transform": "identity"}]
+    raise SystemExit(f"cannot parse --partition-by {spec_str!r}")
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--table", required=True)
@@ -57,6 +76,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--small-files", action="store_true", help="synth: lognormal small-file layout")
     ap.add_argument("--sort-order", default=None, help="synth: set the write.sort-order table property (zorder|hilbert)")
+    ap.add_argument(
+        "--partition-by", default=None,
+        help="synth: hidden-partition spec for a NEW table — 'fmt' "
+        "(identity), 'bucket(phash,N)', or 'truncate(image_id,W)'",
+    )
     ap.add_argument("--column", default=None, help="add-column: 'name:type' (e.g. quality:long)")
     ap.add_argument("--from-snapshot", type=int, default=None, help="incremental/changelog: exclusive range start")
     ap.add_argument("--to-snapshot", type=int, default=None, help="incremental/changelog: inclusive range end")
@@ -86,17 +110,20 @@ def main(argv: list[str] | None = None) -> int:
         # layout-decay fixture for zorder-delta / maintain demos) — vary
         # --seed or the batch duplicates image_ids
         if _os.path.exists(_os.path.join(args.table, "metadata")):
-            if args.sort_order:
+            if args.sort_order or args.partition_by:
                 raise SystemExit(
-                    "--sort-order only applies when synth CREATES the "
-                    "table; it cannot be set on an existing table"
+                    "--sort-order/--partition-by only apply when synth "
+                    "CREATES the table; they cannot be set on an existing "
+                    "table"
                 )
             t = Table.load(args.table)
         else:
-            t = jobs.create_images_table(
-                args.table,
-                properties={"write.sort-order": args.sort_order} if args.sort_order else None,
-            )
+            props: dict = {}
+            if args.sort_order:
+                props["write.sort-order"] = args.sort_order
+            if args.partition_by:
+                props["partition-spec"] = _parse_partition_by(args.partition_by)
+            t = jobs.create_images_table(args.table, properties=props or None)
         df = synth.images_df(spark, args.rows, seed=args.seed)
         bounds = (
             synth.lognormal_file_boundaries(args.rows, seed=args.seed)
