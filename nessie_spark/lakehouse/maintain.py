@@ -106,7 +106,7 @@ def table_health(table: Table, policy: MaintenancePolicy | None = None) -> Healt
     policy = policy or MaintenancePolicy()
     ents = table.file_entries(
         columns=["file_path", "record_count", "file_size_bytes",
-                 "zorder_lo", "zorder_hi"]
+                 "zorder_lo", "zorder_hi", "partition"]
     ).to_pylist()
     n = len(ents)
     small = sum(
@@ -120,9 +120,18 @@ def table_health(table: Table, policy: MaintenancePolicy | None = None) -> Healt
     with_z = [e for e in ents if e["zorder_lo"] is not None]
     missing_z = n - len(with_z)
     overlaps = missing_z  # unclustered files count as overlapping
-    with_z.sort(key=lambda e: (e["zorder_lo"], e["zorder_hi"]))
+    # hidden-partitioned tables cluster WITHIN each partition value, so
+    # zkey ranges across values overlap by design — overlap and sorted-run
+    # signals are computed per value and the worst value decides, else a
+    # healthy freshly-clustered table with P partitions reads as P runs
+    # and maintain escalates to a pointless major rewrite
+    with_z.sort(
+        key=lambda e: (e.get("partition") or "", e["zorder_lo"], e["zorder_hi"])
+    )
     for a, b in zip(with_z, with_z[1:]):
-        if b["zorder_lo"] < a["zorder_hi"]:
+        if (a.get("partition") or "") == (b.get("partition") or "") and b[
+            "zorder_lo"
+        ] < a["zorder_hi"]:
             overlaps += 1
     overlap_pct = overlaps / n if n else 0.0
     total_bytes = sum(e["file_size_bytes"] for e in ents)
@@ -138,14 +147,19 @@ def table_health(table: Table, policy: MaintenancePolicy | None = None) -> Healt
     # buckets within one rewrite job are strictly disjoint (hi_i < lo_i+1),
     # so equal-boundary contact only ever happens ACROSS runs.
     OPEN, CLOSE = 0, 1  # open sorts before close at the same key
-    events = sorted(
-        [(e["zorder_lo"], OPEN) for e in with_z]
-        + [(e["zorder_hi"], CLOSE) for e in with_z]
-    )
-    depth = runs = 0
-    for _, kind in events:
-        depth += 1 if kind == OPEN else -1
-        runs = max(runs, depth)
+    runs = 0
+    by_pval: dict = {}
+    for e in with_z:
+        by_pval.setdefault(e.get("partition") or "", []).append(e)
+    for group in by_pval.values():
+        events = sorted(
+            [(e["zorder_lo"], OPEN) for e in group]
+            + [(e["zorder_hi"], CLOSE) for e in group]
+        )
+        depth = 0
+        for _, kind in events:
+            depth += 1 if kind == OPEN else -1
+            runs = max(runs, depth)
     dels = table.delete_files()
     # ancestor chain length from the current head
     by_id = {s["snapshot_id"]: s for s in table.meta["snapshots"]}

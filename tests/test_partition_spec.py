@@ -204,3 +204,17 @@ def test_merge_and_purge_preserve_partitions(spark, tmp_path):
         fmts = _file_fmts(t, e["file_path"])
         assert len(fmts) == 1 and e["partition"] == f"fmt={next(iter(fmts))}"
     assert scan(spark, t).count() == 300 - 3
+
+
+def test_health_signals_are_per_partition(spark, tmp_path):
+    """A freshly-clustered partitioned table must read as ONE sorted run
+    and ~zero overlap, not one run per partition value — otherwise maintain
+    escalates to a pointless major rewrite right after clustering."""
+    from nessie_spark.lakehouse.maintain import table_health
+
+    t, _ = _make(spark, str(tmp_path / "tb"), FMT_SPEC, n=500, seed=5)
+    cluster(spark, t, job_id="z1", target_bytes=1 << 20)
+    t = t.refresh()
+    h = table_health(t)
+    assert h.sorted_runs == 1
+    assert h.zorder_overlap_pct == 0.0
