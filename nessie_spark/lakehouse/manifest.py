@@ -36,7 +36,7 @@ class ManifestRewriteResult:
 
 SUMMARY_DDL = (
     "manifest_path string, n_entries long, record_count long, "
-    "file_size_bytes long, min_key string, max_key string"
+    "file_size_bytes long, min_key string, max_key string, partition string"
 )
 
 
@@ -58,8 +58,19 @@ def rewrite_manifests(
     # slice, so the manifest LIST's own ranges prune whole manifests for
     # point lookups and key-range scans (scan.prune_manifest_summaries) —
     # Iceberg's first pruning tier. Hash bucketing would give every
-    # manifest the full key width and make that tier useless.
-    ranged = entries_df.repartitionByRange(n_out, "min_key", "file_path")
+    # manifest the full key width and make that tier useless. On
+    # hidden-partitioned tables the partition value LEADS the range key
+    # (Iceberg groups manifests per partition): most output manifests then
+    # cover one value, get a partition label, and a pinned scan drops them
+    # at tier 1 before reading a single entry.
+    from nessie_spark.lakehouse.partition import table_spec
+
+    range_cols = (
+        ["partition", "min_key", "file_path"]
+        if table_spec(table)
+        else ["min_key", "file_path"]
+    )
+    ranged = entries_df.repartitionByRange(n_out, *range_cols)
 
     def _write_bucket(batches):
         from pyspark import TaskContext
@@ -71,7 +82,7 @@ def rewrite_manifests(
         tbl = pa.concat_tables(chunks).cast(FILE_ENTRY_SCHEMA)
         if tbl.num_rows == 0:
             return
-        tbl = tbl.sort_by("min_key")
+        tbl = tbl.sort_by([("partition", "ascending"), ("min_key", "ascending")])
         rel = f"metadata/manifest-rw{b:04d}-{uuid.uuid4().hex[:12]}.parquet"
         import os
 
@@ -90,6 +101,14 @@ def rewrite_manifests(
                     ),
                     "min_key": pc.min(tbl.column("min_key")).as_py(),
                     "max_key": pc.max(tbl.column("max_key")).as_py(),
+                    "partition": (
+                        tbl.column("partition")[0].as_py()
+                        if (
+                            pc.count_distinct(tbl.column("partition")).as_py() == 1
+                            and tbl.column("partition")[0].as_py()
+                        )
+                        else None
+                    ),
                 }
             ]
         )

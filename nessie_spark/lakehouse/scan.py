@@ -33,15 +33,23 @@ def prune_manifest_summaries(
     summaries: list[dict],
     key_eq: str | None = None,
     key_range: tuple[str, str] | None = None,
+    expected_partition: dict | None = None,
 ) -> list[dict]:
     """Tier-1 pruning: drop whole MANIFESTS whose [min_key, max_key] cannot
-    contain the predicate. The manifest list is one row per manifest, so
-    this is O(#manifests) driver work no matter how many entries they hold.
-    Effective when manifests are key-clustered (rewrite_manifests range-
-    partitions on min_key; appends are naturally key-local); a manifest
-    with NULL key stats is kept (unknown ⇒ possible hit)."""
+    contain the predicate, or whose single hidden-partition label
+    contradicts a pinned partition segment. The manifest list is one row
+    per manifest, so this is O(#manifests) driver work no matter how many
+    entries they hold. Effective when manifests are key-clustered
+    (rewrite_manifests range-partitions on (partition,) min_key; appends
+    are naturally key-local); a manifest with NULL key stats or NULL/mixed
+    partition label is kept (unknown ⇒ possible hit)."""
+    from nessie_spark.lakehouse.partition import entry_matches
+
     out = []
     for m in summaries:
+        pv = m.get("partition")
+        if expected_partition and pv and not entry_matches(pv, expected_partition):
+            continue
         lo, hi = m.get("min_key"), m.get("max_key")
         if lo is None or hi is None:
             out.append(m)
@@ -100,7 +108,8 @@ def plan_files(
         spec = table_spec(table)
         expected = expected_segments(spec, source_eq) if spec else None
     mans = prune_manifest_summaries(
-        table.manifest_summaries(snapshot_id), key_eq=key_eq, key_range=key_range
+        table.manifest_summaries(snapshot_id), key_eq=key_eq,
+        key_range=key_range, expected_partition=expected,
     )
     if not mans:
         return []

@@ -67,12 +67,17 @@ MANIFEST_LIST_SCHEMA = pa.schema(
         ("file_size_bytes", pa.int64()),
         ("min_key", pa.string()),
         ("max_key", pa.string()),
+        # single hidden-partition value covering EVERY entry in the
+        # manifest, or NULL when mixed/unknown — the tier-1 partition prune
+        # (rewrite_manifests groups manifests per value on spec'd tables;
+        # pre-r4 lists lack the column and read as NULL = keep)
+        ("partition", pa.string()),
     ]
 )
 
 MANIFEST_LIST_DDL = (
     "manifest_path string, n_entries long, record_count long, "
-    "file_size_bytes long, min_key string, max_key string"
+    "file_size_bytes long, min_key string, max_key string, partition string"
 )
 
 SNAPSHOTS_DDL = (
@@ -658,6 +663,7 @@ class Table:
         pq.write_table(entries, os.path.join(self.root, rel))
         mins = entries.column("min_key").to_pylist()
         maxs = entries.column("max_key").to_pylist()
+        pvals = set(entries.column("partition").to_pylist())
         summary = {
             "manifest_path": rel,
             "n_entries": entries.num_rows,
@@ -665,6 +671,8 @@ class Table:
             "file_size_bytes": sum(entries.column("file_size_bytes").to_pylist() or [0]),
             "min_key": min([m for m in mins if m is not None], default=None),
             "max_key": max([m for m in maxs if m is not None], default=None),
+            # labeled only when every entry shares ONE non-empty value
+            "partition": pvals.pop() if len(pvals) == 1 and "" not in pvals and None not in pvals else None,
         }
         return rel, summary
 

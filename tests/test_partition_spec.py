@@ -218,3 +218,27 @@ def test_health_signals_are_per_partition(spark, tmp_path):
     h = table_health(t)
     assert h.sorted_runs == 1
     assert h.zorder_overlap_pct == 0.0
+
+
+def test_manifest_rewrite_groups_by_partition_and_tier1_prunes(spark, tmp_path):
+    """rewrite_manifests on a spec'd table leads the range key with the
+    partition value, so output manifests get single-value labels and a
+    pinned scan drops them at tier 1 — before reading any entries."""
+    from nessie_spark.lakehouse.manifest import rewrite_manifests
+    from nessie_spark.lakehouse.scan import prune_manifest_summaries
+
+    t, df = _make(spark, str(tmp_path / "tb"), FMT_SPEC, n=500, seed=13)
+    rewrite_manifests(spark, t, target_manifests=8)  # bucket width 12.5% < jpeg share, so at least one jpeg-pure manifest forms
+    t = t.refresh()
+    mans = t.manifest_summaries()
+    labeled = [m for m in mans if m.get("partition")]
+    assert labeled, "partition-led range bucketing must label some manifests"
+    from nessie_spark.lakehouse.partition import expected_segments
+
+    expected = expected_segments(FMT_SPEC, {"fmt": "png"})
+    kept = prune_manifest_summaries(mans, expected_partition=expected)
+    dropped = len(mans) - len(kept)
+    assert dropped >= 1, "a jpeg-only manifest must be dropped at tier 1"
+    # row-level result still exact through the pruned plan
+    got = scan(spark, t, source_eq={"fmt": "png"}).count()
+    assert got == df.where("fmt = 'png'").count()
