@@ -59,3 +59,43 @@ def add_column(table: Table, name: str, sql_type: str, doc: str | None = None) -
         meta_updates=_update,
         summary={"added_column": f"{name} {sql_type.lower()}", "doc": doc or ""},
     )
+
+
+def set_partition_spec(table: Table, spec: list[dict] | None) -> int:
+    """Set (or clear, with ``None``) the table's hidden-partition spec —
+    Iceberg partition-spec evolution, metadata-only.
+
+    Existing data files keep the partition values they were written under
+    ("" for pre-spec files); the prune contract (partition.entry_matches)
+    never drops a file whose segments don't cover a pinned source, so old
+    layouts stay CORRECT and merely un-pruned until the next maintenance
+    rewrite regroups them under the new spec. New appends/rewrites use the
+    new spec immediately.
+
+    Same optimistic-commit shape as add_column: the property update is
+    computed against refreshed metadata each attempt, so concurrent
+    property writers serialize instead of losing updates.
+    """
+    from nessie_spark.lakehouse.partition import PROPERTY_KEY, validate_spec
+    from nessie_spark.lakehouse.scan import IMAGES_DDL
+
+    if spec is not None:
+        validate_spec(spec)
+        cols = {c.lower() for c in ddl_columns(table.meta.get("schema", IMAGES_DDL))}
+        missing = [f["source"] for f in spec if f["source"].lower() not in cols]
+        if missing:
+            raise ValueError(f"partition sources not in table schema: {missing}")
+
+    def _update(meta: dict) -> dict:
+        props = dict(meta.get("properties") or {})
+        if spec is None:
+            props.pop(PROPERTY_KEY, None)
+        else:
+            props[PROPERTY_KEY] = spec
+        return {"properties": props}
+
+    return table.commit(
+        "set-partition-spec",
+        meta_updates=_update,
+        summary={"partition_spec": spec or []},
+    )

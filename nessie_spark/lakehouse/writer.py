@@ -126,6 +126,7 @@ def write_table_file(tbl: pa.Table, abs_path: str) -> int:
 def write_partition_files(
     df: DataFrame, table_root: str, job_id: str, phase: str,
     data_columns: list[str] | None = None,
+    reencode: bool = False,
 ) -> DataFrame:
     """Write each partition of ``df`` as one data file; return stats DF.
 
@@ -133,6 +134,9 @@ def write_partition_files(
     recorded in stats but dropped from the data file). ``data_columns``
     overrides the written column set for evolved tables (columns absent
     from ``df`` are simply not written; readers NULL-backfill).
+    ``reencode``: the north-star pixel path (decode → re-encode in the
+    stored format → PSNR-verify) applied per written slice — used by the
+    spec-alignment clustering rewrite, same kernel discipline as compact.
     """
     cols = data_columns or DATA_COLUMNS
     from nessie_spark.lakehouse.partition import PVAL_COL
@@ -161,6 +165,17 @@ def write_partition_files(
             suffix = f"-{k}" if len(slices) > 1 else ""
             rel = f"data/{job_id}-{phase}-p{pid:05d}{suffix}.parquet"
             abs_path = os.path.join(table_root, rel)
+            if reencode:
+                from nessie_spark.lakehouse import kernels as K
+
+                new_bytes, _mn = K.reencode_verify(
+                    part_tbl.column("bytes").to_pylist(),
+                    part_tbl.column("fmt").to_pylist(),
+                )
+                part_tbl = part_tbl.set_column(
+                    part_tbl.schema.get_field_index("bytes"), "bytes",
+                    pa.array(new_bytes, pa.binary()),
+                )
             data_tbl = part_tbl.select([c for c in cols if c in part_tbl.schema.names])
             size = write_table_file(data_tbl, abs_path)
             entry = stats_entry_for(part_tbl, rel, size, partition=pval)

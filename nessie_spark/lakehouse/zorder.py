@@ -795,6 +795,72 @@ def _cluster_commit(
     )
 
 
+def _cluster_respec(
+    spark: SparkSession,
+    table: Table,
+    entries: list[dict],
+    strategy: str,
+    target_bytes: int,
+    job_id: str,
+    reencode: bool,
+    operation: str,
+    carried_manifest_summaries: list | None,
+    summary_extra: dict,
+    incremental: bool,
+) -> ClusterResult:
+    """Spec-alignment clustering: one-pass shuffle rewrite used whenever
+    some input file's recorded partition segments don't match the CURRENT
+    spec (partition-spec evolution, pre-spec history). Rows re-derive
+    their partition value from data, the global sort key is (pval, zkey)
+    so the writer's per-value split yields partition-pure, zkey-disjoint
+    files — exactly one sorted run per value in a single exchange.
+
+    Scale note: this is the JVM-shuffle executor (fat binary rows through
+    the exchange, the ~2x memory-traffic tax run_staged exists to avoid)
+    — acceptable because spec evolution is a rare administrative event;
+    steady-state partitioned clustering takes the per-value staged loop."""
+    from nessie_spark.lakehouse.partition import PVAL_COL, stamp_pval, table_spec
+    from nessie_spark.lakehouse.scan import IMAGES_DDL
+    from nessie_spark.lakehouse.writer import ddl_columns, write_partition_files
+
+    root = table.root
+    spec = table_spec(table)
+    paths = [e["file_path"] for e in entries]
+    total_bytes = sum(e["file_size_bytes"] for e in entries)
+    n_files = max(1, math.ceil(total_bytes / target_bytes))
+    key = zorder_key(strategy)
+    ddl = table.meta.get("schema", IMAGES_DDL)
+    df = (
+        spark.read.schema(ddl).parquet(*[os.path.join(root, p) for p in paths])
+        .withColumn("zkey", key(F.col("phash"), F.col("w"), F.col("h")))
+    )
+    df = (
+        stamp_pval(df, spec)
+        .repartitionByRange(n_files, F.col(PVAL_COL), F.col("zkey"))
+        .sortWithinPartitions(PVAL_COL, "zkey")
+    )
+    from nessie_spark.session import no_coalesce
+
+    with no_coalesce(spark):
+        stats = write_partition_files(
+            df, root, job_id, "respec", data_columns=ddl_columns(ddl),
+            reencode=reencode,
+        ).toArrow()
+    return _cluster_commit(
+        table, job_id, strategy, stats,
+        deleted_paths=set(paths),
+        operation=operation,
+        summary=dict(
+            {"job_id": job_id, "strategy": strategy, "respec": True},
+            **summary_extra,
+        ),
+        metrics={"n_files_planned": float(n_files), "respec": 1.0,
+                 "incremental": float(incremental)},
+        stage_dir=None,
+        carried_manifest_summaries=carried_manifest_summaries,
+    )
+
+
 def _cluster_partitioned(
     spark: SparkSession,
     table: Table,
@@ -830,7 +896,25 @@ def _cluster_partitioned(
 
     import pyarrow as pa
 
+    from nessie_spark.lakehouse.partition import parse_partition, segment_name, table_spec
     from nessie_spark.lakehouse.table import FILE_ENTRY_SCHEMA
+
+    # spec-alignment check: a file written under an older spec (or before
+    # any spec) carries different segment names — its rows may map to
+    # SEVERAL current values, so whole-file grouping can't regroup it.
+    # Any misalignment routes the ENTIRE job through the one-pass shuffle
+    # respec rewrite (rows re-derive values from data); resume of an
+    # in-flight grouped run (GROUPS.json present) keeps its pinned plan.
+    spec_now = table_spec(table)
+    seg_names = {segment_name(f) for f in (spec_now or [])}
+    groups_pinned_path = os.path.join(table.root, "_stage", job_id, "GROUPS.json")
+    if not os.path.exists(groups_pinned_path) and any(
+        set(parse_partition(e.get("partition") or "")) != seg_names for e in entries
+    ):
+        return _cluster_respec(
+            spark, table, entries, strategy, target_bytes, job_id, reencode,
+            operation, carried_manifest_summaries, summary_extra, incremental,
+        )
 
     root = table.root
     stage_parent = os.path.join(root, "_stage", job_id)
@@ -1099,10 +1183,12 @@ def cluster_incremental(
             os.path.join(root, "_stage", job_id, "GROUPS.json")
         )
         delta = [e for e in live.values() if e["zorder_lo"] is None]
-        if groups_pinned or {e.get("partition") or "" for e in delta} - {""}:
+        if groups_pinned or delta:
             # hidden-partitioned delta: per-partition sorted runs (same
             # group pinning / resume contract as the full partitioned
-            # rewrite; carried=None keeps the untouched base runs)
+            # rewrite; carried=None keeps the untouched base runs). A
+            # delta written under an older/absent spec routes through the
+            # respec rewrite inside, regrouping it under the current spec.
             if not delta and not groups_pinned:
                 return ClusterResult(None, job_id, strategy, 0, 0, 0)
             return _cluster_partitioned(

@@ -242,3 +242,55 @@ def test_manifest_rewrite_groups_by_partition_and_tier1_prunes(spark, tmp_path):
     # row-level result still exact through the pruned plan
     got = scan(spark, t, source_eq={"fmt": "png"}).count()
     assert got == df.where("fmt = 'png'").count()
+
+
+def test_multi_field_spec_and_spec_evolution(spark, tmp_path):
+    """Multi-field specs compose (fmt identity + phash bucket); spec
+    evolution via evolve.set_partition_spec re-partitions NEW writes only,
+    keeps old files correct (never wrongly pruned), and clustering under
+    the new spec regroups everything."""
+    from nessie_spark.lakehouse.evolve import set_partition_spec
+
+    spec2 = [
+        {"source": "fmt", "transform": "identity"},
+        {"source": "phash", "transform": "bucket", "n": 4},
+    ]
+    t, df = _make(spark, str(tmp_path / "tb"), spec2, n=300, seed=21)
+    ents = t.file_entries(columns=["file_path", "partition"]).to_pylist()
+    assert all(
+        e["partition"].startswith("fmt=") and "/phash_bucket=" in e["partition"]
+        for e in ents
+    )
+    # pinning BOTH sources prunes deeper than pinning one
+    one = plan_files(t, source_eq={"fmt": "png"}, spark=spark)
+    some_phash = df.where("fmt = 'png'").select("phash").head(1)[0].phash
+    both = plan_files(t, source_eq={"fmt": "png", "phash": some_phash}, spark=spark)
+    assert 0 < len(both) <= len(one) < len(ents)
+    got = scan(spark, t, source_eq={"fmt": "png", "phash": some_phash}).count()
+    assert got == df.where((df.fmt == "png") & (df.phash == some_phash)).count() >= 1
+
+    # evolve: replace with a single-field spec; old files keep old values
+    set_partition_spec(t, FMT_SPEC)
+    t = t.refresh()
+    jobs.append(spark, t, synth.images_df(spark, 100, seed=22), job_id="a2")
+    t = t.refresh()
+    vals = {e["partition"] for e in t.file_entries(columns=["partition"]).to_pylist()}
+    assert any("/phash_bucket=" in v for v in vals)  # old-spec files intact
+    assert any(v.startswith("fmt=") and "/" not in v for v in vals)  # new spec
+    want = (
+        df.where("fmt = 'png'").count()
+        + synth.images_df(spark, 100, seed=22).where("fmt = 'png'").count()
+    )
+    assert scan(spark, t, source_eq={"fmt": "png"}).count() == want
+    # a full cluster regroups every file under the CURRENT spec
+    cluster(spark, t, job_id="z-regroup", target_bytes=1 << 20)
+    t = t.refresh()
+    vals2 = {e["partition"] for e in t.file_entries(columns=["partition"]).to_pylist()}
+    assert vals2 == {"fmt=png", "fmt=jpeg"}
+    assert scan(spark, t, source_eq={"fmt": "png"}).count() == want
+
+    # validation: unknown source column refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not in table schema"):
+        set_partition_spec(t, [{"source": "nope", "transform": "identity"}])
