@@ -118,6 +118,16 @@ def main(argv: list[str] | None = None) -> int:
                 )
             t = Table.load(args.table)
         else:
+            if args.partition_by and args.small_files:
+                # the lognormal fixture writes through file_boundaries,
+                # which ignores the spec — the user would get a "partitioned"
+                # table whose files span values and never prune
+                raise SystemExit(
+                    "--partition-by cannot be combined with --small-files "
+                    "(the small-file fixture layout is deliberately "
+                    "unpartitioned); create the table partitioned and "
+                    "append without --small-files"
+                )
             props: dict = {}
             if args.sort_order:
                 props["write.sort-order"] = args.sort_order

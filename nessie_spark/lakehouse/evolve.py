@@ -76,15 +76,16 @@ def set_partition_spec(table: Table, spec: list[dict] | None) -> int:
     computed against refreshed metadata each attempt, so concurrent
     property writers serialize instead of losing updates.
     """
-    from nessie_spark.lakehouse.partition import PROPERTY_KEY, validate_spec
+    from nessie_spark.lakehouse.partition import (
+        PROPERTY_KEY, check_source_types, validate_spec,
+    )
     from nessie_spark.lakehouse.scan import IMAGES_DDL
 
     if spec is not None:
         validate_spec(spec)
-        cols = {c.lower() for c in ddl_columns(table.meta.get("schema", IMAGES_DDL))}
-        missing = [f["source"] for f in spec if f["source"].lower() not in cols]
-        if missing:
-            raise ValueError(f"partition sources not in table schema: {missing}")
+        # existence + type rule (string/integer only — float/boolean render
+        # differently in Spark vs Python and would silently prune wrong)
+        check_source_types(spec, table.meta.get("schema", IMAGES_DDL))
 
     def _update(meta: dict) -> dict:
         props = dict(meta.get("properties") or {})

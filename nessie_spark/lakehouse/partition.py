@@ -26,6 +26,15 @@ Pre-spec files (``partition == ""``) are never pruned — adding a spec to
 a table with history is safe, old files just don't benefit until the next
 rewrite regroups them (compact/zorder stamp partition values on output).
 
+Source-type rule: partition sources must be string or integer columns —
+the two families whose Spark ``cast("string")`` and Python ``str()``
+render identically, which is what makes the write/prune twins bit-exact.
+Float, boolean, and binary sources are REJECTED at spec-use time (Spark
+renders ``true``/``1.0E-7`` where Python says ``True``/``1e-07`` — a
+silent wrong-prune, the worst failure mode). NULL source values partition
+as the literal segment value ``null`` (Iceberg's convention) on both
+sides.
+
 Scale: the partition column rides the manifests the planner already
 reads; segment matching is string equality on the driver or a Spark
 filter on the distributed-planner path — no extra I/O at any table size.
@@ -42,6 +51,30 @@ PROPERTY_KEY = "partition-spec"
 PVAL_COL = "_pval"  # staging column name on the write path
 
 _TRANSFORMS = ("identity", "bucket", "truncate")
+# str()/cast("string") agree only for these source types (see module doc)
+_SOURCE_TYPES = ("string", "int", "long", "bigint")
+
+
+def check_source_types(spec: list[dict], schema_ddl: str) -> None:
+    """Reject sources whose Spark/Python string renderings diverge."""
+    types = {}
+    for f in schema_ddl.split(","):
+        parts = f.strip().split()
+        if len(parts) >= 2:
+            types[parts[0].lower()] = parts[1].lower()
+    for fld in spec:
+        t = types.get(fld["source"].lower())
+        if t is None:
+            raise ValueError(
+                f"partition source {fld['source']!r} not in table schema"
+            )
+        if t not in _SOURCE_TYPES:
+            raise ValueError(
+                f"partition source {fld['source']!r} has type {t!r}; only "
+                f"{_SOURCE_TYPES} render identically in Spark and Python "
+                "string form (float/boolean/binary would silently prune "
+                "wrong)"
+            )
 
 
 def table_spec(table) -> list[dict] | None:
@@ -49,6 +82,9 @@ def table_spec(table) -> list[dict] | None:
     spec = (table.meta.get("properties") or {}).get(PROPERTY_KEY)
     if spec:
         validate_spec(spec)
+        schema = table.meta.get("schema")
+        if schema:
+            check_source_types(spec, schema)
     return spec or None
 
 
@@ -92,7 +128,11 @@ def _h60(s: str) -> int:
 
 
 def transform_py(field: dict, value) -> str:
-    """Driver-side transform: source value → segment value string."""
+    """Driver-side transform: source value → segment value string.
+    NULL sources partition as the literal ``null`` (Iceberg's convention),
+    matching transform_col's coalesce."""
+    if value is None:
+        value = "null"
     t = field["transform"]
     if t == "identity":
         return str(value)
@@ -106,12 +146,12 @@ def transform_col(field: dict) -> Column:
     from nessie_spark.functions.core import h64
 
     t = field["transform"]
-    src = F.col(field["source"])
+    src = F.coalesce(F.col(field["source"]).cast("string"), F.lit("null"))
     if t == "identity":
-        return src.cast("string")
+        return src
     if t == "bucket":
-        return F.pmod(h64(src.cast("string")), F.lit(field["n"])).cast("string")
-    return F.substring(src.cast("string"), 1, field["width"])
+        return F.pmod(h64(src), F.lit(field["n"])).cast("string")
+    return F.substring(src, 1, field["width"])
 
 
 def partition_value_col(spec: list[dict]) -> Column:

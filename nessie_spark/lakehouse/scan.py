@@ -457,7 +457,9 @@ def scan(
         df = df.where(F.col("image_id") == key_eq)
     if source_eq:
         for c, v in sorted(source_eq.items()):
-            df = df.where(F.col(c) == F.lit(v))
+            # None pins the `null` partition segment; row-wise that is an
+            # IS NULL check (== NULL is never true in SQL)
+            df = df.where(F.col(c).isNull() if v is None else (F.col(c) == F.lit(v)))
     if columns:
         df = df.select(*columns)
     return df

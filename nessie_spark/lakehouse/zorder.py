@@ -928,8 +928,32 @@ def _cluster_partitioned(
                 columns=["file_path", "file_size_bytes", "record_count"]
             ).to_pylist()
         }
+        pinned_paths = {pp for g in groups for pp in g["paths"]}
+        # same resume contract as the unpartitioned full rewrite: the
+        # PINNED plan must still describe the table. An input that is no
+        # longer live was rewritten by another job (replaying would
+        # resurrect/duplicate its rows); for a FULL rewrite (carried=[])
+        # a live file OUTSIDE the plan — appended after the crash — would
+        # silently vanish from the committed snapshot.
+        gone = sorted(pinned_paths - set(live))
+        if gone:
+            raise ValueError(
+                f"partitioned cluster {job_id!r} planned against "
+                f"{len(gone)} input file(s) no longer live (e.g. "
+                f"{gone[0]}); the table changed since the crashed attempt "
+                "— rerun with a NEW job_id"
+            )
+        if not incremental:
+            extra = sorted(set(live) - pinned_paths)
+            if extra:
+                raise ValueError(
+                    f"partitioned cluster {job_id!r} pinned a full-rewrite "
+                    f"plan that misses {len(extra)} live file(s) appended "
+                    f"since the crash (e.g. {extra[0]}); committing it "
+                    "would drop their rows — rerun with a NEW job_id"
+                )
         grouped = [
-            (g["pval"], [live[pp] for pp in g["paths"] if pp in live], g["paths"])
+            (g["pval"], [live[pp] for pp in g["paths"]], g["paths"])
             for g in groups
         ]
     else:
@@ -1036,10 +1060,27 @@ def cluster(
         return ClusterResult(None, job_id, strategy, 0, 0, 0)
     from nessie_spark.lakehouse.partition import table_spec
 
-    if table_spec(table) and {e.get("partition") or "" for e in entries} - {""}:
+    if table_spec(table):
         # hidden-partitioned table: curve-order WITHIN each partition value
-        # (files must not span values or pruning dies); n_files is derived
-        # per group from target_bytes, the staged executor is the one path
+        # (files must not span values or pruning dies) — including when
+        # every file is still pre-spec ("" segments ≠ spec segments routes
+        # through the respec rewrite, which is how set_partition_spec on an
+        # existing table gets materialized). n_files is derived per group
+        # from target_bytes and the executor is chosen internally, so
+        # explicit overrides can't be honored — refuse rather than ignore.
+        if n_files is not None:
+            raise ValueError(
+                "cluster(n_files=...) cannot be honored on a hidden-"
+                "partitioned table (file counts are derived per partition "
+                "group from target_bytes); size via target_bytes instead"
+            )
+        if execution != "staged":
+            raise ValueError(
+                f"cluster(execution={execution!r}) is not supported on a "
+                "hidden-partitioned table (per-group staged rewrites, or "
+                "the one-pass respec shuffle when the spec changed, are "
+                "chosen internally)"
+            )
         return _cluster_partitioned(
             spark, table, entries, strategy, target_bytes, job_id, reencode,
             operation=strategy if strategy != "morton" else "zorder",

@@ -549,8 +549,20 @@ def _knn_exact_candidates(spark: SparkSession, emb: DataFrame, k: int) -> DataFr
             out_q, out_n = [], []
             for i in range(len(qid)):
                 d[i, b_ids == qid[i]] = np.inf  # exclude self
-                idx = np.argpartition(d[i], top)[: top + 1]
-                idx = idx[np.isfinite(d[i][idx])][:top]
+                # tie-safe cut: the final contract ranks by
+                # (round(dist,4), nid), so every vector whose ROUNDED
+                # distance could equal the k-th's must survive — take
+                # everything within one rounding bucket (1e-4) of the k-th
+                # smallest raw distance (matmul-vs-fold error is ~1e-12,
+                # orders below the slack). The fixed top-N margin alone
+                # could drop the smallest-nid member of a boundary tie.
+                kth = np.partition(d[i], min(k, len(b_ids) - 1) - 1)[
+                    min(k, len(b_ids) - 1) - 1
+                ]
+                idx = np.flatnonzero(d[i] <= kth + 1e-4)
+                if len(idx) < top:  # keep the wide margin too (cheap)
+                    idx = np.argpartition(d[i], top)[: top + 1]
+                    idx = idx[np.isfinite(d[i][idx])][:top]
                 out_q.append(np.full(len(idx), qid[i], dtype=np.int64))
                 out_n.append(b_ids[idx])
             yield pd.DataFrame(

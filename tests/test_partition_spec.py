@@ -294,3 +294,82 @@ def test_multi_field_spec_and_spec_evolution(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="not in table schema"):
         set_partition_spec(t, [{"source": "nope", "transform": "identity"}])
+
+
+def test_cluster_materializes_spec_on_all_prespec_table(spark, tmp_path):
+    """set_partition_spec on an existing unpartitioned table + a full
+    cluster must regroup EVERY file under the spec (review fix: the old
+    gate skipped the partitioned path when no file had a value yet)."""
+    from nessie_spark.lakehouse.evolve import set_partition_spec
+
+    root = str(tmp_path / "tb")
+    t = jobs.create_images_table(root)
+    jobs.append(spark, t, synth.images_df(spark, 200, seed=31), job_id="a1")
+    t = t.refresh()
+    set_partition_spec(t, FMT_SPEC)
+    t = t.refresh()
+    cluster(spark, t, job_id="z1", target_bytes=1 << 20)
+    t = t.refresh()
+    vals = {e["partition"] for e in t.file_entries(columns=["partition"]).to_pylist()}
+    assert vals == {"fmt=png", "fmt=jpeg"}
+    pruned = plan_files(t, source_eq={"fmt": "jpeg"}, spark=spark)
+    n_all = t.file_entries(columns=["file_path"]).num_rows
+    assert 0 < len(pruned) < n_all
+    assert scan(spark, t).count() == 200
+
+
+def test_partitioned_cluster_resume_guards_plan_drift(spark, tmp_path):
+    """A pinned partitioned full-rewrite plan must refuse to commit when
+    the live set changed (review fix: an append after the crash would have
+    silently vanished from the carried=[] commit)."""
+    import json
+
+    t, _ = _make(spark, str(tmp_path / "tb"), FMT_SPEC, n=200, seed=33)
+    ents = t.file_entries(columns=["file_path", "partition"]).to_pylist()
+    by = {}
+    for e in ents:
+        by.setdefault(e["partition"], []).append(e["file_path"])
+    stage = os.path.join(t.root, "_stage", "zcrash")
+    os.makedirs(stage, exist_ok=True)
+    with open(os.path.join(stage, "GROUPS.json"), "w") as fh:
+        json.dump(
+            {"groups": [{"pval": pv, "paths": ps} for pv, ps in sorted(by.items())]},
+            fh,
+        )
+    # a file lands after the "crash" — full-rewrite resume must refuse
+    jobs.append(spark, t, synth.images_df(spark, 40, seed=34), job_id="late")
+    t = t.refresh()
+    with pytest.raises(ValueError, match="NEW job_id"):
+        cluster(spark, t, job_id="zcrash", target_bytes=1 << 20)
+
+
+def test_null_partition_source_partitions_as_null_segment(spark, tmp_path):
+    """NULL source values partition as the literal `null` segment on both
+    the write and prune paths (review fix: NULL _pval crashed the writer)."""
+    import pandas as pd
+
+    t = jobs.create_images_table(
+        str(tmp_path / "tb"), properties={"partition-spec": FMT_SPEC}
+    )
+    rows = [synth.row_for(41, i) for i in range(30)]
+    for r in rows[:7]:
+        r["fmt"] = None
+    df = spark.createDataFrame(pd.DataFrame(rows), schema=synth.IMAGES_SCHEMA)
+    jobs.append(spark, t, df, job_id="a1")
+    t = t.refresh()
+    vals = {e["partition"] for e in t.file_entries(columns=["partition"]).to_pylist()}
+    assert "fmt=null" in vals
+    got = scan(spark, t, source_eq={"fmt": None}).count()
+    assert got == 7
+
+
+def test_spec_rejects_divergent_source_types(spark, tmp_path):
+    """Float/boolean sources are refused: Spark cast('string') and Python
+    str() render them differently, which would silently prune wrong."""
+    from nessie_spark.lakehouse.evolve import add_column, set_partition_spec
+
+    t, _ = _make(spark, str(tmp_path / "tb"), FMT_SPEC, n=20, seed=51)
+    add_column(t, "score", "double")
+    t = t.refresh()
+    with pytest.raises(ValueError, match="render identically"):
+        set_partition_spec(t, [{"source": "score", "transform": "identity"}])
