@@ -373,3 +373,40 @@ def test_spec_rejects_divergent_source_types(spark, tmp_path):
     t = t.refresh()
     with pytest.raises(ValueError, match="render identically"):
         set_partition_spec(t, [{"source": "score", "transform": "identity"}])
+
+
+def test_streaming_ingest_into_partitioned_table(spark, tmp_path):
+    """ingest_batch routes through jobs.append, so micro-batches land
+    partition-pure on spec'd tables; replay stays a no-op."""
+    from nessie_spark.streaming.ingest import ingest_batch
+
+    root = str(tmp_path / "tb")
+    jobs.create_images_table(root, properties={"partition-spec": FMT_SPEC})
+    b0 = synth.images_df(spark, 60, seed=61)
+    s1 = ingest_batch(root, "s", b0, batch_id=0)
+    s2 = ingest_batch(root, "s", b0, batch_id=0)  # replay
+    assert s1 == s2
+    from nessie_spark.lakehouse.table import Table
+
+    t = Table.load(root)
+    ents = t.file_entries(columns=["file_path", "partition"]).to_pylist()
+    assert ents and all(e["partition"].startswith("fmt=") for e in ents)
+    for e in ents:
+        assert len(_file_fmts(t, e["file_path"])) == 1
+    assert scan(spark, t).count() == 60
+
+
+def test_compact_distributed_planner_respects_partitions(spark, tmp_path):
+    """The executor-side FFD planner packs per partition value too (one
+    distributed pack per value; bins never mix values)."""
+    t, _ = _make(spark, str(tmp_path / "tb"), FMT_SPEC, n=600, seed=71)
+    before = scan(spark, t).count()
+    r = compact(
+        spark, t, target_bytes=1 << 22, job_id="cd1", planner="distributed"
+    )
+    assert r.output_files >= 2
+    t = t.refresh()
+    for e in t.file_entries(columns=["file_path", "partition"]).to_pylist():
+        fmts = _file_fmts(t, e["file_path"])
+        assert len(fmts) == 1 and e["partition"] == f"fmt={next(iter(fmts))}"
+    assert scan(spark, t).count() == before
