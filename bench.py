@@ -65,6 +65,12 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q18_large_volume_customers",
+    "q22_sales_opportunity",
     "top_customers_per_nation",
     "order_priority_counts",
     "events_hourly",
@@ -89,6 +95,7 @@ BENCH_QUERIES = [
     "model_zoo_dummy_cv",
     "knn_flagger_flags",
     "knn_softmax_entropy_scores",
+    "knn_exact_topk",
     "curriculum_spotter_scores",
     "span_alignment",
     "span_prob_aggregation",
