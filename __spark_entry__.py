@@ -23,7 +23,30 @@ from pyspark.sql import DataFrame, SparkSession
 # (multimodal_frame_sample: digests is a scalar string now), then the new
 # r4 queries. Everything driver-green in r3 rotates to the tail.
 _SAMPLE_PRIORITY = [
-    # r3-unsampled oracle-backed (46)
+    # --- never driver-sampled (new in r4 / the r3 red row): freshest
+    # evidence first — the driver samples the FIRST 50 entries only
+    "multimodal_frame_sample",   # r3's one red row, fixed
+    "knn_exact_topk",
+    "model_zoo_crf_tagger_cv",
+    "maintenance_cluster_delta",
+    "maintenance_partition_pruning",
+    "dropout_original_scores",
+    "dropout_variance_scores",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    "q22_sales_opportunity",
+    # --- oracle-backed queries whose last driver row is r2 or older (the
+    # r3 driver did not sample them); 31 fit in the remaining window, the
+    # tail rotates into r5 (all are oracle-green locally every round)
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "top_customers_per_nation",
@@ -55,6 +78,8 @@ _SAMPLE_PRIORITY = [
     "curriculum_spotter_scores",
     "leitner_spotter_scores",
     "classification_entropy_scores",
+    # --- below the 50-row sampling window this round (driver rows from
+    # r1/r2 exist; locally oracle-green; rotate into r5's window)
     "prediction_margin_scores",
     "classification_uncertainty_scores",
     "ensemble_majority_flags",
@@ -70,29 +95,6 @@ _SAMPLE_PRIORITY = [
     "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash",
-    # the r3 red row, fixed this round
-    "multimodal_frame_sample",
-    # new in r4
-    "knn_exact_topk",
-    "model_zoo_crf_tagger_cv",
-    "maintenance_cluster_delta",
-    "maintenance_partition_pruning",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_discounted_revenue",
-    "q22_sales_opportunity",
-    # below the driver's 50-row sampling window: oracle+pytest evidence
-    # locally, rotate into the window next round
-    "dropout_original_scores",
-    "dropout_variance_scores",
 ]
 
 
