@@ -44,6 +44,8 @@ _SAMPLE_PRIORITY = [
     "q18_large_volume_customers",
     "q19_discounted_revenue",
     "q22_sales_opportunity",
+    "events_retention_cohorts",
+    "events_funnel",
     # --- oracle-backed queries whose last driver row is r2 or older (the
     # r3 driver did not sample them); 31 fit in the remaining window, the
     # tail rotates into r5 (all are oracle-green locally every round)

@@ -110,7 +110,115 @@ FROM per_session GROUP BY user_id ORDER BY user_id
 """
 
 
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, counted per
+    day-offset they return — the canonical product-analytics triangle.
+
+    Two aggregations sharing the user_id shuffle: first-day per user
+    (min), then distinct (cohort, offset, user) → counts. Day arithmetic
+    on epoch days (integer, timezone-proof in both engines)."""
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(first, "user_id")
+        .select("user_id", "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .distinct()
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+EVENTS_RETENTION_SQL = """
+WITH ev AS (
+  SELECT user_id, CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day
+  FROM events
+), first AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id
+)
+SELECT cohort_day, day_offset, COUNT(*) AS n_users
+FROM (
+  SELECT DISTINCT ev.user_id, cohort_day, ev.day - cohort_day AS day_offset
+  FROM ev JOIN first USING (user_id)
+)
+GROUP BY cohort_day, day_offset
+ORDER BY cohort_day, day_offset
+"""
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase per user: a step counts only
+    when it happens AT OR AFTER the previous step's first occurrence
+    (min-timestamp cascade — the standard funnel semantics, expressed as
+    conditional aggregation instead of a self-join per step)."""
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("t")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("t"))).alias("t_view"),
+    )
+    steps = (
+        ev.join(per_user, "user_id")
+        .groupBy("user_id", "t_view")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("t") >= F.col("t_view")),
+                    F.col("t"),
+                )
+            ).alias("t_click"),
+        )
+    )
+    final = (
+        ev.join(steps, "user_id")
+        .groupBy("user_id", "t_view", "t_click")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("t") >= F.col("t_click")),
+                    F.col("t"),
+                )
+            ).alias("t_purchase"),
+        )
+    )
+    return final.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0)).alias("viewed"),
+        F.sum(F.when(F.col("t_click").isNotNull(), 1).otherwise(0)).alias("clicked_after_view"),
+        F.sum(F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0)).alias("purchased_after_click"),
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events
+), v AS (
+  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN t END) AS t_view
+  FROM ev GROUP BY user_id
+), c AS (
+  SELECT ev.user_id, t_view,
+         MIN(CASE WHEN event_type = 'click' AND t >= t_view THEN t END) AS t_click
+  FROM ev JOIN v USING (user_id)
+  GROUP BY ev.user_id, t_view
+), p AS (
+  SELECT ev.user_id, t_view, t_click,
+         MIN(CASE WHEN event_type = 'purchase' AND t >= t_click THEN t END) AS t_purchase
+  FROM ev JOIN c USING (user_id)
+  GROUP BY ev.user_id, t_view, t_click
+)
+SELECT COUNT(*) AS n_users,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS viewed,
+       CAST(SUM(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS clicked_after_view,
+       CAST(SUM(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS purchased_after_click
+FROM p
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
     "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_SQL),
+    "events_retention_cohorts": (events_retention_cohorts, EVENTS_RETENTION_SQL),
+    "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
 }
