@@ -154,3 +154,22 @@ def test_q22_anti_join_shape(spark):
     df = E.queries()["q22_sales_opportunity"](spark, SF)
     plan = _plan(df)
     assert "LeftAnti" in plan
+
+
+def test_new_analytics_avoid_cartesian_products(spark):
+    """The r4 analytics breadth (multi-join, correlated, anti-join shapes)
+    must compile to hash joins — q22's 1-row threshold broadcast is the
+    only nested-loop allowed anywhere (a scalar subquery by construction)."""
+    for name in [
+        "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+        "q13_customer_distribution", "q15_top_supplier",
+        "q18_large_volume_customers", "q19_discounted_revenue",
+        "events_retention_cohorts", "events_funnel",
+    ]:
+        plan = _plan(E.queries()[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    q22 = _plan(E.queries()["q22_sales_opportunity"](spark, SF))
+    assert "CartesianProduct" not in q22
+    # scalar threshold: 1-row broadcast nested loop is the correct plan
+    assert "BroadcastNestedLoopJoin" in q22 or "BroadcastHashJoin" in q22
