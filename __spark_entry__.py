@@ -47,7 +47,7 @@ _SAMPLE_PRIORITY = [
     "events_retention_cohorts",
     "events_funnel",
     # --- oracle-backed queries whose last driver row is r2 or older (the
-    # r3 driver did not sample them); 31 fit in the remaining window, the
+    # r3 driver did not sample them); 29 fit in the remaining window, the
     # tail rotates into r5 (all are oracle-green locally every round)
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -78,10 +78,10 @@ _SAMPLE_PRIORITY = [
     "item_discrimination_flags",
     "dawid_skene_labels",
     "curriculum_spotter_scores",
-    "leitner_spotter_scores",
-    "classification_entropy_scores",
     # --- below the 50-row sampling window this round (driver rows from
     # r1/r2 exist; locally oracle-green; rotate into r5's window)
+    "leitner_spotter_scores",
+    "classification_entropy_scores",
     "prediction_margin_scores",
     "classification_uncertainty_scores",
     "ensemble_majority_flags",

@@ -117,6 +117,16 @@ def main(argv: list[str] | None = None) -> int:
                     "table"
                 )
             t = Table.load(args.table)
+            if args.small_files:
+                from nessie_spark.lakehouse.partition import table_spec
+
+                if table_spec(t):
+                    raise SystemExit(
+                        "--small-files cannot append to a hidden-partitioned "
+                        "table (the fixture layout ignores the spec and "
+                        "writes value-spanning files); append without "
+                        "--small-files"
+                    )
         else:
             if args.partition_by and args.small_files:
                 # the lognormal fixture writes through file_boundaries,

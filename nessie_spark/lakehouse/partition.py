@@ -127,18 +127,32 @@ def _h60(s: str) -> int:
     return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
 
 
+def _escape_py(s: str) -> str:
+    """Percent-escape the segment metacharacters (%, =, /) so a value
+    containing them cannot corrupt parse_partition and wrongly prune —
+    '%' first so escapes never double-decode. Twin of _escape_col."""
+    return s.replace("%", "%25").replace("=", "%3D").replace("/", "%2F")
+
+
+def _escape_col(c: Column) -> Column:
+    c = F.replace(c, F.lit("%"), F.lit("%25"))
+    c = F.replace(c, F.lit("="), F.lit("%3D"))
+    return F.replace(c, F.lit("/"), F.lit("%2F"))
+
+
 def transform_py(field: dict, value) -> str:
     """Driver-side transform: source value → segment value string.
     NULL sources partition as the literal ``null`` (Iceberg's convention),
-    matching transform_col's coalesce."""
+    matching transform_col's coalesce. Values are escaped AFTER the
+    transform (so truncate widths count raw characters on both sides)."""
     if value is None:
         value = "null"
     t = field["transform"]
     if t == "identity":
-        return str(value)
+        return _escape_py(str(value))
     if t == "bucket":
-        return str(_h60(str(value)) % field["n"])
-    return str(value)[: field["width"]]
+        return str(_h60(str(value)) % field["n"])  # digits — nothing to escape
+    return _escape_py(str(value)[: field["width"]])
 
 
 def transform_col(field: dict) -> Column:
@@ -148,10 +162,10 @@ def transform_col(field: dict) -> Column:
     t = field["transform"]
     src = F.coalesce(F.col(field["source"]).cast("string"), F.lit("null"))
     if t == "identity":
-        return src
+        return _escape_col(src)
     if t == "bucket":
         return F.pmod(h64(src), F.lit(field["n"])).cast("string")
-    return F.substring(src, 1, field["width"])
+    return _escape_col(F.substring(src, 1, field["width"]))
 
 
 def partition_value_col(spec: list[dict]) -> Column:

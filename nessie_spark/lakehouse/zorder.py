@@ -1230,8 +1230,6 @@ def cluster_incremental(
             # rewrite; carried=None keeps the untouched base runs). A
             # delta written under an older/absent spec routes through the
             # respec rewrite inside, regrouping it under the current spec.
-            if not delta and not groups_pinned:
-                return ClusterResult(None, job_id, strategy, 0, 0, 0)
             return _cluster_partitioned(
                 spark, table, delta, strategy, target_bytes, job_id, reencode,
                 operation="zorder-delta",

@@ -556,13 +556,18 @@ def _knn_exact_candidates(spark: SparkSession, emb: DataFrame, k: int) -> DataFr
                 # smallest raw distance (matmul-vs-fold error is ~1e-12,
                 # orders below the slack). The fixed top-N margin alone
                 # could drop the smallest-nid member of a boundary tie.
+                if len(b_ids) < 2:  # only the query itself exists
+                    continue
                 kth = np.partition(d[i], min(k, len(b_ids) - 1) - 1)[
                     min(k, len(b_ids) - 1) - 1
                 ]
                 idx = np.flatnonzero(d[i] <= kth + 1e-4)
                 if len(idx) < top:  # keep the wide margin too (cheap)
                     idx = np.argpartition(d[i], top)[: top + 1]
-                    idx = idx[np.isfinite(d[i][idx])][:top]
+                # the self entry is +inf — it can slip past either cut when
+                # every distance ties at the threshold or N is tiny; a
+                # superset of candidates is always safe, self never is
+                idx = idx[np.isfinite(d[i][idx])]
                 out_q.append(np.full(len(idx), qid[i], dtype=np.int64))
                 out_n.append(b_ids[idx])
             yield pd.DataFrame(

@@ -410,3 +410,25 @@ def test_compact_distributed_planner_respects_partitions(spark, tmp_path):
         fmts = _file_fmts(t, e["file_path"])
         assert len(fmts) == 1 and e["partition"] == f"fmt={next(iter(fmts))}"
     assert scan(spark, t).count() == before
+
+
+def test_segment_metacharacters_are_escaped_in_both_twins(spark):
+    """Values containing '/', '=', '%' must round-trip the segment encoding
+    identically in Spark and Python — otherwise parse_partition splits on a
+    value's own '/' and wrongly prunes (review fix)."""
+    from nessie_spark.lakehouse.partition import (
+        parse_partition, partition_value_col, transform_py,
+    )
+
+    fld = {"source": "caption", "transform": "identity"}
+    crafted = ["a/b", "x=y", "50%", "mix/=%/end", "plain", None]
+    df = spark.createDataFrame([(c,) for c in crafted], "caption string")
+    got = [
+        r.p for r in df.select(partition_value_col([fld]).alias("p")).collect()
+    ]
+    want = [f"caption={transform_py(fld, c)}" for c in crafted]
+    assert got == want
+    for pval, c in zip(got, crafted):
+        segs = parse_partition(pval)
+        assert list(segs) == ["caption"]  # the value's own '/'/'=' never split
+        assert segs["caption"] == transform_py(fld, c)
