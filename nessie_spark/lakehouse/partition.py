@@ -24,7 +24,10 @@ rather than a JVM-only hash so both forms exist by construction.
 
 Pre-spec files (``partition == ""``) are never pruned — adding a spec to
 a table with history is safe, old files just don't benefit until the next
-rewrite regroups them (compact/zorder stamp partition values on output).
+CLUSTERING rewrite regroups them (zorder's respec pass re-derives values
+from data; compaction preserves whatever value a bin already has — "" bins
+stay "", by design: bins never span values, and regrouping is the
+clusterer's job).
 
 Source-type rule: partition sources must be string or integer columns —
 the two families whose Spark ``cast("string")`` and Python ``str()``
