@@ -46,8 +46,13 @@ _SAMPLE_PRIORITY = [
     "q22_sales_opportunity",
     "events_retention_cohorts",
     "events_funnel",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q16_parts_supplier_counts",
+    "q20_potential_promotion",
+    "q21_waiting_suppliers",
     # --- oracle-backed queries whose last driver row is r2 or older (the
-    # r3 driver did not sample them); 29 fit in the remaining window, the
+    # r3 driver did not sample them); 24 fit in the remaining window, the
     # tail rotates into r5 (all are oracle-green locally every round)
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -73,13 +78,13 @@ _SAMPLE_PRIORITY = [
     "span_prob_aggregation",
     "variation_ngrams_span",
     "percentage_flagged",
+    # --- below the 50-row sampling window this round (driver rows from
+    # r1/r2 exist; locally oracle-green; rotate into r5's window)
     "projection_ensemble_flags",
     "token_featurizer",
     "item_discrimination_flags",
     "dawid_skene_labels",
     "curriculum_spotter_scores",
-    # --- below the 50-row sampling window this round (driver rows from
-    # r1/r2 exist; locally oracle-green; rotate into r5's window)
     "leitner_spotter_scores",
     "classification_entropy_scores",
     "prediction_margin_scores",
@@ -102,13 +107,13 @@ _SAMPLE_PRIORITY = [
 
 def _registry() -> dict[str, tuple]:
     from nessie_spark.operators import (
-        analytics, analytics2, dedup, detectors, detectors2, detectors3,
-        events, hygiene, maintenance, modelzoo, probability, similarity,
-        textstats,
+        analytics, analytics2, analytics3, dedup, detectors, detectors2,
+        detectors3, events, hygiene, maintenance, modelzoo, probability,
+        similarity, textstats,
     )
 
     reg: dict[str, tuple] = {}
-    for mod in (analytics, analytics2, detectors, detectors2, detectors3,
+    for mod in (analytics, analytics2, analytics3, detectors, detectors2, detectors3,
                 probability, dedup, similarity, textstats, hygiene, events,
                 maintenance, modelzoo):
         for name, pair in mod.QUERIES.items():
