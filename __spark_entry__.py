@@ -27,6 +27,7 @@ _SAMPLE_PRIORITY = [
     # evidence first — the driver samples the FIRST 50 entries only
     "multimodal_frame_sample",   # r3's one red row, fixed
     "knn_exact_topk",
+    "mean_distance_lof_exact_scores",
     "model_zoo_crf_tagger_cv",
     "maintenance_cluster_delta",
     "maintenance_partition_pruning",
@@ -77,9 +78,9 @@ _SAMPLE_PRIORITY = [
     "span_alignment",
     "span_prob_aggregation",
     "variation_ngrams_span",
-    "percentage_flagged",
     # --- below the 50-row sampling window this round (driver rows from
     # r1/r2 exist; locally oracle-green; rotate into r5's window)
+    "percentage_flagged",
     "projection_ensemble_flags",
     "token_featurizer",
     "item_discrimination_flags",

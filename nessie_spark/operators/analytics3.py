@@ -129,7 +129,7 @@ LIMIT 100
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11: per-part stock value inside one nation, kept only when it
     exceeds a fraction of the nation's total — HAVING against a scalar
-    subquery, exact BIGINT cents with one float threshold comparison."""
+    subquery, all-BIGINT arithmetic (threshold ×200 on both sides)."""
     ps = _ps(spark, sf_dir)
     supp = T(spark, sf_dir, "supplier")
     nation = T(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
@@ -142,7 +142,10 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = nat.agg(F.sum("v").alias("total_cents"))
     return (
         per_part.join(F.broadcast(total))
-        .where(F.col("value_cents") > F.lit(0.005) * F.col("total_cents"))
+        # 0.005·total compared in exact integers (×200 both sides): the SQL
+        # twin's 0.005 literal is DECIMAL in DuckDB but double here, and a
+        # value landing exactly on the threshold would diverge at the ulp.
+        .where(F.col("value_cents") * 200 > F.col("total_cents"))
         .select(F.col("ps_partkey").alias("p_partkey"), "value_cents")
         .orderBy(F.desc("value_cents"), F.asc("p_partkey"))
     )
@@ -159,7 +162,7 @@ nat AS (
 )
 SELECT ps_partkey AS p_partkey, CAST(SUM(v) AS BIGINT) AS value_cents
 FROM nat GROUP BY ps_partkey
-HAVING SUM(v) > 0.005 * (SELECT SUM(v) FROM nat)
+HAVING SUM(v) * 200 > (SELECT SUM(v) FROM nat)
 ORDER BY value_cents DESC, p_partkey ASC
 """
 

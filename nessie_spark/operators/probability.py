@@ -337,32 +337,10 @@ def mean_distance_lof_scores(spark: SparkSession, sf_dir: str, k: int = LOF_K) -
     )
     cand_ids = cand_ids.unionByName(rescue).dropDuplicates(["qid", "nid"])
 
-    d2 = F.aggregate(
-        F.zip_with("qe", "ne", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-    def ranked_pairs(cids: DataFrame) -> DataFrame:
-        pairs = (
-            cids.join(
-                emb.select(F.col("vec_id").alias("qid"), F.col("e").alias("qe")), "qid"
-            )
-            .join(emb.select(F.col("vec_id").alias("nid"), F.col("e").alias("ne")), "nid")
-            .select("label", "qid", "nid", F.sqrt(d2).alias("dist"))
-            .join(F.broadcast(class_n), "label")
-            .withColumn("_k", F.least(F.lit(k), F.col("_cn") - 1))
-        )
-        wq = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("nid"))
-        wall = Window.partitionBy("qid")
-        return pairs.withColumn("rn", F.row_number().over(wq)).withColumn(
-            "kdist", F.max(F.when(F.col("rn") <= F.col("_k"), F.col("dist"))).over(wall)
-        )
-
     # round 1: candidate-based kdist → suspects = kdist above the class
     # median by more than the rescue factor (exact distributed median:
     # ids+doubles only, one window per class)
-    kd1 = ranked_pairs(cand_ids).groupBy("label", "qid").agg(
+    kd1 = _lof_ranked_pairs(emb, class_n, cand_ids, k).groupBy("label", "qid").agg(
         F.max("kdist").alias("kdist_q")
     )
     wmed = Window.partitionBy("label").orderBy(F.asc("kdist_q"), F.asc("qid"))
@@ -384,8 +362,42 @@ def mean_distance_lof_scores(spark: SparkSession, sf_dir: str, k: int = LOF_K) -
         .select("label", "qid", "nid")
     )
     cand_ids = cand_ids.unionByName(s_rescue).dropDuplicates(["qid", "nid"])
+    return _lof_from_candidates(emb, class_n, cand_ids, k)
 
-    ranked = ranked_pairs(cand_ids)
+
+def _lof_ranked_pairs(
+    emb: DataFrame, class_n: DataFrame, cids: DataFrame, k: int
+) -> DataFrame:
+    """(label, qid, nid) candidate ids → scored pairs with per-qid rank and
+    candidate-based k-distance (ties beyond rank k keep the kdist value)."""
+    d2 = F.aggregate(
+        F.zip_with("qe", "ne", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        cids.join(
+            emb.select(F.col("vec_id").alias("qid"), F.col("e").alias("qe")), "qid"
+        )
+        .join(emb.select(F.col("vec_id").alias("nid"), F.col("e").alias("ne")), "nid")
+        .select("label", "qid", "nid", F.sqrt(d2).alias("dist"))
+        .join(F.broadcast(class_n), "label")
+        .withColumn("_k", F.least(F.lit(k), F.col("_cn") - 1))
+    )
+    wq = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("nid"))
+    wall = Window.partitionBy("qid")
+    return pairs.withColumn("rn", F.row_number().over(wq)).withColumn(
+        "kdist", F.max(F.when(F.col("rn") <= F.col("_k"), F.col("dist"))).over(wall)
+    )
+
+
+def _lof_from_candidates(
+    emb: DataFrame, class_n: DataFrame, cand_ids: DataFrame, k: int
+) -> DataFrame:
+    """The LOF tail shared by the LSH-candidate query and the exact-baseline
+    query: k-distance / tie-inclusive neighborhoods / reachability / lrd /
+    LOF ratio, all as joins over the candidate pair table."""
+    ranked = _lof_ranked_pairs(emb, class_n, cand_ids, k)
     nb = ranked.where(F.col("dist") <= F.col("kdist")).select(
         "label", "qid", "nid", "dist", "kdist"
     )
@@ -412,6 +424,31 @@ def mean_distance_lof_scores(spark: SparkSession, sf_dir: str, k: int = LOF_K) -
         .select("vec_id", "label", F.round("lof", 6).alias("score"))
         .orderBy("vec_id")
     )
+
+
+def mean_distance_lof_exact_scores(
+    spark: SparkSession, sf_dir: str, k: int = LOF_K
+) -> DataFrame:
+    """Exact per-class LOF as a shipped, ORACLE-BACKED query — the
+    correctness baseline beside the LSH-candidate scale path above (the
+    same exact-vs-approximate pairing the engine ships for kNN:
+    ``knn_exact_topk`` / ``knn_flagger_flags``, and for ANN:
+    ``ann_cosine_topk`` / ``ann_lsh_topk``). Candidates = ALL within-class
+    pairs via a label equi-join — one shuffle keyed on label, cost bounded
+    by Σ|class|², so it is the small/medium-class answer; at 10^9 rows with
+    hot classes use ``mean_distance_lof_scores`` (banded candidates + exact
+    rescue). Reference: mean_distance.py:95-103 (sklearn
+    LocalOutlierFactor, score = −negative_outlier_factor_)."""
+    emb = _emb_labeled(spark, sf_dir)
+    class_n = emb.groupBy("label").agg(F.count(F.lit(1)).alias("_cn"))
+    ids = emb.select("vec_id", "label")
+    cand_ids = (
+        ids.select(F.col("vec_id").alias("qid"), "label")
+        .join(ids.select(F.col("vec_id").alias("nid"), "label"), "label")
+        .where(F.col("qid") != F.col("nid"))
+        .select("label", "qid", "nid")
+    )
+    return _lof_from_candidates(emb, class_n, cand_ids, k)
 
 
 def mean_distance_lof_scores_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -462,6 +499,46 @@ def mean_distance_lof_scores_dense(spark: SparkSession, sf_dir: str) -> DataFram
         .applyInPandas(_lof, "vec_id long, label int, score double")
         .orderBy("vec_id")
     )
+
+
+MEAN_DISTANCE_LOF_EXACT_SQL = """
+WITH ex AS (
+  SELECT vec_id, label, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+  FROM embeddings
+), cn AS (
+  SELECT label, COUNT(*) AS _cn FROM ex GROUP BY label
+), pairs AS (
+  SELECT a.label, a.vec_id AS qid, b.vec_id AS nid,
+         sqrt(list_sum([ (x[1] - x[2]) * (x[1] - x[2])
+                         for x in list_zip(a.e, b.e) ])) AS dist
+  FROM ex a JOIN ex b ON a.label = b.label AND a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT p.qid, p.nid, p.dist, LEAST(20, c._cn - 1) AS _k,
+         ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY p.dist ASC, p.nid ASC) AS rn
+  FROM pairs p JOIN cn c USING (label)
+), kd AS (
+  SELECT qid, MAX(CASE WHEN rn <= _k THEN dist END) AS kdist
+  FROM ranked GROUP BY qid
+), nb AS (
+  SELECT r.qid, r.nid, r.dist, k.kdist
+  FROM ranked r JOIN kd k USING (qid)
+  WHERE r.dist <= k.kdist
+), reach AS (
+  SELECT nb.qid, GREATEST(kn.kdist, nb.dist) AS reach
+  FROM nb JOIN kd kn ON nb.nid = kn.qid
+), lrd AS (
+  SELECT qid, COUNT(*) / SUM(reach) AS lrd FROM reach GROUP BY qid
+), lofn AS (
+  SELECT nb.qid, AVG(ln.lrd) AS avg_lrd_n
+  FROM nb JOIN lrd ln ON nb.nid = ln.qid
+  GROUP BY nb.qid
+)
+SELECT ex.vec_id, ex.label, ROUND(lofn.avg_lrd_n / lq.lrd, 6) AS score
+FROM ex
+LEFT JOIN lofn ON ex.vec_id = lofn.qid
+LEFT JOIN lrd lq ON ex.vec_id = lq.qid
+ORDER BY vec_id
+"""
 
 
 KNN_BANDS, KNN_PLANES = 16, 5  # 2^5 buckets/band; every fixture point keeps ≥5 candidates
@@ -923,6 +1000,10 @@ QUERIES: dict[str, tuple] = {
     "mean_distance_cosine_scores": (mean_distance_cosine_scores, MEAN_DISTANCE_COSINE_SQL),
     "mean_distance_dot_scores": (mean_distance_dot_scores, MEAN_DISTANCE_DOT_SQL),
     "mean_distance_lof_scores": (mean_distance_lof_scores, None),  # rows-only (see docstring)
+    "mean_distance_lof_exact_scores": (
+        mean_distance_lof_exact_scores,
+        MEAN_DISTANCE_LOF_EXACT_SQL,
+    ),
     "knn_flagger_flags": (knn_flagger_flags, KNN_FLAGGER_SQL),
     "knn_entropy_scores": (knn_entropy_scores, KNN_ENTROPY_SQL),
     "knn_softmax_entropy_scores": (knn_softmax_entropy_scores, KNN_SOFTMAX_ENTROPY_SQL),

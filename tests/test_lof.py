@@ -125,6 +125,32 @@ def test_lof_distributed_matches_dense_twin(spark, tmp_path):
         assert abs(got[i] - exp[i]) < 1e-5, (i, got[i], exp[i])
 
 
+def test_lof_exact_matches_dense_twin_on_large_classes(spark, tmp_path):
+    """mean_distance_lof_exact_scores (the oracle-backed exact baseline)
+    must equal the dense twin even on classes LARGER than k+1 — the regime
+    where the LSH+rescue distributed query is approximate (candidate kdist
+    can stay inflated below the suspect threshold)."""
+    import nessie_spark.operators.probability as P
+
+    rng = np.random.RandomState(23)
+    X = np.vstack([
+        rng.normal(0, 1.0, size=(45, 16)),   # class 0: n ≫ k+1
+        rng.normal(5, 1.0, size=(40, 16)),   # class 1
+        np.full((1, 16), 20.0),              # planted outlier, class 1
+    ])
+    labels = [0] * 45 + [1] * 41
+    d = str(tmp_path / "emb4")
+    _df_from(spark, X, labels).write.mode("overwrite").parquet(
+        f"{d}/embeddings.parquet"
+    )
+    got = {r.vec_id: r.score for r in P.mean_distance_lof_exact_scores(spark, d).collect()}
+    exp = _run_lof(spark, tmp_path, X, labels, "dense")
+    assert set(got) == set(exp)
+    for i in exp:
+        assert abs(got[i] - exp[i]) < 1e-5, (i, got[i], exp[i])
+    assert got[85] > 2.0  # the planted outlier is flagged
+
+
 def test_lof_distributed_plan_has_no_grouped_map(spark, tmp_path):
     """The shipped LOF plan must not contain the per-class dense grouped
     map (FlatMapGroupsInPandas) — the r2 scale-killer shape."""
