@@ -28,6 +28,8 @@ _SAMPLE_PRIORITY = [
     "multimodal_frame_sample",   # r3's one red row, fixed
     "knn_exact_topk",
     "mean_distance_lof_exact_scores",
+    "doc_pack_sequences",
+    "stratified_sample",
     "model_zoo_crf_tagger_cv",
     "maintenance_cluster_delta",
     "maintenance_partition_pruning",
@@ -53,8 +55,8 @@ _SAMPLE_PRIORITY = [
     "q20_potential_promotion",
     "q21_waiting_suppliers",
     # --- oracle-backed queries whose last driver row is r2 or older (the
-    # r3 driver did not sample them); 24 fit in the remaining window, the
-    # tail rotates into r5 (all are oracle-green locally every round)
+    # r3 driver did not sample them); the ones that fit the remaining
+    # window go here, the tail rotates into r5 (all oracle-green locally)
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "top_customers_per_nation",
@@ -108,15 +110,15 @@ _SAMPLE_PRIORITY = [
 
 def _registry() -> dict[str, tuple]:
     from nessie_spark.operators import (
-        analytics, analytics2, analytics3, dedup, detectors, detectors2,
-        detectors3, events, hygiene, maintenance, modelzoo, probability,
-        similarity, textstats,
+        analytics, analytics2, analytics3, curation, dedup, detectors,
+        detectors2, detectors3, events, hygiene, maintenance, modelzoo,
+        probability, similarity, textstats,
     )
 
     reg: dict[str, tuple] = {}
     for mod in (analytics, analytics2, analytics3, detectors, detectors2, detectors3,
-                probability, dedup, similarity, textstats, hygiene, events,
-                maintenance, modelzoo):
+                probability, dedup, similarity, textstats, curation, hygiene,
+                events, maintenance, modelzoo):
         for name, pair in mod.QUERIES.items():
             assert name not in reg, f"duplicate query name {name}"
             reg[name] = pair

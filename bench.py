@@ -103,6 +103,8 @@ BENCH_QUERIES = [
     "quality_scores",
     "token_counts",
     "doc_fingerprints",
+    "doc_pack_sequences",
+    "stratified_sample",
     "lang_id_markers",
     "contamination_report",
     "pii_scrub",
