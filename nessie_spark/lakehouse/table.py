@@ -572,6 +572,20 @@ class Table:
         )
         for attempt in range(max_retries):
             t = self.refresh()
+            if deleted_paths and t.delete_files():
+                # A rewrite replay re-stamps its output rows with a NEW
+                # added_snapshot_id — newer than any pending merge-on-read
+                # delete's sid, so the delete would stop applying to them:
+                # silent un-deletion. (The staged rewrite itself was created
+                # under require_no_pending_deletes, so any pending delete
+                # here landed concurrently.) Same rule as compact/zorder/
+                # MERGE; appends replay freely.
+                raise CommitConflict(
+                    f"cannot cherry-pick {snapshot_id}: the current head has "
+                    "pending merge-on-read delete files and the staged "
+                    "snapshot is a rewrite (replay would un-delete rows); "
+                    "run deletes.purge_deletes, then re-stage"
+                )
             cur_paths = set(
                 t.file_entries(columns=["file_path"]).column("file_path").to_pylist()
             )

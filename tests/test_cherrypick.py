@@ -124,6 +124,35 @@ def test_cherrypick_rewrite_conflicts_with_concurrent_rewrite(spark, tmp_path):
         t.cherrypick_snapshot(sid)
 
 
+def test_cherrypick_rewrite_refuses_pending_head_deletes(spark, tmp_path):
+    """A staged REWRITE must not replay onto a head with pending
+    merge-on-read deletes: the replay re-stamps its rows with a new
+    added_snapshot_id > the delete's sid, lifting them out of the delete's
+    applicability window — rows the user deleted would silently come back.
+    (Staged APPENDS replay fine; this is the rewrite-only guard the
+    compact/zorder/MERGE paths already enforce via
+    require_no_pending_deletes.)"""
+    from nessie_spark.lakehouse import deletes
+
+    t, _ = make_table(spark, str(tmp_path / "tb"))
+    t = t.refresh()
+    sid, deleted = _stage_rewrite(t)
+    # concurrent MoR delete of a row that lives in a rewritten file
+    victim = (
+        spark.read.parquet(*[str(tmp_path / "tb" / p) for p in sorted(deleted)[:1]])
+        .select("image_id").limit(1).collect()[0].image_id
+    )
+    deletes.delete_where(spark, t.refresh(), F.col("image_id") == victim, job_id="cc-del")
+    t = t.refresh()
+    before = scan(spark, t).count()
+    with pytest.raises(CommitConflict, match="un-delete"):
+        t.cherrypick_snapshot(sid)
+    # the deleted row stayed deleted and the head never moved
+    t = t.refresh()
+    assert scan(spark, t).count() == before
+    assert not scan(spark, t).where(F.col("image_id") == victim).count()
+
+
 def test_cherrypick_refuses_mor_delete_snapshots(spark, tmp_path):
     """A staged snapshot whose delta is a merge-on-read delete file can't
     replay: the delete's applicability window (added_snapshot_id < D) is
