@@ -560,22 +560,25 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nessie_spark.functions.core import cosine_sim
     from nessie_spark.operators.similarity import band_keys_udf
 
+    # materialized once: the plan reads emb 4x (both pair sides' array
+    # join-back, the final left join, and under `banded` below)
     emb = _spread(
         spark,
         T(spark, sf_dir, "embeddings").select(
             "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("e")
         ),
-    )
+    ).localCheckpoint(eager=False)
     # ID-ONLY candidate pairs through the band shuffle (the knn_pairs_from
     # lesson: the 64-double arrays are ~25x the bytes of the ids); arrays
     # join back AFTER pair dedup, so the exact cosine runs once per pair
     # instead of once per agreeing band
+    # checkpointed: the self-join would run the matmul UDF once per side
     banded = emb.select(
         "vec_id",
         F.posexplode(band_keys_udf(EMB_BANDS, EMB_PLANES)(F.col("e"))).alias(
             "band", "bk"
         ),
-    )
+    ).localCheckpoint(eager=False)
     pairs = (
         banded.select(F.col("vec_id").alias("id_a"), "band", "bk")
         .join(

@@ -399,8 +399,8 @@ def variation_ngrams_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     no driver-side state. Occurrence enumeration is a single Arrow-batched
     pass (the Catalyst HOF formulation ran interpreted and scanned the
     table N_MAX-1 times; one vectorized pass measured ~3× faster at
-    sf0.1), materialized once for its three plan consumers (diversity agg,
-    per-lang counts, final vote join)."""
+    sf0.1), materialized once for its two plan consumers (the per-lang
+    aggregate and the final vote join)."""
     from nessie_spark.operators.dedup import _spread
 
     docs = _spread(spark, T(spark, sf_dir, "documents").select("doc_id", "lang", "text"))
@@ -470,29 +470,45 @@ def variation_ngrams_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, lang string, n int, pos int, gram string, prev string, nxt string",
     ).localCheckpoint(eager=True)
 
-    grp = occ.groupBy("n", "gram").agg(
-        F.count(F.lit(1)).alias("n_occ"),
-        F.countDistinct("prev").alias("d_prev"),
-        F.sum(F.when(F.col("prev").isNull(), 1).otherwise(0)).alias("b_prev"),
-        F.countDistinct("nxt").alias("d_nxt"),
-        F.sum(F.when(F.col("nxt").isNull(), 1).otherwise(0)).alias("b_nxt"),
-        F.countDistinct("lang").alias("n_langs"),
+    # ONE shuffle of the big occurrence table, keyed (n, gram, lang). The
+    # diversity tests only ask "≥2 distinct neighbors (or a boundary)", so
+    # min≠max over non-null neighbors answers them exactly — without the
+    # 3× Expand a multi-countDistinct plan pushes through the shuffle —
+    # and every gram-level stat re-aggregates from these per-lang partials
+    # (n_occ = Σcnt, n_langs = row count, neighbor min/max re-min/re-max).
+    lvl1 = occ.groupBy("n", "gram", "lang").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("prev").alias("mn_p"),
+        F.max("prev").alias("mx_p"),
+        F.max(F.when(F.col("prev").isNull(), 1).otherwise(0)).alias("null_p"),
+        F.min("nxt").alias("mn_x"),
+        F.max("nxt").alias("mx_x"),
+        F.max(F.when(F.col("nxt").isNull(), 1).otherwise(0)).alias("null_x"),
+    ).localCheckpoint(eager=False)  # two consumers: gram stats + modal vote
+    grp = lvl1.groupBy("n", "gram").agg(
+        F.sum("cnt").alias("n_occ"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.min("mn_p").alias("mn_p"),
+        F.max("mx_p").alias("mx_p"),
+        F.max("null_p").alias("null_p"),
+        F.min("mn_x").alias("mn_x"),
+        F.max("mx_x").alias("mx_x"),
+        F.max("null_x").alias("null_x"),
+    )
+    div_prev = (F.col("null_p") > 0) | F.coalesce(
+        F.col("mn_p") != F.col("mx_p"), F.lit(False)
+    )
+    div_nxt = (F.col("null_x") > 0) | F.coalesce(
+        F.col("mn_x") != F.col("mx_x"), F.lit(False)
     )
     keep = grp.where(
         (F.col("n_occ") >= 2)
         & (F.col("n_langs") >= 2)
-        & (
-            (F.col("n") == N_MAX)
-            | (
-                ((F.col("b_prev") > 0) | (F.col("d_prev") > 1))
-                & ((F.col("b_nxt") > 0) | (F.col("d_nxt") > 1))
-            )
-        )
+        & ((F.col("n") == N_MAX) | (div_prev & div_nxt))
     ).select("n", "gram")
-    counts = occ.groupBy("n", "gram", "lang").agg(F.count(F.lit(1)).alias("cnt"))
     mw = Window.partitionBy("n", "gram").orderBy(F.desc("cnt"), F.asc("lang"))
     modal = (
-        counts.withColumn("rk", F.row_number().over(mw))
+        lvl1.withColumn("rk", F.row_number().over(mw))
         .where(F.col("rk") == 1)
         .select("n", "gram", F.col("lang").alias("majority_lang"))
     )
