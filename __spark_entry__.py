@@ -26,6 +26,7 @@ _SAMPLE_PRIORITY = [
     # --- never driver-sampled (new in r4 / the r3 red row): freshest
     # evidence first — the driver samples the FIRST 50 entries only
     "multimodal_frame_sample",   # r3's one red row, fixed
+    "repetition_filter_flags",
     "knn_exact_topk",
     "mean_distance_lof_exact_scores",
     "doc_pack_sequences",

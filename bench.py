@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "quality_scores",
     "token_counts",
     "doc_fingerprints",
+    "repetition_filter_flags",
     "doc_pack_sequences",
     "stratified_sample",
     "lang_id_markers",

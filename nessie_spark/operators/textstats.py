@@ -191,9 +191,128 @@ FROM documents ORDER BY doc_id
 """
 
 
+def repetition_filter_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style per-document repetition filters (task brief
+    §quality): modal-unigram fraction, modal-bigram fraction, and the
+    fraction of trigram occurrences belonging to a repeated trigram; a
+    document is flagged ``repetitive`` when any rule trips (modal unigram
+    >15% of tokens, modal bigram >5% of bigrams, any repeated trigram).
+    The corpus has no newlines, so the published duplicate-line rule is
+    vacuous here and the token-level rules carry the filter.
+
+    Scale shape: the stats are DOC-LOCAL, so one Arrow-batched pass emits
+    per-doc INTEGER counters (modal counts + totals) with zero shuffle —
+    embarrassingly parallel at 100 TB — and the fractions/flags stay in
+    Catalyst. Flag comparisons are integer-exact (×100/×20 both sides,
+    same discipline as Q11): a document landing exactly on a threshold
+    can't diverge from the oracle at the ulp."""
+    from collections.abc import Iterator
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def stats(batches: Iterator) -> Iterator:
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                ts = text.strip().split() if isinstance(text, str) and text.strip() else [""]
+                uni = Counter(ts)
+                bi = Counter(zip(ts, ts[1:]))
+                tri = Counter(zip(ts, ts[1:], ts[2:]))
+                out.append(
+                    (
+                        did,
+                        len(ts),
+                        max(uni.values()),
+                        max(len(ts) - 1, 0),
+                        max(bi.values()) if bi else 0,
+                        max(len(ts) - 2, 0),
+                        sum(c for c in tri.values() if c > 1),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "n_uni", "mx_uni", "n_bi", "mx_bi", "n_tri", "dup_tri"],
+            )
+
+    st = docs.mapInPandas(
+        stats,
+        schema="doc_id long, n_uni long, mx_uni long, n_bi long, mx_bi long, "
+        "n_tri long, dup_tri long",
+    )
+    frac = lambda num, den: F.round(  # noqa: E731
+        F.when(F.col(den) > 0, F.col(num).cast("double") / F.col(den)).otherwise(0.0), 6
+    )
+    return st.select(
+        "doc_id",
+        frac("mx_uni", "n_uni").alias("top_unigram_frac"),
+        frac("mx_bi", "n_bi").alias("top_bigram_frac"),
+        frac("dup_tri", "n_tri").alias("dup_trigram_frac"),
+        (
+            (F.col("mx_uni") * 100 > F.col("n_uni") * 15)
+            | (F.col("mx_bi") * 20 > F.col("n_bi"))
+            | (F.col("dup_tri") > 0)
+        ).alias("repetitive"),
+    ).orderBy("doc_id")
+
+
+REPETITION_FILTER_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\f\\r]+') AS ts
+  FROM documents
+), uni AS (
+  SELECT t.doc_id, MAX(c) AS mx_uni, CAST(SUM(c) AS BIGINT) AS n_uni
+  FROM (SELECT doc_id, g, COUNT(*) AS c
+        FROM (SELECT doc_id, u.t AS g FROM toks, UNNEST(ts) AS u(t))
+        GROUP BY doc_id, g) t
+  GROUP BY t.doc_id
+), bi AS (
+  SELECT t.doc_id, MAX(c) AS mx_bi, CAST(SUM(c) AS BIGINT) AS n_bi
+  FROM (SELECT doc_id, g, COUNT(*) AS c
+        FROM (SELECT doc_id,
+                     ts[CAST(i + 1 AS INT)] || ' ' || ts[CAST(i + 2 AS INT)] AS g
+              FROM toks, UNNEST(range(0, len(ts) - 1)) AS r(i)
+              WHERE len(ts) >= 2)
+        GROUP BY doc_id, g) t
+  GROUP BY t.doc_id
+), tri AS (
+  SELECT t.doc_id,
+         CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_tri,
+         CAST(SUM(c) AS BIGINT) AS n_tri
+  FROM (SELECT doc_id, g, COUNT(*) AS c
+        FROM (SELECT doc_id,
+                     ts[CAST(i + 1 AS INT)] || ' ' || ts[CAST(i + 2 AS INT)]
+                     || ' ' || ts[CAST(i + 3 AS INT)] AS g
+              FROM toks, UNNEST(range(0, len(ts) - 2)) AS r(i)
+              WHERE len(ts) >= 3)
+        GROUP BY doc_id, g) t
+  GROUP BY t.doc_id
+)
+SELECT u.doc_id,
+       ROUND(CAST(u.mx_uni AS DOUBLE) / u.n_uni, 6) AS top_unigram_frac,
+       ROUND(CASE WHEN COALESCE(b.n_bi, 0) > 0
+                  THEN CAST(b.mx_bi AS DOUBLE) / b.n_bi ELSE 0.0 END, 6)
+         AS top_bigram_frac,
+       ROUND(CASE WHEN COALESCE(tr.n_tri, 0) > 0
+                  THEN CAST(tr.dup_tri AS DOUBLE) / tr.n_tri ELSE 0.0 END, 6)
+         AS dup_trigram_frac,
+       (u.mx_uni * 100 > u.n_uni * 15
+        OR COALESCE(b.mx_bi, 0) * 20 > COALESCE(b.n_bi, 0)
+        OR COALESCE(tr.dup_tri, 0) > 0) AS repetitive
+FROM uni u
+LEFT JOIN bi b USING (doc_id)
+LEFT JOIN tri tr USING (doc_id)
+ORDER BY u.doc_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "lang_id_markers": (lang_id_markers, _lang_sql()),
     "quality_scores": (quality_scores, QUALITY_SQL),
     "token_counts": (token_counts, TOKEN_COUNTS_SQL),
     "doc_fingerprints": (doc_fingerprints, DOC_FINGERPRINT_SQL),
+    "repetition_filter_flags": (repetition_filter_flags, REPETITION_FILTER_SQL),
 }

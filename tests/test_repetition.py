@@ -1,0 +1,65 @@
+"""Repetition filters (operators/textstats.repetition_filter_flags):
+planted repetitive vs varied documents, fraction arithmetic, and the
+integer-exact threshold behavior the docstring promises."""
+
+from nessie_spark.operators import textstats as TS
+
+
+def _docs(spark, tmp_path, rows):
+    d = str(tmp_path / "rep")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_repetition_planted_docs(spark, tmp_path):
+    def spread(n_the: int, n_total: int) -> str:
+        """n_the 'the's interleaved with distinct fillers: every bigram and
+        trigram is unique, so only the unigram rule can trip."""
+        fillers = iter(f"f{i}" for i in range(n_total))
+        toks = []
+        for i in range(n_the):
+            toks += ["the", next(fillers), next(fillers)]
+        while len(toks) < n_total:
+            toks.append(next(fillers))
+        return " ".join(toks[:n_total])
+
+    rows = [
+        # doc 0: one phrase looped — every rule trips
+        (0, " ".join(["spam ham"] * 30), "en", "s", 0),
+        # doc 1: 30 distinct tokens, no repeats at all (>20 bigrams, so the
+        # small-doc bigram artifact can't trip)
+        (1, " ".join(f"w{i}" for i in range(30)), "en", "s", 0),
+        # doc 2: modal unigram exactly 15% (6 of 40) — strict > must NOT flag
+        (2, spread(6, 40), "en", "s", 0),
+        # doc 3: modal unigram just over 15% (7 of 40), bigrams/trigrams all
+        # unique — only the unigram rule trips
+        (3, spread(7, 40), "en", "s", 0),
+    ]
+    got = {
+        r.doc_id: r
+        for r in TS.repetition_filter_flags(spark, _docs(spark, tmp_path, rows)).collect()
+    }
+    assert got[0].repetitive and got[0].dup_trigram_frac == 1.0
+    # modal bigram of doc 0: "ham spam" appears 29x of 59 bigrams? no —
+    # tokens are [spam, ham]*30: "spam ham" 30x, "ham spam" 29x, of 59
+    assert round(got[0].top_bigram_frac, 6) == round(30 / 59, 6)
+    assert not got[1].repetitive
+    assert got[1].top_unigram_frac == round(1 / 30, 6)
+    assert not got[2].repetitive  # exactly on the 15% boundary: strict >
+    assert got[3].repetitive and got[3].dup_trigram_frac == 0.0
+
+
+def test_repetition_degenerate_short_docs(spark, tmp_path):
+    rows = [(0, "solo", "en", "s", 0), (1, "two tokens", "en", "s", 0)]
+    got = {
+        r.doc_id: r
+        for r in TS.repetition_filter_flags(spark, _docs(spark, tmp_path, rows)).collect()
+    }
+    # one token: unigram frac 1.0 trips the >15% rule; no bigrams/trigrams
+    assert got[0].top_unigram_frac == 1.0 and got[0].repetitive
+    assert got[0].top_bigram_frac == 0.0 and got[0].dup_trigram_frac == 0.0
+    # two distinct tokens: modal unigram 50% still trips >15% (by design —
+    # tiny docs are low-value for training anyway); bigram frac 1.0
+    assert got[1].top_bigram_frac == 1.0
