@@ -27,6 +27,7 @@ _SAMPLE_PRIORITY = [
     # evidence first — the driver samples the FIRST 50 entries only
     "multimodal_frame_sample",   # r3's one red row, fixed
     "repetition_filter_flags",
+    "dedup_clusters",
     "knn_exact_topk",
     "mean_distance_lof_exact_scores",
     "doc_pack_sequences",

@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "classification_entropy_scores",
     "mean_distance_scores",
     "dedup_exact",
+    "dedup_clusters",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash",
     "dedup_simhash_pairs",

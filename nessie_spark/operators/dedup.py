@@ -639,8 +639,97 @@ FROM with_self GROUP BY id_a ORDER BY vec_id
 DEDUP_EMBEDDING_COSINE_SQL = _emb_cos_sql()
 
 
+def min_label_components(pairs: DataFrame) -> DataFrame:
+    """Connected components of an undirected edge list ``(id_a, id_b)`` by
+    iterative min-label propagation → ``(node, comp)`` with comp = min node
+    id in the component. Each round is ONE shuffle (symmetric edges ⨝
+    labels → per-node min, localCheckpoint to truncate the iterative
+    lineage); labels only decrease, so the loop terminates, and it
+    converges in O(component diameter) rounds. Only nodes that appear in
+    an edge participate — callers treat absent nodes as singletons."""
+    edges = pairs.union(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).localCheckpoint(eager=True)
+    comp = (
+        edges.select(F.col("id_a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(64):  # >> any real dup-component diameter
+        nbr_min = (
+            edges.join(comp.select(F.col("node").alias("id_a"), "comp"), "id_a")
+            .select(F.col("id_b").alias("node"), "comp")
+            .groupBy("node")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        if nbr_min.join(comp, "node").where(F.col("nmin") < F.col("comp")).count() == 0:
+            return comp
+        comp = (
+            comp.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(  # pragma: no cover - 64 rounds = pathological graph
+        "min_label_components did not converge in 64 rounds"
+    )
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component dedup clusters over the verified MinHash-LSH
+    near-dup graph — the batch step after pair generation in every
+    large-scale dedup pipeline: cluster_id = min doc_id of the document's
+    duplicate component; the canonical doc (cluster_id == doc_id) is kept,
+    the rest drop. Transitive closure matters: A~B and B~C collapse to one
+    cluster even when A and C never shared an LSH band.
+
+    Distributed shape: iterative min-label propagation. Each round is ONE
+    shuffle (symmetric edges ⨝ labels → per-node min, localCheckpoint to
+    truncate the iterative lineage); labels only decrease, so the loop
+    terminates, and it converges in O(component diameter) rounds —
+    near-dup components are small and tight (copies of one source
+    document), so the practical bound is a few rounds even at 10^9 docs.
+    For adversarially long chains the alternating large-star/small-star
+    rounds of Kiveris et al., "Connected Components in MapReduce and
+    Beyond" (SoCC'14), bound it at O(log² n); dup graphs don't need that.
+    The only driver-side values are per-round changed-counts (scalars)."""
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("id_a", "id_b")
+    comp = min_label_components(pairs)
+    docs = T(spark, sf_dir, "documents").select("doc_id")
+    return (
+        docs.join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("comp", F.col("doc_id")).alias("cluster_id"),
+            (F.coalesce("comp", F.col("doc_id")) == F.col("doc_id")).alias(
+                "is_canonical"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({DEDUP_MINHASH_LSH_SQL}) p
+), edges AS (
+  SELECT id_a, id_b FROM pairs UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM pairs
+), walk(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.id_b, w.comp FROM walk w JOIN edges e ON e.id_a = w.node
+)
+SELECT node AS doc_id, MIN(comp) AS cluster_id, MIN(comp) = node AS is_canonical
+FROM walk GROUP BY node ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),
     "dedup_minhash_signatures": (dedup_minhash_signatures, DEDUP_MINHASH_SIG_SQL),
     "dedup_minhash_lsh_pairs": (dedup_minhash_lsh_pairs, DEDUP_MINHASH_LSH_SQL),

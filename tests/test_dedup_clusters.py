@@ -1,0 +1,63 @@
+"""Connected-component dedup clusters (operators/dedup.py):
+min_label_components on adversarial graph shapes, and the end-to-end
+dedup_clusters semantics (canonical election, singleton handling)."""
+
+import pyspark.sql.functions as F
+
+from nessie_spark.operators import dedup as D
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    return {r.node: r.comp for r in D.min_label_components(df).collect()}
+
+
+def test_cc_chain_transitivity(spark):
+    """A 7-node path: min-label must reach the far end even though the
+    endpoints never share an edge (diameter > 1 ⇒ multiple rounds)."""
+    got = _cc(spark, [(i, i + 1) for i in range(10, 16)])
+    assert got == {i: 10 for i in range(10, 17)}
+
+
+def test_cc_star_and_separate_components(spark):
+    """A star (center NOT the min id), a 2-cycle, and a triangle stay
+    three distinct components with the right minima."""
+    edges = (
+        [(50, j) for j in (7, 51, 52)]      # star centered at 50, min = 7
+        + [(100, 101)]                       # pair
+        + [(200, 201), (201, 202), (200, 202)]  # triangle
+    )
+    got = _cc(spark, edges)
+    assert got[50] == got[7] == got[51] == got[52] == 7
+    assert got[100] == got[101] == 100
+    assert got[200] == got[201] == got[202] == 200
+    assert len(set(got.values())) == 3
+
+
+def test_cc_two_chains_merged_by_bridge(spark):
+    """Two chains whose label fronts collide mid-way through iteration."""
+    edges = [(1, 3), (3, 5), (5, 7), (8, 6), (6, 4), (4, 2), (7, 8)]
+    got = _cc(spark, edges)
+    assert set(got.values()) == {1}
+    assert len(got) == 8
+
+
+def test_dedup_clusters_end_to_end(spark, tmp_path):
+    """Identical docs cluster with the min doc_id canonical; unrelated
+    docs stay singleton canonicals."""
+    t1 = "the quick brown fox jumps over the lazy dog again and again today"
+    t2 = "completely different words about spark shuffles and parquet files"
+    t3 = "yet another unrelated document mentioning neither foxes nor dogs"
+    rows = [
+        (4, t1, "en", "s", 0), (2, t1, "en", "s", 0), (9, t1, "en", "s", 0),
+        (1, t2, "en", "s", 0), (7, t3, "en", "s", 0),
+    ]
+    d = str(tmp_path / "cc")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {r.doc_id: r for r in D.dedup_clusters(spark, d).collect()}
+    assert [got[i].cluster_id for i in (2, 4, 9)] == [2, 2, 2]
+    assert got[2].is_canonical and not got[4].is_canonical and not got[9].is_canonical
+    assert got[1].cluster_id == 1 and got[1].is_canonical
+    assert got[7].cluster_id == 7 and got[7].is_canonical
