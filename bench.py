@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "token_counts",
     "doc_fingerprints",
     "repetition_filter_flags",
+    "heavy_hitters_cms",
     "doc_pack_sequences",
     "stratified_sample",
     "lang_id_markers",

@@ -726,7 +726,12 @@ def knn_pairs_from(emb: DataFrame, k: int = 5) -> DataFrame:
     quantum) of its k-th smallest raw d² — a pair beyond that slack is
     strictly outranked by k same-bucket pairs even after rounding, so the
     kept union is a provable superset of the global top-k and the final
-    Spark-side round+rank selects exactly the old rows."""
+    Spark-side round+rank selects exactly the old rows.
+
+    Bucket width is the knob: expected rows/bucket = n / 2^KNN_PLANES, and
+    per-bucket work is width² — at larger corpora raise KNN_PLANES with
+    log₂(n) to hold bucket width ~O(100) (recall is then retuned via
+    KNN_BANDS); the constants here are sized for the gate fixtures."""
     from pyspark.sql import functions as F
 
     from nessie_spark.operators.similarity import band_keys_udf

@@ -155,8 +155,11 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     apples-to-apples). One self-join on the bucket key replaces the old
     union of per-band joins (8 copies of the band subplan)."""
     emb = _emb(spark, sf_dir)
-    # ID-only band join (the knn_pairs_from shape): the 64-double arrays
-    # stay out of the band explode and join back per deduped pair
+    # ID-only band join: the 64-double arrays stay out of the band explode
+    # and join back per deduped pair. (The asymmetric query-side filter
+    # keeps candidate count ~N_QUERIES·bucket, so the pair join-back stays
+    # cheap here — the symmetric all-pairs kNN case outgrew this shape and
+    # moved to bucket-local top-k, see probability.knn_pairs_from.)
     banded = emb.select(
         "vec_id", F.posexplode(_band_keys_udf()(F.col("e"))).alias("band", "bk")
     )

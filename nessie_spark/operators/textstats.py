@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nessie_spark.functions.core import h64
+from nessie_spark.functions.core import h64, h64_seeded
 from nessie_spark.operators.common import T, h64_sql
 
 # fixed marker lexicons (public stopword-style heuristic; the testdata's
@@ -309,10 +309,90 @@ ORDER BY u.doc_id
 """
 
 
+CMS_D, CMS_W = 4, 512  # hash rows × buckets; counter state = d·w ints
+
+
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters via a count-min sketch (task brief §custom
+    sketch operators): token frequencies are estimated from d=4 hash rows
+    of w=512 counters — est(t) = min_r counter[r][h_r(t) mod w], an
+    overestimate-only bound (Cormode & Muthukrishnan 2005) — and the top
+    20 tokens by estimated count are returned.
+
+    Scale shape: the counter table is BOUNDED state (d·w = 2048 rows
+    regardless of corpus size) built with one map-side-combining groupBy
+    over the exploded (row, bucket) stream; estimation broadcast-joins
+    that tiny table to the candidate tokens, so no all-token counter state
+    ever shuffles. Hashes are the engine's seeded-h64 family (pure
+    functions of the value), so the sketch — collisions included — is
+    bit-reproducible in the DuckDB oracle."""
+    docs = T(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim("text"), r"[ \t\n\f\r]+")).alias("tok")
+    )
+    rb = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                F.pmod(h64_seeded(F.col("tok"), f"cms{r}"), F.lit(CMS_W)).alias("bucket"),
+            )
+            for r in range(CMS_D)
+        ]
+    )
+    counters = (
+        toks.select(F.explode(rb).alias("rb"))
+        .groupBy(F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cand = toks.distinct().select("tok", F.explode(rb).alias("rb")).select(
+        "tok", F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket")
+    )
+    est = (
+        cand.join(F.broadcast(counters), ["r", "bucket"])
+        .groupBy("tok")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    return est.orderBy(F.desc("est_count"), F.asc("tok")).limit(20)
+
+
+def _cms_sql() -> str:
+    buckets = ", ".join(
+        "({h}) % {w} AS b{r}".format(
+            h=h64_sql(x="'cms{r}|' || tok".format(r=r)), w=CMS_W, r=r
+        )
+        for r in range(CMS_D)
+    )
+    row_union = " UNION ALL ".join(
+        f"SELECT {r} AS r, b{r} AS bucket FROM hashed" for r in range(CMS_D)
+    )
+    cand_union = " UNION ALL ".join(
+        f"SELECT tok, {r} AS r, b{r} AS bucket FROM dhashed" for r in range(CMS_D)
+    )
+    return f"""
+WITH toks AS (
+  SELECT u.tok FROM (
+    SELECT regexp_split_to_array(trim(text), '[ \\t\\n\\f\\r]+') AS ts FROM documents
+  ), UNNEST(ts) AS u(tok)
+), hashed AS (
+  SELECT tok, {buckets} FROM toks
+), counters AS (
+  SELECT r, bucket, COUNT(*) AS cnt FROM ({row_union}) GROUP BY r, bucket
+), dhashed AS (
+  SELECT DISTINCT tok, {buckets} FROM toks
+), est AS (
+  SELECT c.tok, MIN(k.cnt) AS est_count
+  FROM ({cand_union}) c JOIN counters k USING (r, bucket)
+  GROUP BY c.tok
+)
+SELECT tok, est_count FROM est ORDER BY est_count DESC, tok ASC LIMIT 20
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "lang_id_markers": (lang_id_markers, _lang_sql()),
     "quality_scores": (quality_scores, QUALITY_SQL),
     "token_counts": (token_counts, TOKEN_COUNTS_SQL),
     "doc_fingerprints": (doc_fingerprints, DOC_FINGERPRINT_SQL),
     "repetition_filter_flags": (repetition_filter_flags, REPETITION_FILTER_SQL),
+    "heavy_hitters_cms": (heavy_hitters_cms, _cms_sql()),
 }

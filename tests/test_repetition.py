@@ -63,3 +63,21 @@ def test_repetition_degenerate_short_docs(spark, tmp_path):
     # two distinct tokens: modal unigram 50% still trips >15% (by design —
     # tiny docs are low-value for training anyway); bigram frac 1.0
     assert got[1].top_bigram_frac == 1.0
+
+
+def test_cms_overestimates_and_ranks_planted_hitter(spark, tmp_path):
+    """Count-min property: est(t) >= true(t) for every token, and a planted
+    dominant token tops the ranking with its exact count (no collision can
+    shrink a counter)."""
+    from nessie_spark.operators.textstats import heavy_hitters_cms
+
+    rows = [(i, " ".join(["hot"] * 50 + [f"cold{i}_{j}" for j in range(10)]),
+             "en", "s", 0) for i in range(20)]
+    d = _docs(spark, tmp_path, rows)
+    got = heavy_hitters_cms(spark, d).collect()
+    assert got[0].tok == "hot" and got[0].est_count >= 20 * 50
+    true = {}
+    for _, text, *_ in rows:
+        for t in text.split():
+            true[t] = true.get(t, 0) + 1
+    assert all(r.est_count >= true[r.tok] for r in got)
