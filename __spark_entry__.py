@@ -28,6 +28,7 @@ _SAMPLE_PRIORITY = [
     "multimodal_frame_sample",   # r3's one red row, fixed
     "repetition_filter_flags",
     "dedup_clusters",
+    "dedup_embedding_clusters",
     "heavy_hitters_cms",
     "knn_exact_topk",
     "mean_distance_lof_exact_scores",

@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "mean_distance_scores",
     "dedup_exact",
     "dedup_clusters",
+    "dedup_embedding_clusters",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash",
     "dedup_simhash_pairs",

@@ -539,10 +539,10 @@ COS_T = 0.35  # near-dup threshold calibrated to the synthetic embeddings
 EMB_BANDS, EMB_PLANES = 8, 8  # 2^8 buckets/band; recall ~0.99 at cos≥0.95
 
 
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup (task brief §dedup): canonical assignment —
-    canon_id = min(vec_id of any LSH-candidate neighbor with cosine ≥ τ,
-    including self); is_dup marks rows that collapse onto an earlier row.
+def _embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified cosine-near-dup pairs (both directions, cosine ≥ τ) — the
+    shared core of ``dedup_embedding_cosine`` and
+    ``dedup_embedding_clusters``.
 
     Physical plan (the 10^9-vector shape — NO driver collect, r1's
     ``emb.collect()`` was a driver OOM at scale): random-hyperplane sign
@@ -550,28 +550,24 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     → one exploded ID-ONLY (band, key) equi-join for candidates (the
     embedding arrays are ~25x the bytes of the ids and must not ride the
     band explode) → pair dedup → arrays joined back → exact JVM-side
-    cosine once per pair → min-aggregate.
+    cosine once per pair.
 
     Recall contract: candidates require one agreeing 8-plane band of 8;
     P(candidate | cos) = 1-(1-p^8)^8 with p = 1-acos(cos)/π — ≈0.99 at
-    cos 0.95 (true near-dups), lower near the τ boundary. The oracle
-    computes the SAME banded candidate set, so the gate checks the
+    cos 0.95 (true near-dups), lower near the τ boundary. The oracles
+    compute the SAME banded candidate set, so the gate checks the
     algorithm exactly rather than relying on fixture luck (ADVICE r1)."""
     from nessie_spark.functions.core import cosine_sim
     from nessie_spark.operators.similarity import band_keys_udf
 
-    # materialized once: the plan reads emb 4x (both pair sides' array
-    # join-back, the final left join, and under `banded` below)
+    # materialized once: the plan reads emb 3x (both pair sides' array
+    # join-back and under `banded` below)
     emb = _spread(
         spark,
         T(spark, sf_dir, "embeddings").select(
             "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("e")
         ),
     ).localCheckpoint(eager=False)
-    # ID-ONLY candidate pairs through the band shuffle (the knn_pairs_from
-    # lesson: the 64-double arrays are ~25x the bytes of the ids); arrays
-    # join back AFTER pair dedup, so the exact cosine runs once per pair
-    # instead of once per agreeing band
     # checkpointed: the self-join would run the matmul UDF once per side
     banded = emb.select(
         "vec_id",
@@ -592,13 +588,25 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = pairs.join(
         emb.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea")), "id_a"
     ).join(emb.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb")), "id_b")
+    return scored.where(
+        F.round(cosine_sim(F.col("ea"), F.col("eb")), 6) >= COS_T
+    ).select("id_a", "id_b")
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup (task brief §dedup): canonical assignment —
+    canon_id = min(vec_id of any LSH-candidate neighbor with cosine ≥ τ,
+    including self); is_dup marks rows that collapse onto an earlier row.
+    Direct-neighbor semantics; ``dedup_embedding_clusters`` below is the
+    transitive-closure view. Plan/recall: see _embedding_cosine_pairs."""
     neigh = (
-        scored.where(F.round(cosine_sim(F.col("ea"), F.col("eb")), 6) >= COS_T)
+        _embedding_cosine_pairs(spark, sf_dir)
         .groupBy("id_a")
         .agg(F.min("id_b").alias("min_n"))
     )
     return (
-        emb.select("vec_id")
+        T(spark, sf_dir, "embeddings")
+        .select("vec_id")
         .join(neigh.withColumnRenamed("id_a", "vec_id"), "vec_id", "left")
         .select(
             "vec_id",
@@ -611,7 +619,35 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _emb_cos_sql() -> str:
+def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup clusters: connected components of the cosine
+    near-dup relation (transitive closure — chains A~B~C collapse into one
+    cluster even though cos(A,C) < τ, which the direct-neighbor
+    ``dedup_embedding_cosine`` cannot express). cluster_id = min vec_id in
+    the component; same min-label-propagation engine as ``dedup_clusters``
+    (one shuffle per round over the dup SUBGRAPH only)."""
+    pairs = _embedding_cosine_pairs(spark, sf_dir).where(
+        F.col("id_a") < F.col("id_b")
+    )
+    comp = min_label_components(pairs)
+    return (
+        T(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .join(comp.withColumnRenamed("node", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("comp", F.col("vec_id")).alias("cluster_id"),
+            (F.coalesce("comp", F.col("vec_id")) == F.col("vec_id")).alias(
+                "is_canonical"
+            ),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _emb_pairs_sql() -> str:
+    """Verified cosine-near-dup pairs (both directions) — shared by the
+    direct-neighbor and connected-component oracles."""
     from nessie_spark.operators.similarity import planes_sql
 
     band_eq = " OR ".join(f"a.band{b} = b.band{b}" for b in range(EMB_BANDS))
@@ -620,15 +656,22 @@ WITH emb AS (
   SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e FROM embeddings
 ), banded AS (
   SELECT vec_id, e, {planes_sql(EMB_BANDS, EMB_PLANES)} FROM emb
-), pairs AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM banded a JOIN banded b ON a.vec_id != b.vec_id AND ({band_eq})
-  WHERE ROUND(
-          list_sum([ x[1] * x[2] for x in list_zip(a.e, b.e) ])
-          / (sqrt(list_sum([ y * y for y in a.e ])) * sqrt(list_sum([ z * z for z in b.e ]))),
-        6) >= {COS_T}
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM banded a JOIN banded b ON a.vec_id != b.vec_id AND ({band_eq})
+WHERE ROUND(
+        list_sum([ x[1] * x[2] for x in list_zip(a.e, b.e) ])
+        / (sqrt(list_sum([ y * y for y in a.e ])) * sqrt(list_sum([ z * z for z in b.e ]))),
+      6) >= {COS_T}
+"""
+
+
+def _emb_cos_sql() -> str:
+    return f"""
+WITH pairs AS (
+  SELECT id_a, id_b FROM ({_emb_pairs_sql()}) p
 ), with_self AS (
-  SELECT vec_id AS id_a, vec_id AS id_b FROM emb
+  SELECT vec_id AS id_a, vec_id AS id_b FROM embeddings
   UNION ALL SELECT id_a, id_b FROM pairs
 )
 SELECT id_a AS vec_id, MIN(id_b) AS canon_id, MIN(id_b) < id_a AS is_dup
@@ -636,7 +679,24 @@ FROM with_self GROUP BY id_a ORDER BY vec_id
 """
 
 
+def _emb_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_emb_pairs_sql()}) p WHERE id_a < id_b
+), edges AS (
+  SELECT id_a, id_b FROM pairs UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM pairs
+), walk(node, comp) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.id_b, w.comp FROM walk w JOIN edges e ON e.id_a = w.node
+)
+SELECT node AS vec_id, MIN(comp) AS cluster_id, MIN(comp) = node AS is_canonical
+FROM walk GROUP BY node ORDER BY vec_id
+"""
+
+
 DEDUP_EMBEDDING_COSINE_SQL = _emb_cos_sql()
+DEDUP_EMBEDDING_CLUSTERS_SQL = _emb_clusters_sql()
 
 
 def min_label_components(pairs: DataFrame) -> DataFrame:
@@ -730,6 +790,7 @@ FROM walk GROUP BY node ORDER BY doc_id
 QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
+    "dedup_embedding_clusters": (dedup_embedding_clusters, DEDUP_EMBEDDING_CLUSTERS_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),
     "dedup_minhash_signatures": (dedup_minhash_signatures, DEDUP_MINHASH_SIG_SQL),
     "dedup_minhash_lsh_pairs": (dedup_minhash_lsh_pairs, DEDUP_MINHASH_LSH_SQL),

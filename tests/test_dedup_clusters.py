@@ -61,3 +61,16 @@ def test_dedup_clusters_end_to_end(spark, tmp_path):
     assert got[2].is_canonical and not got[4].is_canonical and not got[9].is_canonical
     assert got[1].cluster_id == 1 and got[1].is_canonical
     assert got[7].cluster_id == 7 and got[7].is_canonical
+
+
+def test_embedding_clusters_refine_direct_canon(spark):
+    """Transitive-closure consistency: any two vectors the direct-neighbor
+    canon assignment collapses (canon_id) must land in the same connected
+    component, and cluster minima are canonical."""
+    sf = "/root/testdata/sf0.001"
+    canon = {r.vec_id: r.canon_id for r in D.dedup_embedding_cosine(spark, sf).collect()}
+    clus = {r.vec_id: r.cluster_id for r in D.dedup_embedding_clusters(spark, sf).collect()}
+    assert set(canon) == set(clus)
+    for v, c in canon.items():
+        assert clus[v] == clus[c], (v, c)
+        assert clus[v] <= c  # component min never exceeds the direct min
