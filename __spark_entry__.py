@@ -30,6 +30,15 @@ _SAMPLE_PRIORITY = [
     "dedup_clusters",
     "dedup_embedding_clusters",
     "heavy_hitters_cms",
+    # re-implemented in r4 (bucket-local kNN, single-shuffle variation
+    # ngrams, refactored cosine pairs): their r3 driver rows certify the
+    # OLD code, so they re-enter the window ahead of stale-row refreshes
+    "variation_ngrams_multi",
+    "knn_flagger_flags",
+    "knn_entropy_scores",
+    "knn_softmax_entropy_scores",
+    "knn_softmax_flagger_flags",
+    "dedup_embedding_cosine",
     "knn_exact_topk",
     "mean_distance_lof_exact_scores",
     "doc_pack_sequences",
@@ -100,12 +109,7 @@ _SAMPLE_PRIORITY = [
     "mean_distance_scores",
     "mean_distance_cosine_scores",
     "mean_distance_dot_scores",
-    "knn_flagger_flags",
-    "knn_entropy_scores",
-    "knn_softmax_entropy_scores",
-    "knn_softmax_flagger_flags",
     "dedup_exact",
-    "dedup_embedding_cosine",
     "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash",
