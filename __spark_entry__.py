@@ -30,6 +30,9 @@ _SAMPLE_PRIORITY = [
     "dedup_clusters",
     "dedup_embedding_clusters",
     "heavy_hitters_cms",
+    "domain_mixture_sample",
+    "trigram_lm_quality",
+    "dedup_keep_best",
     # re-implemented in r4 (bucket-local kNN, single-shuffle variation
     # ngrams, refactored cosine pairs): their r3 driver rows certify the
     # OLD code, so they re-enter the window ahead of stale-row refreshes

@@ -109,6 +109,9 @@ BENCH_QUERIES = [
     "heavy_hitters_cms",
     "doc_pack_sequences",
     "stratified_sample",
+    "domain_mixture_sample",
+    "trigram_lm_quality",
+    "dedup_keep_best",
     "lang_id_markers",
     "contamination_report",
     "pii_scrub",

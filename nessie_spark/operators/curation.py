@@ -145,7 +145,195 @@ ORDER BY doc_id
 """
 
 
+# Temperature-weighted domain mixing (the multilingual-pretraining classic:
+# sample domain s with probability ∝ n_s^α, α<1 up-weights small domains).
+MIX_ALPHA = 0.7          # temperature exponent
+MIX_BUDGET_PCT = 50      # overall corpus budget: keep ~50% of N docs
+_W_SCALE = 1_000_000     # fixed-point scale for the n_s^α weights
+
+
+def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain mixture sampling: draw a ~50%-of-corpus
+    budget across ``source`` domains with per-domain quotas ∝ n_s^0.7 —
+    the exponentiated-count mixing rule large multilingual/multi-domain
+    pretraining runs use to up-weight small domains without flattening the
+    distribution. Deterministic: each domain keeps the q_s documents with
+    the smallest h64('dmx|'+doc_id) (doc_id as tie-break), so re-runs and
+    backfills pick the identical mixture.
+
+    Integer-exact quota discipline for the cross-engine gate: weights are
+    fixed-point ``round(n_s^α · 1e6)`` BIGINTs and quotas use integer
+    division ``(B·w_s) DIV W`` — no float ratios reach the output. Scale:
+    the quota table is |domains| rows (broadcast); ranking is ONE
+    row_number window hash-partitioned by source — per-domain rank, not a
+    global sort, so no single-reducer bottleneck at 10^9 docs."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source")
+    stats = docs.groupBy("source").agg(F.count("*").alias("n_s"))
+    w = stats.withColumn(
+        "w_s",
+        F.round(F.pow(F.col("n_s").cast("double"), F.lit(MIX_ALPHA)) * _W_SCALE)
+        .cast("long"),
+    )
+    tot = w.agg(F.sum("n_s").alias("n_total"), F.sum("w_s").alias("w_total"))
+    quota = (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "q_s",
+            F.expr(
+                f"((n_total * {MIX_BUDGET_PCT}) DIV 100 * w_s) DIV w_total"
+            ).cast("long"),
+        )
+        .select("source", "q_s")
+    )
+    ranked = docs.withColumn(
+        "draw", h64(F.concat(F.lit("dmx|"), F.col("doc_id").cast("string")))
+    ).withColumn(
+        "src_rank",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy("draw", "doc_id")
+        ).cast("long"),
+    )
+    return (
+        ranked.join(F.broadcast(quota), "source")
+        .where(F.col("src_rank") <= F.col("q_s"))
+        .select("doc_id", "source", "src_rank")
+        .orderBy("doc_id")
+    )
+
+
+DOMAIN_MIXTURE_SQL = f"""
+WITH s AS (
+  SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source
+), w AS (
+  SELECT source, n_s,
+         CAST(ROUND(POWER(CAST(n_s AS DOUBLE), {MIX_ALPHA}) * {_W_SCALE})
+              AS BIGINT) AS w_s
+  FROM s
+), t AS (
+  SELECT SUM(n_s) AS n_total, SUM(w_s) AS w_total FROM w
+), q AS (
+  SELECT source,
+         (((SELECT n_total FROM t) * {MIX_BUDGET_PCT}) // 100 * w_s)
+           // (SELECT w_total FROM t) AS q_s
+  FROM w
+), r AS (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY ({h64_sql(x="'dmx|' || CAST(doc_id AS VARCHAR)")}), doc_id
+         ) AS BIGINT) AS src_rank
+  FROM documents
+)
+SELECT r.doc_id, r.source, r.src_rank
+FROM r JOIN q USING (source)
+WHERE r.src_rank <= q.q_s
+ORDER BY doc_id
+"""
+
+
+# Corpus-trained character-trigram LM quality score (the CCNet-style
+# perplexity filter, self-trained: no external LM in this sandbox).
+_LP_SCALE = 1_000_000
+
+
+def trigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language-model quality score, trained on the
+    corpus itself: normalize text to ``[a-z ]``, count every trigram
+    occurrence corpus-wide, then score each document by its mean trigram
+    log-likelihood ``avg_logp = mean(ln(c_g / total))`` — the CCNet-style
+    perplexity filter (low avg_logp = unusual character statistics =
+    boilerplate/garbled/OCR noise; filter the bottom tail). Self-training
+    means every document trigram exists in the table — no smoothing term.
+
+    Cross-engine float discipline: per-trigram log-probs are rounded ONCE
+    to fixed-point BIGINTs (``round(ln(p)·1e6)``), so the per-document
+    reduction is an integer SUM — order-independent and exact across
+    Spark and DuckDB; only the final mean is a (deterministic) division.
+
+    Scale shape: trigram vocab ≤ 27³ ≈ 20k rows — counted in one shuffle,
+    then BROADCAST back to the per-document gram counts (second and last
+    shuffle). The explode is map-side Catalyst (sequence + substring), no
+    UDF; nothing driver-side. Documents whose normalized text is shorter
+    than 3 chars score NULL with n_grams = 0."""
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace(F.lower("text"), "[^a-z ]", "").alias("t")
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.length("t") >= 3,
+                F.expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))"),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    cnt = grams.groupBy("g").agg(F.count("*").alias("c"))
+    tot = cnt.agg(F.sum("c").alias("n_total"))
+    lp = cnt.crossJoin(F.broadcast(tot)).select(
+        "g",
+        F.round(F.log(F.col("c") / F.col("n_total")) * _LP_SCALE)
+        .cast("long")
+        .alias("lp"),
+    )
+    per_doc = (
+        grams.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("k"))
+        .join(F.broadcast(lp), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("k") * F.col("lp")).alias("s"),
+            F.sum("k").alias("n_grams"),
+        )
+    )
+    return (
+        T(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+            F.round(
+                F.col("s").cast("double") / F.col("n_grams") / _LP_SCALE, 6
+            ).alias("avg_logp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TRIGRAM_LM_SQL = f"""
+WITH d AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z ]', '', 'g') AS t
+  FROM documents
+), g AS (
+  SELECT doc_id, substr(t, CAST(i AS INT), 3) AS g
+  FROM d, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+), cnt AS (
+  SELECT g, COUNT(*) AS c FROM g GROUP BY g
+), tot AS (
+  SELECT SUM(c) AS n_total FROM cnt
+), lp AS (
+  SELECT g,
+         CAST(ROUND(LN(CAST(c AS DOUBLE) / (SELECT n_total FROM tot))
+                    * {_LP_SCALE}) AS BIGINT) AS lp
+  FROM cnt
+), dg AS (
+  SELECT doc_id, g, COUNT(*) AS k FROM g GROUP BY doc_id, g
+), sc AS (
+  SELECT dg.doc_id, SUM(dg.k * lp.lp) AS s, SUM(dg.k) AS n_grams
+  FROM dg JOIN lp USING (g) GROUP BY dg.doc_id
+)
+SELECT docs.doc_id,
+       CAST(COALESCE(sc.n_grams, 0) AS BIGINT) AS n_grams,
+       ROUND(CAST(sc.s AS DOUBLE) / sc.n_grams / {_LP_SCALE}, 6) AS avg_logp
+FROM documents docs LEFT JOIN sc ON docs.doc_id = sc.doc_id
+ORDER BY docs.doc_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "doc_pack_sequences": (doc_pack_sequences, DOC_PACK_SQL),
     "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
+    "domain_mixture_sample": (domain_mixture_sample, DOMAIN_MIXTURE_SQL),
+    "trigram_lm_quality": (trigram_lm_quality, TRIGRAM_LM_SQL),
 }

@@ -787,9 +787,57 @@ FROM walk GROUP BY node ORDER BY doc_id
 """
 
 
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best dedup policy over the MinHash-LSH duplicate clusters:
+    within each near-dup component, KEEP the single best document — here
+    the longest (max ``n_chars``, doc_id ascending as the tie-break) — and
+    drop the rest. This is the policy layer production dedup pipelines run
+    instead of ``dedup_clusters``'s keep-min-id: near-dup copies usually
+    differ by truncation/boilerplate, and the longest copy preserves the
+    most content (swap in a model-based quality column at no plan change —
+    the ORDER BY inside the window is the whole policy).
+
+    Distributed shape: the same pair generation + min-label-propagation CC
+    as ``dedup_clusters`` (one shuffle per CC round over the dup subgraph
+    only), then ONE row_number window hash-partitioned by cluster_id —
+    cluster sizes are small (copies of one source document), so the window
+    has no skew at 10^9 docs. Singletons keep themselves."""
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("id_a", "id_b")
+    comp = min_label_components(pairs)
+    docs = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    labeled = docs.join(
+        comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        "n_chars",
+        F.coalesce("comp", F.col("doc_id")).alias("cluster_id"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        labeled.withColumn("keep", F.row_number().over(w) == 1)
+        .select("doc_id", "cluster_id", "n_chars", "keep")
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_KEEP_BEST_SQL = f"""
+WITH cl AS (
+  SELECT doc_id, cluster_id FROM ({DEDUP_CLUSTERS_SQL}) c
+)
+SELECT d.doc_id, cl.cluster_id, d.n_chars,
+       (ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+                           ORDER BY d.n_chars DESC, d.doc_id) = 1) AS keep
+FROM documents d JOIN cl USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
+    "dedup_keep_best": (dedup_keep_best, DEDUP_KEEP_BEST_SQL),
     "dedup_embedding_clusters": (dedup_embedding_clusters, DEDUP_EMBEDDING_CLUSTERS_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),
     "dedup_minhash_signatures": (dedup_minhash_signatures, DEDUP_MINHASH_SIG_SQL),

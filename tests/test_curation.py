@@ -97,3 +97,60 @@ def test_pack_plan_has_no_python_udf(spark, tmp_path):
             fn(spark, d).explain("formatted")
         plan = buf.getvalue()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, fn.__name__
+
+
+def _docs_src(spark, tmp_path, rows):
+    d = str(tmp_path / "mix")
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_domain_mixture_quotas_are_exact_and_upweight_small(spark, tmp_path):
+    """Per-domain keep counts equal the integer-exact quota formula
+    (B*w_s) DIV w_total with w_s = round(n_s^alpha * 1e6), and the
+    temperature rule up-weights the small domain: its keep FRACTION
+    exceeds the big domain's."""
+    import math
+
+    rows = [(i, "big", f"doc number {i} words") for i in range(160)]
+    rows += [(1000 + i, "small", f"tiny doc {i}") for i in range(10)]
+    got = C.domain_mixture_sample(spark, _docs_src(spark, tmp_path, rows)).collect()
+    by_src = {"big": 0, "small": 0}
+    for r in got:
+        by_src[r.source] += 1
+    w = {s: round(math.pow(n, C.MIX_ALPHA) * 1_000_000) for s, n in (("big", 160), ("small", 10))}
+    budget = (170 * C.MIX_BUDGET_PCT) // 100
+    q = {s: (budget * w[s]) // (w["big"] + w["small"]) for s in w}
+    assert by_src == q, (by_src, q)
+    assert q["small"] / 10 > q["big"] / 160  # alpha<1 favors small domains
+    # ranks within a domain are exactly 1..q_s (the q_s smallest draws)
+    ranks = sorted(r.src_rank for r in got if r.source == "small")
+    assert ranks == list(range(1, q["small"] + 1))
+
+
+def test_domain_mixture_is_deterministic(spark, tmp_path):
+    """Re-running the sampler picks the identical mixture (hash draws,
+    not RNG state)."""
+    rows = [(i, "s" + str(i % 3), f"text {i}") for i in range(90)]
+    d = _docs_src(spark, tmp_path, rows)
+    a = {r.doc_id for r in C.domain_mixture_sample(spark, d).collect()}
+    b = {r.doc_id for r in C.domain_mixture_sample(spark, d).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_trigram_lm_garbled_doc_scores_lowest(spark, tmp_path):
+    """A doc made of corpus-rare trigrams gets the lowest avg_logp (the
+    CCNet-tail property the filter exists for); a doc shorter than one
+    trigram scores NULL with n_grams=0."""
+    common = "the cat sat on the mat and the dog sat on the log"
+    rows = [(i, "a", common) for i in range(20)]
+    rows += [(100, "a", "zq xvj qkz wxq jzv kqx vjz")]  # garbled
+    rows += [(101, "a", "zz")]  # too short after normalization
+    got = {r.doc_id: r for r in C.trigram_lm_quality(spark, _docs_src(spark, tmp_path, rows)).collect()}
+    assert got[101].n_grams == 0 and got[101].avg_logp is None
+    scored = {i: r.avg_logp for i, r in got.items() if r.avg_logp is not None}
+    assert min(scored, key=scored.get) == 100
+    # natural docs share identical text -> identical scores
+    assert len({scored[i] for i in range(20)}) == 1

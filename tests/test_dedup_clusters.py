@@ -74,3 +74,33 @@ def test_embedding_clusters_refine_direct_canon(spark):
     for v, c in canon.items():
         assert clus[v] == clus[c], (v, c)
         assert clus[v] <= c  # component min never exceeds the direct min
+
+
+def test_keep_best_policy_longest_wins(spark, tmp_path):
+    """dedup_keep_best keeps exactly one doc per near-dup cluster — the
+    one with max n_chars (doc_id ascending breaks ties) — and singletons
+    keep themselves."""
+    t1 = "the quick brown fox jumps over the lazy dog again and again today"
+    t2 = "completely different words about spark shuffles and parquet files"
+    rows = [
+        # cluster {2,4,9}: identical text, doc 4 is the longest copy
+        (4, t1, "en", "s", 30), (2, t1, "en", "s", 10), (9, t1, "en", "s", 20),
+        # tie cluster {11,12}: equal n_chars → lower doc_id wins
+        (12, t2, "en", "s", 15), (11, t2, "en", "s", 15),
+        # singleton
+        (7, "yet another unrelated document mentioning neither foxes nor dogs",
+         "en", "s", 5),
+    ]
+    d = str(tmp_path / "kb")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {r.doc_id: r for r in D.dedup_keep_best(spark, d).collect()}
+    assert len(got) == 6
+    assert [got[i].cluster_id for i in (2, 4, 9)] == [2, 2, 2]
+    assert got[4].keep and not got[2].keep and not got[9].keep  # longest, not min id
+    assert got[11].keep and not got[12].keep                    # tie → lower id
+    assert got[7].keep                                          # singleton
+    # exactly one keeper per cluster
+    keepers = [r for r in got.values() if r.keep]
+    assert len({r.cluster_id for r in keepers}) == len(keepers) == 3
