@@ -33,6 +33,9 @@ _SAMPLE_PRIORITY = [
     "domain_mixture_sample",
     "trigram_lm_quality",
     "dedup_keep_best",
+    "contamination_fuzzy",
+    "dup_ngram_coverage",
+    "dsir_importance_score",
     # re-implemented in r4 (bucket-local kNN, single-shuffle variation
     # ngrams, refactored cosine pairs): their r3 driver rows certify the
     # OLD code, so they re-enter the window ahead of stale-row refreshes

@@ -112,6 +112,9 @@ BENCH_QUERIES = [
     "domain_mixture_sample",
     "trigram_lm_quality",
     "dedup_keep_best",
+    "contamination_fuzzy",
+    "dup_ngram_coverage",
+    "dsir_importance_score",
     "lang_id_markers",
     "contamination_report",
     "pii_scrub",

@@ -236,6 +236,25 @@ ORDER BY doc_id
 _LP_SCALE = 1_000_000
 
 
+def _char_trigrams(docs: DataFrame, *carry: str) -> DataFrame:
+    """(doc_id, *carry, g) — every char-trigram occurrence of the
+    ``[a-z ]``-normalized text, with multiplicity. Pure Catalyst
+    (sequence + substring), zero UDF; docs shorter than one trigram emit
+    no rows. Shared by the LM-quality and DSIR importance scorers."""
+    return docs.select(
+        "doc_id", *carry,
+        F.regexp_replace(F.lower("text"), "[^a-z ]", "").alias("t"),
+    ).select(
+        "doc_id", *carry,
+        F.explode(
+            F.when(
+                F.length("t") >= 3,
+                F.expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))"),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+
+
 def trigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-trigram language-model quality score, trained on the
     corpus itself: normalize text to ``[a-z ]``, count every trigram
@@ -255,19 +274,16 @@ def trigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle). The explode is map-side Catalyst (sequence + substring), no
     UDF; nothing driver-side. Documents whose normalized text is shorter
     than 3 chars score NULL with n_grams = 0."""
-    docs = T(spark, sf_dir, "documents").select(
-        "doc_id", F.regexp_replace(F.lower("text"), "[^a-z ]", "").alias("t")
+    from nessie_spark.operators.dedup import _spread
+
+    grams = _char_trigrams(_spread(spark, T(spark, sf_dir, "documents")))
+    # one (doc, gram) count pass, checkpointed: it feeds BOTH the corpus
+    # LM and the per-doc scorer — uncheckpointed, Catalyst re-runs the
+    # whole explode per consumer (and the single-file scan serializes it)
+    dg = grams.groupBy("doc_id", "g").agg(F.count("*").alias("k")).localCheckpoint(
+        eager=True
     )
-    grams = docs.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                F.length("t") >= 3,
-                F.expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))"),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("g"),
-    )
-    cnt = grams.groupBy("g").agg(F.count("*").alias("c"))
+    cnt = dg.groupBy("g").agg(F.sum("k").alias("c"))
     tot = cnt.agg(F.sum("c").alias("n_total"))
     lp = cnt.crossJoin(F.broadcast(tot)).select(
         "g",
@@ -276,9 +292,7 @@ def trigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("lp"),
     )
     per_doc = (
-        grams.groupBy("doc_id", "g")
-        .agg(F.count("*").alias("k"))
-        .join(F.broadcast(lp), "g")
+        dg.join(F.broadcast(lp), "g")
         .groupBy("doc_id")
         .agg(
             F.sum(F.col("k") * F.col("lp")).alias("s"),
@@ -331,9 +345,141 @@ ORDER BY docs.doc_id
 """
 
 
+# DSIR-style importance scoring (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): score raw docs by the
+# log-likelihood ratio between a TARGET-domain n-gram LM and the raw-corpus
+# LM; keep docs that look more target-like than corpus-like.
+TARGET_SOURCE = "src0"  # the designated target-domain split
+
+
+def dsir_importance_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance score for every non-target document: the mean
+    char-trigram log-likelihood ratio ``ln p_target(g) − ln p_corpus(g)``,
+    with the target LM add-one smoothed over the corpus trigram vocabulary
+    (so unseen-in-target grams get finite mass) and the corpus LM unsmoothed
+    (every doc gram exists in it by construction). ``keep = Σ k·lpd > 0``
+    — the doc is more probable under the target domain than under the raw
+    corpus, DSIR's selection direction. docstring ref: Xie et al. 2023 use
+    hashed word-bigram features; char-trigrams are this engine's sandbox
+    stand-in with the identical estimator shape.
+
+    Cross-engine float discipline (same as ``trigram_lm_quality``): the
+    per-gram log-ratio is rounded ONCE to a fixed-point BIGINT, per-doc
+    reduction is an integer SUM (order-independent), and the keep decision
+    compares that integer to zero — bit-identical across Spark and DuckDB.
+
+    Scale shape: both LMs live in the ≤27³-row trigram table (one shuffle
+    to count, then BROADCAST back); per-doc scoring is one groupBy over
+    (doc, gram) counts — the same two-shuffle plan as the quality scorer,
+    independent of corpus size beyond the linear gram pass."""
+    from nessie_spark.operators.dedup import _spread
+
+    docs = T(spark, sf_dir, "documents")
+    grams = _char_trigrams(_spread(spark, docs), "source")
+    # one (doc, source, gram) count pass, checkpointed: corpus LM, target
+    # LM, and the per-doc scorer all derive from it (three consumers —
+    # uncheckpointed, the explode re-runs per consumer)
+    dg0 = grams.groupBy("doc_id", "source", "g").agg(
+        F.count("*").alias("k")
+    ).localCheckpoint(eager=True)
+    cnt_c = dg0.groupBy("g").agg(F.sum("k").alias("c_c"))
+    cnt_t = (
+        dg0.where(F.col("source") == TARGET_SOURCE)
+        .groupBy("g")
+        .agg(F.sum("k").alias("c_t"))
+    )
+    totals = cnt_c.join(cnt_t, "g", "left").agg(
+        F.sum("c_c").alias("n_c"),
+        F.coalesce(F.sum("c_t"), F.lit(0)).alias("n_t"),
+        F.count("*").alias("v"),
+    )
+    lpd = (
+        cnt_c.join(cnt_t, "g", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "g",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce("c_t", F.lit(0)) + 1).cast("double")
+                        / (F.col("n_t") + F.col("v"))
+                    )
+                    - F.log(F.col("c_c").cast("double") / F.col("n_c"))
+                )
+                * _LP_SCALE
+            )
+            .cast("long")
+            .alias("lpd"),
+        )
+    )
+    per_doc = (
+        dg0.where(F.col("source") != TARGET_SOURCE)
+        .join(F.broadcast(lpd), "g")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("k") * F.col("lpd")).alias("s"), F.sum("k").alias("n_grams"))
+    )
+    return (
+        docs.where(F.col("source") != TARGET_SOURCE)
+        .select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+            F.round(
+                F.col("s").cast("double") / F.col("n_grams") / _LP_SCALE, 6
+            ).alias("avg_log_ratio"),
+            F.coalesce(F.col("s") > 0, F.lit(False)).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DSIR_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         regexp_replace(lower(text), '[^a-z ]', '', 'g') AS t
+  FROM documents
+), g AS (
+  SELECT doc_id, source, substr(t, CAST(i AS INT), 3) AS g
+  FROM d, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+), cnt_c AS (
+  SELECT g, COUNT(*) AS c_c FROM g GROUP BY g
+), cnt_t AS (
+  SELECT g, COUNT(*) AS c_t FROM g WHERE source = '{TARGET_SOURCE}' GROUP BY g
+), tot AS (
+  SELECT SUM(c_c) AS n_c,
+         (SELECT COALESCE(SUM(c_t), 0) FROM cnt_t) AS n_t,
+         COUNT(*) AS v
+  FROM cnt_c
+), lpd AS (
+  SELECT cnt_c.g,
+         CAST(ROUND((LN(CAST(COALESCE(cnt_t.c_t, 0) + 1 AS DOUBLE)
+                        / ((SELECT n_t FROM tot) + (SELECT v FROM tot)))
+                     - LN(CAST(cnt_c.c_c AS DOUBLE) / (SELECT n_c FROM tot)))
+                    * {_LP_SCALE}) AS BIGINT) AS lpd
+  FROM cnt_c LEFT JOIN cnt_t USING (g)
+), dg AS (
+  SELECT doc_id, g, COUNT(*) AS k FROM g
+  WHERE source <> '{TARGET_SOURCE}' GROUP BY doc_id, g
+), sc AS (
+  SELECT dg.doc_id, SUM(dg.k * lpd.lpd) AS s, SUM(dg.k) AS n_grams
+  FROM dg JOIN lpd USING (g) GROUP BY dg.doc_id
+)
+SELECT docs.doc_id,
+       CAST(COALESCE(sc.n_grams, 0) AS BIGINT) AS n_grams,
+       ROUND(CAST(sc.s AS DOUBLE) / sc.n_grams / {_LP_SCALE}, 6) AS avg_log_ratio,
+       COALESCE(sc.s > 0, FALSE) AS keep
+FROM documents docs LEFT JOIN sc USING (doc_id)
+WHERE docs.source <> '{TARGET_SOURCE}'
+ORDER BY docs.doc_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "doc_pack_sequences": (doc_pack_sequences, DOC_PACK_SQL),
     "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
     "domain_mixture_sample": (domain_mixture_sample, DOMAIN_MIXTURE_SQL),
     "trigram_lm_quality": (trigram_lm_quality, TRIGRAM_LM_SQL),
+    "dsir_importance_score": (dsir_importance_score, DSIR_SQL),
 }

@@ -169,6 +169,35 @@ FROM sh ORDER BY doc_id
 """
 
 
+def band_explode(sig: DataFrame, carry: tuple[str, ...] = ("doc_id",)) -> DataFrame:
+    """Explode an ``N_MINHASH``-wide ``sig`` array into (band, key) rows —
+    band KEYS only, never payload arrays, so the 8× explode shuffles a few
+    dozen bytes per row (shingle/vector payloads re-join per candidate).
+    Shared by the self-join dedup path and the bench-vs-train
+    decontamination path (hygiene.contamination_fuzzy)."""
+    rows_per_band = N_MINHASH // N_BANDS
+    return sig.select(
+        *carry,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select(*carry, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding + exact-Jaccard verification.
 
@@ -191,29 +220,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = d.select(
         "doc_id", _mh_sigs(F.col("sh"), N_MINHASH).alias("sig")
     ).localCheckpoint(eager=True)
-    rows_per_band = N_MINHASH // N_BANDS
-    # band keys only — the shingle arrays do NOT ride the 8× band explode
-    # through the shuffle; they are re-joined for the (few) candidate pairs
-    banded = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at("sig", b * rows_per_band + r + 1).cast("string")
-                                for r in range(rows_per_band)
-                            ],
-                        ).alias("key"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    banded = band_explode(sig)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -834,10 +841,108 @@ ORDER BY doc_id
 """
 
 
+N_COVER_GRAM = 5  # duplicated-span window (tokens)
+
+
+def dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-text coverage — the "Deduplicating
+    Training Data Makes Language Models Better" (Lee et al. 2022,
+    ExactSubstr) signal at n-gram granularity: per document, the fraction
+    of its 5-token window positions whose gram also occurs in at least one
+    OTHER document. ``flagged`` marks docs with ≥50% duplicated positions
+    (integer-exact ``2·n_dup ≥ n_pos``) — the partial-overlap copies that
+    document-level dedup (exact or MinHash) cannot see.
+
+    Scale shape: gram generation is pure Catalyst (sequence + slice +
+    concat_ws — zero UDF); "occurs in ≥2 docs" is ``min(doc_id) ≠
+    max(doc_id)`` per gram, NOT countDistinct (no Expand blow-up), and it
+    rides a groupBy with map-side partial aggregation — a stop-gram seen
+    in every document partially aggregates inside each task instead of
+    funnelling 10^9 rows to one reducer the way a window over
+    partitionBy(gram) would. The dg⋈gram-stats join is key-skewed on hot
+    grams at corpus scale: AQE skew-join splits those (and 5-gram hot keys
+    are orders of magnitude rarer than unigram ones)."""
+    toks = T(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"[ \t\n\f\r]+").alias("ts")
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("ts") >= N_COVER_GRAM,
+                F.expr(
+                    f"transform(sequence(1, size(ts) - {N_COVER_GRAM - 1}),"
+                    f" i -> concat_ws(' ', slice(ts, i, {N_COVER_GRAM})))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    dg = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("k"))
+    gs = dg.groupBy("g").agg((F.min("doc_id") != F.max("doc_id")).alias("dup"))
+    per = (
+        dg.join(gs, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("np"),
+            F.sum(F.when(F.col("dup"), F.col("k")).otherwise(F.lit(0))).alias("nd"),
+        )
+    )
+    return (
+        T(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("np", F.lit(0)).cast("long").alias("n_positions"),
+            F.coalesce("nd", F.lit(0)).cast("long").alias("n_dup_positions"),
+            F.when(
+                F.col("np") > 0,
+                F.round(F.col("nd").cast("double") / F.col("np"), 6),
+            ).alias("dup_frac"),
+            (
+                (F.coalesce("nd", F.lit(0)) * 2 >= F.coalesce("np", F.lit(0)))
+                & (F.coalesce("np", F.lit(0)) > 0)
+            ).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DUP_NGRAM_COVERAGE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\f\\r]+') AS ts
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest([ array_to_string(ts[i:i + {N_COVER_GRAM - 1}], ' ')
+                  for i in range(1, len(ts) - {N_COVER_GRAM - 2}) ]) AS g
+  FROM toks WHERE len(ts) >= {N_COVER_GRAM}
+), dg AS (
+  SELECT doc_id, g, COUNT(*) AS k FROM grams GROUP BY doc_id, g
+), gs AS (
+  SELECT g, (MIN(doc_id) <> MAX(doc_id)) AS dup FROM dg GROUP BY g
+), per AS (
+  SELECT dg.doc_id, SUM(dg.k) AS np,
+         SUM(CASE WHEN gs.dup THEN dg.k ELSE 0 END) AS nd
+  FROM dg JOIN gs USING (g) GROUP BY dg.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(per.np, 0) AS BIGINT) AS n_positions,
+       CAST(COALESCE(per.nd, 0) AS BIGINT) AS n_dup_positions,
+       CASE WHEN per.np > 0
+            THEN ROUND(CAST(per.nd AS DOUBLE) / per.np, 6) END AS dup_frac,
+       (COALESCE(per.nd, 0) * 2 >= COALESCE(per.np, 0)
+        AND COALESCE(per.np, 0) > 0) AS flagged
+FROM documents d LEFT JOIN per USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
     "dedup_keep_best": (dedup_keep_best, DEDUP_KEEP_BEST_SQL),
+    "dup_ngram_coverage": (dup_ngram_coverage, DUP_NGRAM_COVERAGE_SQL),
     "dedup_embedding_clusters": (dedup_embedding_clusters, DEDUP_EMBEDDING_CLUSTERS_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),
     "dedup_minhash_signatures": (dedup_minhash_signatures, DEDUP_MINHASH_SIG_SQL),

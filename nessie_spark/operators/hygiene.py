@@ -184,7 +184,118 @@ FROM documents
 ORDER BY doc_id
 """
 
+def contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination: MinHash-LSH near-duplicate matching of every
+    training document against the benchmark split, exact-Jaccard-verified
+    — catches the paraphrased/reformatted benchmark leaks that exact
+    n-gram overlap (``contamination_report``) misses. One row per
+    contaminated training doc: its best-matching benchmark doc (max
+    verified Jaccard, bench_id ascending as the tie-break).
+
+    Scale shape: shingles + 32-family signatures are computed ONCE over
+    the whole corpus (checkpointed — bench/train both read them), band
+    keys ride the 8× explode without payloads (dedup.band_explode), and
+    the candidate join BROADCASTS the benchmark side — benchmarks are
+    a few MB of band keys against TBs of training docs, so no shuffle of
+    the training corpus happens at all; the verify join touches only the
+    candidate pairs. The banded candidate set is mirrored exactly in the
+    oracle (same md5-derived hash family), so the gate checks the real
+    banding algorithm, not an all-pairs idealization."""
+    from nessie_spark.operators.dedup import (
+        JACCARD_T,
+        N_MINHASH,
+        _mh_sigs,
+        _shingles,
+        _spread,
+        band_explode,
+    )
+    from pyspark.sql.window import Window
+
+    docs = _spread(spark, T(spark, sf_dir, "documents"))
+    d = docs.select(
+        "doc_id", "source", _shingles(F.col("text")).alias("sh")
+    ).localCheckpoint(eager=True)
+    sig = d.select(
+        "doc_id", "source", _mh_sigs(F.col("sh"), N_MINHASH).alias("sig")
+    )
+    # checkpoint the exploded keys, not sig: banded feeds BOTH the
+    # broadcast (bench) and probe (train) sides — uncheckpointed, the
+    # 32-family minhash UDF executes twice over the full corpus
+    banded = band_explode(sig, carry=("doc_id", "source")).localCheckpoint(
+        eager=True
+    )
+    bench_b = banded.where(F.col("source") == BENCH_SOURCE).select(
+        F.col("doc_id").alias("bench_id"), "band", "key"
+    )
+    train_b = banded.where(F.col("source") != BENCH_SOURCE).select(
+        "doc_id", "band", "key"
+    )
+    cand = (
+        train_b.join(F.broadcast(bench_b), ["band", "key"])
+        .select("doc_id", "bench_id")
+        .dropDuplicates(["doc_id", "bench_id"])
+    )
+    cand = cand.join(
+        d.select("doc_id", F.col("sh").alias("sh_t")), "doc_id"
+    ).join(
+        d.select(F.col("doc_id").alias("bench_id"), F.col("sh").alias("sh_b")),
+        "bench_id",
+    )
+    inter = F.size(F.array_intersect("sh_t", "sh_b"))
+    union = F.size("sh_t") + F.size("sh_b") - inter
+    verified = cand.select(
+        "doc_id",
+        "bench_id",
+        F.round(inter.cast("double") / union, 6).alias("jaccard"),
+    ).where(F.col("jaccard") >= JACCARD_T)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("jaccard"), F.asc("bench_id"))
+    return (
+        verified.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "bench_id", "jaccard")
+        .orderBy("doc_id")
+    )
+
+
+def _contamination_fuzzy_sql() -> str:
+    from nessie_spark.operators.dedup import (
+        JACCARD_T,
+        N_BANDS,
+        _SHINGLES_SQL,
+        _mh_band_keys_sql,
+    )
+
+    band_eq = " OR ".join(f"t.k{b} = b.k{b}" for b in range(N_BANDS))
+    return f"""
+WITH sh0 AS ({_SHINGLES_SQL}),
+sh AS (SELECT s.doc_id, d.source, s.sh
+       FROM sh0 s JOIN documents d USING (doc_id)),
+banded AS (SELECT doc_id, source, sh, {_mh_band_keys_sql()} FROM sh),
+cand AS (
+  SELECT DISTINCT t.doc_id, b.doc_id AS bench_id, t.sh AS sh_t, b.sh AS sh_b
+  FROM banded t JOIN banded b
+    ON t.source <> '{BENCH_SOURCE}' AND b.source = '{BENCH_SOURCE}'
+   AND ({band_eq})
+), ver AS (
+  SELECT doc_id, bench_id,
+         ROUND(CAST(len(list_intersect(sh_t, sh_b)) AS DOUBLE)
+               / (len(sh_t) + len(sh_b) - len(list_intersect(sh_t, sh_b))), 6)
+           AS jaccard
+  FROM cand
+)
+SELECT doc_id, bench_id, jaccard FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY jaccard DESC, bench_id) AS rn
+  FROM ver WHERE jaccard >= {JACCARD_T}
+) WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+CONTAMINATION_FUZZY_SQL = _contamination_fuzzy_sql()
+
+
 QUERIES = {
     "contamination_report": (contamination_report, CONTAMINATION_SQL),
+    "contamination_fuzzy": (contamination_fuzzy, CONTAMINATION_FUZZY_SQL),
     "pii_scrub": (pii_scrub, PII_SCRUB_SQL),
 }

@@ -154,3 +154,18 @@ def test_trigram_lm_garbled_doc_scores_lowest(spark, tmp_path):
     assert min(scored, key=scored.get) == 100
     # natural docs share identical text -> identical scores
     assert len({scored[i] for i in range(20)}) == 1
+
+
+def test_dsir_target_like_doc_scores_higher_and_keeps(spark, tmp_path):
+    """A train doc written in the target split's character distribution
+    gets a higher importance ratio (and keep=True) than a corpus-typical
+    doc; target-split docs never appear in the output."""
+    rows = [(i, "src0", "zebra quilt jazz vex zebra quilt jazz vex") for i in range(3)]
+    rows += [(10 + i, "srcA", "common words appear here very often indeed") for i in range(6)]
+    rows += [(20, "srcB", "zebra quilt jazz vex zebra")]   # target-like
+    rows += [(21, "srcB", "common words appear here too")]  # corpus-typical
+    got = {r.doc_id: r for r in C.dsir_importance_score(
+        spark, _docs_src(spark, tmp_path, rows)).collect()}
+    assert all(i not in got for i in range(3))  # target split excluded
+    assert got[20].keep and got[20].avg_log_ratio > got[21].avg_log_ratio
+    assert not got[21].keep

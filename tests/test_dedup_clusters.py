@@ -104,3 +104,30 @@ def test_keep_best_policy_longest_wins(spark, tmp_path):
     # exactly one keeper per cluster
     keepers = [r for r in got.values() if r.keep]
     assert len({r.cluster_id for r in keepers}) == len(keepers) == 3
+
+
+def test_dup_ngram_coverage_partial_and_full_overlap(spark, tmp_path):
+    """Cross-doc duplicated-span coverage: a shared 8-token prefix marks
+    exactly its 4 five-gram windows as duplicated in each doc; exact
+    copies score 1.0; unique docs 0.0; sub-5-token docs have no
+    positions and a NULL fraction."""
+    shared = "a b c d e f g h"
+    rows = [
+        (1, shared + " u1 u2 u3", "en", "s", 0),       # 7 pos, 4 dup
+        (2, shared + " v1 v2 v3 v4", "en", "s", 0),    # 8 pos, 4 dup
+        (3, "q w e r t y p s k j m n", "en", "s", 0),  # 8 pos, 0 dup
+        (4, "copy copy one two three four five", "en", "s", 0),
+        (5, "copy copy one two three four five", "en", "s", 0),
+        (6, "x y z", "en", "s", 0),                    # < 5 tokens
+    ]
+    d = str(tmp_path / "cov")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {r.doc_id: r for r in D.dup_ngram_coverage(spark, d).collect()}
+    assert len(got) == 6
+    assert (got[1].n_positions, got[1].n_dup_positions, got[1].flagged) == (7, 4, True)
+    assert (got[2].n_positions, got[2].n_dup_positions, got[2].flagged) == (8, 4, True)
+    assert (got[3].n_dup_positions, got[3].flagged) == (0, False)
+    assert got[4].dup_frac == 1.0 and got[4].flagged and got[5].dup_frac == 1.0
+    assert (got[6].n_positions, got[6].dup_frac, got[6].flagged) == (0, None, False)

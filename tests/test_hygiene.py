@@ -76,3 +76,31 @@ def test_contamination_flags_planted_overlap(spark):
     assert rep[2]["n_grams"] == 5 and rep[2]["n_overlap"] == 4
     assert rep[3]["n_overlap"] == 0
     assert 4 not in rep
+
+
+def test_contamination_fuzzy_flags_near_dup_of_benchmark(spark, tmp_path):
+    """A paraphrased (near- but not exact-) copy of a benchmark doc is
+    caught with 0.5 <= jaccard < 1; an exact clone scores 1.0; train-train
+    near-dups never appear (only bench matches count)."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lamda mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [
+        (1, base, "en", "src0", 0),                                  # benchmark
+        (2, base.rsplit(" ", 2)[0] + " changed words", "en", "src1", 0),  # paraphrase
+        (3, base, "en", "src2", 0),                                  # exact leak
+        (4, "totally unrelated text about engines and parquet files and joins",
+         "en", "src1", 0),
+        # train-train dup pair, unrelated to the benchmark
+        (5, "five six seven eight nine ten eleven twelve thirteen fourteen",
+         "en", "src3", 0),
+        (6, "five six seven eight nine ten eleven twelve thirteen fourteen",
+         "en", "src4", 0),
+    ]
+    d = str(tmp_path / "fz")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {r.doc_id: r for r in hygiene.contamination_fuzzy(spark, d).collect()}
+    assert set(got) == {2, 3}
+    assert got[3].bench_id == 1 and got[3].jaccard == 1.0
+    assert got[2].bench_id == 1 and 0.5 <= got[2].jaccard < 1.0
