@@ -36,6 +36,8 @@ _SAMPLE_PRIORITY = [
     "contamination_fuzzy",
     "dup_ngram_coverage",
     "dsir_importance_score",
+    "dedup_incremental_bloom",
+    "distinct_ngrams_theta",
     # re-implemented in r4 (bucket-local kNN, single-shuffle variation
     # ngrams, refactored cosine pairs): their r3 driver rows certify the
     # OLD code, so they re-enter the window ahead of stale-row refreshes

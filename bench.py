@@ -115,6 +115,8 @@ BENCH_QUERIES = [
     "contamination_fuzzy",
     "dup_ngram_coverage",
     "dsir_importance_score",
+    "dedup_incremental_bloom",
+    "distinct_ngrams_theta",
     "lang_id_markers",
     "contamination_report",
     "pii_scrub",

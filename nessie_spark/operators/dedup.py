@@ -844,6 +844,29 @@ ORDER BY doc_id
 N_COVER_GRAM = 5  # duplicated-span window (tokens)
 
 
+def _word_grams(docs: DataFrame, n: int, *carry: str) -> DataFrame:
+    """(doc_id, *carry, g): whitespace-token n-grams with multiplicity.
+    Pure Catalyst (sequence + slice + concat_ws — zero UDF); docs shorter
+    than n tokens emit no rows. Shared by the duplicated-span and
+    incremental-bloom screens."""
+    toks = docs.select(
+        "doc_id", *carry, F.split(F.trim(F.col("text")), r"[ \t\n\f\r]+").alias("ts")
+    )
+    return toks.select(
+        "doc_id",
+        *carry,
+        F.explode(
+            F.when(
+                F.size("ts") >= n,
+                F.expr(
+                    f"transform(sequence(1, size(ts) - {n - 1}),"
+                    f" i -> concat_ws(' ', slice(ts, i, {n})))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+
+
 def dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicated-text coverage — the "Deduplicating
     Training Data Makes Language Models Better" (Lee et al. 2022,
@@ -862,21 +885,7 @@ def dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitionBy(gram) would. The dg⋈gram-stats join is key-skewed on hot
     grams at corpus scale: AQE skew-join splits those (and 5-gram hot keys
     are orders of magnitude rarer than unigram ones)."""
-    toks = T(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.trim(F.col("text")), r"[ \t\n\f\r]+").alias("ts")
-    )
-    grams = toks.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                F.size("ts") >= N_COVER_GRAM,
-                F.expr(
-                    f"transform(sequence(1, size(ts) - {N_COVER_GRAM - 1}),"
-                    f" i -> concat_ws(' ', slice(ts, i, {N_COVER_GRAM})))"
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("g"),
-    )
+    grams = _word_grams(T(spark, sf_dir, "documents"), N_COVER_GRAM)
     dg = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("k"))
     gs = dg.groupBy("g").agg((F.min("doc_id") != F.max("doc_id")).alias("dup"))
     per = (
@@ -938,11 +947,144 @@ ORDER BY d.doc_id
 """
 
 
+IB_M = 1 << 18   # bits in the historical-corpus gram bloom
+IB_K = 2         # hash functions per gram
+IB_NEW_MOD = 5   # doc_id % 5 == 0 plays the "newly arrived batch"
+
+
+def _ib_positions():
+    from nessie_spark.functions.core import h64_seeded
+
+    return F.array(
+        *[F.pmod(h64_seeded(F.col("g"), f"ib{i}"), F.lit(IB_M)) for i in range(IB_K)]
+    )
+
+
+def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup screening of a NEW batch against the
+    historical corpus via a gram Bloom filter — the pattern that lets a
+    continuously-ingesting pipeline dedup each day's crawl without
+    rescanning 100 TB of history: the old corpus is summarized once into
+    an m-bit Bloom of its 5-gram set; each new document reports what
+    fraction of its distinct grams the filter claims to have seen
+    (``flagged`` at ≥50%, integer-exact). Bloom false positives (k=2,
+    m=2^18) inflate the fraction deterministically — both engines compute
+    the identical bit positions (seeded-h64 family), so the gate checks
+    the filter's real behavior, collisions included.
+
+    Scale shape: the historical side reduces to ≤ m distinct bit rows
+    (≈32 KB as a bitmap, here a relational bitset) and BROADCASTS; the new
+    batch — the small side of any incremental run — is the only thing
+    scanned per batch, and its gram probe never shuffles history. Unioning
+    tomorrow's grams into the filter is a set-union (bit-OR), so the
+    summary composes incrementally. The lakehouse's file-level blooms
+    (lakehouse/bloom.py) are this same structure packed into manifest
+    bytes; this operator is the corpus-level, query-facing variant."""
+    docs = T(spark, sf_dir, "documents").withColumn(
+        "is_new", F.col("doc_id") % IB_NEW_MOD == 0
+    )
+    dg = (
+        _word_grams(docs, N_COVER_GRAM, "is_new")
+        .select("doc_id", "is_new", "g")
+        .distinct()
+    )
+    ex_bits = (
+        dg.where(~F.col("is_new"))
+        .select(F.explode(_ib_positions()).alias("bit"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    new_bits = dg.where(F.col("is_new")).select(
+        "doc_id", "g", F.explode(_ib_positions()).alias("bit")
+    )
+    gram_hits = (
+        new_bits.join(F.broadcast(ex_bits), "bit", "left")
+        .groupBy("doc_id", "g")
+        .agg(
+            (F.count(F.lit(1)) == F.coalesce(F.sum("hit"), F.lit(0))).alias("g_hit")
+        )
+    )
+    per = gram_hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("np"),
+        F.sum(F.when(F.col("g_hit"), 1).otherwise(0)).alias("nh"),
+    )
+    return (
+        docs.where("is_new")
+        .select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("np", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("nh", F.lit(0)).cast("long").alias("n_seen"),
+            F.when(
+                F.col("np") > 0, F.round(F.col("nh").cast("double") / F.col("np"), 6)
+            ).alias("seen_frac"),
+            (
+                (F.coalesce("nh", F.lit(0)) * 2 >= F.coalesce("np", F.lit(0)))
+                & (F.coalesce("np", F.lit(0)) > 0)
+            ).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _ib_sql() -> str:
+    from nessie_spark.operators.common import h64_sql
+
+    pos = ", ".join(
+        "({h}) % {m}".format(h=h64_sql(x="'ib{i}|' || g".format(i=i)), m=IB_M)
+        for i in range(IB_K)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, (doc_id % {IB_NEW_MOD} = 0) AS is_new,
+         regexp_split_to_array(trim(text), '[ \\t\\n\\f\\r]+') AS ts
+  FROM documents
+), g0 AS (
+  SELECT doc_id, is_new,
+         unnest([ array_to_string(ts[i:i + {N_COVER_GRAM - 1}], ' ')
+                  for i in range(1, len(ts) - {N_COVER_GRAM - 2}) ]) AS g
+  FROM toks WHERE len(ts) >= {N_COVER_GRAM}
+), dg AS (
+  SELECT DISTINCT doc_id, is_new, g FROM g0
+), ex_bits AS (
+  SELECT DISTINCT bit FROM (
+    SELECT unnest([ {pos} ]) AS bit FROM dg WHERE NOT is_new
+  )
+), new_bits AS (
+  SELECT doc_id, g, unnest([ {pos} ]) AS bit FROM dg WHERE is_new
+), gh AS (
+  SELECT n.doc_id, n.g,
+         (COUNT(*) = SUM(CASE WHEN e.bit IS NOT NULL THEN 1 ELSE 0 END)) AS g_hit
+  FROM new_bits n LEFT JOIN ex_bits e USING (bit)
+  GROUP BY n.doc_id, n.g
+), per AS (
+  SELECT doc_id, COUNT(*) AS np,
+         SUM(CASE WHEN g_hit THEN 1 ELSE 0 END) AS nh
+  FROM gh GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(per.np, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(per.nh, 0) AS BIGINT) AS n_seen,
+       CASE WHEN per.np > 0
+            THEN ROUND(CAST(per.nh AS DOUBLE) / per.np, 6) END AS seen_frac,
+       (COALESCE(per.nh, 0) * 2 >= COALESCE(per.np, 0)
+        AND COALESCE(per.np, 0) > 0) AS flagged
+FROM documents d LEFT JOIN per USING (doc_id)
+WHERE d.doc_id % {IB_NEW_MOD} = 0
+ORDER BY d.doc_id
+"""
+
+
+DEDUP_INCREMENTAL_BLOOM_SQL = _ib_sql()
+
+
 QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
     "dedup_keep_best": (dedup_keep_best, DEDUP_KEEP_BEST_SQL),
     "dup_ngram_coverage": (dup_ngram_coverage, DUP_NGRAM_COVERAGE_SQL),
+    "dedup_incremental_bloom": (dedup_incremental_bloom, DEDUP_INCREMENTAL_BLOOM_SQL),
     "dedup_embedding_clusters": (dedup_embedding_clusters, DEDUP_EMBEDDING_CLUSTERS_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),
     "dedup_minhash_signatures": (dedup_minhash_signatures, DEDUP_MINHASH_SIG_SQL),

@@ -131,3 +131,28 @@ def test_dup_ngram_coverage_partial_and_full_overlap(spark, tmp_path):
     assert (got[3].n_dup_positions, got[3].flagged) == (0, False)
     assert got[4].dup_frac == 1.0 and got[4].flagged and got[5].dup_frac == 1.0
     assert (got[6].n_positions, got[6].dup_frac, got[6].flagged) == (0, None, False)
+
+
+def test_incremental_bloom_flags_new_near_copy_of_history(spark, tmp_path):
+    """A new-batch doc (doc_id % 5 == 0) sharing most grams with a
+    historical doc is flagged; a genuinely fresh doc sits at the bloom's
+    FP floor; a sub-5-token doc has no grams and a NULL fraction."""
+    hist = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lamda mu nu xi omicron")
+    rows = [
+        (1, hist, "en", "s", 0),                       # history (1 % 5 != 0)
+        (2, "one two three four six seven eight nine eleven twelve", "en", "s", 0),
+        (5, hist + " changed tail", "en", "s", 0),     # new, near-copy
+        (10, "totally fresh words nobody wrote before anywhere here today now",
+         "en", "s", 0),                                # new, clean
+        (15, "too few words", "en", "s", 0),           # new, < 5 tokens
+    ]
+    d = str(tmp_path / "ib")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {r.doc_id: r for r in D.dedup_incremental_bloom(spark, d).collect()}
+    assert set(got) == {5, 10, 15}  # only the new batch is screened
+    assert got[5].flagged and got[5].seen_frac > 0.5
+    assert not got[10].flagged
+    assert (got[15].n_grams, got[15].seen_frac, got[15].flagged) == (0, None, False)

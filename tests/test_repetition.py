@@ -81,3 +81,30 @@ def test_cms_overestimates_and_ranks_planted_hitter(spark, tmp_path):
         for t in text.split():
             true[t] = true.get(t, 0) + 1
     assert all(r.est_count >= true[r.tok] for r in got)
+
+
+def test_theta_sketch_matches_hand_computed_sample(spark, tmp_path):
+    """distinct_ngrams_theta's sample equals the md5-threshold rule
+    computed independently in Python, and est = n_sampled * 16."""
+    import hashlib
+
+    from nessie_spark.operators import textstats as TS
+
+    words = [f"w{i}" for i in range(40)]
+    text = " ".join(words)  # 36 distinct 5-grams, all multiplicity 1
+    rows = [(1, text, "en", "sA", 0), (2, text, "en", "sB", 0)]
+    d = str(tmp_path / "th")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    grams = {" ".join(words[i:i + 5]) for i in range(36)}
+    expected = sum(
+        1 for g in grams
+        if int(hashlib.md5(g.encode()).hexdigest()[:15], 16) < (1 << 56)
+    )
+    got = {r.source: r for r in TS.distinct_ngrams_theta(spark, d).collect()}
+    assert set(got) == {"sA", "sB"}
+    for r in got.values():
+        assert r.n_sampled == expected
+        assert r.est_distinct == expected * 16
+        assert r.n_exact == 36
