@@ -38,6 +38,7 @@ _SAMPLE_PRIORITY = [
     "dsir_importance_score",
     "dedup_incremental_bloom",
     "distinct_ngrams_theta",
+    "maintenance_phash_clusters",
     # re-implemented in r4 (bucket-local kNN, single-shuffle variation
     # ngrams, refactored cosine pairs): their r3 driver rows certify the
     # OLD code, so they re-enter the window ahead of stale-row refreshes

@@ -1086,6 +1086,36 @@ def maintenance_scheduler(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def maintenance_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visual-duplicate GROUPS on the image axis: transitive closure over
+    the phash near-dup graph (``maintenance_phash_neardup``'s banded
+    Hamming pairs), electing one canonical image per cluster — the image
+    analog of ``dedup_clusters``. A 1-bit copy and a 2-bit copy of the
+    same base image are each within Hamming ≤3 of the base but may be
+    Hamming 3+1 of EACH OTHER — pairwise dedup keeps one of them; the
+    component view drops both.
+
+    Scale shape: the same min-label propagation as text dedup
+    (dedup.min_label_components — iterates on the edge subgraph only,
+    one shuffle per round, O(component diameter) rounds; visual-dup
+    clusters are shallow stars). Output: every clustered image with its
+    canonical (min image_id) and the cluster size."""
+    from nessie_spark.operators.dedup import min_label_components
+
+    pairs = maintenance_phash_neardup(spark, sf_dir).select("id_a", "id_b")
+    comp = min_label_components(pairs)
+    sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        comp.join(sizes, "comp")
+        .select(
+            F.col("node").alias("image_id"),
+            F.col("comp").alias("canonical_id"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
+        .orderBy("image_id")
+    )
+
+
 QUERIES: dict[str, tuple] = {
     "maintenance_compact": (maintenance_compact, None),
     "maintenance_zorder": (maintenance_zorder, None),
@@ -1094,6 +1124,7 @@ QUERIES: dict[str, tuple] = {
     "maintenance_expire_gc": (maintenance_expire_gc, None),
     "maintenance_incremental": (maintenance_incremental, None),
     "maintenance_phash_neardup": (maintenance_phash_neardup, None),
+    "maintenance_phash_clusters": (maintenance_phash_clusters, None),
     "maintenance_schema_evolution": (maintenance_schema_evolution, None),
     "maintenance_rollback": (maintenance_rollback, None),
     "maintenance_data_skipping": (maintenance_data_skipping, None),

@@ -177,3 +177,25 @@ def test_pipeline_on_clean_table_is_layout_only(spark, tmp_path):
     assert r2.delete_snapshot is None and r2.purge_snapshot is None
     assert scan(spark, t).count() == rows
     assert r1.losers > 0  # the planted hot cliques
+
+
+def test_phash_clusters_transitive_closure(spark):
+    """maintenance_phash_clusters groups the planted dup1-/dup2- copies
+    with their base image transitively (dup1 vs dup2 can exceed the
+    pairwise Hamming cut yet share a cluster via the base), the canonical
+    is the min image_id, and sizes are consistent."""
+    from nessie_spark.operators.maintenance import maintenance_phash_clusters
+
+    got = maintenance_phash_clusters(spark, "unused").collect()
+    assert got, "planted dups must produce clusters"
+    by_canon = {}
+    for r in got:
+        by_canon.setdefault(r.canonical_id, []).append(r)
+        assert r.canonical_id <= r.image_id  # min-label canonical
+    for canon, members in by_canon.items():
+        assert len(members) == members[0].cluster_size >= 2
+        # every 32nd base image carries both a dup1- and dup2- copy:
+        names = {m.image_id for m in members}
+        if any(n.startswith("dup2-") for n in names):
+            base = next(n for n in names if n.startswith("dup2-"))[5:]
+            assert f"dup1-{base}" in names and base in names
