@@ -39,6 +39,7 @@ _SAMPLE_PRIORITY = [
     "dedup_incremental_bloom",
     "distinct_ngrams_theta",
     "maintenance_phash_clusters",
+    "events_top_paths",
     # re-implemented in r4 (bucket-local kNN, single-shuffle variation
     # ngrams, refactored cosine pairs): their r3 driver rows certify the
     # OLD code, so they re-enter the window ahead of stale-row refreshes

@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "order_priority_counts",
     "events_hourly",
     "events_sessionize",
+    "events_top_paths",
     "majority_per_surface_flags",
     "label_entropy_scores",
     "borda_count_scores",

@@ -216,9 +216,76 @@ FROM p
 """
 
 
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 behavioral paths: the most frequent CONSECUTIVE 3-step
+    event_type sequences inside a session (30-min gap rule, same as
+    ``events_sessionize``). Event order within a user is made total by
+    (t, event_id) — timestamp ties would otherwise make the paths (and
+    the gate) nondeterministic. Tie-break on the path string keeps the
+    rank-10 cut deterministic too.
+
+    Scale shape: one shuffle on user_id that BOTH window passes (session
+    ids, then lead-2 paths) share; the path count partially aggregates
+    map-side, and only the tiny (n_distinct_paths ≤ |types|³) aggregate
+    reaches the final top-k sort."""
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("t"), "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    sess = ev.withColumn(
+        "is_new", F.when(F.col("t") - F.lag("t").over(w) > 1800, 1).otherwise(0)
+    ).withColumn(
+        "session_idx",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    w2 = Window.partitionBy("user_id", "session_idx").orderBy("t", "event_id")
+    paths = sess.select(
+        F.concat_ws(
+            " > ",
+            "event_type",
+            F.lead("event_type", 1).over(w2),
+            F.lead("event_type", 2).over(w2),
+        ).alias("path"),
+        F.lead("event_type", 2).over(w2).alias("_ok"),
+    ).where(F.col("_ok").isNotNull())
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.desc("n_paths"), F.asc("path"))
+        .limit(10)
+    )
+
+
+EVENTS_TOP_PATHS_SQL = """
+WITH t AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id, event_type
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id) > 1800
+                 THEN 1 ELSE 0 END AS is_new
+  FROM t
+), sess AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+), paths AS (
+  SELECT event_type || ' > '
+         || LEAD(event_type, 1) OVER w || ' > '
+         || LEAD(event_type, 2) OVER w AS path,
+         LEAD(event_type, 2) OVER w AS _ok
+  FROM sess
+  WINDOW w AS (PARTITION BY user_id, session_idx ORDER BY t, event_id)
+)
+SELECT path, COUNT(*) AS n_paths
+FROM paths WHERE _ok IS NOT NULL
+GROUP BY path ORDER BY n_paths DESC, path LIMIT 10
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
     "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_SQL),
     "events_retention_cohorts": (events_retention_cohorts, EVENTS_RETENTION_SQL),
     "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
+    "events_top_paths": (events_top_paths, EVENTS_TOP_PATHS_SQL),
 }

@@ -173,3 +173,19 @@ def test_new_analytics_avoid_cartesian_products(spark):
     assert "CartesianProduct" not in q22
     # scalar threshold: 1-row broadcast nested loop is the correct plan
     assert "BroadcastNestedLoopJoin" in q22 or "BroadcastHashJoin" in q22
+
+
+def test_top_paths_single_user_exchange(spark):
+    """events_top_paths: both window passes (session ids, lead-2 paths)
+    must share ONE hash exchange on user_id — the session window's
+    partitioning is a prefix of the path window's, so Catalyst must not
+    insert a second user-keyed shuffle before the lead pass."""
+    plan = _plan(E.queries()["events_top_paths"](spark, SF))
+    assert "CartesianProduct" not in plan
+    import re
+
+    user_exchanges = [
+        m for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        if "user_id" in m and "session_idx" not in m
+    ]
+    assert len(user_exchanges) <= 1, plan[:2000]
