@@ -40,6 +40,8 @@ _SAMPLE_PRIORITY = [
     "distinct_ngrams_theta",
     "maintenance_phash_clusters",
     "events_top_paths",
+    "q4_order_priority",
+    "q12_shipmode_priority",
     # re-implemented in r4 (bucket-local kNN, single-shuffle variation
     # ngrams, refactored cosine pairs): their r3 driver rows certify the
     # OLD code, so they re-enter the window ahead of stale-row refreshes

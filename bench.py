@@ -64,6 +64,8 @@ os.environ.setdefault("NESSIE_SPARK_DRIVER_MEM", "24g")
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q4_order_priority",
+    "q12_shipmode_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q9_product_profit",

@@ -309,8 +309,103 @@ LIMIT 100
 """
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order-priority checking — count orders in a quarter
+    that had at least one LATE line item, per priority. The schema has no
+    commit/receipt dates, so lateness is the same key-derived predicate as
+    Q21 (``(l_orderkey*3 + l_suppkey) % 4 == 0``) in both engines; the
+    EXISTS → LEFT SEMI join + priority rollup is the real Q4 structure.
+
+    Scale shape: the semi join deduplicates lineitem probes (no fanout on
+    multi-line orders) and the priority groupBy is a 5-row aggregate —
+    map-side partial all the way."""
+    orders = T(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    late_lines = T(spark, sf_dir, "lineitem").where(
+        (F.col("l_orderkey") * 3 + F.col("l_suppkey")) % 4 == 0
+    ).select("l_orderkey")
+    return (
+        orders.join(
+            late_lines, orders.o_orderkey == late_lines.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-07-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND (l.l_orderkey * 3 + l.l_suppkey) % 4 = 0)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: shipping-mode vs order-priority cross-tab — per
+    (derived) ship mode, how many LATE-shipped lines belong to
+    high-priority (1-URGENT/2-HIGH) vs lower-priority orders in one ship
+    year. The schema has no l_shipmode, so mode is key-derived
+    (``MAIL/SHIP/TRUCK`` by ``l_partkey % 3``) identically in both
+    engines; the fact⋈orders join + CASE-sum rollup is the real Q12.
+
+    Scale shape: one shuffle (lineitem⋈orders on orderkey); the two
+    CASE-sums partially aggregate map-side into a 3-row result."""
+    modes = F.array(F.lit("MAIL"), F.lit("SHIP"), F.lit("TRUCK"))
+    li = T(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & ((F.col("l_orderkey") * 3 + F.col("l_suppkey")) % 4 == 0)
+    ).select(
+        "l_orderkey",
+        F.element_at(modes, (F.col("l_partkey") % 3 + 1).cast("int")).alias(
+            "ship_mode"
+        ),
+    )
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("ship_mode")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("ship_mode")
+    )
+
+
+Q12_SQL = """
+SELECT ship_mode,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM (
+  SELECT l_orderkey,
+         (['MAIL', 'SHIP', 'TRUCK'])[CAST(l_partkey % 3 AS INT) + 1] AS ship_mode
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+    AND (l_orderkey * 3 + l_suppkey) % 4 = 0
+) l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY ship_mode
+ORDER BY ship_mode
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
+    "q4_order_priority": (q4_order_priority, Q4_SQL),
+    "q12_shipmode_priority": (q12_shipmode_priority, Q12_SQL),
     "q11_important_stock": (q11_important_stock, Q11_SQL),
     "q16_parts_supplier_counts": (q16_parts_supplier_counts, Q16_SQL),
     "q20_potential_promotion": (q20_potential_promotion, Q20_SQL),
