@@ -42,6 +42,8 @@ _SAMPLE_PRIORITY = [
     "events_top_paths",
     "q4_order_priority",
     "q12_shipmode_priority",
+    "tfidf_top_terms",
+    "token_entropy",
     # re-implemented in r4 (bucket-local kNN, single-shuffle variation
     # ngrams, refactored cosine pairs): their r3 driver rows certify the
     # OLD code, so they re-enter the window ahead of stale-row refreshes

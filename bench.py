@@ -120,6 +120,8 @@ BENCH_QUERIES = [
     "dsir_importance_score",
     "dedup_incremental_bloom",
     "distinct_ngrams_theta",
+    "tfidf_top_terms",
+    "token_entropy",
     "lang_id_markers",
     "contamination_report",
     "pii_scrub",

@@ -473,9 +473,168 @@ ORDER BY e.source
 """.replace("{h}", h64_sql(x="g"))
 
 
+_TFIDF_SCALE = 1_000_000
+TFIDF_TOP_K = 5
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source characteristic vocabulary: top-5 tokens by tf·idf where
+    each SOURCE is the 'document' (tf = token occurrences in the source,
+    idf = ln(#sources / #sources containing the token)). The ranking key
+    is the integer ``tf · round(ln(N/df)·1e6)`` — ties (common for
+    all-source tokens whose idf is 0) break on the token string, so the
+    top-5 cut is deterministic in both engines.
+
+    Scale shape: (source, token) counts partial-aggregate map-side; df is
+    one distinct-pair aggregate over the token vocabulary; idf is a
+    |vocab|-row table joined back BROADCAST-style on token. The final
+    top-k is a row_number window hash-partitioned by source — per-source
+    vocabulary, not corpus rows; for 10^6-term vocabularies swap in the
+    bucket-local top-k used by the kNN path, same contract."""
+    from pyspark.sql.window import Window
+
+    toks = T(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(F.split(F.trim(F.lower("text")), r"[ \t\n\f\r]+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    tf = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    n_src = tf.select("source").distinct().count()
+    idf = tf.select("tok", "source").distinct().groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df")
+    ).select(
+        "tok",
+        "df",
+        F.round(F.log(F.lit(float(n_src)) / F.col("df")) * _TFIDF_SCALE)
+        .cast("long")
+        .alias("idf_fp"),
+    )
+    scored = tf.join(F.broadcast(idf), "tok").select(
+        "source", "tok", "tf", "df", (F.col("tf") * F.col("idf_fp")).alias("score_fp")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score_fp"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TFIDF_TOP_K)
+        .select(
+            "source",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("tok").alias("token"),
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.round(F.col("score_fp").cast("double") / _TFIDF_SCALE, 6).alias(
+                "tfidf"
+            ),
+        )
+        .orderBy("source", "rank")
+    )
+
+
+TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT source, u.tok FROM (
+    SELECT source,
+           regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\f\\r]+') AS ts
+    FROM documents
+  ), UNNEST(ts) AS u(tok)
+  WHERE u.tok <> ''
+), tf AS (
+  SELECT source, tok, COUNT(*) AS tf FROM toks GROUP BY source, tok
+), idf AS (
+  SELECT tok, COUNT(DISTINCT source) AS df,
+         CAST(ROUND(LN(CAST((SELECT COUNT(DISTINCT source) FROM tf) AS DOUBLE)
+                       / COUNT(DISTINCT source)) * {_TFIDF_SCALE}) AS BIGINT)
+           AS idf_fp
+  FROM tf GROUP BY tok
+), scored AS (
+  SELECT tf.source, tf.tok, tf.tf, idf.df, tf.tf * idf.idf_fp AS score_fp
+  FROM tf JOIN idf USING (tok)
+)
+SELECT source, CAST(rank AS INT) AS rank, tok AS token,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       ROUND(CAST(score_fp AS DOUBLE) / {_TFIDF_SCALE}, 6) AS tfidf
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY score_fp DESC, tok) AS rank
+  FROM scored
+) WHERE rank <= {TFIDF_TOP_K}
+ORDER BY source, rank
+"""
+
+
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical diversity: Shannon entropy of the token
+    frequency distribution, ``H = ln(n) − (Σ k·ln k)/n`` nats — the
+    repetition-aware quality signal (H → 0 for one-token spam, ln(n) for
+    all-distinct text). The Σ k·ln k reduction is fixed-point integer
+    (order-independent across engines); only the final expression touches
+    doubles. Docs with no tokens score NULL.
+
+    Scale shape: one (doc, token) count aggregation + one per-doc sum —
+    both partial-aggregate map-side; zero UDF, zero joins."""
+    toks = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"[ \t\n\f\r]+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    per = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n"),
+            F.sum(
+                F.col("k")
+                * F.round(F.log(F.col("k").cast("double")) * _TFIDF_SCALE).cast(
+                    "long"
+                )
+            ).alias("s_fp"),
+        )
+    )
+    return (
+        T(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_tokens"),
+            F.round(
+                F.log(F.col("n").cast("double"))
+                - F.col("s_fp").cast("double") / _TFIDF_SCALE / F.col("n"),
+                6,
+            ).alias("entropy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TOKEN_ENTROPY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, u.tok FROM (
+    SELECT doc_id,
+           regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\f\\r]+') AS ts
+    FROM documents
+  ), UNNEST(ts) AS u(tok)
+  WHERE u.tok <> ''
+), per AS (
+  SELECT doc_id, SUM(k) AS n,
+         SUM(k * CAST(ROUND(LN(CAST(k AS DOUBLE)) * {_TFIDF_SCALE}) AS BIGINT))
+           AS s_fp
+  FROM (SELECT doc_id, tok, COUNT(*) AS k FROM toks GROUP BY doc_id, tok)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(per.n, 0) AS BIGINT) AS n_tokens,
+       ROUND(LN(CAST(per.n AS DOUBLE))
+             - CAST(per.s_fp AS DOUBLE) / {_TFIDF_SCALE} / per.n, 6) AS entropy
+FROM documents d LEFT JOIN per USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "lang_id_markers": (lang_id_markers, _lang_sql()),
     "distinct_ngrams_theta": (distinct_ngrams_theta, DISTINCT_THETA_SQL),
+    "tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),
+    "token_entropy": (token_entropy, TOKEN_ENTROPY_SQL),
     "quality_scores": (quality_scores, QUALITY_SQL),
     "token_counts": (token_counts, TOKEN_COUNTS_SQL),
     "doc_fingerprints": (doc_fingerprints, DOC_FINGERPRINT_SQL),

@@ -108,3 +108,42 @@ def test_theta_sketch_matches_hand_computed_sample(spark, tmp_path):
         assert r.n_sampled == expected
         assert r.est_distinct == expected * 16
         assert r.n_exact == 36
+
+
+def test_tfidf_exclusive_token_tops_its_source(spark, tmp_path):
+    """A token unique to one source outranks the shared vocabulary there
+    (shared-by-all tokens have idf 0 and cannot outrank it)."""
+    from nessie_spark.operators import textstats as TS
+
+    rows = [(1, "common words here", "en", "sA", 0),
+            (2, "common words here", "en", "sB", 0),
+            (3, "common words here xylophone xylophone", "en", "sA", 0)]
+    d = str(tmp_path / "tfidf")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = TS.tfidf_top_terms(spark, d).collect()
+    top_a = next(r for r in got if r.source == "sA" and r.rank == 1)
+    assert top_a.token == "xylophone" and top_a.df == 1 and top_a.tfidf > 0
+    # shared tokens score exactly 0 (idf = ln(2/2) = 0)
+    assert all(r.tfidf == 0.0 for r in got if r.token == "common")
+
+
+def test_token_entropy_bounds(spark, tmp_path):
+    """H = 0 for single-token spam, ln(n) for all-distinct text, NULL for
+    empty docs — the quality-signal contract."""
+    import math
+
+    from nessie_spark.operators import textstats as TS
+
+    rows = [(1, "spam spam spam spam", "en", "s", 0),
+            (2, "all tokens here differ fully", "en", "s", 0),
+            (3, "   ", "en", "s", 0)]
+    d = str(tmp_path / "ent")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {r.doc_id: r for r in TS.token_entropy(spark, d).collect()}
+    assert got[1].entropy == 0.0
+    assert abs(got[2].entropy - math.log(5)) < 1e-5
+    assert got[3].n_tokens == 0 and got[3].entropy is None
