@@ -497,7 +497,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(F.split(F.trim(F.lower("text")), r"[ \t\n\f\r]+")).alias("tok"),
     ).where(F.col("tok") != "")
-    tf = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    # checkpoint: tf feeds the driver-side N count, the idf aggregate, AND
+    # the scored join — uncheckpointed, the corpus explode runs three times
+    tf = (
+        toks.groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     n_src = tf.select("source").distinct().count()
     idf = tf.select("tok", "source").distinct().groupBy("tok").agg(
         F.count(F.lit(1)).alias("df")
