@@ -14,6 +14,13 @@ dedup/quality stages this engine already ships:
 
 Both are pure Catalyst expressions + one window per shard — no UDFs, no
 driver state — and both carry exact DuckDB oracles.
+
+Fixed-point caveat (applies to every op here that rounds a transcendental
+— POWER/LN — to a BIGINT): JVM Math and libm agree to ≤1 ulp but are not
+both correctly rounded, so an input landing within 1 ulp of a .5 rounding
+boundary could flip the fixed-point value between engines. No fixture has
+hit it (probability ~1e-16 per value); if the gate ever flakes on one of
+these ops, widen the rounding epsilon rather than chasing a logic bug.
 """
 
 from __future__ import annotations
@@ -175,13 +182,18 @@ def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long"),
     )
     tot = w.agg(F.sum("n_s").alias("n_total"), F.sum("w_s").alias("w_total"))
+    # budget·w_s can exceed 2^63 at 10^8+ docs (w_s ≈ n^0.7·1e6); route the
+    # product through DECIMAL(38,0) — Spark's `div` on decimals is exact
+    # integral division, the DuckDB twin uses HUGEINT — so the quota stays
+    # bit-identical across engines at any table size that fits 38 digits
     quota = (
         w.crossJoin(F.broadcast(tot))
         .withColumn(
             "q_s",
             F.expr(
-                f"((n_total * {MIX_BUDGET_PCT}) DIV 100 * w_s) DIV w_total"
-            ).cast("long"),
+                "CAST((CAST((n_total * {pct}) DIV 100 AS DECIMAL(38,0)) * w_s)"
+                " DIV w_total AS BIGINT)".format(pct=MIX_BUDGET_PCT)
+            ),
         )
         .select("source", "q_s")
     )
@@ -213,8 +225,9 @@ WITH s AS (
   SELECT SUM(n_s) AS n_total, SUM(w_s) AS w_total FROM w
 ), q AS (
   SELECT source,
-         (((SELECT n_total FROM t) * {MIX_BUDGET_PCT}) // 100 * w_s)
-           // (SELECT w_total FROM t) AS q_s
+         CAST((CAST(((SELECT n_total FROM t) * {MIX_BUDGET_PCT}) // 100
+                    AS HUGEINT) * w_s)
+              // (SELECT w_total FROM t) AS BIGINT) AS q_s
   FROM w
 ), r AS (
   SELECT doc_id, source,

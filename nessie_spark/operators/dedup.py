@@ -733,7 +733,11 @@ def min_label_components(
     chain-shaped cosine graph, and the published MapReduce-CC answer at
     10^9 nodes. localCheckpoint per round truncates the iterative
     lineage."""
-    probe = pairs.select("id_a", "id_b").limit(driver_max_edges + 1).collect()
+    # materialize ONCE before the size probe: pairs is typically the
+    # expensive LSH-verify plan, and without this the probe executes it,
+    # then the symmetric union executes it twice more
+    pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+    probe = pairs.limit(driver_max_edges + 1).collect()
     if len(probe) <= driver_max_edges:
         # complete edge list in hand — driver union-find, min-root labels
         parent: dict = {}
@@ -770,7 +774,7 @@ def min_label_components(
         return spark.createDataFrame(out, schema)
     edges = pairs.union(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-    ).localCheckpoint(eager=True)
+    )
     comp = (
         edges.select(F.col("id_a").alias("node"))
         .distinct()
@@ -955,7 +959,7 @@ def dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitionBy(gram) would. The dg⋈gram-stats join is key-skewed on hot
     grams at corpus scale: AQE skew-join splits those (and 5-gram hot keys
     are orders of magnitude rarer than unigram ones)."""
-    grams = _word_grams(T(spark, sf_dir, "documents"), N_COVER_GRAM)
+    grams = _word_grams(_spread(spark, T(spark, sf_dir, "documents")), N_COVER_GRAM)
     dg = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("k"))
     gs = dg.groupBy("g").agg((F.min("doc_id") != F.max("doc_id")).alias("dup"))
     per = (
@@ -1050,7 +1054,7 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     summary composes incrementally. The lakehouse's file-level blooms
     (lakehouse/bloom.py) are this same structure packed into manifest
     bytes; this operator is the corpus-level, query-facing variant."""
-    docs = T(spark, sf_dir, "documents").withColumn(
+    docs = _spread(spark, T(spark, sf_dir, "documents")).withColumn(
         "is_new", F.col("doc_id") % IB_NEW_MOD == 0
     )
     dg = (

@@ -410,21 +410,11 @@ def distinct_ngrams_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct state is the surviving gram set only. Sketches from disjoint
     partitions/days union by keeping the same θ — the estimator
     composes incrementally without rescanning old data."""
-    toks = T(spark, sf_dir, "documents").select(
-        "source", F.split(F.trim(F.col("text")), r"[ \t\n\f\r]+").alias("ts")
-    )
-    grams = toks.select(
-        "source",
-        F.explode(
-            F.when(
-                F.size("ts") >= _THETA_N,
-                F.expr(
-                    f"transform(sequence(1, size(ts) - {_THETA_N - 1}),"
-                    f" i -> concat_ws(' ', slice(ts, i, {_THETA_N})))"
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("g"),
-    )
+    from nessie_spark.operators.dedup import _spread, _word_grams
+
+    grams = _word_grams(
+        _spread(spark, T(spark, sf_dir, "documents")), _THETA_N, "source"
+    ).select("source", "g")
     sampled = (
         grams.where(h64(F.col("g")) < _THETA_T)
         .groupBy("source")
@@ -493,7 +483,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-local top-k used by the kNN path, same contract."""
     from pyspark.sql.window import Window
 
-    toks = T(spark, sf_dir, "documents").select(
+    from nessie_spark.operators.dedup import _spread
+
+    toks = _spread(spark, T(spark, sf_dir, "documents")).select(
         "source",
         F.explode(F.split(F.trim(F.lower("text")), r"[ \t\n\f\r]+")).alias("tok"),
     ).where(F.col("tok") != "")
@@ -505,9 +497,8 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     n_src = tf.select("source").distinct().count()
-    idf = tf.select("tok", "source").distinct().groupBy("tok").agg(
-        F.count(F.lit(1)).alias("df")
-    ).select(
+    # (source, tok) is unique by the groupBy above — df is a plain count
+    idf = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).select(
         "tok",
         "df",
         F.round(F.log(F.lit(float(n_src)) / F.col("df")) * _TFIDF_SCALE)
@@ -577,7 +568,9 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one (doc, token) count aggregation + one per-doc sum —
     both partial-aggregate map-side; zero UDF, zero joins."""
-    toks = T(spark, sf_dir, "documents").select(
+    from nessie_spark.operators.dedup import _spread
+
+    toks = _spread(spark, T(spark, sf_dir, "documents")).select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower("text")), r"[ \t\n\f\r]+")).alias("tok"),
     ).where(F.col("tok") != "")
