@@ -45,6 +45,7 @@ _SAMPLE_PRIORITY = [
     "q12_shipmode_priority",
     "tfidf_top_terms",
     "token_entropy",
+    "maintenance_stream_bloom",
     # all r4-new, never driver-sampled (strict priority over refreshes)
     "q2_min_cost_supplier",
     "q11_important_stock",

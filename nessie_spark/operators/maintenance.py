@@ -1116,6 +1116,39 @@ def maintenance_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def maintenance_stream_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental bloom dedup demo (streaming/ops.py): two
+    micro-batches of real documents run through screen-then-fold — batch 0
+    seeds the filter, batch 1 re-sends the first 20 documents verbatim
+    plus 20 fresh ones. Deterministic rows-only check: every replayed doc
+    flags (its grams are all in the filter), the fresh docs sit at the FP
+    floor, and a replay of batch 1 is a complete no-op (row count and
+    filter bytes unchanged — asserted inside, the returned frame is the
+    screened output of both batches)."""
+    import tempfile
+
+    from nessie_spark.operators.common import T
+    from nessie_spark.streaming.ops import bloom_screen_and_fold
+
+    work = tempfile.mkdtemp(prefix="nessie-sbloom-")
+    state, out = f"{work}/state", f"{work}/out"
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    b0 = docs.where(F.col("doc_id") < 40)
+    b1 = docs.where(F.col("doc_id") < 20).unionByName(
+        docs.where((F.col("doc_id") >= 40) & (F.col("doc_id") < 60))
+    )
+    bloom_screen_and_fold(b0, state, out, 0)
+    bloom_screen_and_fold(b1, state, out, 1)
+    import os
+
+    blob = open(os.path.join(state, "bloom.bin"), "rb").read()
+    n_rows = spark.read.parquet(out).count()
+    bloom_screen_and_fold(b1, state, out, 1)  # replay: must be a no-op
+    assert spark.read.parquet(out).count() == n_rows
+    assert open(os.path.join(state, "bloom.bin"), "rb").read() == blob
+    return spark.read.parquet(out).orderBy("batch_id", "doc_id")
+
+
 QUERIES: dict[str, tuple] = {
     "maintenance_compact": (maintenance_compact, None),
     "maintenance_zorder": (maintenance_zorder, None),
@@ -1125,6 +1158,7 @@ QUERIES: dict[str, tuple] = {
     "maintenance_incremental": (maintenance_incremental, None),
     "maintenance_phash_neardup": (maintenance_phash_neardup, None),
     "maintenance_phash_clusters": (maintenance_phash_clusters, None),
+    "maintenance_stream_bloom": (maintenance_stream_bloom, None),
     "maintenance_schema_evolution": (maintenance_schema_evolution, None),
     "maintenance_rollback": (maintenance_rollback, None),
     "maintenance_data_skipping": (maintenance_data_skipping, None),

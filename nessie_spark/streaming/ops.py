@@ -123,3 +123,151 @@ def hourly_rollup_stream(
             "n_users",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental bloom dedup — the continuous-ingestion twin of
+# operators/dedup.dedup_incremental_bloom: every micro-batch is screened
+# against the gram Bloom of EVERYTHING ingested before it, then its own
+# grams fold into the filter (bit-OR). State is one m-bit file — never the
+# corpus — so a year of crawl dedups each day's batch in O(batch), and the
+# filter survives restarts on disk next to the stream checkpoint.
+
+BLOOM_STREAM_M = 1 << 20  # fixed filter size: bloom_or needs equal sizes
+BLOOM_STREAM_N = 5        # gram window (tokens), matches the batch twin
+
+
+def bloom_screen_and_fold(
+    bdf: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    batch_id: int,
+    m_bits: int = BLOOM_STREAM_M,
+    n_gram: int = BLOOM_STREAM_N,
+) -> None:
+    """foreachBatch body: screen ``bdf`` (documents schema) against the
+    persisted corpus bloom, append per-doc seen-fractions to ``out_dir``,
+    then fold the batch's grams into the filter.
+
+    Exactly-once: a marker file records the last folded batch_id — a
+    replayed micro-batch (restart after crash between output and
+    checkpoint commit) short-circuits BOTH the output append and the fold,
+    so neither duplicate rows nor double-counted bits occur. The bloom
+    write is temp-file + os.replace (atomic on POSIX), and the marker is
+    written after the bloom — a crash between the two replays the fold,
+    which is idempotent (bit-OR). Single-writer contract: one stream owns
+    a state_dir (same as the ingest estimate's per-table rule).
+
+    Scale: the filter (128 KB default) ships to executors inside the
+    Arrow-batched probe UDF's closure; grams never shuffle for the screen
+    (pure map), and the fold reduces each partition to ONE m-bit blob
+    before the driver ORs them."""
+    import json
+    import os
+
+    from pyspark.sql.functions import pandas_udf
+
+    from nessie_spark.lakehouse.bloom import _bit_positions, bloom_from_keys, bloom_or
+    from nessie_spark.operators.dedup import _word_grams
+
+    os.makedirs(state_dir, exist_ok=True)
+    marker_p = os.path.join(state_dir, "bloom_meta.json")
+    bloom_p = os.path.join(state_dir, "bloom.bin")
+    last = -1
+    if os.path.exists(marker_p):
+        with open(marker_p) as fh:
+            last = json.load(fh)["last_batch"]
+    if batch_id <= last:  # replayed micro-batch: fully committed already
+        return
+    bloom = open(bloom_p, "rb").read() if os.path.exists(bloom_p) else None
+
+    dg = _word_grams(bdf, n_gram).select("doc_id", "g").distinct()
+
+    @pandas_udf("boolean")
+    def _seen(grams):
+        import numpy as np
+        import pandas as pd
+
+        if bloom is None:
+            return pd.Series([False] * len(grams))
+        bits = np.frombuffer(bloom, dtype=np.uint8)
+        m = len(bloom) * 8
+        out = []
+        for g in grams:
+            out.append(
+                all(bits[p >> 3] & (1 << (p & 7)) for p in _bit_positions(g, m))
+            )
+        return pd.Series(out)
+
+    per = (
+        dg.withColumn("hit", _seen(F.col("g")))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("np"),
+            F.sum(F.when(F.col("hit"), 1).otherwise(0)).alias("nh"),
+        )
+    )
+    screened = (
+        bdf.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("np", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("nh", F.lit(0)).cast("long").alias("n_seen"),
+            (
+                (F.coalesce("nh", F.lit(0)) * 2 >= F.coalesce("np", F.lit(0)))
+                & (F.coalesce("np", F.lit(0)) > 0)
+            ).alias("flagged"),
+            F.lit(batch_id).cast("long").alias("batch_id"),
+        )
+    )
+    screened.write.mode("append").parquet(out_dir)
+
+    def _partial(batches):
+        import pandas as pd
+
+        keys = []
+        for pdf in batches:
+            keys.extend(pdf["g"].tolist())
+        blob = bloom_from_keys(keys, m=m_bits)
+        yield pd.DataFrame({"b": [blob if blob is not None else b""]})
+
+    partials = [
+        r.b
+        for r in dg.select("g").distinct().mapInPandas(_partial, "b binary").collect()
+        if r.b
+    ]
+    new_bloom = bloom
+    for p in partials:
+        new_bloom = bloom_or(new_bloom, p)
+    if new_bloom is not None:
+        tmp = bloom_p + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(new_bloom)
+        os.replace(tmp, bloom_p)
+    tmp = marker_p + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"last_batch": batch_id, "m_bits": m_bits}, fh)
+    os.replace(tmp, marker_p)
+
+
+def start_bloom_dedup(
+    stream_df: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Start the streaming incremental bloom dedup over a documents
+    stream. ``available_now=True`` drains what exists and stops (test /
+    backfill mode)."""
+    writer = (
+        stream_df.writeStream.foreachBatch(
+            lambda b, bid: bloom_screen_and_fold(b, state_dir, out_dir, bid)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
