@@ -46,6 +46,7 @@ _SAMPLE_PRIORITY = [
     "tfidf_top_terms",
     "token_entropy",
     "maintenance_stream_bloom",
+    "doclen_quantiles",
     # all r4-new, never driver-sampled (strict priority over refreshes)
     "q2_min_cost_supplier",
     "q11_important_stock",

@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "distinct_ngrams_theta",
     "tfidf_top_terms",
     "token_entropy",
+    "doclen_quantiles",
     "lang_id_markers",
     "contamination_report",
     "pii_scrub",

@@ -629,8 +629,72 @@ ORDER BY d.doc_id
 """
 
 
+QUANTILES = (25, 50, 75, 90)  # percent points reported per source
+
+
+def doclen_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length (n_chars) quantiles — the corpus-shape
+    profile quality pipelines threshold against. Quantile semantics are
+    SELF-DEFINED in integer math so both engines agree exactly: the p-th
+    quantile is the element at rank ``1 + ((n-1)·p) DIV 100`` of the
+    (n_chars, doc_id)-sorted source — no interpolation, no reliance on
+    quantile_cont/percentile dialect differences.
+
+    Scale shape: ONE row_number window hash-partitioned by source plus a
+    broadcast of the 1-row-per-source counts; only the 4 rank-matched rows
+    per source survive the filter. Per-source row counts at extreme scale
+    make the sort-within-partition the cost — swap in approx_percentile
+    (t-digest) at no schema change when exactness stops paying."""
+    from pyspark.sql.window import Window
+
+    docs = T(spark, sf_dir, "documents").select("source", "n_chars", "doc_id")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    ranked = docs.withColumn("r", F.row_number().over(w)).join(
+        F.broadcast(counts), "source"
+    )
+    keep = None
+    for p in QUANTILES:
+        cond = F.col("r") == (F.lit(1) + F.expr(f"((n - 1) * {p}) DIV 100"))
+        keep = cond if keep is None else (keep | cond)
+    return (
+        ranked.where(keep)
+        .groupBy("source")
+        .agg(
+            *[
+                F.max(
+                    F.when(
+                        F.col("r")
+                        == (F.lit(1) + F.expr(f"((n - 1) * {p}) DIV 100")),
+                        F.col("n_chars"),
+                    )
+                ).alias(f"p{p}")
+                for p in QUANTILES
+            ]
+        )
+        .orderBy("source")
+    )
+
+
+DOCLEN_QUANTILES_SQL = f"""
+WITH ranked AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS r,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT source,
+       {", ".join(f"MAX(CASE WHEN r = 1 + ((n - 1) * {p}) // 100 THEN n_chars END) AS p{p}" for p in QUANTILES)}
+FROM ranked
+WHERE {" OR ".join(f"r = 1 + ((n - 1) * {p}) // 100" for p in QUANTILES)}
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "lang_id_markers": (lang_id_markers, _lang_sql()),
+    "doclen_quantiles": (doclen_quantiles, DOCLEN_QUANTILES_SQL),
     "distinct_ngrams_theta": (distinct_ngrams_theta, DISTINCT_THETA_SQL),
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),
     "token_entropy": (token_entropy, TOKEN_ENTROPY_SQL),

@@ -147,3 +147,18 @@ def test_token_entropy_bounds(spark, tmp_path):
     assert got[1].entropy == 0.0
     assert abs(got[2].entropy - math.log(5)) < 1e-5
     assert got[3].n_tokens == 0 and got[3].entropy is None
+
+
+def test_doclen_quantiles_rank_semantics(spark, tmp_path):
+    """Quantile = element at rank 1 + ((n-1)*p) DIV 100 of the sorted
+    source: pinned on a 10-doc source with lengths 10..100."""
+    from nessie_spark.operators import textstats as TS
+
+    rows = [(i, "t", "en", "s", (i + 1) * 10) for i in range(10)]
+    d = str(tmp_path / "q")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    r = TS.doclen_quantiles(spark, d).collect()[0]
+    # n=10: rank(p) = 1 + 9p//100 -> p25:3rd=30, p50:5th=50, p75:7th=70, p90:9th=90
+    assert (r.p25, r.p50, r.p75, r.p90) == (30, 50, 70, 90)
