@@ -1139,13 +1139,13 @@ def maintenance_stream_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bloom_screen_and_fold(b0, state, out, 0)
     bloom_screen_and_fold(b1, state, out, 1)
-    import os
+    from nessie_spark.streaming.ops import load_bloom_state
 
-    blob = open(os.path.join(state, "bloom.bin"), "rb").read()
+    st = load_bloom_state(state)
     n_rows = spark.read.parquet(out).count()
     bloom_screen_and_fold(b1, state, out, 1)  # replay: must be a no-op
     assert spark.read.parquet(out).count() == n_rows
-    assert open(os.path.join(state, "bloom.bin"), "rb").read() == blob
+    assert load_bloom_state(state) == st
     return spark.read.parquet(out).orderBy("batch_id", "doc_id")
 
 

@@ -137,6 +137,42 @@ BLOOM_STREAM_M = 1 << 20  # fixed filter size: bloom_or needs equal sizes
 BLOOM_STREAM_N = 5        # gram window (tokens), matches the batch twin
 
 
+
+
+_BLOOM_STATE_HDR = "<qi"  # (last_batch int64, m_bits int32) + filter bytes
+
+
+def load_bloom_state(state_dir: str):
+    """(last_batch, m_bits, bloom_bytes|None) from the single atomic state
+    file; (-1, 0, None) when no batch has committed yet."""
+    import os
+    import struct
+
+    p = os.path.join(state_dir, "bloom_state.bin")
+    if not os.path.exists(p):
+        return -1, 0, None
+    raw = open(p, "rb").read()
+    hdr = struct.calcsize(_BLOOM_STATE_HDR)
+    last, m = struct.unpack(_BLOOM_STATE_HDR, raw[:hdr])
+    blob = raw[hdr:]
+    return last, m, (blob if blob else None)
+
+
+def _commit_bloom_state(state_dir: str, batch_id: int, m_bits: int, bloom) -> None:
+    import os
+    import struct
+
+    p = os.path.join(state_dir, "bloom_state.bin")
+    tmp = p + ".tmp"
+    with open(tmp, "wb") as fh:
+        fh.write(struct.pack(_BLOOM_STATE_HDR, batch_id, m_bits))
+        if bloom is not None:
+            fh.write(bloom)
+    os.replace(tmp, p)
+
+
+
+
 def bloom_screen_and_fold(
     bdf: DataFrame,
     state_dir: str,
@@ -146,23 +182,23 @@ def bloom_screen_and_fold(
     n_gram: int = BLOOM_STREAM_N,
 ) -> None:
     """foreachBatch body: screen ``bdf`` (documents schema) against the
-    persisted corpus bloom, append per-doc seen-fractions to ``out_dir``,
-    then fold the batch's grams into the filter.
+    persisted corpus bloom, write per-doc seen-fractions under
+    ``out_dir/batch_id=<id>``, then fold the batch's grams into the filter.
 
-    Exactly-once: a marker file records the last folded batch_id — a
-    replayed micro-batch (restart after crash between output and
-    checkpoint commit) short-circuits BOTH the output append and the fold,
-    so neither duplicate rows nor double-counted bits occur. The bloom
-    write is temp-file + os.replace (atomic on POSIX), and the marker is
-    written after the bloom — a crash between the two replays the fold,
-    which is idempotent (bit-OR). Single-writer contract: one stream owns
-    a state_dir (same as the ingest estimate's per-table rule).
+    Exactly-once, with no ordering window: the batch marker and the filter
+    live in ONE state file replaced atomically (os.replace), and the
+    output goes to a batch-keyed subdir in overwrite mode — so a replay
+    after a crash at ANY point either short-circuits (state committed) or
+    re-screens against the identical OLD state and overwrites the same
+    subdir (state not committed). Splitting marker and bloom into two
+    files would reopen the window where a replay screens a batch against
+    its own folded grams. Single-writer contract: one stream owns a
+    state_dir (same as the ingest estimate's per-table rule).
 
     Scale: the filter (128 KB default) ships to executors inside the
     Arrow-batched probe UDF's closure; grams never shuffle for the screen
     (pure map), and the fold reduces each partition to ONE m-bit blob
     before the driver ORs them."""
-    import json
     import os
 
     from pyspark.sql.functions import pandas_udf
@@ -171,15 +207,9 @@ def bloom_screen_and_fold(
     from nessie_spark.operators.dedup import _word_grams
 
     os.makedirs(state_dir, exist_ok=True)
-    marker_p = os.path.join(state_dir, "bloom_meta.json")
-    bloom_p = os.path.join(state_dir, "bloom.bin")
-    last = -1
-    if os.path.exists(marker_p):
-        with open(marker_p) as fh:
-            last = json.load(fh)["last_batch"]
+    last, _m, bloom = load_bloom_state(state_dir)
     if batch_id <= last:  # replayed micro-batch: fully committed already
         return
-    bloom = open(bloom_p, "rb").read() if os.path.exists(bloom_p) else None
 
     dg = _word_grams(bdf, n_gram).select("doc_id", "g").distinct()
 
@@ -218,10 +248,13 @@ def bloom_screen_and_fold(
                 (F.coalesce("nh", F.lit(0)) * 2 >= F.coalesce("np", F.lit(0)))
                 & (F.coalesce("np", F.lit(0)) > 0)
             ).alias("flagged"),
-            F.lit(batch_id).cast("long").alias("batch_id"),
         )
     )
-    screened.write.mode("append").parquet(out_dir)
+    # batch-keyed subdir + overwrite = idempotent on replay (partition
+    # discovery surfaces batch_id as a column for readers of out_dir)
+    screened.write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"batch_id={batch_id}")
+    )
 
     def _partial(batches):
         import pandas as pd
@@ -240,15 +273,7 @@ def bloom_screen_and_fold(
     new_bloom = bloom
     for p in partials:
         new_bloom = bloom_or(new_bloom, p)
-    if new_bloom is not None:
-        tmp = bloom_p + ".tmp"
-        with open(tmp, "wb") as fh:
-            fh.write(new_bloom)
-        os.replace(tmp, bloom_p)
-    tmp = marker_p + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump({"last_batch": batch_id, "m_bits": m_bits}, fh)
-    os.replace(tmp, marker_p)
+    _commit_bloom_state(state_dir, batch_id, m_bits, new_bloom)
 
 
 def start_bloom_dedup(

@@ -2,10 +2,13 @@
 screen-then-fold semantics, exactly-once replay, and the end-to-end
 readStream wiring."""
 
-import json
 import os
 
-from nessie_spark.streaming.ops import bloom_screen_and_fold, start_bloom_dedup
+from nessie_spark.streaming.ops import (
+    bloom_screen_and_fold,
+    load_bloom_state,
+    start_bloom_dedup,
+)
 
 DOCS_DDL = "doc_id long, text string"
 
@@ -22,7 +25,8 @@ def test_screen_then_fold_and_replay(spark, tmp_path):
     bloom_screen_and_fold(_df(spark, b1), state, out, 0)
     r0 = {r.doc_id: r for r in spark.read.parquet(out).collect()}
     assert len(r0) == 2 and not any(r.flagged for r in r0.values())  # empty bloom
-    assert json.load(open(os.path.join(state, "bloom_meta.json")))["last_batch"] == 0
+    last, m, blob = load_bloom_state(state)
+    assert last == 0 and m > 0 and blob
 
     # batch 1: a near-copy of doc 1 (shares its 5-token prefix) + a fresh doc
     b2 = [(3, "alpha beta gamma delta epsilon eta"),
@@ -34,11 +38,13 @@ def test_screen_then_fold_and_replay(spark, tmp_path):
     assert not r1[4].flagged
 
     # replays of both committed batches are complete no-ops
-    bloom_before = open(os.path.join(state, "bloom.bin"), "rb").read()
+    state_before = load_bloom_state(state)
     bloom_screen_and_fold(_df(spark, b1), state, out, 0)
     bloom_screen_and_fold(_df(spark, b2), state, out, 1)
     assert spark.read.parquet(out).count() == 4
-    assert open(os.path.join(state, "bloom.bin"), "rb").read() == bloom_before
+    assert load_bloom_state(state) == state_before
+    # partition discovery surfaces batch_id
+    assert {r.batch_id for r in spark.read.parquet(out).select("batch_id").collect()} == {0, 1}
 
 
 def test_stream_wiring_drains_and_persists_state(spark, tmp_path):
@@ -51,4 +57,4 @@ def test_stream_wiring_drains_and_persists_state(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.read.parquet(out).count() == 6
-    assert os.path.exists(os.path.join(state, "bloom.bin"))
+    assert load_bloom_state(state)[0] >= 0
