@@ -27,6 +27,12 @@ _SAMPLE_PRIORITY = [
     # --- never driver-sampled (new in r4 / the r3 red row): freshest
     # evidence first — the driver samples the FIRST 50 entries only
     "multimodal_frame_sample",   # r3's one red row, fixed
+    "events_asof_order",
+    "events_hourly_anomalies",
+    "bm25_topk",
+    "hybrid_rrf_topk",
+    "c4_filter_flags",
+    "pmi_collocations",
     "repetition_filter_flags",
     "dedup_clusters",
     "dedup_embedding_clusters",
@@ -139,13 +145,13 @@ def _registry() -> dict[str, tuple]:
     from nessie_spark.operators import (
         analytics, analytics2, analytics3, curation, dedup, detectors,
         detectors2, detectors3, events, hygiene, maintenance, modelzoo,
-        probability, similarity, textstats,
+        probability, retrieval, similarity, textstats,
     )
 
     reg: dict[str, tuple] = {}
     for mod in (analytics, analytics2, analytics3, detectors, detectors2, detectors3,
                 probability, dedup, similarity, textstats, curation, hygiene,
-                events, maintenance, modelzoo):
+                events, maintenance, modelzoo, retrieval):
         for name, pair in mod.QUERIES.items():
             assert name not in reg, f"duplicate query name {name}"
             reg[name] = pair

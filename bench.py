@@ -78,6 +78,12 @@ BENCH_QUERIES = [
     "events_hourly",
     "events_sessionize",
     "events_top_paths",
+    "events_asof_order",
+    "events_hourly_anomalies",
+    "bm25_topk",
+    "hybrid_rrf_topk",
+    "c4_filter_flags",
+    "pmi_collocations",
     "majority_per_surface_flags",
     "label_entropy_scores",
     "borda_count_scores",

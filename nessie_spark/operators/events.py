@@ -282,10 +282,187 @@ GROUP BY path ORDER BY n_paths DESC, path LIMIT 10
 """
 
 
+def events_asof_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: attach to every event the latest order placed by the
+    same customer at-or-before the event time (``o_custkey = user_id``,
+    ``o_orderdate <= ts``; ties broken toward the larger o_orderkey).
+    Events whose user has no prior order keep NULL order columns. The
+    as-of join is the canonical time-series operator Spark's DataFrame
+    API lacks natively (SURVEY.md custom-operator clause).
+
+    Scale shape: NOT the naive range join (events ⨝ orders on key +
+    inequality explodes to |events|·|orders-per-key| intermediate rows
+    and falls off Catalyst's equi-join fast path). Instead both sides are
+    tagged and unioned, then ONE window over (user, time) carries the
+    most recent order forward via last(..., ignorenulls) — a single
+    shuffle on the user key, linear in |events| + |orders|, and skew maps
+    to per-user row counts only. Time is compared at whole-second epoch
+    (orders are midnight-stamped, so flooring event timestamps loses
+    nothing), keeping the arithmetic integer-exact across engines."""
+    ev = T(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("t"),
+        F.lit(1).alias("side"),
+        "event_id",
+        "event_type",
+    )
+    od = T(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.unix_timestamp("o_orderdate").cast("long").alias("t"),
+        F.lit(0).alias("side"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    u = ev.unionByName(od, allowMissingColumns=True)
+    # orders sort before events at equal t (side 0 < 1) so same-instant
+    # orders count as "at-or-before"; o_orderkey last in the ordering
+    # makes the running last() pick the max-orderkey order on date ties.
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "side", F.col("o_orderkey").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        u.select(
+            "*",
+            F.last("o_orderkey", ignorenulls=True).over(w).alias("asof_orderkey"),
+            F.last("o_totalprice", ignorenulls=True).over(w).alias("asof_totalprice"),
+            F.last(F.when(F.col("side") == 0, F.col("t")), ignorenulls=True)
+            .over(w)
+            .alias("_ot"),
+        )
+        .where(F.col("side") == 1)
+        .select(
+            "event_id",
+            F.col("k").alias("user_id"),
+            "event_type",
+            "asof_orderkey",
+            "asof_totalprice",
+            (F.col("t") - F.col("_ot")).cast("long").alias("asof_age_sec"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ANOM_WINDOW = 24  # trailing observed hours in the baseline
+_Z_SCALE = 1_000_000
+
+
+def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly-count anomaly detection per event type: z-score of each
+    hour's event count against the trailing ``ANOM_WINDOW`` *observed*
+    hours (ROWS, not RANGE — zero-event hours emit no row, so the
+    baseline is the last 24 data points; at pipeline scale a dense hour
+    spine would make them equivalent). Rows without a full baseline are
+    withheld — a 5-hour-old type has no meaningful z.
+
+    Cross-engine float discipline: mean/variance are derived from the
+    integer window sums (Σc, Σc²) with the two-pass-free formula
+    var = (Σc² − (Σc)²/n)/n, so both engines evaluate the identical
+    double expression from identical integers (no Welford-vs-naive
+    stddev divergence); z is rounded once to fixed-point and the
+    anomaly flag compares integers (|z_fp| ≥ 2e6 ⇔ |z| ≥ 2σ).
+
+    Scale shape: one groupBy (hour, type) then one window partitioned by
+    event_type — both shuffles are on the tiny hourly aggregate, never
+    the raw events; skew maps to hours-per-type, which is bounded by the
+    calendar."""
+    ev = T(spark, sf_dir, "events")
+    hour_epoch = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+    hourly = ev.groupBy(
+        hour_epoch.alias("hour_epoch"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_epoch")
+        .rowsBetween(-ANOM_WINDOW, -1)
+    )
+    stats = hourly.select(
+        "event_type",
+        "hour_epoch",
+        "n_events",
+        F.count(F.lit(1)).over(w).alias("n_base"),
+        F.sum("n_events").over(w).alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).over(w).alias("s2"),
+    ).where(F.col("n_base") == ANOM_WINDOW)
+    n = float(ANOM_WINDOW)
+    mean = F.col("s1").cast("double") / n
+    var = (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / n) / n
+    z_fp = F.when(
+        var > 0.0,
+        F.round((F.col("n_events") - mean) / F.sqrt(var) * _Z_SCALE).cast("long"),
+    ).otherwise(F.lit(None).cast("long"))
+    return (
+        stats.select(
+            "event_type",
+            "hour_epoch",
+            "n_events",
+            z_fp.alias("z_fp"),
+            F.coalesce(F.abs(z_fp) >= 2 * _Z_SCALE, F.lit(False)).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "hour_epoch")
+    )
+
+
+EVENTS_ANOMALY_SQL = f"""
+WITH hourly AS (
+  SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_epoch,
+         event_type, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, hour_epoch, n_events,
+         COUNT(*) OVER w AS n_base,
+         CAST(SUM(n_events) OVER w AS BIGINT) AS s1,
+         CAST(SUM(n_events * n_events) OVER w AS BIGINT) AS s2
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour_epoch
+               ROWS BETWEEN {ANOM_WINDOW} PRECEDING AND 1 PRECEDING)
+), z AS (
+  SELECT event_type, hour_epoch, n_events,
+         CASE WHEN (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / {ANOM_WINDOW}.0)
+                   / {ANOM_WINDOW}.0 > 0.0
+              THEN CAST(ROUND(
+                     (n_events - CAST(s1 AS DOUBLE) / {ANOM_WINDOW}.0)
+                     / sqrt((CAST(s2 AS DOUBLE)
+                             - CAST(s1 AS DOUBLE) * s1 / {ANOM_WINDOW}.0)
+                            / {ANOM_WINDOW}.0)
+                     * {_Z_SCALE}) AS BIGINT)
+              ELSE NULL END AS z_fp
+  FROM stats WHERE n_base = {ANOM_WINDOW}
+)
+SELECT event_type, hour_epoch, n_events, z_fp,
+       COALESCE(abs(z_fp) >= {2 * _Z_SCALE}, FALSE) AS is_anomaly
+FROM z ORDER BY event_type, hour_epoch
+"""
+
+
+EVENTS_ASOF_SQL = """
+WITH ranked AS (
+  SELECT e.event_id, e.user_id, e.event_type,
+         o.o_orderkey AS asof_orderkey,
+         o.o_totalprice AS asof_totalprice,
+         CAST(floor(epoch(e.ts)) AS BIGINT)
+           - CAST(epoch(o.o_orderdate) AS BIGINT) AS asof_age_sec,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rk
+  FROM events e
+  LEFT JOIN orders o
+    ON o.o_custkey = e.user_id
+   AND CAST(epoch(o.o_orderdate) AS BIGINT) <= CAST(floor(epoch(e.ts)) AS BIGINT)
+)
+SELECT event_id, user_id, event_type, asof_orderkey, asof_totalprice,
+       asof_age_sec
+FROM ranked WHERE rk = 1
+ORDER BY event_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
     "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_SQL),
     "events_retention_cohorts": (events_retention_cohorts, EVENTS_RETENTION_SQL),
     "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
     "events_top_paths": (events_top_paths, EVENTS_TOP_PATHS_SQL),
+    "events_asof_order": (events_asof_order, EVENTS_ASOF_SQL),
+    "events_hourly_anomalies": (events_hourly_anomalies, EVENTS_ANOMALY_SQL),
 }

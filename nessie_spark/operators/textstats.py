@@ -692,8 +692,189 @@ ORDER BY source
 """
 
 
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 50
+_PMI_SCALE = 1_000_000
+
+
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information (Church & Hanks
+    1990): for every adjacent word bigram seen ≥ ``PMI_MIN_COUNT`` times
+    corpus-wide, PMI = ln( p(w1,w2) / (p(w1)·p(w2)) ) with unigram
+    probabilities over tokens and bigram probability over bigram slots;
+    keep the ``PMI_TOP_K`` highest-PMI pairs. The standard phrase/
+    tokenizer-merge pre-pass of corpus pipelines.
+
+    Scale shape: two aggregations (unigram counts, bigram counts) over
+    Catalyst-native explodes — no UDF; the bigram→unigram joins hit
+    already-aggregated tables (vocab-sized, shuffle-partitioned on the
+    word key). ln is applied once per surviving bigram and rounded to
+    fixed-point there, so ranking and the gate compare integers."""
+    docs = T(spark, sf_dir, "documents").select(
+        F.split(F.trim(F.lower("text")), r"\s+").alias("ts")
+    ).where(F.size("ts") >= 1)
+    uni = (
+        docs.select(F.explode("ts").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)  # consumers: totals + two join probes
+    )
+    totals = uni.agg(
+        F.sum("c").alias("nt"), F.count(F.lit(1)).alias("_v")
+    ).collect()[0]
+    n_tok = int(totals["nt"])
+    big = (
+        docs.where(F.size("ts") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ts) - 2),"
+                    " i -> struct(ts[i] AS w1, ts[i + 1] AS w2))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .where(F.col("c12") >= PMI_MIN_COUNT)
+    )
+    n_big = docs.where(F.size("ts") >= 2).agg(
+        F.sum(F.size("ts") - 1).alias("nb")
+    ).collect()[0]["nb"]
+    joined = (
+        big.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log(
+                    (F.col("c12").cast("double") / F.lit(float(n_big)))
+                    / (
+                        (F.col("c1").cast("double") / F.lit(float(n_tok)))
+                        * (F.col("c2").cast("double") / F.lit(float(n_tok)))
+                    )
+                )
+                * _PMI_SCALE
+            )
+            .cast("long")
+            .alias("pmi_fp"),
+        )
+    )
+    return (
+        joined.orderBy(F.desc("pmi_fp"), F.asc("w1"), F.asc("w2"))
+        .limit(PMI_TOP_K)
+        .select("w1", "w2", "c12", "pmi_fp")
+    )
+
+
+PMI_SQL = f"""
+WITH d AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+  FROM documents
+  WHERE len(regexp_split_to_array(trim(lower(text)), '\\s+')) >= 1
+), uni AS (
+  SELECT w, COUNT(*) AS c FROM (SELECT unnest(ts) AS w FROM d) GROUP BY w
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS nt FROM uni
+), big AS (
+  SELECT ts[CAST(i AS INT)] AS w1, ts[CAST(i + 1 AS INT)] AS w2,
+         COUNT(*) AS c12
+  FROM d, UNNEST(generate_series(1, len(ts) - 1)) AS u(i)
+  WHERE len(ts) >= 2
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {PMI_MIN_COUNT}
+), nb AS (
+  SELECT CAST(SUM(len(ts) - 1) AS BIGINT) AS n_big FROM d WHERE len(ts) >= 2
+)
+SELECT b.w1, b.w2, b.c12,
+       CAST(ROUND(LN((CAST(b.c12 AS DOUBLE) / (SELECT n_big FROM nb))
+                     / ((CAST(u1.c AS DOUBLE) / (SELECT nt FROM tot))
+                        * (CAST(u2.c AS DOUBLE) / (SELECT nt FROM tot))))
+                  * {_PMI_SCALE}) AS BIGINT) AS pmi_fp
+FROM big b
+JOIN uni u1 ON u1.w = b.w1
+JOIN uni u2 ON u2.w = b.w2
+ORDER BY pmi_fp DESC, w1 ASC, w2 ASC
+LIMIT {PMI_TOP_K}
+"""
+
+
+def c4_filter_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style page filters (Raffel et al. 2020, §2.2 heuristics),
+    applied at the document level: sentence count ≥ 3, no 'lorem ipsum',
+    no '{' (code/markup tell), no 'javascript' token, text ends in
+    terminal punctuation, and the fraction of sentences with ≥ 5 words.
+    Emits the individual signals plus the composite keep decision — a
+    curation pipeline wants the per-rule breakdown to audit WHY a page
+    dropped, not just the verdict.
+
+    Sentences = non-empty segments after splitting on ``[.!?]+`` runs
+    (so '...' doesn't triple-count). Pure narrow map over the scan — no
+    shuffle, no UDF; every expression is Catalyst regexp/HOF, identical
+    in the DuckDB oracle."""
+    docs = T(spark, sf_dir, "documents")
+    low = F.lower("text")
+    sents = F.filter(
+        F.split("text", r"[.!?]+"), lambda s: F.trim(s) != ""
+    )
+    n_sent = F.size(sents)
+    n_sent5 = F.size(
+        F.filter(sents, lambda s: F.size(F.split(F.trim(s), r"\s+")) >= 5)
+    )
+    has_lorem = low.contains("lorem ipsum")
+    has_brace = F.col("text").contains("{")
+    has_js = low.rlike(r"(^|\s)javascript(\s|$)")
+    ends_term = F.rtrim("text").rlike(r'[.!?"]$')
+    keep = (
+        (n_sent >= 3) & ~has_lorem & ~has_brace & ~has_js & ends_term
+    )
+    return docs.select(
+        "doc_id",
+        n_sent.alias("n_sentences"),
+        F.round(
+            F.when(n_sent > 0, n_sent5.cast("double") / n_sent).otherwise(0.0), 6
+        ).alias("frac_sent_ge5w"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        has_js.alias("has_javascript"),
+        ends_term.alias("ends_terminal"),
+        keep.alias("keep"),
+    ).orderBy("doc_id")
+
+
+C4_FILTER_SQL = """
+WITH d AS (
+  SELECT doc_id, text, lower(text) AS low,
+         list_filter(regexp_split_to_array(text, '[.!?]+'),
+                     s -> trim(s) != '') AS sents
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(sents) AS n_sentences,
+         len(list_filter(sents,
+             s -> len(regexp_split_to_array(trim(s), '\\s+')) >= 5)) AS n5,
+         low LIKE '%lorem ipsum%' AS has_lorem,
+         text LIKE '%{%' AS has_brace,
+         regexp_matches(low, '(^|\\s)javascript(\\s|$)') AS has_javascript,
+         regexp_matches(rtrim(text), '[.!?"]$') AS ends_terminal
+  FROM d
+)
+SELECT doc_id, n_sentences,
+       ROUND(CASE WHEN n_sentences > 0
+                  THEN CAST(n5 AS DOUBLE) / n_sentences ELSE 0.0 END, 6)
+         AS frac_sent_ge5w,
+       has_lorem, has_brace, has_javascript, ends_terminal,
+       (n_sentences >= 3 AND NOT has_lorem AND NOT has_brace
+        AND NOT has_javascript AND ends_terminal) AS keep
+FROM m ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "lang_id_markers": (lang_id_markers, _lang_sql()),
+    "c4_filter_flags": (c4_filter_flags, C4_FILTER_SQL),
+    "pmi_collocations": (pmi_collocations, PMI_SQL),
     "doclen_quantiles": (doclen_quantiles, DOCLEN_QUANTILES_SQL),
     "distinct_ngrams_theta": (distinct_ngrams_theta, DISTINCT_THETA_SQL),
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),
