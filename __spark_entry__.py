@@ -26,6 +26,10 @@ from pyspark.sql import DataFrame, SparkSession
 _SAMPLE_PRIORITY = [
     # --- never driver-sampled (new in r4 / the r3 red row): freshest
     # evidence first — the driver samples the FIRST 50 entries only
+    "langid_confusion",
+    "sentence_dup_stats",
+    "ngram_novelty",
+    "embedding_norm_outliers",
     "multimodal_frame_sample",   # r3's one red row, fixed
     "events_asof_order",
     "events_hourly_anomalies",
@@ -143,7 +147,7 @@ _SAMPLE_PRIORITY = [
 
 def _registry() -> dict[str, tuple]:
     from nessie_spark.operators import (
-        analytics, analytics2, analytics3, curation, dedup, detectors,
+        analytics, analytics2, analytics3, corpus, curation, dedup, detectors,
         detectors2, detectors3, events, hygiene, maintenance, modelzoo,
         probability, retrieval, similarity, textstats,
     )
@@ -151,7 +155,7 @@ def _registry() -> dict[str, tuple]:
     reg: dict[str, tuple] = {}
     for mod in (analytics, analytics2, analytics3, detectors, detectors2, detectors3,
                 probability, dedup, similarity, textstats, curation, hygiene,
-                events, maintenance, modelzoo, retrieval):
+                events, maintenance, modelzoo, retrieval, corpus):
         for name, pair in mod.QUERIES.items():
             assert name not in reg, f"duplicate query name {name}"
             reg[name] = pair

@@ -132,6 +132,10 @@ BENCH_QUERIES = [
     "lang_id_markers",
     "contamination_report",
     "pii_scrub",
+    "langid_confusion",
+    "sentence_dup_stats",
+    "ngram_novelty",
+    "embedding_norm_outliers",
 ]
 
 

@@ -1,0 +1,351 @@
+"""Corpus-level diagnostics for training-data curation.
+
+Four oracle-backed queries that evaluate the corpus (and our own curation
+heuristics) rather than individual documents:
+
+- ``langid_confusion``: confusion matrix of the marker-word language-ID
+  heuristic vs the gold ``lang`` column — the evaluation half of the
+  reference's detector-vs-gold workflow (nessie evaluates every detector
+  against gold labels; here the "detector" is lang-ID and gold is ``lang``).
+- ``sentence_dup_stats``: sentence-level exact duplication — the unit-level
+  complement to document-level dedup (boilerplate sentences repeat across
+  pages long before whole documents do).
+- ``ngram_novelty``: vocabulary-growth curve — new trigrams contributed per
+  doc-id bucket, the Heaps'-law diagnostic used to judge corpus diversity.
+- ``embedding_norm_outliers``: exact integer-arithmetic z-score flags on
+  embedding L2 norms (degenerate encoder outputs show up as norm outliers).
+
+Scale notes per query are in the docstrings; the common rules: shuffle 64-bit
+hashes instead of strings, aggregate with partial (map-side) combine, keep
+cross-engine floats fixed-point until the final select.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nessie_spark.functions.core import h64
+from nessie_spark.operators.common import T, h64_sql
+from nessie_spark.operators.textstats import _LANG_ORDER, _MARKERS
+
+
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of marker-word language ID vs the gold ``lang``.
+
+    One groupBy on (lang, pred_lang) — at most |langs|² output rows, full
+    map-side combine, so the shuffle is bounded by the lexicon size no
+    matter the corpus size. ``frac_of_true`` is each cell's share of its
+    true-language row (a broadcast-size join back on ``lang``)."""
+    docs = T(spark, sf_dir, "documents")
+    ts = F.split(F.trim(F.lower("text")), r"[ \t\n\f\r]+")
+    d = docs.select("doc_id", "lang", ts.alias("ts"))
+    for lang in _LANG_ORDER:
+        markers = F.array(*[F.lit(m) for m in _MARKERS[lang]])
+        d = d.withColumn(
+            f"c_{lang}", F.size(F.filter("ts", lambda t: F.array_contains(markers, t)))
+        )
+    best = F.greatest(*[F.col(f"c_{lang}") for lang in _LANG_ORDER])
+    pred = F.when(F.col(f"c_{_LANG_ORDER[0]}") == best, F.lit(_LANG_ORDER[0]))
+    for lang in _LANG_ORDER[1:]:
+        pred = pred.when(F.col(f"c_{lang}") == best, F.lit(lang))
+    cells = (
+        d.select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+    totals = cells.groupBy("lang").agg(F.sum("n").alias("n_true"))
+    return (
+        cells.join(F.broadcast(totals), "lang")
+        .select(
+            "lang",
+            "pred_lang",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("n_true"), 6).alias(
+                "frac_of_true"
+            ),
+        )
+        .orderBy("lang", "pred_lang")
+    )
+
+
+def _langid_confusion_sql() -> str:
+    cnt = {
+        lang: (
+            "len(list_filter(ts, t -> t IN ("
+            + ", ".join(repr(m) for m in _MARKERS[lang])
+            + ")))"
+        )
+        for lang in _LANG_ORDER
+    }
+    best = "greatest(" + ", ".join(f"c_{lang}" for lang in _LANG_ORDER) + ")"
+    pred = (
+        "CASE "
+        + " ".join(f"WHEN c_{lang} = {best} THEN '{lang}'" for lang in _LANG_ORDER)
+        + " END"
+    )
+    cols = ", ".join(f"{cnt[lang]} AS c_{lang}" for lang in _LANG_ORDER)
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\f\\r]+') AS ts
+  FROM documents
+), counted AS (
+  SELECT doc_id, lang, {cols} FROM d
+), cells AS (
+  SELECT lang, {pred} AS pred_lang, COUNT(*) AS n
+  FROM counted GROUP BY lang, {pred}
+), totals AS (
+  SELECT lang, CAST(SUM(n) AS BIGINT) AS n_true FROM cells GROUP BY lang
+)
+SELECT c.lang, c.pred_lang, c.n,
+       ROUND(CAST(c.n AS DOUBLE) / t.n_true, 6) AS frac_of_true
+FROM cells c JOIN totals t ON c.lang = t.lang
+ORDER BY c.lang, c.pred_lang
+"""
+
+
+_MIN_SENT_CHARS = 20
+
+
+def sentence_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-level exact duplication per document.
+
+    Split on '.', keep trimmed lowercase sentences of ≥20 chars, and call a
+    sentence duplicated when it occurs in ≥2 distinct documents. Per doc:
+    how many qualifying sentences, how many are corpus-duplicated, and the
+    duplicated fraction — the boilerplate detector that document-level
+    dedup misses (nav bars, license footers, cookie banners).
+
+    Scale shape: the explode ships (doc_id, h64(sentence)) — 16 bytes per
+    sentence, never the sentence text. Duplicated-key detection is
+    min(doc_id) != max(doc_id) per hash (two partial aggregates, no
+    countDistinct Expand). Second and last shuffle re-groups by doc."""
+    docs = T(spark, sf_dir, "documents")
+    sents = F.filter(
+        F.transform(F.split("text", r"\."), lambda s: F.lower(F.trim(s))),
+        lambda s: F.length(s) >= _MIN_SENT_CHARS,
+    )
+    units = (
+        docs.select("doc_id", F.explode(sents).alias("sent"))
+        .select("doc_id", h64(F.col("sent")).alias("sh"))
+    )
+    # a sentence repeated inside ONE doc is not corpus-duplication: collapse
+    # to distinct (doc, hash) first, then test the doc-id span per hash
+    per = units.distinct()
+    spans = per.groupBy("sh").agg(
+        (F.min("doc_id") != F.max("doc_id")).alias("is_dup")
+    )
+    stats = (
+        per.join(spans, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sents"),
+            F.sum(F.col("is_dup").cast("int")).alias("n_dup_sents"),
+        )
+    )
+    return (
+        T(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_sents", F.lit(0)).alias("n_sents"),
+            F.coalesce("n_dup_sents", F.lit(0)).alias("n_dup_sents"),
+            F.round(
+                F.when(
+                    F.coalesce("n_sents", F.lit(0)) > 0,
+                    F.col("n_dup_sents").cast("double") / F.col("n_sents"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SENTENCE_DUP_SQL = f"""
+WITH units AS (
+  SELECT DISTINCT doc_id, {h64_sql(x='s')} AS sh
+  FROM (
+    SELECT doc_id, lower(trim(u)) AS s
+    FROM (SELECT doc_id, unnest(string_split(text, '.')) AS u FROM documents)
+  )
+  WHERE length(s) >= {_MIN_SENT_CHARS}
+), spans AS (
+  SELECT sh, (MIN(doc_id) != MAX(doc_id)) AS is_dup FROM units GROUP BY sh
+), stats AS (
+  SELECT u.doc_id, COUNT(*) AS n_sents,
+         CAST(SUM(CASE WHEN s.is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_sents
+  FROM units u JOIN spans s ON u.sh = s.sh GROUP BY u.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(n_sents, 0) AS n_sents,
+       COALESCE(n_dup_sents, 0) AS n_dup_sents,
+       ROUND(CASE WHEN COALESCE(n_sents, 0) > 0
+                  THEN CAST(n_dup_sents AS DOUBLE) / n_sents ELSE 0.0 END, 6)
+         AS dup_frac
+FROM documents d LEFT JOIN stats USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+_NOVELTY_BUCKETS = 100
+
+
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) curve over word trigrams.
+
+    Docs are split into ``_NOVELTY_BUCKETS`` equal doc-id ranges; a trigram
+    is "new" in the bucket holding the smallest doc_id that contains it.
+    Reports per-bucket new-trigram counts and the running vocabulary size.
+
+    Scale shape: grams travel as h64 hashes; first-occurrence is a single
+    min(doc_id) groupBy with map-side combine; the output is exactly
+    ``_NOVELTY_BUCKETS`` rows, so the cumulative window over an unbounded
+    frame is a driver-trivial 100-row pass — the curve never requires a
+    global per-document ordered window (which would single-partition at
+    10^9 docs)."""
+    docs = T(spark, sf_dir, "documents")
+    max_id = docs.agg(F.max("doc_id").alias("m"))
+    ts = F.split(F.trim(F.lower("text")), r"[ \t\n\f\r]+")
+    grams = (
+        docs.select("doc_id", ts.alias("ts"))
+        .where(F.size("ts") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ts) - 3),"
+                    " i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", h64(F.col("g")).alias("gh"))
+    )
+    first = grams.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
+    bucketed = first.crossJoin(F.broadcast(max_id)).select(
+        F.least(
+            F.floor(
+                F.col("first_doc") * _NOVELTY_BUCKETS / (F.col("m") + F.lit(1))
+            ),
+            F.lit(_NOVELTY_BUCKETS - 1),
+        )
+        .cast("bigint")
+        .alias("bucket")
+    )
+    per_bucket = bucketed.groupBy("bucket").agg(F.count("*").alias("new_grams"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_bucket.withColumn("cum_vocab", F.sum("new_grams").over(w))
+        .select("bucket", "new_grams", "cum_vocab")
+        .orderBy("bucket")
+    )
+
+
+NGRAM_NOVELTY_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\f\\r]+') AS ts
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         {h64_sql(x="(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])")} AS gh
+  FROM (
+    SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+    FROM d WHERE len(ts) >= 3
+  )
+), first AS (
+  SELECT gh, MIN(doc_id) AS first_doc FROM grams GROUP BY gh
+), mx AS (
+  SELECT MAX(doc_id) AS m FROM documents
+), bucketed AS (
+  SELECT LEAST(
+           CAST(FLOOR(first_doc * {_NOVELTY_BUCKETS} / (m + 1)) AS BIGINT),
+           {_NOVELTY_BUCKETS - 1}) AS bucket
+  FROM first, mx
+), per_bucket AS (
+  SELECT bucket, COUNT(*) AS new_grams FROM bucketed GROUP BY bucket
+)
+SELECT bucket, new_grams,
+       CAST(SUM(new_grams) OVER (ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_vocab
+FROM per_bucket ORDER BY bucket
+"""
+
+
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag embeddings whose L2 norm is >2 corpus standard deviations from
+    the mean — degenerate encoder outputs (zero vectors, saturated vectors)
+    land here before any cosine-based detector sees them.
+
+    Cross-engine float discipline: each norm is rounded ONCE to fixed-point
+    (``round(norm·1e6)`` as BIGINT); the corpus mean/variance then use only
+    exact integer sums (DECIMAL(38,0) for the squared terms), and the z
+    test is the integer comparison ``(n·x − Σx)² > 4·(n·Σx² − (Σx)²)`` —
+    no float reduction anywhere, so Spark and DuckDB agree bit-for-bit.
+
+    Scale shape: one partial-aggregate pass for (Σx, Σx², n), broadcast the
+    three scalars back, one map over the rows. No shuffle of vectors."""
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "aggregate(embedding, CAST(0.0 AS DOUBLE),"
+            " (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
+        ).alias("sq"),
+    )
+    fp = emb.select(
+        "vec_id",
+        F.round(F.sqrt("sq"), 6).alias("norm"),
+        F.round(F.sqrt("sq") * 1e6).cast("bigint").alias("x"),
+    )
+    stats = fp.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    dev = dec("n") * dec("x") - dec("sx")
+    var_n2 = dec("n") * F.col("sxx") - dec("sx") * dec("sx")
+    return (
+        fp.crossJoin(F.broadcast(stats))
+        .select(
+            "vec_id",
+            "norm",
+            (dev * dev > F.lit(4).cast("decimal(38,0)") * var_n2).alias(
+                "is_outlier"
+            ),
+        )
+        .orderBy("vec_id")
+    )
+
+
+EMBEDDING_NORM_SQL = """
+WITH fp AS (
+  SELECT vec_id,
+         ROUND(sqrt(list_sum([CAST(v AS DOUBLE) * CAST(v AS DOUBLE)
+                              for v in embedding])), 6) AS norm,
+         CAST(ROUND(sqrt(list_sum([CAST(v AS DOUBLE) * CAST(v AS DOUBLE)
+                              for v in embedding])) * 1e6) AS BIGINT) AS x
+  FROM embeddings
+), stats AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(x) AS HUGEINT) AS sx,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx
+  FROM fp
+)
+SELECT vec_id, norm,
+       ((n * x - sx) * (n * x - sx)
+          > CAST(4 AS HUGEINT) * (n * sxx - sx * sx)) AS is_outlier
+FROM fp, stats
+ORDER BY vec_id
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "langid_confusion": (langid_confusion, _langid_confusion_sql()),
+    "sentence_dup_stats": (sentence_dup_stats, SENTENCE_DUP_SQL),
+    "ngram_novelty": (ngram_novelty, NGRAM_NOVELTY_SQL),
+    "embedding_norm_outliers": (embedding_norm_outliers, EMBEDDING_NORM_SQL),
+}
