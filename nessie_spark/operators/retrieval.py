@@ -53,11 +53,16 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = (
         toks.groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=True)  # 3 consumers: stats, df, scoring
+        .localCheckpoint(eager=True)  # consumers: df table + scoring join
     )
-    stats = tf.groupBy().agg(
-        F.countDistinct("doc_id").alias("n"), F.sum("tf").alias("toks")
-    ).collect()[0]
+    # corpus stats from the PRE-explode frame: count + sum are map-side
+    # partials over one row per doc — no countDistinct Expand over the
+    # postings (which doubles the posting shuffle at corpus scale)
+    stats = (
+        docs.where(F.size("ts") >= 1)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.size("ts")).alias("toks"))
+        .collect()[0]
+    )
     n_docs, avgdl = int(stats["n"]), float(stats["toks"]) / float(stats["n"])
 
     qterms = (
@@ -65,7 +70,9 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("query_id"), "term")
         .distinct()
     )
-    df_tbl = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # tf rows are unique per (doc, term) by construction, so document
+    # frequency is a plain count — no distinct Expand
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # df joined to the query vocabulary FIRST: the broadcast dim is
     # |query terms| rows, the full (term → df) table never broadcasts.
     qdim = F.broadcast(
