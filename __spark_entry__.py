@@ -27,9 +27,11 @@ _SAMPLE_PRIORITY = [
     # --- never driver-sampled (new in r4 / the r3 red row): freshest
     # evidence first — the driver samples the FIRST 50 entries only
     "langid_confusion",
+    "minhash_jaccard_error",
     "sentence_dup_stats",
     "ngram_novelty",
     "embedding_norm_outliers",
+    "maintenance_time_travel",
     "multimodal_frame_sample",   # r3's one red row, fixed
     "events_asof_order",
     "events_hourly_anomalies",

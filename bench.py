@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "contamination_report",
     "pii_scrub",
     "langid_confusion",
+    "minhash_jaccard_error",
     "sentence_dup_stats",
     "ngram_novelty",
     "embedding_norm_outliers",

@@ -174,7 +174,10 @@ class Table:
                 best = h
         if best is None:
             return None
-        snap = self.snapshot(best["snapshot_id"])
+        try:
+            snap = self.snapshot(best["snapshot_id"])
+        except KeyError:
+            snap = None  # expired out of the snapshot list
         if snap is None:
             raise ValueError(
                 f"snapshot {best['snapshot_id']} (current as of "

@@ -1153,6 +1153,111 @@ ORDER BY d.doc_id
 DEDUP_INCREMENTAL_BLOOM_SQL = _ib_sql()
 
 
+def minhash_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality audit for the MinHash pipeline: for every banded
+    candidate pair, report exact shingle Jaccard, the 32-family MinHash
+    estimate (fraction of signature positions that agree — an unbiased
+    estimator of Jaccard), and the absolute error. This is the query a
+    pipeline owner runs before trusting LSH dedup thresholds on a new
+    corpus: if the observed |error| tail is fat, 32 hashes is too few for
+    the threshold in use.
+
+    Scale shape: identical to ``dedup_minhash_lsh_pairs`` (keys-only band
+    self-join, shingle and signature arrays joined back only for the
+    candidate pairs; both UDF stages localCheckpointed once for their
+    multiple consumers). The estimate is a 32-element zip per candidate —
+    interpreted HOF, but over the candidate set, not the corpus."""
+    docs = _spread(spark, T(spark, sf_dir, "documents"))
+    d = docs.select("doc_id", _shingles(F.col("text")).alias("sh")).localCheckpoint(
+        eager=True
+    )
+    sig = d.select(
+        "doc_id", _mh_sigs(F.col("sh"), N_MINHASH).alias("sig")
+    ).localCheckpoint(eager=True)
+    payload = d.join(sig, "doc_id")
+    banded = band_explode(sig)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = cand.join(
+        payload.select(
+            F.col("doc_id").alias("id_a"),
+            F.col("sh").alias("sh_a"),
+            F.col("sig").alias("sig_a"),
+        ),
+        "id_a",
+    ).join(
+        payload.select(
+            F.col("doc_id").alias("id_b"),
+            F.col("sh").alias("sh_b"),
+            F.col("sig").alias("sig_b"),
+        ),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    agree = F.expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))")
+    jac = F.round(inter.cast("double") / union, 6)
+    # k/32 is exactly representable (power-of-two denominator), so the
+    # estimate and the |error| round identically on both engines
+    est = F.round(agree.cast("double") / N_MINHASH, 6)
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            jac.alias("jaccard"),
+            est.alias("mh_estimate"),
+            F.round(F.abs(jac - est), 6).alias("abs_err"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _mh_error_sql() -> str:
+    sig_cols = ", ".join(
+        f"list_min([ {_mh_i_sql('s', i)} for s in sh ]) AS mh{i}"
+        for i in range(N_MINHASH)
+    )
+    agree = " + ".join(
+        f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(N_MINHASH)
+    )
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sigs AS (SELECT doc_id, sh, {sig_cols} FROM sh),
+banded AS (SELECT doc_id, sh, {_mh_band_keys_sql()} FROM sh),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.doc_id < b.doc_id
+   AND ({" OR ".join(f"a.k{b_} = b.k{b_}" for b_ in range(N_BANDS))})
+), scored AS (
+  SELECT c.id_a, c.id_b,
+         ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+           AS jaccard,
+         ROUND(CAST(({agree}) AS DOUBLE) / {N_MINHASH}, 6) AS mh_estimate
+  FROM cand c
+  JOIN sigs a ON a.doc_id = c.id_a
+  JOIN sigs b ON b.doc_id = c.id_b
+)
+SELECT id_a, id_b, jaccard, mh_estimate,
+       ROUND(ABS(jaccard - mh_estimate), 6) AS abs_err
+FROM scored ORDER BY id_a, id_b
+"""
+
+
+MINHASH_JACCARD_ERROR_SQL = _mh_error_sql()
+
+
 QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
@@ -1163,6 +1268,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),
     "dedup_minhash_signatures": (dedup_minhash_signatures, DEDUP_MINHASH_SIG_SQL),
     "dedup_minhash_lsh_pairs": (dedup_minhash_lsh_pairs, DEDUP_MINHASH_LSH_SQL),
+    "minhash_jaccard_error": (minhash_jaccard_error, MINHASH_JACCARD_ERROR_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_simhash_pairs": (dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_SQL),
     "ngram_jaccard_top1": (ngram_jaccard_top1, NGRAM_JACCARD_SQL),

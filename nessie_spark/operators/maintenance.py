@@ -1149,6 +1149,71 @@ def maintenance_stream_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).orderBy("batch_id", "doc_id")
 
 
+def maintenance_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel end-to-end: append (s1) → compact (s2) → append (s3),
+    tag ``v1`` at s2, then read the table four ways — AS OF the timestamp
+    when s2 was current, AS OF now, by tag, and by pinned snapshot id —
+    asserting each resolves to the right row set (Iceberg semantics: AS OF
+    uses the made-current log, so a pure-maintenance snapshot preserves the
+    row set and an append changes it). Also proves pre-history timestamps
+    resolve to no snapshot rather than the oldest one.
+
+    All counts derive from the seeded synth layout → deterministic
+    rows-only check."""
+    import time as _time
+
+    t, _, root = _fresh_table(spark)
+    try:
+        rows_s1 = scan(spark, t).count()
+        _time.sleep(0.005)  # commits are file writes (ms-scale); keep the
+        C.compact(spark, t, target_bytes=TARGET, job_id="demo-tt-compact")
+        t = t.refresh()
+        s2 = t.current_snapshot_id
+        ts_s2 = t.snapshot(s2)["ts_millis"]
+        t.create_tag("v1", s2)
+        _time.sleep(0.005)  # made-current log strictly ordered by ts
+        extra = synth.images_df(spark, 64, seed=99).withColumn(
+            "image_id", F.concat(F.lit("extra-"), F.col("image_id"))
+        )
+        jobs.append(spark, t, extra, job_id="demo-tt-extra")
+        t = t.refresh()
+        s3 = t.current_snapshot_id
+        ts_s3 = t.snapshot(s3)["ts_millis"]
+
+        asof_s2 = scan(spark, t, as_of_ts_millis=ts_s2).count()
+        asof_now = scan(spark, t, as_of_ts_millis=ts_s3).count()
+        by_tag = scan(spark, t, ref="v1")
+        pinned = scan(spark, t, snapshot_id=s2)
+        # exact row-set equality tag-vs-pin (not just counts): anti joins
+        # both ways over the full row payload
+        tag_matches_pin = (
+            t.resolve_ref("v1") == s2
+            and by_tag.exceptAll(pinned).isEmpty()
+            and pinned.exceptAll(by_tag).isEmpty()
+        )
+        pre_history = t.snapshot_as_of(0) is None
+        return spark.createDataFrame(
+            [
+                (
+                    rows_s1,
+                    asof_s2,
+                    asof_s2 == rows_s1,  # compact changed files, not rows
+                    asof_now,
+                    asof_now == rows_s1 + 64,
+                    tag_matches_pin,
+                    pre_history,
+                    s3 > s2,
+                )
+            ],
+            "rows_s1 long, rows_asof_s2 long, compact_preserves_rowcount boolean, "
+            "rows_asof_now long, append_visible_asof_now boolean, "
+            "tag_matches_pinned_snapshot boolean, pre_history_resolves_none boolean, "
+            "snapshot_ids_monotonic boolean",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 QUERIES: dict[str, tuple] = {
     "maintenance_compact": (maintenance_compact, None),
     "maintenance_zorder": (maintenance_zorder, None),
@@ -1161,6 +1226,7 @@ QUERIES: dict[str, tuple] = {
     "maintenance_stream_bloom": (maintenance_stream_bloom, None),
     "maintenance_schema_evolution": (maintenance_schema_evolution, None),
     "maintenance_rollback": (maintenance_rollback, None),
+    "maintenance_time_travel": (maintenance_time_travel, None),
     "maintenance_data_skipping": (maintenance_data_skipping, None),
     "maintenance_partition_pruning": (maintenance_partition_pruning, None),
     "maintenance_mor_delete": (maintenance_mor_delete, None),
