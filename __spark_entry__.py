@@ -32,6 +32,7 @@ _SAMPLE_PRIORITY = [
     "ngram_novelty",
     "embedding_norm_outliers",
     "maintenance_time_travel",
+    "maintenance_branches",
     "multimodal_frame_sample",   # r3's one red row, fixed
     "events_asof_order",
     "events_hourly_anomalies",

@@ -33,6 +33,7 @@ def append(
     id_col: str = "image_id",
     sort_order: str | None = None,
     stage_only: bool = False,
+    to_ref: str | None = None,
 ) -> int:
     """Append ``df`` (images schema) as a new snapshot.
 
@@ -135,7 +136,8 @@ def append(
         entries = stats.toArrow()
     rows = int(sum(entries.column("record_count").to_pylist() or [0]))
     snap_id = table.commit(
-        "append", added=entries, summary={"job_id": job_id}, stage_only=stage_only
+        "append", added=entries, summary={"job_id": job_id},
+        stage_only=stage_only, to_ref=to_ref,
     )
     lineage.write_unit(
         table.root, job_id, "append", 0,

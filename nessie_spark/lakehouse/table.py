@@ -356,6 +356,90 @@ class Table:
             return
         raise CommitConflict(f"create_tag lost {max_retries} races")
 
+    def create_branch(
+        self, name: str, snapshot_id: int | None = None, max_retries: int = 5
+    ) -> None:
+        """Iceberg ``create_branch``: a named MOVABLE pointer to a snapshot
+        (default: current). Unlike a tag, a branch advances when commits
+        target it (``commit(..., to_ref=name)``), giving an isolated line
+        of development over the same table — the generalization of WAP to
+        multi-commit audit workflows. Branch heads and their ancestry are
+        retention anchors for ``expire_snapshots``, exactly like tags."""
+        for attempt in range(max_retries):
+            t = self.refresh() if attempt else self
+            sid = snapshot_id if snapshot_id is not None else t.current_snapshot_id
+            if t.snapshot(sid) is None:
+                raise KeyError(f"snapshot {sid} not found")
+            if name in t.meta.get("refs", {}):
+                raise ValueError(f"ref {name!r} already exists")
+            meta = dict(t.meta)
+            meta["refs"] = dict(
+                t.meta.get("refs", {}),
+                **{name: {"snapshot_id": sid, "type": "branch",
+                          "ts_millis": int(time.time() * 1000)}},
+            )
+            try:
+                t._write_version(t.version + 1, meta)
+            except FileExistsError:
+                continue
+            self.meta, self.version = meta, t.version + 1
+            return
+        raise CommitConflict(f"create_branch lost {max_retries} races")
+
+    def fast_forward(self, name: str, from_ref: str, max_retries: int = 5) -> int:
+        """Iceberg ``fast_forward``: move branch ``name`` — or ``"main"``,
+        the table's current pointer — to the head of ``from_ref``, ONLY if
+        the target's head is an ancestor of the source's head (a true
+        fast-forward; anything else needs a merge/cherry-pick, and silently
+        jumping would drop the target's unique commits). Metadata-only.
+        Returns the new head snapshot id."""
+        for attempt in range(max_retries):
+            t = self.refresh() if attempt else self
+            src_head = t.resolve_ref(from_ref)
+            if name == "main":
+                dst_head = t.current_snapshot_id
+            else:
+                ref = t.meta.get("refs", {}).get(name)
+                if ref is None:
+                    raise KeyError(f"ref {name!r} not found")
+                if ref["type"] != "branch":
+                    raise ValueError(f"ref {name!r} is a tag; tags never move")
+                dst_head = ref["snapshot_id"]
+            parents = {s["snapshot_id"]: s["parent_id"] for s in t.meta["snapshots"]}
+            anc, sid = set(), src_head
+            while sid is not None:
+                anc.add(sid)
+                sid = parents.get(sid)
+            if dst_head is not None and dst_head not in anc:
+                raise CommitConflict(
+                    f"cannot fast-forward {name!r} to {from_ref!r}: head "
+                    f"{dst_head} is not an ancestor of {src_head} — merge or "
+                    "cherry-pick instead"
+                )
+            meta = dict(t.meta)
+            if name == "main":
+                meta["current_snapshot_id"] = src_head
+                meta["history"] = _history_base(t.meta) + [
+                    {
+                        "ts_millis": int(time.time() * 1000),
+                        "snapshot_id": src_head,
+                        "action": "fast-forward",
+                    }
+                ]
+            else:
+                meta["refs"] = dict(
+                    t.meta.get("refs", {}),
+                    **{name: {"snapshot_id": src_head, "type": "branch",
+                              "ts_millis": int(time.time() * 1000)}},
+                )
+            try:
+                t._write_version(t.version + 1, meta)
+            except FileExistsError:
+                continue
+            self.meta, self.version = meta, t.version + 1
+            return src_head
+        raise CommitConflict(f"fast_forward lost {max_retries} races")
+
     def drop_tag(self, name: str, max_retries: int = 5) -> None:
         for attempt in range(max_retries):
             t = self.refresh() if attempt else self
@@ -381,6 +465,12 @@ class Table:
             t = self.refresh() if attempt else self
             if t.snapshot(snapshot_id) is None:
                 raise KeyError(f"snapshot {snapshot_id} not found")
+            existing = t.meta.get("refs", {}).get(name)
+            if existing is not None and existing["type"] == "branch":
+                raise ValueError(
+                    f"ref {name!r} is a branch; replace_tag would silently "
+                    "retype it — use fast_forward or drop the branch first"
+                )
             meta = dict(t.meta)
             meta["refs"] = dict(
                 t.meta.get("refs", {}),
@@ -705,6 +795,7 @@ class Table:
         new_delete_entries: list[dict] | None = None,
         delete_files_override: list[dict] | None = None,
         stage_only: bool = False,
+        to_ref: str | None = None,
     ) -> int:
         """Commit a new snapshot.
 
@@ -725,6 +816,11 @@ class Table:
         seeing the pre-stage table until ``publish_snapshot`` fast-forwards
         to it after the audit, or ``drop_staged`` abandons it. Staged
         snapshots survive routine expiry until published or dropped.
+        ``to_ref``: commit onto the named BRANCH instead of main — parents
+        at the branch head and advances the branch ref; the current pointer
+        and made-current history are untouched (readers of main see nothing
+        until ``fast_forward("main", branch)``). Exclusive with
+        ``stage_only``.
         ``meta_updates``: table-metadata fields changed by this commit (e.g.
         ``{"schema": ...}`` for add-column evolution); applied under the same
         optimistic-retry, so concurrent evolution commits serialize. A
@@ -736,10 +832,29 @@ class Table:
         reads use the schema their data was written under.
         """
         deleted_paths = deleted_paths or set()
-        base_parent = self.snapshot()
+        if to_ref is not None and stage_only:
+            raise ValueError(
+                "stage_only and to_ref are exclusive: a branch commit IS "
+                "the isolation mechanism — stage on main or commit to the "
+                "branch, not both"
+            )
+
+        def _parent_of(tt: "Table") -> dict | None:
+            if to_ref is None:
+                return tt.snapshot()
+            ref = tt.meta.get("refs", {}).get(to_ref)
+            if ref is None:
+                raise KeyError(f"ref {to_ref!r} not found")
+            if ref["type"] != "branch":
+                raise ValueError(
+                    f"ref {to_ref!r} is a tag; commits target branches"
+                )
+            return tt.snapshot(ref["snapshot_id"])
+
+        base_parent = _parent_of(self)
         for attempt in range(max_retries):
             t = self.refresh() if attempt else self
-            parent = t.snapshot()
+            parent = _parent_of(t)
             if (
                 attempt
                 and carried_manifest_summaries is not None
@@ -839,7 +954,16 @@ class Table:
             if stage_only:
                 snap["staged"] = True
             meta["snapshots"] = list(t.meta["snapshots"]) + [snap]
-            if not stage_only:
+            if to_ref is not None:
+                # branch commit: advance the branch head, never the current
+                # pointer or the made-current log (main readers and AS OF
+                # time travel stay on main's line until a fast_forward)
+                meta["refs"] = dict(
+                    meta.get("refs", {}),
+                    **{to_ref: {"snapshot_id": snapshot_id, "type": "branch",
+                                "ts_millis": snap["ts_millis"]}},
+                )
+            elif not stage_only:
                 # staged snapshots never become current here, so they also
                 # add no made-current history event — publish_snapshot does
                 meta["current_snapshot_id"] = snapshot_id

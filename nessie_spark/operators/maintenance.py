@@ -1214,6 +1214,84 @@ def maintenance_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def maintenance_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch workflow end-to-end (Iceberg branching): create branch
+    ``audit`` at s1 → two appends TARGETING THE BRANCH (main readers see
+    nothing) → ``fast_forward("main", "audit")`` publishes both at once →
+    a non-ancestor fast-forward is refused (divergent heads need a merge,
+    not a pointer jump). The multi-commit generalization of WAP: stage a
+    whole pipeline of commits, audit the branch, publish with one
+    metadata-only pointer move. Deterministic counts → rows-only check."""
+    from nessie_spark.lakehouse.table import CommitConflict
+
+    t, _, root = _fresh_table(spark)
+    try:
+        rows_main_before = scan(spark, t).count()
+        t.create_branch("audit")
+        for i, n in enumerate((64, 32)):
+            jobs.append(
+                spark,
+                t.refresh(),
+                synth.images_df(spark, n, seed=70 + i).withColumn(
+                    "image_id", F.concat(F.lit(f"br{i}-"), F.col("image_id"))
+                ),
+                job_id=f"demo-br-{i}",
+                to_ref="audit",
+            )
+        t = t.refresh()
+        rows_main_during = scan(spark, t).count()  # isolation: unchanged
+        rows_branch = scan(spark, t, ref="audit").count()
+        branch_type_ok = (
+            t.refs_df(spark)
+            .where((F.col("name") == "audit") & (F.col("type") == "branch"))
+            .count()
+            == 1
+        )
+        new_head = t.fast_forward("main", "audit")
+        t = t.refresh()
+        rows_main_after = scan(spark, t).count()
+
+        # divergence refusal: a branch forked BEFORE the fast-forward no
+        # longer contains main's head in its ancestry
+        t.create_branch("stale", snapshot_id=1)
+        jobs.append(
+            spark,
+            t.refresh(),
+            synth.images_df(spark, 8, seed=90).withColumn(
+                "image_id", F.concat(F.lit("st-"), F.col("image_id"))
+            ),
+            job_id="demo-br-stale",
+            to_ref="stale",
+        )
+        t = t.refresh()
+        try:
+            t.fast_forward("main", "stale")
+            divergent_refused = False
+        except CommitConflict:
+            divergent_refused = True
+        return spark.createDataFrame(
+            [
+                (
+                    rows_main_before,
+                    rows_main_during,
+                    rows_main_during == rows_main_before,
+                    rows_branch,
+                    rows_branch == rows_main_before + 96,
+                    rows_main_after == rows_branch,
+                    new_head == t.resolve_ref("audit"),
+                    branch_type_ok,
+                    divergent_refused,
+                )
+            ],
+            "rows_main_before long, rows_main_during long, branch_isolated boolean, "
+            "rows_branch long, branch_saw_both_commits boolean, "
+            "fast_forward_published boolean, head_matches_branch boolean, "
+            "branch_listed boolean, divergent_ff_refused boolean",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 QUERIES: dict[str, tuple] = {
     "maintenance_compact": (maintenance_compact, None),
     "maintenance_zorder": (maintenance_zorder, None),
@@ -1227,6 +1305,7 @@ QUERIES: dict[str, tuple] = {
     "maintenance_schema_evolution": (maintenance_schema_evolution, None),
     "maintenance_rollback": (maintenance_rollback, None),
     "maintenance_time_travel": (maintenance_time_travel, None),
+    "maintenance_branches": (maintenance_branches, None),
     "maintenance_data_skipping": (maintenance_data_skipping, None),
     "maintenance_partition_pruning": (maintenance_partition_pruning, None),
     "maintenance_mor_delete": (maintenance_mor_delete, None),
