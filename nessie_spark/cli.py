@@ -55,7 +55,8 @@ def main(argv: list[str] | None = None) -> int:
             "synth", "compact", "zorder", "hilbert", "zorder-delta",
             "expire", "gc",
             "rewrite-manifests", "merge", "add-column", "incremental",
-            "rollback", "inspect", "tag", "drop-tag", "delete-where",
+            "rollback", "inspect", "tag", "drop-tag", "branch",
+            "branch-append", "fast-forward", "delete-where",
             "purge-deletes", "stage-append", "publish", "cherry-pick",
             "drop-staged", "audit",
             "changelog", "dedup-pipeline", "refresh-matview", "sync-replica",
@@ -67,7 +68,7 @@ def main(argv: list[str] | None = None) -> int:
         help="delete-where: SQL predicate over the images schema "
         "(e.g. \"phash % 100 = 0\")",
     )
-    ap.add_argument("--ref", default=None, help="tag/drop-tag: reference name")
+    ap.add_argument("--ref", default=None, help="tag/drop-tag/branch/branch-append/fast-forward: reference name")
     ap.add_argument("--retain-last", type=int, default=None, help="expire: keep only the N newest ancestors per head")
     ap.add_argument("--older-than-ms", type=int, default=None, help="expire: expire ancestors committed before this epoch-millis cutoff")
     ap.add_argument("--rows", type=int, default=100_000)
@@ -247,6 +248,35 @@ def main(argv: list[str] | None = None) -> int:
                 ap.error("--ref required for drop-tag")
             t.drop_tag(args.ref)
             out.update(ref=args.ref, dropped=True)
+        elif args.job == "branch":
+            if not args.ref:
+                ap.error("--ref required for branch")
+            t.create_branch(args.ref, snapshot_id=args.to_snapshot)
+            out.update(ref=args.ref, snapshot_id=t.resolve_ref(args.ref))
+        elif args.job == "branch-append":
+            # append --rows synthetic images onto a BRANCH: main readers
+            # and AS OF time travel see nothing until fast-forward
+            from pyspark.sql import functions as F
+
+            from nessie_spark import synth
+            from nessie_spark.lakehouse import jobs
+
+            if not args.ref:
+                ap.error("--ref required for branch-append")
+            df = synth.images_df(spark, min(args.rows, 10_000), seed=args.seed).withColumn(
+                "image_id", F.concat(F.lit(f"{args.ref}-"), F.col("image_id"))
+            )
+            sid = jobs.append(spark, t, df, job_id=args.job_id, to_ref=args.ref)
+            out.update(
+                ref=args.ref,
+                branch_head=sid,
+                current_snapshot_id=t.refresh().current_snapshot_id,
+            )
+        elif args.job == "fast-forward":
+            if not args.ref:
+                ap.error("--ref (source branch) required for fast-forward")
+            new_head = t.fast_forward("main", args.ref)
+            out.update(ref=args.ref, current_snapshot_id=new_head)
         elif args.job == "stage-append":
             # WAP staging demo: append --rows synthetic images as a STAGED
             # snapshot (current pointer unmoved until publish)
