@@ -21,10 +21,10 @@ from pyspark.sql import DataFrame, SparkSession
 _SAMPLE_PRIORITY = [
     # First 50 = the driver's sample window. Allocation rule:
     # every never-driver-sampled NON-TPC-H query gets a row this
-    # round (42 of them — each is a distinct operator family), plus
-    # 8 TPC-H shape representatives (the other 11 q-series share
-    # the same join/agg machinery and rotate into r5; the judge
-    # can oracle-check them locally meanwhile).
+    # round (43 of them — each is a distinct operator family), plus
+    # 6 TPC-H shape representatives and the prior red row (the other
+    # 13 q-series share the same join/agg machinery and rotate into
+    # r5; the judge can oracle-check them locally meanwhile).
     "langid_confusion",
     "minhash_jaccard_error",
     "sentence_dup_stats",
@@ -34,6 +34,7 @@ _SAMPLE_PRIORITY = [
     "maintenance_branches",
     "events_asof_order",
     "events_hourly_anomalies",
+    "events_markov_transitions",
     "bm25_topk",
     "hybrid_rrf_topk",
     "c4_filter_flags",
@@ -73,10 +74,10 @@ _SAMPLE_PRIORITY = [
     "q9_product_profit",
     "q13_customer_distribution",
     "q17_small_quantity_revenue",
-    "q21_waiting_suppliers",
     "multimodal_frame_sample",  # r3's one RED row — needs a clean r4 row
     # --- below the fold: remaining TPC-H, then the refresh rotation over
     # previously driver-certified rows
+    "q21_waiting_suppliers",
     "q22_sales_opportunity",
     "q12_shipmode_priority",
     "q11_important_stock",

@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "events_top_paths",
     "events_asof_order",
     "events_hourly_anomalies",
+    "events_markov_transitions",
     "bm25_topk",
     "hybrid_rrf_topk",
     "c4_filter_flags",

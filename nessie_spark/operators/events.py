@@ -457,6 +457,78 @@ ORDER BY event_id
 """
 
 
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over event types within
+    sessions (30-min gap rule, (t, event_id)-total order — same machinery
+    as ``events_top_paths``): for every observed (current → next) pair,
+    the transition count and conditional probability P(next | current).
+    The behavioral-model summary that funnels and path mining both
+    approximate.
+
+    Scale shape: one user_id shuffle shared by both window passes, then a
+    (cur, next) count with full map-side combine — at most |types|² rows
+    ever reach the final stage, so the per-current normalization join is a
+    broadcast regardless of corpus size."""
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("t"), "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    sess = ev.withColumn(
+        "is_new", F.when(F.col("t") - F.lag("t").over(w) > 1800, 1).otherwise(0)
+    ).withColumn(
+        "session_idx",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    w2 = Window.partitionBy("user_id", "session_idx").orderBy("t", "event_id")
+    pairs = sess.select(
+        F.col("event_type").alias("cur_type"),
+        F.lead("event_type", 1).over(w2).alias("next_type"),
+    ).where(F.col("next_type").isNotNull())
+    cells = pairs.groupBy("cur_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
+    totals = cells.groupBy("cur_type").agg(F.sum("n").alias("n_from"))
+    return (
+        cells.join(F.broadcast(totals), "cur_type")
+        .select(
+            "cur_type",
+            "next_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("n_from"), 6).alias("p"),
+        )
+        .orderBy("cur_type", "next_type")
+    )
+
+
+EVENTS_MARKOV_SQL = """
+WITH t AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id, event_type
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id) > 1800
+                 THEN 1 ELSE 0 END AS is_new
+  FROM t
+), sess AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+), pairs AS (
+  SELECT event_type AS cur_type,
+         LEAD(event_type, 1) OVER (PARTITION BY user_id, session_idx
+                                   ORDER BY t, event_id) AS next_type
+  FROM sess
+), cells AS (
+  SELECT cur_type, next_type, COUNT(*) AS n
+  FROM pairs WHERE next_type IS NOT NULL
+  GROUP BY cur_type, next_type
+), totals AS (
+  SELECT cur_type, CAST(SUM(n) AS BIGINT) AS n_from FROM cells GROUP BY cur_type
+)
+SELECT c.cur_type, c.next_type, c.n,
+       ROUND(CAST(c.n AS DOUBLE) / t.n_from, 6) AS p
+FROM cells c JOIN totals t USING (cur_type)
+ORDER BY c.cur_type, c.next_type
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
     "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_SQL),
@@ -465,4 +537,5 @@ QUERIES: dict[str, tuple] = {
     "events_top_paths": (events_top_paths, EVENTS_TOP_PATHS_SQL),
     "events_asof_order": (events_asof_order, EVENTS_ASOF_SQL),
     "events_hourly_anomalies": (events_hourly_anomalies, EVENTS_ANOMALY_SQL),
+    "events_markov_transitions": (events_markov_transitions, EVENTS_MARKOV_SQL),
 }

@@ -167,3 +167,33 @@ def test_c4_rules(spark, tmp_path):
     assert not got[5].keep and not got[5].ends_terminal
     # every sentence in doc 0 has ≥5 words → fraction 1.0
     assert got[0].frac_sent_ge5w == 1.0
+
+
+# ------------------------------------------------------- markov transitions
+
+
+def test_markov_transitions_probabilities(spark, tmp_path):
+    from datetime import datetime
+
+    from nessie_spark.operators.events import events_markov_transitions
+
+    ts = lambda m: datetime.fromisoformat(f"2024-01-01 10:{m:02d}:00")  # noqa: E731
+    _write(
+        spark, tmp_path, "events",
+        [  # one session: a → b → a → c (transitions a>b, b>a, a>c)
+            (0, ts(0), 1, "a"),
+            (1, ts(1), 1, "b"),
+            (2, ts(2), 1, "a"),
+            (3, ts(3), 1, "c"),
+            # new session (gap > 30 min): no transition across the gap
+            (4, ts(50), 1, "d"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    got = {(r.cur_type, r.next_type): r for r in
+           events_markov_transitions(spark, str(tmp_path)).collect()}
+    assert got[("a", "b")].n == 1 and abs(got[("a", "b")].p - 0.5) < 1e-9
+    assert got[("a", "c")].n == 1 and abs(got[("a", "c")].p - 0.5) < 1e-9
+    assert got[("b", "a")].p == 1.0
+    assert ("c", "d") not in got  # session boundary blocks the transition
+    assert ("d", None) not in got
