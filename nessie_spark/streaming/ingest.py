@@ -65,8 +65,19 @@ def ingest_batch(
     matviews: list[dict] | None = None,
     mode: str = "append",
     version_col: str | None = None,
+    to_ref: str | None = None,
 ) -> int:
     """Append one micro-batch; replay-safe via the derived job_id.
+
+    ``to_ref``: land every micro-batch on the named BRANCH instead of main
+    — the streaming write-audit-publish pattern (stream all day onto the
+    branch, audit once, ``fast_forward("main", branch)`` publishes the
+    whole day atomically). Exactly-once holds unchanged: the derived
+    job_id short-circuits replays regardless of which ref the commit
+    targeted. Branch ingest is append-only isolation, so it composes with
+    neither inline maintenance nor view refresh: ``upsert`` mode,
+    ``auto_compact_small_files`` and ``matviews`` all read main's head and
+    would either miss the branch rows or leak them — refused loudly.
 
     ``matviews``: materialized views to keep current with the stream —
     each dict is ``{"view_root": str, "name"?, "group_cols"?, "sums"?}``
@@ -107,6 +118,14 @@ def ingest_batch(
     different choice)."""
     if mode not in ("append", "upsert"):
         raise ValueError(f"unknown ingest mode {mode!r}; use append|upsert")
+    if to_ref is not None and (
+        mode != "append" or auto_compact_small_files or matviews
+    ):
+        raise ValueError(
+            "to_ref (branch ingest) supports append mode only, without "
+            "auto-compaction or matviews — those operate on main's head; "
+            "run maintenance after fast_forward publishes the branch"
+        )
     spark = batch_df.sparkSession
     table = Table.load(table_root)
     from nessie_spark.lakehouse import lineage
@@ -151,6 +170,7 @@ def ingest_batch(
             table,
             batch_df,
             job_id=job_id,
+            to_ref=to_ref,
         )
     if auto_compact_small_files:
         import os
@@ -230,6 +250,7 @@ def start_auto_ingest(
     matviews: list[dict] | None = None,
     mode: str = "append",
     version_col: str | None = None,
+    to_ref: str | None = None,
 ) -> StreamingQuery:
     """Start ingesting ``stream_df`` (images schema) into the table.
 
@@ -240,8 +261,9 @@ def start_auto_ingest(
     ``auto_compact_small_files`` turns on continuous maintenance and
     ``matviews`` keeps materialized aggregate views current per batch;
     ``mode="upsert"`` merges each batch by image_id instead of appending
-    (CDC pattern, ``version_col`` = intra-batch latest-wins ordering) —
-    see ``ingest_batch``."""
+    (CDC pattern, ``version_col`` = intra-batch latest-wins ordering);
+    ``to_ref`` streams onto a branch for audit-then-fast-forward
+    publishing — see ``ingest_batch``."""
     if trigger_seconds is not None:
         # an explicit cadence means continuous mode; silently draining and
         # stopping instead would ignore the caller's stated intent
@@ -254,6 +276,7 @@ def start_auto_ingest(
             matviews=matviews,
             mode=mode,
             version_col=version_col,
+            to_ref=to_ref,
         )
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:

@@ -96,3 +96,50 @@ def test_expire_retains_branch_ancestry(spark, tmp_path):
     t = t.refresh()
     # the branch head and its rows survive routine expiry
     assert scan(spark, t, ref="keep").count() == 40
+
+
+def test_streaming_ingest_onto_branch(spark, tmp_path):
+    from nessie_spark.streaming.ingest import ingest_batch, start_auto_ingest
+
+    root = str(tmp_path / "images")
+    src_dir = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    t = jobs.create_images_table(root)
+    jobs.append(spark, t, synth.images_df(spark, 24, seed=1), job_id="base")
+    t = t.refresh()
+    t.create_branch("ingest")
+
+    synth.images_df(spark, 30, seed=2).withColumn(
+        "image_id", F.concat(F.lit("s-"), F.col("image_id"))
+    ).write.mode("append").parquet(src_dir)
+    stream = spark.readStream.schema(
+        synth.images_df(spark, 1, seed=2).schema
+    ).option("maxFilesPerTrigger", "1").parquet(src_dir)
+    q = start_auto_ingest(stream, root, ckpt, stream_id="br", to_ref="ingest")
+    assert q.awaitTermination(180)
+
+    t = t.refresh()
+    assert scan(spark, t).count() == 24            # main untouched
+    assert scan(spark, t, ref="ingest").count() == 54
+
+    # replay on the branch is still exactly-once
+    batch = synth.images_df(spark, 30, seed=2).withColumn(
+        "image_id", F.concat(F.lit("s-"), F.col("image_id"))
+    )
+    first = ingest_batch(root, "br", batch, batch_id=0, to_ref="ingest")
+    again = ingest_batch(root, "br", batch, batch_id=0, to_ref="ingest")
+    assert first == again
+    t = t.refresh()
+    assert scan(spark, t, ref="ingest").count() == 54
+
+    t.fast_forward("main", "ingest")
+    t = t.refresh()
+    assert scan(spark, t).count() == 54
+
+    # incompatible combinations are refused loudly
+    with pytest.raises(ValueError, match="branch ingest"):
+        ingest_batch(root, "br", batch, batch_id=9, to_ref="ingest",
+                     auto_compact_small_files=4)
+    with pytest.raises(ValueError, match="branch ingest"):
+        ingest_batch(root, "br", batch, batch_id=9, to_ref="ingest",
+                     mode="upsert")
