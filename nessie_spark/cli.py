@@ -56,7 +56,7 @@ def main(argv: list[str] | None = None) -> int:
             "expire", "gc",
             "rewrite-manifests", "merge", "add-column", "incremental",
             "rollback", "inspect", "tag", "drop-tag", "branch",
-            "branch-append", "fast-forward", "delete-where",
+            "branch-append", "fast-forward", "delete-where", "update-where",
             "purge-deletes", "stage-append", "publish", "cherry-pick",
             "drop-staged", "audit",
             "changelog", "dedup-pipeline", "refresh-matview", "sync-replica",
@@ -69,6 +69,10 @@ def main(argv: list[str] | None = None) -> int:
         "(e.g. \"phash % 100 = 0\")",
     )
     ap.add_argument("--ref", default=None, help="tag/drop-tag/branch/branch-append/fast-forward: reference name")
+    ap.add_argument(
+        "--set", action="append", default=None, dest="set_exprs",
+        help="update-where: 'col=SQL-expr' assignment (repeatable)",
+    )
     ap.add_argument("--retain-last", type=int, default=None, help="expire: keep only the N newest ancestors per head")
     ap.add_argument("--older-than-ms", type=int, default=None, help="expire: expire ancestors committed before this epoch-millis cutoff")
     ap.add_argument("--rows", type=int, default=100_000)
@@ -325,6 +329,21 @@ def main(argv: list[str] | None = None) -> int:
             if not args.where:
                 ap.error("--where SQL-predicate required for delete-where")
             r = delete_where(spark, t, args.where, job_id=args.job_id)
+            out.update(vars(r))
+        elif args.job == "update-where":
+            from nessie_spark.lakehouse.merge import update_where
+
+            if not args.where:
+                ap.error("--where SQL-predicate required for update-where")
+            if not args.set_exprs:
+                ap.error("--set col=expr required for update-where")
+            assignments = {}
+            for kv in args.set_exprs:
+                col, _, expr = kv.partition("=")
+                if not col or not expr:
+                    ap.error(f"cannot parse --set {kv!r}; use col=expr")
+                assignments[col.strip()] = expr
+            r = update_where(spark, t, args.where, assignments, job_id=args.job_id)
             out.update(vars(r))
         elif args.job == "purge-deletes":
             from nessie_spark.lakehouse.deletes import purge_deletes

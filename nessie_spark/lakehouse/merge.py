@@ -453,3 +453,47 @@ def merge_into(
     return MergeResult(
         snap, job_id, len(matched_paths), n_updated, n_unchanged, n_inserted, n_deleted
     )
+
+
+def update_where(
+    spark: SparkSession,
+    table: Table,
+    predicate: str,
+    set_exprs: dict[str, str],
+    job_id: str | None = None,
+    target_bytes: int = DEFAULT_TARGET,
+) -> MergeResult:
+    """``UPDATE table SET ... WHERE ...`` as a copy-on-write MERGE.
+
+    ``predicate`` is a SQL boolean over the images schema;``set_exprs``
+    maps column → SQL expression evaluated on the matching row (e.g.
+    ``{"fmt": "'png'"}`` or ``{"w": "w * 2"}``). The source is the
+    table's own matching rows with the assignments applied, merged back
+    by image_id with ``when_matched='update'`` — so the whole machinery
+    (matched-files pruning via stats, broadcast-vs-range join, PSNR-safe
+    rewrite, snapshot isolation, idempotent job_id) is inherited rather
+    than re-implemented. Matching-file discovery pushes the predicate into
+    the pinned scan; files with no matching row are never rewritten.
+
+    The row key cannot be assigned (rewriting identity under CoW MERGE
+    would insert-and-orphan instead of update); evolve/add-column handles
+    schema changes, not this."""
+    if "image_id" in set_exprs:
+        raise ValueError("update_where cannot assign image_id (the row key)")
+    from nessie_spark.lakehouse.scan import scan
+    from nessie_spark.lakehouse.writer import ddl_columns
+
+    bad = [c for c in set_exprs
+           if c not in ddl_columns(table.meta.get("schema", IMAGES_DDL))]
+    if bad:
+        raise ValueError(f"update_where: {bad} not in table schema")
+    src = scan(spark, table).where(predicate)
+    for col, expr in set_exprs.items():
+        src = src.withColumn(col, F.expr(expr))
+    return merge_into(
+        spark, table, src,
+        job_id=job_id or f"update-{uuid.uuid4().hex[:8]}",
+        when_matched="update",
+        when_not_matched="ignore",  # the source IS table rows; never insert
+        target_bytes=target_bytes,
+    )

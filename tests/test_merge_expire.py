@@ -1,6 +1,7 @@
 """MERGE INTO (CoW) goldens + snapshot expiry/orphan-GC DAG fixture
 (FIXTURES.md §3/§4)."""
 
+import pytest
 import os
 
 import pyspark.sql.functions as F
@@ -275,3 +276,51 @@ def test_gc_sweeps_committed_stage_dirs(spark, tmp_path):
     expire.gc_orphans(spark, t)
     assert not os.path.exists(committed)
     assert os.path.exists(inflight)
+
+
+# ------------------------------------------------------------- update_where
+
+
+def test_update_where_rewrites_only_matching_rows(spark, tmp_path):
+    from nessie_spark.lakehouse.merge import update_where
+
+    t, s1 = make_table(spark, str(tmp_path / "images"), n=60, mean_rows=12)
+    r = update_where(spark, t, "phash % 2 = 0", {"fmt": "'png'"}, job_id="u1")
+    t = t.refresh()
+    cur = scan(spark, t)
+    assert cur.count() == 60  # row count preserved
+    n_even = cur.where("phash % 2 = 0").count()
+    assert cur.where("fmt = 'png' AND phash % 2 = 0").count() == n_even
+    # MERGE semantics: every matched row counts as updated (even if the
+    # assignment was a no-op for rows already 'png')
+    assert r.updated == n_even
+    # snapshot isolation: the pre-update snapshot still reads old values
+    # (the seed-42 fixture has even-phash rows that were not 'png')
+    old = scan(spark, t, snapshot_id=s1)
+    assert old.where("fmt = 'png' AND phash % 2 = 0").count() < n_even
+
+    # idempotent job_id: replay is a metadata no-op
+    r2 = update_where(spark, t.refresh(), "phash % 2 = 0", {"fmt": "'png'"},
+                      job_id="u1")
+    assert r2.snapshot_id == r.snapshot_id
+
+
+def test_update_where_refuses_key_and_unknown_columns(spark, tmp_path):
+    from nessie_spark.lakehouse.merge import update_where
+
+    t, _ = make_table(spark, str(tmp_path / "images"), n=20, mean_rows=10)
+    with pytest.raises(ValueError, match="image_id"):
+        update_where(spark, t, "true", {"image_id": "'x'"})
+    with pytest.raises(ValueError, match="schema"):
+        update_where(spark, t, "true", {"nope": "1"})
+
+
+def test_update_where_expression_uses_row_values(spark, tmp_path):
+    from nessie_spark.lakehouse.merge import update_where
+
+    t, _ = make_table(spark, str(tmp_path / "images"), n=30, mean_rows=10)
+    before = {r.image_id: r.w for r in scan(spark, t).select("image_id", "w").collect()}
+    update_where(spark, t, "w > 0", {"w": "w * 2"}, job_id="u2")
+    t = t.refresh()
+    after = {r.image_id: r.w for r in scan(spark, t).select("image_id", "w").collect()}
+    assert all(after[k] == 2 * v for k, v in before.items())
