@@ -21,11 +21,13 @@ from pyspark.sql import DataFrame, SparkSession
 _SAMPLE_PRIORITY = [
     # First 50 = the driver's sample window. Allocation rule:
     # every never-driver-sampled NON-TPC-H query gets a row this
-    # round (43 of them — each is a distinct operator family), plus
-    # 6 TPC-H shape representatives and the prior red row (the other
-    # 13 q-series share the same join/agg machinery and rotate into
+    # round (45 of them — each is a distinct operator family), plus
+    # 4 TPC-H shape representatives and the prior red row (the other
+    # 15 q-series share the same join/agg machinery and rotate into
     # r5; the judge can oracle-check them locally meanwhile).
     "langid_confusion",
+    "winnowing_fingerprints",
+    "winnowing_overlap_pairs",
     "minhash_jaccard_error",
     "sentence_dup_stats",
     "ngram_novelty",
@@ -72,11 +74,11 @@ _SAMPLE_PRIORITY = [
     "q4_order_priority",
     "q8_market_share",
     "q9_product_profit",
-    "q13_customer_distribution",
-    "q17_small_quantity_revenue",
     "multimodal_frame_sample",  # r3's one RED row — needs a clean r4 row
     # --- below the fold: remaining TPC-H, then the refresh rotation over
     # previously driver-certified rows
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
     "q21_waiting_suppliers",
     "q22_sales_opportunity",
     "q12_shipmode_priority",

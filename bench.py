@@ -138,6 +138,8 @@ BENCH_QUERIES = [
     "sentence_dup_stats",
     "ngram_novelty",
     "embedding_norm_outliers",
+    "winnowing_fingerprints",
+    "winnowing_overlap_pairs",
 ]
 
 

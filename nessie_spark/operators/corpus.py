@@ -343,8 +343,182 @@ ORDER BY vec_id
 """
 
 
+_WIN_K = 5  # chars per gram
+_WIN_W = 4  # grams per winnowing window
+_WIN_DF_CAP = 64  # fingerprints shared by more docs are stop-fingerprints
+_WIN_MIN_SHARED = 3
+
+
+def _win_fps(col):
+    """Winnowing fingerprints (Schleimer et al. 2003, the MOSS algorithm):
+    hash every ``_WIN_K``-char gram of the normalized text, slide a window
+    of ``_WIN_W`` gram hashes, keep each window's minimum — guarantees any
+    shared substring of length ≥ K+W−1 contributes a shared fingerprint,
+    while storing ~2/(W+1) of the grams. Arrow-batched UDF over the
+    PRE-normalized string (normalization stays Catalyst-side so the Python
+    and SQL twins share one definition); md5-prefix hashes are bit-identical
+    to the h64 family used everywhere else."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def _fp(texts):
+        import hashlib
+
+        import pandas as pd
+
+        out = []
+        for s in texts:
+            s = s or ""
+            n = len(s)
+            if n < _WIN_K:
+                out.append([])
+                continue
+            hs = [
+                int(hashlib.md5(s[i : i + _WIN_K].encode("utf-8")).hexdigest()[:15], 16)
+                for i in range(n - _WIN_K + 1)
+            ]
+            m = len(hs) - _WIN_W + 1
+            fps = {min(hs)} if m <= 0 else {min(hs[j : j + _WIN_W]) for j in range(m)}
+            out.append(sorted(fps))
+        return pd.Series(out)
+
+    return _fp(col)
+
+
+def _win_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nessie_spark.operators.dedup import _spread
+
+    docs = _spread(spark, T(spark, sf_dir, "documents").select("doc_id", "text"))
+    norm = docs.select(
+        "doc_id", F.regexp_replace(F.lower("text"), "[^a-z ]", "").alias("t")
+    )
+    return norm.select(
+        "doc_id",
+        F.greatest(F.length("t") - (_WIN_K - 1), F.lit(0)).alias("n_grams"),
+        _win_fps(F.col("t")).alias("fps"),
+    )
+
+
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document winnowing fingerprint stats: gram count, selected
+    fingerprint count, and selection density (≈ 2/(W+1) for random text —
+    a density far above that means repetitive content).
+
+    Scale shape: one Arrow-batched map, zero shuffles (the final orderBy
+    is the gate's canonical sort)."""
+    return (
+        _win_base(spark, sf_dir)
+        .select(
+            "doc_id",
+            "n_grams",
+            F.size("fps").alias("n_fingerprints"),
+            F.round(
+                F.when(
+                    F.col("n_grams") > 0,
+                    F.size("fps").cast("double") / F.col("n_grams"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("density"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing ≥ ``_WIN_MIN_SHARED`` winnowing fingerprints
+    — the MOSS plagiarism-detection join. Guaranteed to catch any pair
+    sharing a run of ≥ K+W−1 = 8 normalized chars per shared fingerprint.
+
+    Scale shape: inverted index on the fingerprint hash (explode ships
+    (doc, 8-byte hash) only); fingerprints in more than ``_WIN_DF_CAP``
+    docs are dropped as stop-fingerprints BEFORE the self-join (the same
+    hot-key cutoff as ngram_jaccard's DF_CAP, mirrored in the oracle), so
+    the per-hash pair fanout is bounded at CAP² regardless of corpus."""
+    # the md5-heavy fingerprint UDF feeds THREE consumers (the df filter
+    # and both sides of the self-join) — uncheckpointed, Catalyst
+    # re-executes it per consumer (the standard multi-consumer-UDF lesson;
+    # measured 9.2 s → ~3 s warm at sf0.1)
+    fps = (
+        _win_base(spark, sf_dir)
+        .select("doc_id", F.explode("fps").alias("fp"))
+        .localCheckpoint(eager=True)
+    )
+    df_ok = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= _WIN_DF_CAP))
+        .select("fp")
+    )
+    idx = fps.join(df_ok, "fp")
+    a = idx.alias("a")
+    b = idx.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= _WIN_MIN_SHARED)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _win_fps_sql() -> str:
+    gram_h = h64_sql(x=f"substr(t, CAST(i AS INT), {_WIN_K})")
+    return f"""
+  SELECT doc_id,
+         GREATEST(len(t) - {_WIN_K - 1}, 0) AS n_grams,
+         CASE
+           WHEN len(t) < {_WIN_K} THEN []
+           WHEN len(hs) < {_WIN_W} THEN [list_min(hs)]
+           ELSE list_distinct([
+             list_min(hs[j:j+{_WIN_W - 1}])
+             for j in range(1, len(hs) - {_WIN_W - 2})
+           ])
+         END AS fps
+  FROM (
+    SELECT doc_id, t,
+           [{gram_h} for i in range(1, len(t) - {_WIN_K - 1} + 1)] AS hs
+    FROM (SELECT doc_id,
+                 regexp_replace(lower(text), '[^a-z ]', '', 'g') AS t
+          FROM documents)
+  )
+"""
+
+
+WINNOWING_FP_SQL = f"""
+WITH base AS ({_win_fps_sql()})
+SELECT doc_id, CAST(n_grams AS INT) AS n_grams,
+       CAST(len(fps) AS INT) AS n_fingerprints,
+       ROUND(CASE WHEN n_grams > 0
+                  THEN CAST(len(fps) AS DOUBLE) / n_grams ELSE 0.0 END, 6)
+         AS density
+FROM base ORDER BY doc_id
+"""
+
+WINNOWING_PAIRS_SQL = f"""
+WITH base AS ({_win_fps_sql()}),
+fps AS (SELECT doc_id, unnest(fps) AS fp FROM base),
+ok AS (
+  SELECT fp FROM fps GROUP BY fp
+  HAVING COUNT(*) >= 2 AND COUNT(*) <= {_WIN_DF_CAP}
+), idx AS (SELECT f.doc_id, f.fp FROM fps f JOIN ok USING (fp))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= {_WIN_MIN_SHARED}
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "langid_confusion": (langid_confusion, _langid_confusion_sql()),
+    "winnowing_fingerprints": (winnowing_fingerprints, WINNOWING_FP_SQL),
+    "winnowing_overlap_pairs": (winnowing_overlap_pairs, WINNOWING_PAIRS_SQL),
     "sentence_dup_stats": (sentence_dup_stats, SENTENCE_DUP_SQL),
     "ngram_novelty": (ngram_novelty, NGRAM_NOVELTY_SQL),
     "embedding_norm_outliers": (embedding_norm_outliers, EMBEDDING_NORM_SQL),

@@ -81,3 +81,30 @@ def test_embedding_norm_outlier_flags_extreme(spark, tmp_path):
     got = {r.vec_id: r for r in embedding_norm_outliers(spark, str(tmp_path)).collect()}
     assert got[99].is_outlier and got[99].norm == 50.0
     assert not got[0].is_outlier and got[0].norm == 1.0
+
+
+def test_winnowing_guarantee_and_density(spark, tmp_path):
+    from nessie_spark.operators.corpus import (
+        winnowing_fingerprints,
+        winnowing_overlap_pairs,
+    )
+
+    shared = "a common run of words that is quite long indeed here"
+    rows = [
+        (0, shared + " plus unique tail zero zebra quill jocks"),
+        (1, shared + " with another different ending vexed whomp"),
+        (2, "entirely unrelated content nothing matches xylophone"),
+        (3, "zz"),  # shorter than one gram → zero fingerprints
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    fp = {r.doc_id: r for r in winnowing_fingerprints(spark, str(tmp_path)).collect()}
+    assert fp[3].n_fingerprints == 0 and fp[3].density == 0.0
+    # winnowing guarantee: ~2/(w+1) density, never more than 1 per window
+    assert 0 < fp[0].density < 1
+    pairs = {(r.id_a, r.id_b): r.n_shared
+             for r in winnowing_overlap_pairs(spark, str(tmp_path)).collect()}
+    # the 50-char shared run guarantees many shared fingerprints for (0,1)
+    assert pairs.get((0, 1), 0) >= 3
+    assert all(k == (0, 1) for k in pairs)
