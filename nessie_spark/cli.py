@@ -69,6 +69,8 @@ def main(argv: list[str] | None = None) -> int:
         "(e.g. \"phash % 100 = 0\")",
     )
     ap.add_argument("--ref", default=None, help="tag/drop-tag/branch/branch-append/fast-forward: reference name")
+    ap.add_argument("--force", action="store_true",
+                    help="drop-tag: allow deleting a BRANCH ref (its unpublished snapshots become expire/GC-eligible)")
     ap.add_argument(
         "--set", action="append", default=None, dest="set_exprs",
         help="update-where: 'col=SQL-expr' assignment (repeatable)",
@@ -250,7 +252,7 @@ def main(argv: list[str] | None = None) -> int:
         elif args.job == "drop-tag":
             if not args.ref:
                 ap.error("--ref required for drop-tag")
-            t.drop_tag(args.ref)
+            t.drop_tag(args.ref, force=args.force)
             out.update(ref=args.ref, dropped=True)
         elif args.job == "branch":
             if not args.ref:

@@ -488,8 +488,13 @@ def update_where(
     if bad:
         raise ValueError(f"update_where: {bad} not in table schema")
     src = scan(spark, table).where(predicate)
-    for col, expr in set_exprs.items():
-        src = src.withColumn(col, F.expr(expr))
+    # All assignments evaluate against the ORIGINAL row (SQL UPDATE
+    # semantics): a single select, not chained withColumn — otherwise
+    # {"w": "h", "h": "w"} would read the already-updated w.
+    src = src.select(*[
+        F.expr(set_exprs[c]).alias(c) if c in set_exprs else F.col(c)
+        for c in src.columns
+    ])
     return merge_into(
         spark, table, src,
         job_id=job_id or f"update-{uuid.uuid4().hex[:8]}",

@@ -440,11 +440,23 @@ class Table:
             return src_head
         raise CommitConflict(f"fast_forward lost {max_retries} races")
 
-    def drop_tag(self, name: str, max_retries: int = 5) -> None:
+    def drop_tag(self, name: str, force: bool = False,
+                 max_retries: int = 5) -> None:
+        """Delete a tag ref. Refuses branches (they may hold unpublished
+        commits whose only retention anchor is the ref — deleting one via
+        the tag path would hand their files to the next expire/GC);
+        ``force=True`` is the explicit drop-branch escape hatch."""
         for attempt in range(max_retries):
             t = self.refresh() if attempt else self
-            if name not in t.meta.get("refs", {}):
+            ref = t.meta.get("refs", {}).get(name)
+            if ref is None:
                 raise KeyError(f"ref {name!r} not found")
+            if ref.get("type") == "branch" and not force:
+                raise ValueError(
+                    f"ref {name!r} is a branch; drop_tag(force=True) to "
+                    "delete it (its unpublished snapshots become "
+                    "expire/GC-eligible)"
+                )
             meta = dict(t.meta)
             meta["refs"] = {k: v for k, v in t.meta["refs"].items() if k != name}
             try:

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from nessie_spark.functions.core import h64
 from nessie_spark.operators.common import T, h64_sql
-from nessie_spark.operators.textstats import _LANG_ORDER, _MARKERS
+from nessie_spark.operators.textstats import lang_pred_df, lang_pred_sql_parts
 
 
 def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -38,19 +38,8 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     matter the corpus size. ``frac_of_true`` is each cell's share of its
     true-language row (a broadcast-size join back on ``lang``)."""
     docs = T(spark, sf_dir, "documents")
-    ts = F.split(F.trim(F.lower("text")), r"[ \t\n\f\r]+")
-    d = docs.select("doc_id", "lang", ts.alias("ts"))
-    for lang in _LANG_ORDER:
-        markers = F.array(*[F.lit(m) for m in _MARKERS[lang]])
-        d = d.withColumn(
-            f"c_{lang}", F.size(F.filter("ts", lambda t: F.array_contains(markers, t)))
-        )
-    best = F.greatest(*[F.col(f"c_{lang}") for lang in _LANG_ORDER])
-    pred = F.when(F.col(f"c_{_LANG_ORDER[0]}") == best, F.lit(_LANG_ORDER[0]))
-    for lang in _LANG_ORDER[1:]:
-        pred = pred.when(F.col(f"c_{lang}") == best, F.lit(lang))
     cells = (
-        d.select("lang", pred.alias("pred_lang"))
+        lang_pred_df(docs)  # the SAME predictor frame lang_id_markers ships
         .groupBy("lang", "pred_lang")
         .agg(F.count("*").alias("n"))
     )
@@ -70,29 +59,9 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _langid_confusion_sql() -> str:
-    cnt = {
-        lang: (
-            "len(list_filter(ts, t -> t IN ("
-            + ", ".join(repr(m) for m in _MARKERS[lang])
-            + ")))"
-        )
-        for lang in _LANG_ORDER
-    }
-    best = "greatest(" + ", ".join(f"c_{lang}" for lang in _LANG_ORDER) + ")"
-    pred = (
-        "CASE "
-        + " ".join(f"WHEN c_{lang} = {best} THEN '{lang}'" for lang in _LANG_ORDER)
-        + " END"
-    )
-    cols = ", ".join(f"{cnt[lang]} AS c_{lang}" for lang in _LANG_ORDER)
+    ctes, pred, _best = lang_pred_sql_parts()
     return f"""
-WITH d AS (
-  SELECT doc_id, lang,
-         regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\f\\r]+') AS ts
-  FROM documents
-), counted AS (
-  SELECT doc_id, lang, {cols} FROM d
-), cells AS (
+WITH {ctes}, cells AS (
   SELECT lang, {pred} AS pred_lang, COUNT(*) AS n
   FROM counted GROUP BY lang, {pred}
 ), totals AS (

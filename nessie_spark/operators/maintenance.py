@@ -1165,7 +1165,11 @@ def maintenance_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     t, _, root = _fresh_table(spark)
     try:
         rows_s1 = scan(spark, t).count()
-        _time.sleep(0.005)  # commits are file writes (ms-scale); keep the
+        # commits are file writes (ms-scale): without this sleep two
+        # snapshots can share a ts_millis and the AS-OF assertions below
+        # (which resolve by the made-current log's strict ts ordering)
+        # go flaky. Load-bearing, do not remove.
+        _time.sleep(0.005)
         C.compact(spark, t, target_bytes=TARGET, job_id="demo-tt-compact")
         t = t.refresh()
         s2 = t.current_snapshot_id

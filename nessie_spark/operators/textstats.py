@@ -27,10 +27,12 @@ _MARKERS = {
 _LANG_ORDER = ["en", "de", "es", "fr", "zh"]  # argmax tie-break order
 
 
-def lang_id_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-word language ID: count marker hits per language, predict the
-    argmax (ties broken by fixed language order). Integer-exact."""
-    docs = T(spark, sf_dir, "documents")
+def lang_pred_df(docs: DataFrame) -> DataFrame:
+    """The shared marker-argmax predictor: ``doc_id, lang, pred_lang,
+    marker_hits``. Single source of truth for the detector —
+    ``lang_id_markers`` ships it per-doc and ``corpus.langid_confusion``
+    scores exactly this frame, so a tokenization or tie-break change here
+    changes both in lockstep."""
     ts = F.split(F.trim(F.lower("text")), r"[ \t\n\f\r]+")
     d = docs.select("doc_id", "lang", ts.alias("ts"))
     for lang in _LANG_ORDER:
@@ -43,15 +45,14 @@ def lang_id_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
     for lang in _LANG_ORDER[1:]:
         pred = pred.when(F.col(f"c_{lang}") == best, F.lit(lang))
     return d.select(
-        "doc_id",
-        "lang",
-        pred.alias("pred_lang"),
-        best.alias("marker_hits"),
-        (pred == F.col("lang")).alias("is_correct"),
-    ).orderBy("doc_id")
+        "doc_id", "lang", pred.alias("pred_lang"), best.alias("marker_hits")
+    )
 
 
-def _lang_sql() -> str:
+def lang_pred_sql_parts() -> tuple[str, str, str]:
+    """DuckDB twin of :func:`lang_pred_df`: returns ``(ctes, pred, best)``
+    where ``ctes`` is the shared ``d``/``counted`` CTE text (to embed in a
+    WITH clause) and ``pred``/``best`` are expressions over ``counted``."""
     cnt = {
         lang: (
             "len(list_filter(ts, t -> t IN ("
@@ -65,13 +66,33 @@ def _lang_sql() -> str:
         f"WHEN c_{lang} = {best} THEN '{lang}'" for lang in _LANG_ORDER
     ) + " END"
     cols = ", ".join(f"{cnt[lang]} AS c_{lang}" for lang in _LANG_ORDER)
-    return f"""
-WITH d AS (
+    ctes = f"""d AS (
   SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\f\\r]+') AS ts
   FROM documents
 ), counted AS (
   SELECT doc_id, lang, {cols} FROM d
-)
+)"""
+    return ctes, pred, best
+
+
+def lang_id_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID: count marker hits per language, predict the
+    argmax (ties broken by fixed language order). Integer-exact."""
+    docs = T(spark, sf_dir, "documents")
+    d = lang_pred_df(docs)
+    return d.select(
+        "doc_id",
+        "lang",
+        "pred_lang",
+        "marker_hits",
+        (F.col("pred_lang") == F.col("lang")).alias("is_correct"),
+    ).orderBy("doc_id")
+
+
+def _lang_sql() -> str:
+    ctes, pred, best = lang_pred_sql_parts()
+    return f"""
+WITH {ctes}
 SELECT doc_id, lang, {pred} AS pred_lang, {best} AS marker_hits,
        ({pred}) = lang AS is_correct
 FROM counted ORDER BY doc_id

@@ -143,3 +143,22 @@ def test_streaming_ingest_onto_branch(spark, tmp_path):
     with pytest.raises(ValueError, match="branch ingest"):
         ingest_batch(root, "br", batch, batch_id=9, to_ref="ingest",
                      mode="upsert")
+
+
+def test_drop_tag_refuses_branch_without_force(spark, tmp_path):
+    """drop_tag is the only ref-deletion path (CLI --job drop-tag): it must
+    not silently destroy a branch — branch-only snapshots lose their
+    retention anchor and the next expire/GC collects them."""
+    t = _tbl(spark, tmp_path)
+    t.create_branch("wip")
+    t = t.refresh()
+    with pytest.raises(ValueError, match="branch"):
+        t.drop_tag("wip")
+    assert "wip" in t.refresh().meta["refs"]
+    t.drop_tag("wip", force=True)  # the explicit escape hatch
+    assert "wip" not in t.refresh().meta["refs"]
+    # plain tags still drop without force
+    t = t.refresh()
+    t.create_tag("v9")
+    t.refresh().drop_tag("v9")
+    assert "v9" not in t.refresh().meta["refs"]

@@ -324,3 +324,24 @@ def test_update_where_expression_uses_row_values(spark, tmp_path):
     t = t.refresh()
     after = {r.image_id: r.w for r in scan(spark, t).select("image_id", "w").collect()}
     assert all(after[k] == 2 * v for k, v in before.items())
+
+
+def test_update_where_multi_assignment_reads_original_row(spark, tmp_path):
+    """SQL UPDATE semantics: every RHS evaluates against the ORIGINAL row,
+    so {"w": "h", "h": "w"} is a swap — not two sequential rewrites where
+    the second reads the first's output."""
+    from nessie_spark.lakehouse.merge import update_where
+
+    t, _ = make_table(spark, str(tmp_path / "images"), n=30, mean_rows=10)
+    before = {
+        r.image_id: (r.w, r.h)
+        for r in scan(spark, t).select("image_id", "w", "h").collect()
+    }
+    assert any(w != h for w, h in before.values())  # fixture has non-squares
+    update_where(spark, t, "true", {"w": "h", "h": "w"}, job_id="u-swap")
+    t = t.refresh()
+    after = {
+        r.image_id: (r.w, r.h)
+        for r in scan(spark, t).select("image_id", "w", "h").collect()
+    }
+    assert all(after[k] == (v[1], v[0]) for k, v in before.items())
