@@ -63,6 +63,9 @@ os.environ.setdefault("NESSIE_SPARK_DRIVER_MEM", "24g")
 
 BENCH_QUERIES = [
     "q1_pricing_summary",
+    "rollup_pricing_levels",
+    "events_rolling_windows",
+    "pagerank_neardup",
     "q3_shipping_priority",
     "q4_order_priority",
     "q12_shipmode_priority",

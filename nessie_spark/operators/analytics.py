@@ -236,8 +236,58 @@ ORDER BY o_orderpriority
 """
 
 
+def rollup_pricing_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregation via ROLLUP(l_returnflag, l_linestatus) —
+    detail rows, per-returnflag subtotals, and the grand total in ONE pass
+    (SURVEY §2.3 notes grouping sets are absent in the reference and free
+    in Spark; this query evidences them). ``lvl`` is the explicit
+    ``grouping(rf)*2 + grouping(ls)`` arithmetic — bit-order-proof across
+    engines — and NULL group keys are coalesced to 'ALL' (the raw columns
+    are never NULL, so the sentinel is unambiguous).
+
+    Scale: Catalyst's Expand produces the 3 grouping sets map-side, then
+    one shuffle carrying |distinct(rf,ls)| × 3 partial rows — grand totals
+    at 100 TB cost the same single pass as the detail rows. Money stays
+    decimal end-to-end (order-independent, hash-exact)."""
+    li = T(spark, sf_dir, "lineitem")
+    disc_price = _money("l_extendedprice") * (1 - _rate("l_discount"))
+    lvl = (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).cast("int")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            lvl.alias("lvl"),
+            F.sum(F.col("l_quantity").cast(D202)).alias("qty"),
+            F.sum(disc_price).alias("rev"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "lvl",
+            F.col("qty").cast("double").alias("sum_qty"),
+            F.col("rev").cast("double").alias("sum_disc_price"),
+            "count_order",
+        )
+        .orderBy("lvl", "returnflag", "linestatus")
+    )
+
+
+ROLLUP_PRICING_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS lvl,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY lvl, returnflag, linestatus
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "rollup_pricing_levels": (rollup_pricing_levels, ROLLUP_PRICING_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q5_local_supplier_volume": (q5_local_supplier_volume, Q5_SQL),
     "top_customers_per_nation": (top_customers_per_nation, TOP_CUSTOMERS_SQL),

@@ -1258,6 +1258,140 @@ FROM scored ORDER BY id_a, id_b
 MINHASH_JACCARD_ERROR_SQL = _mh_error_sql()
 
 
+PR_ITERS = 8  # fixed iteration count — part of the query definition
+PR_SCALE = 1_000_000  # rank unit: micro-rank (all arithmetic in BIGINT)
+PR_DRIVER_MAX_EDGES = 100_000  # below this, the 8 rounds run on the driver
+
+
+def pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the cosine near-dup graph: which document is the most
+    *central* copy in its duplicate neighborhood — the principled
+    canonical-pick score (``dedup_keep_best`` keeps the best by quality;
+    this ranks by graph centrality, the cluster's "representative").
+
+    Iterative distributed compute done the Spark way (the engine's second
+    iterative graph op after min-label CC): rank(v) ← 0.15 + 0.85 ·
+    Σ rank(u)/deg(u) over in-neighbors, ``PR_ITERS`` fixed rounds.
+
+    Cross-engine exactness for an ITERATIVE float algorithm: ranks live in
+    integer micro-units and each round uses only order-independent integer
+    ops — ``rank div deg`` per edge, integer SUM, ``(85·s) div 100`` — so
+    round t is bit-identical in Spark and DuckDB (the oracle unrolls the
+    same 8 rounds as CTEs). No float ever enters the loop.
+
+    Scale shape — the same size-gated hybrid as ``min_label_components``:
+    the near-dup SUBGRAPH is tiny relative to the corpus (banding already
+    reduced 10^9 docs to verified pairs), so below
+    ``PR_DRIVER_MAX_EDGES`` the 8 rounds run as integer dict arithmetic
+    on the collected edge list (exact — the identical recurrence — and
+    free of 8×2 rounds of Spark job latency). Above the gate, the
+    distributed loop: edges (ids only, never vectors) localCheckpointed
+    once, ranks iterated over the SUBGRAPH nodes only (isolated nodes are
+    constant at the teleport floor and are unioned back at the end), one
+    shuffle per round on node id, each round's rank frame
+    localCheckpointed to truncate iterative lineage. Dangling mass decays
+    identically in both engines and both regimes."""
+    base = PR_SCALE * 15 // 100
+    nodes = T(spark, sf_dir, "embeddings").select("vec_id")
+    # eager: the probe, the degree agg and the loop all reuse the verified
+    # pair list — without this the LSH/cosine plan re-executes per round
+    edges = _embedding_cosine_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    probe = edges.limit(PR_DRIVER_MAX_EDGES + 1).collect()
+    if len(probe) <= PR_DRIVER_MAX_EDGES:
+        deg: dict = {}
+        for e in probe:
+            deg[e[0]] = deg.get(e[0], 0) + 1
+        rank = {u: PR_SCALE for u in deg}
+        for _ in range(PR_ITERS):
+            s: dict = {}
+            for e in probe:
+                s[e[1]] = s.get(e[1], 0) + rank[e[0]] // deg[e[0]]
+            rank = {u: base + (85 * s.get(u, 0)) // 100 for u in deg}
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        schema = StructType([
+            StructField("vec_id", nodes.schema["vec_id"].dataType),
+            StructField("deg", LongType()),
+            StructField("rank", LongType()),
+        ])
+        sub = spark.createDataFrame(
+            [(u, deg[u], rank[u]) for u in deg], schema
+        )
+    else:
+        deg_df = edges.groupBy("id_a").agg(F.count(F.lit(1)).alias("deg"))
+        edges_d = edges.join(deg_df, "id_a").localCheckpoint(eager=False)
+        sub_nodes = deg_df.select(F.col("id_a").alias("vec_id"), "deg")
+        ranks = sub_nodes.select(
+            "vec_id", F.lit(PR_SCALE).cast("long").alias("rank")
+        )
+        for _ in range(PR_ITERS):
+            contrib = (
+                edges_d.join(ranks.withColumnRenamed("vec_id", "id_a"), "id_a")
+                .select(
+                    F.col("id_b").alias("vec_id"),
+                    F.expr("rank div deg").alias("c"),
+                )
+            )
+            summed = contrib.groupBy("vec_id").agg(F.sum("c").alias("s"))
+            ranks = (
+                sub_nodes.select("vec_id").join(summed, "vec_id", "left")
+                .select(
+                    "vec_id",
+                    (
+                        F.lit(base)
+                        + F.expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")
+                    ).cast("long").alias("rank"),
+                )
+                .localCheckpoint(eager=False)
+            )
+        sub = sub_nodes.join(ranks, "vec_id").select(
+            "vec_id", F.col("deg").cast("long").alias("deg"), "rank"
+        )
+    return (
+        nodes.join(sub, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("deg", F.lit(0)).cast("long").alias("deg"),
+            F.coalesce("rank", F.lit(base)).cast("long").alias("rank"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _pagerank_sql() -> str:
+    base = PR_SCALE * 15 // 100
+    # MATERIALIZED: pairs is referenced once per iteration — without the
+    # hint DuckDB may inline the banded-LSH scan 9x (measured 74 s → ~8 s)
+    ctes = [
+        f"pairs AS MATERIALIZED (SELECT id_a, id_b FROM ({_emb_pairs_sql()}) p)",
+        "deg AS MATERIALIZED (SELECT id_a, CAST(COUNT(*) AS BIGINT) AS deg FROM pairs GROUP BY id_a)",
+        f"r0 AS (SELECT vec_id, CAST({PR_SCALE} AS BIGINT) AS rank FROM embeddings)",
+    ]
+    for t in range(1, PR_ITERS + 1):
+        ctes.append(f"""r{t} AS (
+  SELECT n.vec_id,
+         CAST({base} + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS rank
+  FROM embeddings n LEFT JOIN (
+    SELECT p.id_b AS vec_id, CAST(SUM(r.rank // d.deg) AS BIGINT) AS s
+    FROM pairs p JOIN deg d ON p.id_a = d.id_a
+                 JOIN r{t - 1} r ON r.vec_id = p.id_a
+    GROUP BY p.id_b
+  ) s ON s.vec_id = n.vec_id
+)""")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT n.vec_id, COALESCE(d.deg, 0) AS deg, r.rank
+FROM embeddings n
+LEFT JOIN deg d ON d.id_a = n.vec_id
+JOIN r{PR_ITERS} r ON r.vec_id = n.vec_id
+ORDER BY n.vec_id
+"""
+    )
+
+
+PAGERANK_NEARDUP_SQL = _pagerank_sql()
+
+
 QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
@@ -1269,6 +1403,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_minhash_signatures": (dedup_minhash_signatures, DEDUP_MINHASH_SIG_SQL),
     "dedup_minhash_lsh_pairs": (dedup_minhash_lsh_pairs, DEDUP_MINHASH_LSH_SQL),
     "minhash_jaccard_error": (minhash_jaccard_error, MINHASH_JACCARD_ERROR_SQL),
+    "pagerank_neardup": (pagerank_neardup, PAGERANK_NEARDUP_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_simhash_pairs": (dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_SQL),
     "ngram_jaccard_top1": (ngram_jaccard_top1, NGRAM_JACCARD_SQL),

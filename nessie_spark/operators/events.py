@@ -529,7 +529,69 @@ ORDER BY c.cur_type, c.next_type
 """
 
 
+def events_rolling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec windows per user stream (SURVEY §2.5 notes
+    ``rowsBetween`` frames are absent in the reference — this evidences
+    them): running event index, inter-event gap, a 4-row rolling value
+    sum, and the running cumulative value, all over one ordered pass.
+
+    Determinism: (user_id, ts) is unique in the fixture, and the order key
+    is (t_us, event_id) anyway, so every window is total-ordered.
+    Cross-engine exactness: timestamps as integer epoch MICROseconds
+    (subsecond fixture precision), value fixed-pointed once per item to
+    micro-units so every frame sum is an integer reduction.
+
+    Scale: one shuffle on user_id; all four windows share the same sort
+    order so Spark computes them in a single Window operator chain — no
+    extra exchange per column, and per-user state is O(frame) not
+    O(stream)."""
+    ev = T(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        F.round(F.col("value") * 1e6, 0).cast("long").alias("v_micro"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.row_number().over(w).alias("rn"),
+            # -1 sentinel for the stream head: a nullable integer column
+            # canonicalizes as float on one engine and int on the other
+            F.coalesce(
+                F.col("t_us") - F.lag("t_us", 1).over(w), F.lit(-1).cast("long")
+            ).alias("gap_us"),
+            F.sum("v_micro").over(w.rowsBetween(-3, 0)).alias("roll4_value_micro"),
+            F.sum("v_micro")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("cum_value_micro"),
+        )
+        .orderBy("user_id", "rn")
+    )
+
+
+EVENTS_ROLLING_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t_us,
+         CAST(ROUND(value * 1e6) AS BIGINT) AS v_micro
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS INT) AS rn,
+       COALESCE(t_us - LAG(t_us, 1) OVER (PARTITION BY user_id ORDER BY t_us, event_id),
+                CAST(-1 AS BIGINT)) AS gap_us,
+       CAST(SUM(v_micro) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll4_value_micro,
+       CAST(SUM(v_micro) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_value_micro
+FROM ev
+ORDER BY user_id, rn
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "events_rolling_windows": (events_rolling_windows, EVENTS_ROLLING_SQL),
     "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
     "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_SQL),
     "events_retention_cohorts": (events_retention_cohorts, EVENTS_RETENTION_SQL),
