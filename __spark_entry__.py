@@ -28,6 +28,7 @@ _SAMPLE_PRIORITY = [
     "rollup_pricing_levels",
     "events_rolling_windows",
     "pagerank_neardup",
+    "multimodal_frame_sample",  # r3's one RED row — needs a clean r4 row
     "langid_confusion",
     "winnowing_fingerprints",
     "winnowing_overlap_pairs",
@@ -77,7 +78,6 @@ _SAMPLE_PRIORITY = [
     "q4_order_priority",
     "q8_market_share",
     "q9_product_profit",
-    "multimodal_frame_sample",  # r3's one RED row — needs a clean r4 row
     # --- below the fold: remaining TPC-H, then the refresh rotation over
     # previously driver-certified rows
     "q13_customer_distribution",
