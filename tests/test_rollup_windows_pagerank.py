@@ -24,12 +24,18 @@ def test_rollup_levels_reconcile(spark):
     # grand total = sum of detail rows, exactly (decimal discipline)
     assert grand[0].count_order == sum(r.count_order for r in detail)
     assert grand[0].sum_qty == pytest.approx(sum(r.sum_qty for r in detail))
+    assert grand[0].sum_disc_price == pytest.approx(
+        sum(r.sum_disc_price for r in detail)
+    )
     # each returnflag subtotal = sum of its detail rows
     for s in subtotal:
         mine = [r for r in detail if r.returnflag == s.returnflag]
         assert s.linestatus == "ALL"
         assert s.count_order == sum(r.count_order for r in mine)
         assert s.sum_qty == pytest.approx(sum(r.sum_qty for r in mine))
+        assert s.sum_disc_price == pytest.approx(
+            sum(r.sum_disc_price for r in mine)
+        )
     # lvl 2 (linestatus-only subtotal) never appears under ROLLUP
     assert not [r for r in df if r.lvl == 2]
 
