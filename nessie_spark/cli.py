@@ -353,7 +353,7 @@ def main(argv: list[str] | None = None) -> int:
             r = purge_deletes(spark, t, job_id=args.job_id)
             out.update(vars(r))
         elif args.job == "inspect":
-            # metadata tables ($snapshots / $history / $manifests / $files)
+            # metadata tables ($snapshots/$history/$manifests/$files/$partitions)
             snaps = t.snapshots_df(spark)
             out.update(
                 current_snapshot_id=t.current_snapshot_id,
@@ -366,6 +366,10 @@ def main(argv: list[str] | None = None) -> int:
                 refs={n: r["snapshot_id"] for n, r in t.refs.items()},
                 manifests=t.manifests_df(spark).count(),
                 live_files=t.files_df(spark).count(),
+                partitions={
+                    p.partition: p.file_count
+                    for p in t.partitions_df(spark).collect()
+                },
                 live_rows=int(
                     snaps.where("is_current").select("total_record_count").first()[0]
                 )

@@ -29,6 +29,7 @@ from collections.abc import Callable
 import pyarrow as pa
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 FILE_ENTRY_SCHEMA = pa.schema(
     [
@@ -313,6 +314,27 @@ class Table:
             for h in log
         ]
         return spark.createDataFrame(rows, HISTORY_DDL)
+
+    def partitions_df(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        """``table$partitions``: per-partition-value summary of a snapshot —
+        file count, record count, bytes, and the latest ``added_snapshot_id``
+        (Iceberg's partitions metadata table). Unpartitioned/pre-spec files
+        aggregate under ``partition = ''``.
+
+        Distributed: one groupBy over the manifest scan (``files_df``), so
+        at 10^12-image scale the summary is a metadata-sized shuffle —
+        |partition values| rows out — and never touches data files."""
+        f = self.files_df(spark, snapshot_id)
+        return (
+            f.groupBy("partition")
+            .agg(
+                F.count(F.lit(1)).alias("file_count"),
+                F.sum("record_count").alias("record_count"),
+                F.sum("file_size_bytes").alias("total_size_bytes"),
+                F.max("added_snapshot_id").alias("last_added_snapshot_id"),
+            )
+            .orderBy("partition")
+        )
 
     def manifests_df(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
         """``table$manifests``: the snapshot's manifest list as a DataFrame

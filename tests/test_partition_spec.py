@@ -61,6 +61,13 @@ def test_partitioned_append_files_never_span_values(spark, tmp_path):
         assert len(fmts) == 1
         assert e["partition"] == f"fmt={next(iter(fmts))}"
 
+    # $partitions metadata table reconciles with the manifest entries
+    parts = {p.partition: p for p in t.partitions_df(spark).collect()}
+    assert set(parts) == {"fmt=png", "fmt=jpeg"}
+    for val, p in parts.items():
+        assert p.file_count == vals[val]
+    assert sum(p.record_count for p in parts.values()) == 400
+
 
 def test_partition_pruning_drops_files_and_keeps_rows(spark, tmp_path):
     t, df = _make(spark, str(tmp_path / "tb"), FMT_SPEC)

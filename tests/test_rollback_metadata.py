@@ -161,6 +161,13 @@ def test_metadata_tables(spark, branched_table):
     assert t.manifests_df(spark).count() == len(t.manifest_paths())
     assert t.files_df(spark).count() == t.file_entries().num_rows
 
+    # $partitions reconciles with $files (unpartitioned table: one '' row)
+    parts = t.partitions_df(spark).collect()
+    assert [p.partition for p in parts] == [""]
+    assert parts[0].file_count == t.files_df(spark).count()
+    assert parts[0].record_count == 256 + 64
+    assert parts[0].last_added_snapshot_id == 3
+
     t.rollback(2)
     hist = t.history_df(spark).orderBy("made_current_ts", "snapshot_id").collect()
     assert [h.action for h in hist] == ["append", "compact", "append", "rollback"]
