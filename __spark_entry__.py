@@ -20,16 +20,16 @@ from pyspark.sql import DataFrame, SparkSession
 # sampling rotation — see the allocation note at the top of the list.
 _SAMPLE_PRIORITY = [
     # First 50 = the driver's sample window. Allocation rule:
-    # this round's 3 new queries + the prior red row up front, then
+    # this round's 4 new queries + the prior red row up front, then
     # every never-driver-sampled NON-TPC-H query (45 — each a distinct
-    # operator family), then 1 TPC-H shape representative (q2). The
-    # remaining q-series (q4/q8/q9 at 51-53 and below) share the same
-    # join/agg machinery, are oracle-checkable locally, and rotate
-    # into r5's window.
+    # operator family). The q-series (q2/q4/q8/q9 at 51-54 and below)
+    # share the same join/agg machinery, are oracle-checkable locally,
+    # and rotate into r5's window.
     "rollup_pricing_levels",
     "events_rolling_windows",
     "pagerank_neardup",
     "multimodal_frame_sample",  # r3's one RED row — needs a clean r4 row
+    "multimodal_tile_cropdup",
     "langid_confusion",
     "winnowing_fingerprints",
     "winnowing_overlap_pairs",

@@ -204,6 +204,8 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bucket")
     )
     per_bucket = bucketed.groupBy("bucket").agg(F.count("*").alias("new_grams"))
+    # unpartitioned window is safe: the frame is _NOVELTY_BUCKETS rows
+    # (the curve's x-axis), not the gram table
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     return (
         per_bucket.withColumn("cum_vocab", F.sum("new_grams").over(w))

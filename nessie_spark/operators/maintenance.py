@@ -16,6 +16,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from nessie_spark import synth
 from nessie_spark.lakehouse import compact as C
@@ -1296,6 +1297,118 @@ def maintenance_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+TILE = 8  # fixed 8x8-pixel blocks at absolute offsets (crop-alignment unit)
+TILE_MIN_SHARED = 4  # pairs need >= this many blocks agreeing on ONE offset
+TILE_DF_CAP = 24  # stop-tiles: block hashes seen in more images are dropped
+
+
+def multimodal_tile_cropdup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-duplicate (crop) detection on the image axis: whole-image
+    phash misses a crop, but a tile-aligned crop shares EXACT 8x8 pixel
+    blocks with its source at a consistent spatial offset.
+
+    Pipeline (all Spark-shaped, the ngram_jaccard template on pixels):
+    one mapInPandas decodes each image and emits (image_id, tr, tc,
+    h64(block bytes)) per full 8x8 block — ids+hashes only, pixels never
+    leave the UDF. Flat/boilerplate blocks (hash in > TILE_DF_CAP images)
+    are dropped like stop-shingles, bounding the self-join fanout exactly
+    as dedup's DF_CAP does. The ids-only equi-join on block hash then
+    votes per (a, b, dr, dc): a real crop/overlap concentrates its matches
+    on ONE offset, noise spreads thin — pairs need TILE_MIN_SHARED votes
+    on the modal offset.
+
+    The query plants 16 tile-aligned crops (decode → slice → re-encode
+    PNG via the real codec) among 96 originals and reports every detected
+    (source, crop) pair with its offset — deterministic, so the rows-only
+    gate is stable. Scale: tile rows ≈ 36/image ride one shuffle; the
+    capped join is bounded by duplicate-block multiplicity, never O(N²)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from nessie_spark.functions.core import h64
+    from nessie_spark.lakehouse import kernels as K
+
+    base = synth.images_df(spark, 96, seed=11).where(F.col("fmt") == "png")
+
+    def make_crops(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for iid, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                px = K.decode(bytes(data), fmt)
+                h, w, _ = px.shape
+                th, tw = (h // TILE) * TILE, (w // TILE) * TILE
+                if th < 3 * TILE or tw < 3 * TILE:
+                    continue  # too small to crop meaningfully
+                # tile-aligned crop: drop the first block row and column
+                crop = px[TILE:th, TILE:tw]
+                out.append((f"crop-{iid}", K.encode_png(crop), "png"))
+            yield pd.DataFrame(out, columns=["image_id", "bytes", "fmt"])
+
+    crops = (
+        base.orderBy("image_id").limit(16)
+        .select("image_id", "bytes", "fmt")
+        .mapInPandas(make_crops, "image_id string, bytes binary, fmt string")
+    )
+    corpus = base.select("image_id", "bytes", "fmt").unionByName(crops)
+
+    def tiles(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for iid, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                px = K.decode(bytes(data), fmt)
+                h, w, _ = px.shape
+                for tr in range(h // TILE):
+                    for tc in range(w // TILE):
+                        blk = px[tr * TILE:(tr + 1) * TILE,
+                                 tc * TILE:(tc + 1) * TILE]
+                        out.append((iid, tr, tc, blk.tobytes().hex()))
+            yield pd.DataFrame(out, columns=["image_id", "tr", "tc", "blk"])
+
+    t = (
+        corpus.mapInPandas(
+            tiles, "image_id string, tr int, tc int, blk string"
+        )
+        .select("image_id", "tr", "tc", h64(F.col("blk")).alias("th"))
+        .localCheckpoint(eager=False)  # both join sides + the cap read it
+    )
+    # stop-tiles: min!=max + count over image-distinct rows (no Expand)
+    per_img = t.dropDuplicates(["image_id", "th"])
+    rare = (
+        per_img.groupBy("th")
+        .agg(F.count(F.lit(1)).alias("n_img"))
+        .where(F.col("n_img") <= TILE_DF_CAP)
+        .select("th")
+    )
+    tk = t.join(rare, "th")
+    votes = (
+        tk.select(F.col("image_id").alias("id_a"), F.col("tr").alias("ra"),
+                  F.col("tc").alias("ca"), "th")
+        .join(
+            tk.select(F.col("image_id").alias("id_b"), F.col("tr").alias("rb"),
+                      F.col("tc").alias("cb"), "th"),
+            "th",
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy(
+            "id_a", "id_b",
+            (F.col("ra") - F.col("rb")).alias("dr"),
+            (F.col("ca") - F.col("cb")).alias("dc"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_tiles"))
+        .where(F.col("shared_tiles") >= TILE_MIN_SHARED)
+    )
+    w_best = Window.partitionBy("id_a", "id_b").orderBy(
+        F.desc("shared_tiles"), "dr", "dc"
+    )
+    return (
+        votes.withColumn("rk", F.row_number().over(w_best))
+        .where(F.col("rk") == 1)
+        .select("id_a", "id_b", "dr", "dc", "shared_tiles")
+        .orderBy("id_a", "id_b")
+    )
+
+
 QUERIES: dict[str, tuple] = {
     "maintenance_compact": (maintenance_compact, None),
     "maintenance_zorder": (maintenance_zorder, None),
@@ -1323,4 +1436,5 @@ QUERIES: dict[str, tuple] = {
     "multimodal_resize": (multimodal_resize, None),
     "multimodal_frame_sample": (multimodal_frame_sample, None),
     "multimodal_audio_features": (multimodal_audio_features, None),
+    "multimodal_tile_cropdup": (multimodal_tile_cropdup, None),
 }

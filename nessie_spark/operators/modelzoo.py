@@ -122,6 +122,8 @@ def _docs_lang_tokens(spark: SparkSession, sf_dir: str):
     (deterministic row_number over the distinct langs). Returns
     (DataFrame[doc_id, tokens, label], n_classes)."""
     docs = T(spark, sf_dir, "documents")
+    # unpartitioned window is safe here: the frame is the DISTINCT langs
+    # (bounded by the 5-language lexicon), not the corpus
     langs = docs.select("lang").distinct().withColumn(
         "label", (F.row_number().over(Window.orderBy("lang")) - 1).cast("int")
     )
