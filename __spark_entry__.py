@@ -27,6 +27,7 @@ _SAMPLE_PRIORITY = [
     # and rotate into r5's window.
     "rollup_pricing_levels",
     "events_rolling_windows",
+    "events_user_deciles",
     "pagerank_neardup",
     "multimodal_frame_sample",  # r3's one RED row — needs a clean r4 row
     "multimodal_tile_cropdup",

@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "rollup_pricing_levels",
     "events_rolling_windows",
+    "events_user_deciles",
     "pagerank_neardup",
     "q3_shipping_priority",
     "q4_order_priority",

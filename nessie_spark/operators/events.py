@@ -590,8 +590,77 @@ ORDER BY user_id, rn
 """
 
 
+def events_user_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user spend deciles: ntile(10) + percent-rank + cumulative
+    distribution over total event value — the ranked-cohort view (SURVEY
+    §2.5's W1/W6 family; adds the ntile/percent_rank window functions no
+    other registry query exercises).
+
+    Cross-engine exactness: percent_rank and cume_dist are emitted as
+    integer parts-per-million computed with integer division over
+    (row_number, count) — never a rounded double ratio, so the hash can't
+    drift on rounding-mode ties. The order key (total_value_micro,
+    user_id) is unique, making every rank total-ordered.
+
+    Scale: the events→users groupBy is map-side combined, so the global
+    window's input is the *user dimension*, orders of magnitude smaller
+    than the fact table. At 10^9 users the unpartitioned window becomes the
+    bottleneck (one task); the swap-in is a range-partitioned sort with
+    per-partition offsets folded from partition counts (two passes, no
+    single-task stage) — same output contract."""
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", F.round(F.col("value") * 1e6, 0).cast("long").alias("v_micro")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("v_micro").alias("total_value_micro"),
+    )
+    w = Window.orderBy("total_value_micro", "user_id")
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = per_user.select(
+        "user_id",
+        "n_events",
+        "total_value_micro",
+        F.ntile(10).over(w).alias("decile"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    return ranked.select(
+        "user_id",
+        "n_events",
+        "total_value_micro",
+        "decile",
+        F.when(F.col("n") == 1, F.lit(0).cast("long"))
+        .otherwise(F.expr("((rn - 1) * 1000000) div (n - 1)"))
+        .alias("pct_rank_ppm"),
+        F.expr("(rn * 1000000) div n").alias("cume_ppm"),
+    ).orderBy("user_id")
+
+
+EVENTS_USER_DECILES_SQL = """
+WITH per_user AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         CAST(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS BIGINT) AS total_value_micro
+  FROM events GROUP BY user_id
+), ranked AS (
+  SELECT *,
+         CAST(ROW_NUMBER() OVER (ORDER BY total_value_micro, user_id) AS BIGINT) AS rn,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n,
+         CAST(NTILE(10) OVER (ORDER BY total_value_micro, user_id) AS INT) AS decile
+  FROM per_user
+)
+SELECT user_id, n_events, total_value_micro, decile,
+       CASE WHEN n = 1 THEN CAST(0 AS BIGINT)
+            ELSE ((rn - 1) * 1000000) // (n - 1) END AS pct_rank_ppm,
+       (rn * 1000000) // n AS cume_ppm
+FROM ranked
+ORDER BY user_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "events_rolling_windows": (events_rolling_windows, EVENTS_ROLLING_SQL),
+    "events_user_deciles": (events_user_deciles, EVENTS_USER_DECILES_SQL),
     "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
     "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_SQL),
     "events_retention_cohorts": (events_retention_cohorts, EVENTS_RETENTION_SQL),

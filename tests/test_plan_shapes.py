@@ -189,3 +189,20 @@ def test_top_paths_single_user_exchange(spark):
         if "user_id" in m and "session_idx" not in m
     ]
     assert len(user_exchanges) <= 1, plan[:2000]
+
+
+def test_rolling_windows_single_exchange_single_window(spark):
+    """events_rolling_windows: all four frame functions (row_number, lag,
+    4-row sum, cumulative sum) share ONE partitionBy(user_id)/orderBy sort
+    order, so the physical plan must carry exactly one user_id hash
+    exchange and exactly one Window node — a second of either means Spark
+    re-sorted or re-shuffled per column, which is the 100 TB failure mode
+    this query exists to avoid. The trailing range exchange is the
+    presentation orderBy only."""
+    import re
+
+    plan = _plan(E.queries()["events_rolling_windows"](spark, SF))
+    hash_exchanges = re.findall(r"hashpartitioning\([^)]*user_id[^)]*\)", plan)
+    assert len(hash_exchanges) == 1, plan[:2000]
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 1, plan[:2000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

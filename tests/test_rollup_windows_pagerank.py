@@ -98,3 +98,29 @@ def test_pagerank_driver_distributed_parity(spark, monkeypatch):
     dist = {(r.vec_id, r.deg, r.rank)
             for r in dd.pagerank_neardup(spark, SF).collect()}
     assert fast == dist
+
+
+def test_user_deciles_semantics(spark):
+    """Deciles partition users into 10 near-equal ordered cohorts; ranks
+    are monotone in total value; ppm fields hit their integer endpoints."""
+    from nessie_spark.operators.events import events_user_deciles
+
+    rows = events_user_deciles(spark, SF).collect()
+    n = len(rows)
+    assert n > 10
+    # decile sizes differ by at most 1 (ntile contract)
+    from collections import Counter
+
+    sizes = Counter(r.decile for r in rows)
+    assert set(sizes) == set(range(1, 11))
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # decile is monotone in (total_value_micro, user_id)
+    ordered = sorted(rows, key=lambda r: (r.total_value_micro, r.user_id))
+    assert [r.decile for r in ordered] == sorted(r.decile for r in rows)
+    # ppm endpoints: min rank -> 0, max rank -> exactly 1e6
+    assert ordered[0].pct_rank_ppm == 0
+    assert ordered[-1].pct_rank_ppm == 1_000_000
+    assert ordered[-1].cume_ppm == 1_000_000
+    # cume is rank/n in ppm (floor division)
+    for i, r in enumerate(ordered):
+        assert r.cume_ppm == (i + 1) * 1_000_000 // n
