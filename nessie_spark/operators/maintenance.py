@@ -1409,6 +1409,204 @@ def multimodal_tile_cropdup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_quality_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image quality/corruption screen — the pixel-side analog of the text
+    quality_scores op (task brief §multimodal): binary column → batched
+    decode → per-image luma statistics → curation flags, all inside one
+    mapInPandas pass (input_hint: no per-row Python UDFs; pixels never
+    leave the UDF — only scalars do).
+
+    Features per image: brightness (luma mean), contrast (luma std),
+    sharpness (variance of the 4-neighbour Laplacian — the standard
+    blur detector), and luma-histogram entropy in bits (flat or
+    near-constant frames carry ~0 bits). Flags: too_dark / too_bright /
+    low_contrast / blurry — the screens a 10^12-image training-data
+    pipeline applies before spending GPU time on an image.
+
+    The query plants 8 flat-dark and 8 flat-bright frames (encoded with
+    the real PNG codec) among 128 synthetic images; the planted frames
+    must flag and the textured synthetics must not — deterministic, so
+    the rows-only gate is stable. Features are rounded once to 4dp
+    scalars; no float reduction crosses a partition boundary (the op is
+    a pure map — zero shuffles before the presentation sort)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from nessie_spark.lakehouse import kernels as K
+
+    base = synth.images_df(spark, 128, seed=7)
+
+    def gen_flat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for i in b["id"]:
+                i = int(i)
+                lvl = 12 if i % 2 == 0 else 243
+                px = np.full((24, 24, 3), lvl, dtype=np.uint8)
+                rows.append(
+                    {
+                        "image_id": f"flat_{i:012d}",
+                        "bytes": bytearray(K.encode_png(px)),
+                        "w": 24,
+                        "h": 24,
+                        "fmt": "png",
+                        "caption": f"flat frame #{i}",
+                        "phash": int(K.phash64(px)),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    flats = spark.range(0, 16, 1, 2).mapInPandas(gen_flat, synth.IMAGES_SCHEMA)
+    df = base.unionByName(flats)
+
+    def screen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for iid, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                px = K.decode(bytes(data), fmt)
+                luma = px.astype(np.float64).mean(axis=2)
+                bright = float(luma.mean())
+                contrast = float(luma.std())
+                lap = (
+                    4.0 * luma[1:-1, 1:-1]
+                    - luma[:-2, 1:-1]
+                    - luma[2:, 1:-1]
+                    - luma[1:-1, :-2]
+                    - luma[1:-1, 2:]
+                )
+                sharp = float(lap.var()) if lap.size else 0.0
+                hist = np.bincount(
+                    np.clip(luma, 0, 255).astype(np.int64).ravel(), minlength=256
+                )
+                p = hist[hist > 0] / luma.size
+                ent = float(-(p * np.log2(p)).sum())
+                out.append(
+                    (
+                        iid,
+                        round(bright, 4),
+                        round(contrast, 4),
+                        round(sharp, 4),
+                        round(ent, 4),
+                        bright < 40.0,
+                        bright > 215.0,
+                        contrast < 8.0,
+                        sharp < 25.0,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "image_id", "brightness", "contrast", "sharpness",
+                    "luma_entropy_bits", "too_dark", "too_bright",
+                    "low_contrast", "blurry",
+                ],
+            )
+
+    return df.mapInPandas(
+        screen,
+        "image_id string, brightness double, contrast double, sharpness double, "
+        "luma_entropy_bits double, too_dark boolean, too_bright boolean, "
+        "low_contrast boolean, blurry boolean",
+    ).orderBy("image_id")
+
+
+def multimodal_dhash_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by TWO independent perceptual-hash families —
+    average-hash (the stored phash) and difference-hash, both recomputed
+    from decoded pixels in one mapInPandas pass. A single hash family
+    false-positives on its own blind spots (aHash on global-brightness
+    structure, dHash on horizontal gradients); requiring BOTH to agree is
+    the consensus screen a curation pipeline uses before destructive
+    dedup.
+
+    Pipeline: decode → (phash64, dhash64) per image (pixels stay in the
+    UDF; 2×8 bytes leave) → 4×16-bit pigeonhole banding on the dHash
+    (same Manku-style guarantee as maintenance_phash_neardup: any pair
+    with dHash-Hamming ≤ 3 agrees exactly on ≥ 1 band) → ids+hashes-only
+    equi-join → exact XOR/bit_count verify on BOTH hashes, JVM-side.
+
+    Plants: every 8th image gets a +6-luma copy (decode → brighten →
+    re-encode with the real codec) — a brightness shift moves aHash bits
+    near cell boundaries but barely moves dHash (it compares adjacent
+    cells), so the consensus distances stay small while the pair survives
+    both thresholds. Deterministic synth → stable rows-only gate. Scale:
+    one shuffle at 4× table rows carrying (band, 16-bit key, two int64s);
+    the verify is codegen; no crossJoin anywhere (plan-asserted in
+    tests)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from nessie_spark.lakehouse import kernels as K
+
+    base = synth.images_df(spark, 128, seed=13).where(F.col("fmt") == "png")
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for iid, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                px = K.decode(bytes(data), fmt)
+                variants = [(iid, px)]
+                idx = int(iid.split("_")[-1])
+                if idx % 8 == 0:
+                    brighter = np.clip(
+                        px.astype(np.int16) + 6, 0, 255
+                    ).astype(np.uint8)
+                    # re-encode/decode round-trip: the pair detector must
+                    # survive the storage codec, not just the array copy
+                    rt = K.decode(K.encode_png(brighter), "png")
+                    variants.append((f"bright_{iid}", rt))
+                for vid, vpx in variants:
+                    ph = K.phash64(vpx)
+                    # difference hash: 8x9 block-mean luma, bit = cell
+                    # brighter than its left neighbour (64 bits total)
+                    small = K.resize_block_mean(vpx, 8, 9).astype(np.float64).mean(axis=2)
+                    bits = (small[:, 1:] > small[:, :-1]).flatten()
+                    dh = 0
+                    for bit in bits:
+                        dh = (dh << 1) | int(bit)
+                    if dh >= 1 << 63:
+                        dh -= 1 << 64
+                    out.append((vid, ph, dh))
+            yield pd.DataFrame(out, columns=["image_id", "phash", "dhash"])
+
+    hdf = base.mapInPandas(hashes, "image_id string, phash long, dhash long")
+    bands = hdf.select(
+        "image_id",
+        "phash",
+        "dhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftrightunsigned("dhash", 16 * b)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("val"),
+                )
+                for b in range(4)
+            ])
+        ).alias("bv"),
+    ).select("image_id", "phash", "dhash", "bv.band", "bv.val")
+    a, b2 = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b2, ["band", "val"])
+        .where(F.col("a.image_id") < F.col("b.image_id"))
+        .select(
+            F.col("a.image_id").alias("id_a"),
+            F.col("b.image_id").alias("id_b"),
+            F.bit_count(F.col("a.dhash").bitwiseXOR(F.col("b.dhash"))).alias("d_ham"),
+            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash"))).alias("p_ham"),
+        )
+        .where((F.col("d_ham") <= 3) & (F.col("p_ham") <= 8))
+        .groupBy("id_a", "id_b")
+        .agg(F.min("d_ham").alias("d_ham"), F.min("p_ham").alias("p_ham"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 QUERIES: dict[str, tuple] = {
     "maintenance_compact": (maintenance_compact, None),
     "maintenance_zorder": (maintenance_zorder, None),
@@ -1437,4 +1635,6 @@ QUERIES: dict[str, tuple] = {
     "multimodal_frame_sample": (multimodal_frame_sample, None),
     "multimodal_audio_features": (multimodal_audio_features, None),
     "multimodal_tile_cropdup": (multimodal_tile_cropdup, None),
+    "multimodal_quality_screen": (multimodal_quality_screen, None),
+    "multimodal_dhash_consensus": (multimodal_dhash_consensus, None),
 }
