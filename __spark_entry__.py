@@ -28,6 +28,7 @@ _SAMPLE_PRIORITY = [
     "rollup_pricing_levels",
     "events_rolling_windows",
     "events_user_deciles",
+    "events_user_deciles_distributed",
     "pagerank_neardup",
     "multimodal_frame_sample",  # r3's one RED row — needs a clean r4 row
     "multimodal_tile_cropdup",

@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "rollup_pricing_levels",
     "events_rolling_windows",
     "events_user_deciles",
+    "events_user_deciles_distributed",
     "pagerank_neardup",
     "q3_shipping_priority",
     "q4_order_priority",

@@ -605,9 +605,10 @@ def events_user_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the events→users groupBy is map-side combined, so the global
     window's input is the *user dimension*, orders of magnitude smaller
     than the fact table. At 10^9 users the unpartitioned window becomes the
-    bottleneck (one task); the swap-in is a range-partitioned sort with
-    per-partition offsets folded from partition counts (two passes, no
-    single-task stage) — same output contract."""
+    bottleneck (one task); `events_user_deciles_distributed` is the
+    implemented swap-in (plans/rank.global_row_number — range-partitioned
+    sort with folded per-partition offsets, no single-task stage), proven
+    byte-identical against this query's own oracle."""
     ev = T(spark, sf_dir, "events").select(
         "user_id", F.round(F.col("value") * 1e6, 0).cast("long").alias("v_micro")
     )
@@ -658,9 +659,60 @@ ORDER BY user_id
 """
 
 
+def events_user_deciles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`events_user_deciles` on the 10^9-user plan: the single-task global
+    window is replaced by plans/rank.global_row_number (range-partitioned
+    sort + per-partition offset folding — the ranking stage runs at full
+    cluster width; the only unpartitioned window left is over ONE row per
+    partition). ntile/percent-rank/cume-dist are then pure integer
+    expressions of (rank, n): ntile's exact SQL semantics — the first
+    n mod k tiles get the extra row — are reproduced with div/mod
+    arithmetic, so this query shares `events_user_deciles`' DuckDB oracle
+    verbatim and the gate proves the two plans byte-identical."""
+    from nessie_spark.plans.rank import global_row_number
+
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", F.round(F.col("value") * 1e6, 0).cast("long").alias("v_micro")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("v_micro").alias("total_value_micro"),
+    )
+    ranked = global_row_number(per_user, ["total_value_micro", "user_id"], col="rn")
+    nrow = per_user.agg(F.count(F.lit(1)).alias("n"))
+    df = ranked.crossJoin(F.broadcast(nrow))
+    # exact NTILE(10): big tiles of size n div 10 + 1 for the first
+    # n mod 10 tiles, small tiles of n div 10 after; degenerate n <= 10
+    # collapses to tile = rank (one row per tile, matching SQL NTILE)
+    tile = (
+        F.when(F.col("n") <= 10, F.col("rn"))
+        .when(
+            F.expr("rn <= (n % 10) * (n div 10 + 1)"),
+            F.expr("(rn - 1) div (n div 10 + 1) + 1"),
+        )
+        .otherwise(
+            F.expr("n % 10 + (rn - 1 - (n % 10) * (n div 10 + 1)) div (n div 10) + 1")
+        )
+    )
+    return df.select(
+        "user_id",
+        "n_events",
+        "total_value_micro",
+        tile.cast("int").alias("decile"),
+        F.when(F.col("n") == 1, F.lit(0).cast("long"))
+        .otherwise(F.expr("((rn - 1) * 1000000) div (n - 1)"))
+        .alias("pct_rank_ppm"),
+        F.expr("(rn * 1000000) div n").alias("cume_ppm"),
+    ).orderBy("user_id")
+
+
 QUERIES: dict[str, tuple] = {
     "events_rolling_windows": (events_rolling_windows, EVENTS_ROLLING_SQL),
     "events_user_deciles": (events_user_deciles, EVENTS_USER_DECILES_SQL),
+    "events_user_deciles_distributed": (
+        events_user_deciles_distributed,
+        EVENTS_USER_DECILES_SQL,
+    ),
     "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
     "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_SQL),
     "events_retention_cohorts": (events_retention_cohorts, EVENTS_RETENTION_SQL),
