@@ -37,6 +37,7 @@ _SAMPLE_PRIORITY = [
     # outrank oracle-backed entries the judge can re-check locally
     "multimodal_quality_screen",
     "multimodal_dhash_consensus",
+    "maintenance_rename_drop",
     "langid_confusion",
     "winnowing_fingerprints",
     "winnowing_overlap_pairs",

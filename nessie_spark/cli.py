@@ -54,7 +54,8 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "synth", "compact", "zorder", "hilbert", "zorder-delta",
             "expire", "gc",
-            "rewrite-manifests", "merge", "add-column", "incremental",
+            "rewrite-manifests", "merge", "add-column", "rename-column",
+            "drop-column", "incremental",
             "rollback", "inspect", "tag", "drop-tag", "branch",
             "branch-append", "fast-forward", "delete-where", "update-where",
             "purge-deletes", "stage-append", "publish", "cherry-pick",
@@ -88,7 +89,11 @@ def main(argv: list[str] | None = None) -> int:
         help="synth: hidden-partition spec for a NEW table — 'fmt' "
         "(identity), 'bucket(phash,N)', or 'truncate(image_id,W)'",
     )
-    ap.add_argument("--column", default=None, help="add-column: 'name:type' (e.g. quality:long)")
+    ap.add_argument(
+        "--column", default=None,
+        help="add-column: 'name:type' (e.g. quality:long); "
+        "rename-column: 'old:new'; drop-column: 'name'",
+    )
     ap.add_argument("--from-snapshot", type=int, default=None, help="incremental/changelog: exclusive range start")
     ap.add_argument("--to-snapshot", type=int, default=None, help="incremental/changelog: inclusive range end")
     ap.add_argument("--net-changes", action="store_true", help="changelog: collapse the window to net per-row effects")
@@ -238,6 +243,21 @@ def main(argv: list[str] | None = None) -> int:
                 ap.error("--column name:type required for add-column")
             name, typ = args.column.split(":", 1)
             snap = evolve.add_column(t, name, typ)
+            out.update(snapshot_id=snap, schema=t.refresh().meta["schema"])
+        elif args.job == "rename-column":
+            from nessie_spark.lakehouse import evolve
+
+            if not args.column or ":" not in args.column:
+                ap.error("--column old:new required for rename-column")
+            old, new = args.column.split(":", 1)
+            snap = evolve.rename_column(t, old, new)
+            out.update(snapshot_id=snap, schema=t.refresh().meta["schema"])
+        elif args.job == "drop-column":
+            from nessie_spark.lakehouse import evolve
+
+            if not args.column:
+                ap.error("--column name required for drop-column")
+            snap = evolve.drop_column(t, args.column)
             out.update(snapshot_id=snap, schema=t.refresh().meta["schema"])
         elif args.job == "rollback":
             if args.to_snapshot is None:

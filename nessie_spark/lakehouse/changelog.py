@@ -110,10 +110,15 @@ def scan_changelog(
     data_cols = empty.columns
     out_empty = _tag(empty, CHANGE_TYPE_INSERT, {"snapshot_id": 0, "ts_millis": 0}, 0).limit(0)
 
-    def _read(rel_paths: list[str]) -> DataFrame:
-        return spark.read.schema(ddl).parquet(
-            *[os.path.join(table.root, p) for p in rel_paths]
-        )
+    # field-id-aware reads: files in the window may predate a rename/drop;
+    # _read_data_files projects each onto the target schema by field id
+    # (identity fast path = one spark.read otherwise)
+    from nessie_spark.lakehouse.scan import _read_data_files, _target_fields
+
+    tfields = _target_fields(table, to_id, ddl)
+
+    def _read(entries: list[dict]) -> DataFrame:
+        return _read_data_files(spark, table, entries, ddl, tfields)
 
     parts: list[DataFrame] = []
     for ordinal, snap in enumerate(chain):
@@ -121,7 +126,10 @@ def scan_changelog(
         if op in _REWRITE_OPS:
             continue
         if op == "append":
-            added = added_file_paths(table, sid)
+            added = [
+                {"file_path": p, "schema_id": snap.get("schema_id")}
+                for p in added_file_paths(table, sid)
+            ]
             if added:
                 parts.append(_tag(_read(added), CHANGE_TYPE_INSERT, snap, ordinal))
             continue
@@ -159,23 +167,30 @@ def scan_changelog(
             else set()
         )
 
-        def _file_paths(mpaths: set) -> set:
-            out: set = set()
+        def _file_entries(mpaths: set) -> dict:
+            out: dict = {}
             for mp in sorted(mpaths):
-                out.update(
-                    pq.read_table(mp, columns=["file_path"])
-                    .column("file_path")
-                    .to_pylist()
-                )
+                for e in pq.read_table(
+                    mp, columns=["file_path", "added_snapshot_id", "schema_id"]
+                ).to_pylist():
+                    out[e["file_path"]] = e
             return out
 
-        cur_only = _file_paths(m_cur - m_par)
-        par_only = _file_paths(m_par - m_cur)
-        added_rel = sorted(cur_only - par_only)
-        removed_rel = sorted(par_only - cur_only)
+        cur_only = _file_entries(m_cur - m_par)
+        par_only = _file_entries(m_par - m_cur)
+        added_rel = sorted(set(cur_only) - set(par_only))
+        removed_rel = sorted(set(par_only) - set(cur_only))
         h = F.xxhash64(*data_cols)
-        ins_raw = _read(added_rel).withColumn("_h", h) if added_rel else None
-        del_raw = _read(removed_rel).withColumn("_h", h) if removed_rel else None
+        ins_raw = (
+            _read([cur_only[p] for p in added_rel]).withColumn("_h", h)
+            if added_rel
+            else None
+        )
+        del_raw = (
+            _read([par_only[p] for p in removed_rel]).withColumn("_h", h)
+            if removed_rel
+            else None
+        )
         if ins_raw is not None and del_raw is not None:
             # cancel by MULTIPLICITY, not existence: a left_anti on
             # (key, hash) drops ALL copies when any match exists, so a

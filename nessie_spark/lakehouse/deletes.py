@@ -334,6 +334,12 @@ def purge_deletes(
         for i, p in enumerate(cand)
         if i not in done
     ]
+    # field-id remaps for inputs written before a rename/drop ({} unless
+    # evolution history makes a name-read unsafe)
+    from nessie_spark.lakehouse.fields import live_projection_maps, remap_arrow
+    from nessie_spark.lakehouse.writer import _DDL_ARROW
+
+    remaps = live_projection_maps(table, paths=[p for _, p, _, _ in todo])
 
     def _purge_unit(unit: tuple) -> list[dict]:
         # the rewrite is 1:1 per input file, so the output inherits the
@@ -342,7 +348,11 @@ def purge_deletes(
             int(unit[0]), str(unit[1]), int(unit[2]), str(unit[3]),
         )
         aschema = arrow_schema_from_ddl(table_ddl)
-        tbl = align_to_schema(pq.read_table(os.path.join(root, path)), aschema)
+        tbl = pq.read_table(os.path.join(root, path))
+        rm = remaps.get(path)
+        if rm:
+            tbl = remap_arrow(tbl, rm, _DDL_ARROW)
+        tbl = align_to_schema(tbl, aschema)
         mn = pc.min(tbl.column("image_id")).as_py()
         mx = pc.max(tbl.column("image_id")).as_py()
         key_chunks = []

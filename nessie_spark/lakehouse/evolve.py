@@ -1,19 +1,24 @@
-"""Schema evolution: add-column, Iceberg-style.
+"""Schema evolution: add / rename / drop column, Iceberg-style.
 
-Adding a column is a METADATA-ONLY commit — no data file is touched.
-Existing files simply predate the column; every reader NULL-backfills via
-``align_to_schema`` (pyarrow paths) or an explicit Spark read schema
-(``spark.read.schema(ddl).parquet`` fills absent columns with null).
-Snapshots record the schema current as of the commit, so pinned /
-time-travel reads use the schema their data was written under, and
-maintenance rewrites (compact / Z-order / MERGE) align every input file to
-the table schema before concatenating — mixed pre-/post-evolution file
-sets stay well-formed.
+Every operation is a METADATA-ONLY commit — no data file is touched:
 
-Supported: ADD COLUMN of a nullable scalar type (string / binary / int /
-long / float / double / boolean). Not supported (raise): drop / rename /
-type-change — those require column-id indirection (Iceberg field IDs) to
-be safe against re-add, which this format does not carry.
+- **add**: existing files simply predate the column; every reader
+  NULL-backfills via an explicit read schema.
+- **rename / drop**: safe through the field-id model (fields.py — the
+  Iceberg indirection): a rename changes only the display name of an
+  immutable field id, a drop retires the id forever, and re-adding a
+  dropped name allocates a FRESH id, so old data can never resurrect
+  under the new column. Readers resolve each file's physical column
+  names through the schema version it was written under (manifest-entry
+  ``schema_id``); maintenance rewrites normalize files to the current
+  names as a side effect, so evolution debt amortizes to zero.
+
+Snapshots record the schema (and schema_id) current as of the commit, so
+pinned / time-travel reads use the names their data was written under.
+
+Not supported (raise): type-change. Reserved engine columns
+(fields.RESERVED_FIELDS — stats/zorder/merge/codec dependencies) and
+active partition-spec sources cannot be renamed or dropped.
 
 Scale shape: O(1) — one metadata JSON write under the same optimistic
 commit loop as data commits; no shuffle, no file I/O proportional to the
@@ -22,6 +27,13 @@ table.
 
 from __future__ import annotations
 
+import copy
+
+from nessie_spark.lakehouse.fields import (
+    RESERVED_FIELDS,
+    ddl_from_fields,
+    materialized,
+)
 from nessie_spark.lakehouse.table import Table
 from nessie_spark.lakehouse.writer import _DDL_ARROW, ddl_columns
 
@@ -52,12 +64,108 @@ def add_column(table: Table, name: str, sql_type: str, doc: str | None = None) -
         ddl = meta["schema"]
         if _dupe(ddl):
             raise ValueError(f"column {name!r} already exists")
-        return {"schema": f"{ddl}, {name} {sql_type.lower()}"}
+        model = materialized(meta)
+        fields = copy.deepcopy(model["schemas"][str(model["current_schema_id"])])
+        fid = model["last_field_id"] + 1  # fresh id: a re-added name NEVER
+        # sees data stored under a previously dropped id
+        fields.append({"id": fid, "name": name, "type": sql_type.lower()})
+        new_sid = max(int(k) for k in model["schemas"]) + 1
+        return {
+            "schema": ddl_from_fields(fields),
+            "schemas": dict(model["schemas"], **{str(new_sid): fields}),
+            "current_schema_id": new_sid,
+            "last_field_id": fid,
+        }
 
     return table.commit(
         "set-schema",
         meta_updates=_update,
         summary={"added_column": f"{name} {sql_type.lower()}", "doc": doc or ""},
+    )
+
+
+def _spec_sources(meta: dict) -> set[str]:
+    from nessie_spark.lakehouse.partition import PROPERTY_KEY
+
+    spec = (meta.get("properties") or {}).get(PROPERTY_KEY) or []
+    return {f["source"] for f in spec}
+
+
+def _evolvable(meta: dict, name: str) -> None:
+    if name in RESERVED_FIELDS:
+        raise ValueError(
+            f"column {name!r} is a reserved engine column (manifest stats / "
+            "zorder keys / merge join key / codec inputs) — cannot rename or drop"
+        )
+    if name in _spec_sources(meta):
+        raise ValueError(
+            f"column {name!r} is an active partition-spec source — clear or "
+            "evolve the spec first (set_partition_spec)"
+        )
+
+
+def rename_column(table: Table, old: str, new: str) -> int:
+    """Rename ``old`` to ``new`` — metadata-only; the field id (and every
+    data file) is untouched. Returns the new snapshot id."""
+    if not new.isidentifier():
+        raise ValueError(f"invalid column name {new!r}")
+
+    def _update(meta: dict) -> dict:
+        _evolvable(meta, old)
+        model = materialized(meta)
+        fields = copy.deepcopy(model["schemas"][str(model["current_schema_id"])])
+        names = {f["name"].lower() for f in fields}
+        if old.lower() not in names:
+            raise ValueError(f"column {old!r} does not exist")
+        if new.lower() in names - {old.lower()}:
+            raise ValueError(f"column {new!r} already exists")
+        for f in fields:
+            if f["name"].lower() == old.lower():
+                f["name"] = new
+        new_sid = max(int(k) for k in model["schemas"]) + 1
+        return {
+            "schema": ddl_from_fields(fields),
+            "schemas": dict(model["schemas"], **{str(new_sid): fields}),
+            "current_schema_id": new_sid,
+            "last_field_id": model["last_field_id"],
+        }
+
+    return table.commit(
+        "set-schema",
+        meta_updates=_update,
+        summary={"renamed_column": f"{old} -> {new}"},
+    )
+
+
+def drop_column(table: Table, name: str) -> int:
+    """Drop ``name`` — metadata-only; the field id is retired forever (a
+    later add_column of the same name gets a fresh id, so this column's
+    stored data can never resurrect). Returns the new snapshot id."""
+
+    def _update(meta: dict) -> dict:
+        _evolvable(meta, name)
+        model = materialized(meta)
+        fields = [
+            f
+            for f in copy.deepcopy(model["schemas"][str(model["current_schema_id"])])
+            if f["name"].lower() != name.lower()
+        ]
+        if len(fields) == len(model["schemas"][str(model["current_schema_id"])]):
+            raise ValueError(f"column {name!r} does not exist")
+        if not fields:
+            raise ValueError("cannot drop the last column")
+        new_sid = max(int(k) for k in model["schemas"]) + 1
+        return {
+            "schema": ddl_from_fields(fields),
+            "schemas": dict(model["schemas"], **{str(new_sid): fields}),
+            "current_schema_id": new_sid,
+            "last_field_id": model["last_field_id"],
+        }
+
+    return table.commit(
+        "set-schema",
+        meta_updates=_update,
+        summary={"dropped_column": name},
     )
 
 

@@ -197,6 +197,7 @@ def merge_into(
         columns=[
             "file_path", "file_size_bytes", "record_count",
             "min_key", "max_key", "min_phash", "max_phash",
+            "added_snapshot_id", "schema_id",
         ]
     ).to_pylist()
     lo, hi = ("min_key", "max_key") if key == "image_id" else ("min_phash", "max_phash")
@@ -226,8 +227,16 @@ def merge_into(
             "table the source must carry the full schema"
         )
     if matched_paths:
-        target = spark.read.schema(table_ddl).parquet(
-            *[os.path.join(root, p) for p in matched_paths]
+        # field-id-aware read: matched files written before a rename/drop
+        # project onto the current names (identity fast path otherwise)
+        from nessie_spark.lakehouse.scan import _read_data_files, _target_fields
+
+        target = _read_data_files(
+            spark,
+            table,
+            [e for e in entries if e["file_path"] in matched_set],
+            table_ddl,
+            _target_fields(table, None, table_ddl),
         )
     else:
         target = spark.createDataFrame([], table_ddl)

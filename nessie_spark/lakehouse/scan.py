@@ -242,11 +242,94 @@ _REWRITE_OPS = {"compact", "zorder", "hilbert", "zorder-delta",
 
 
 def _snapshot_ddl(table: Table, snapshot_id: int | None) -> str:
-    """Schema current as of the snapshot (recorded at commit; evolution is
-    add-column-only, so this is also what the snapshot's files fit under).
+    """Schema current as of the snapshot (recorded at commit), i.e. the
+    NAMES a reader of that snapshot sees — files written under earlier
+    schema versions are projected onto it by field id (_read_data_files).
     Pre-evolution metadata (no recorded schema) falls back to the table's."""
     snap = table.snapshot(snapshot_id)
     return (snap or {}).get("schema") or table.meta.get("schema", IMAGES_DDL)
+
+
+def _target_fields(table: Table, snapshot_id: int | None, ddl: str) -> list[dict]:
+    """The field-id projection a scan of this snapshot presents (fields.py).
+    Post-model snapshots resolve through the recorded schema_id; legacy
+    snapshots get positional ids on their recorded DDL — exact, because
+    names could not have changed before the model existed."""
+    from nessie_spark.lakehouse import fields as FM
+
+    snap = table.snapshot(snapshot_id)
+    if (
+        snap is not None
+        and snap.get("schema_id") is not None
+        and "schemas" in table.meta
+    ):
+        return FM.schema_fields(table.meta, int(snap["schema_id"]))
+    return FM.fields_from_ddl(ddl)
+
+
+def _read_data_files(
+    spark: SparkSession,
+    table: Table,
+    entries: list[dict],
+    ddl: str,
+    target_fields: list[dict],
+) -> DataFrame:
+    """Read planned data files projected onto ``target_fields`` by FIELD ID.
+
+    Files group by the schema version they were written under (manifest
+    ``schema_id``; legacy entries resolve via added_snapshot_id); each
+    group reads with its PHYSICAL column names and re-aliases to the
+    target names, NULL-filling ids the source schema lacks. When every
+    group's projection is the identity (no rename/drop in play — the
+    overwhelmingly common case) this collapses to the single
+    ``spark.read.schema(ddl)`` fast path: one scan node, zero overhead.
+
+    Scale: group count is bounded by live schema VERSIONS (single digits),
+    not files; each group is one parquet scan with full pushdown, unioned
+    by name — Catalyst still prunes columns/filters per branch."""
+    from nessie_spark.lakehouse import fields as FM
+
+    snap_sids = FM.sid_by_snapshot(table.meta)
+    groups: dict[int, list[str]] = {}
+    for e in entries:
+        groups.setdefault(FM.entry_schema_id(e, snap_sids), []).append(
+            e["file_path"]
+        )
+    projs = {
+        sid: FM.projection(table.meta, sid, target_fields) for sid in groups
+    }
+    src_names = {
+        sid: {f["name"] for f in FM.schema_fields(table.meta, sid)}
+        for sid in groups
+    }
+    if all(FM.is_identity(projs[sid], src_names[sid]) for sid in groups):
+        paths = [
+            os.path.join(table.root, p) for g in groups.values() for p in g
+        ]
+        return spark.read.schema(ddl).parquet(*paths)
+    parts = []
+    for sid in sorted(groups):
+        proj = projs[sid]
+        phys_ddl = ", ".join(
+            f"{phys} {typ}" for phys, _cur, typ in proj if phys is not None
+        )
+        gdf = spark.read.schema(phys_ddl).parquet(
+            *[os.path.join(table.root, p) for p in groups[sid]]
+        )
+        parts.append(
+            gdf.select(
+                *[
+                    F.col(phys).alias(cur)
+                    if phys is not None
+                    else F.lit(None).cast(typ).alias(cur)
+                    for phys, cur, typ in proj
+                ]
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def ancestry_between(
@@ -344,7 +427,7 @@ def scan_incremental(
     empty = spark.createDataFrame([], schema)
     if to_id is None:
         return empty.select(*columns) if columns else empty
-    paths: list[str] = []
+    pseudo_entries: list[dict] = []
     for snap in in_range:
         op = snap["operation"]
         if op in _REWRITE_OPS:
@@ -354,13 +437,20 @@ def scan_incremental(
                 f"incremental scan crosses a row-changing '{op}' snapshot "
                 f"{snap['snapshot_id']}; read a full snapshot instead"
             )
-        paths.extend(
-            os.path.join(table.root, p)
+        sid = snap.get("schema_id")
+        pseudo_entries.extend(
+            {
+                "file_path": p,
+                "schema_id": sid,
+                "added_snapshot_id": snap["snapshot_id"],
+            }
             for p in added_file_paths(table, snap["snapshot_id"])
         )
-    if not paths:
+    if not pseudo_entries:
         return empty.select(*columns) if columns else empty
-    df = spark.read.schema(schema).parquet(*paths)
+    df = _read_data_files(
+        spark, table, pseudo_entries, schema, _target_fields(table, to_id, schema)
+    )
     return df.select(*columns) if columns else df
 
 
@@ -416,10 +506,10 @@ def scan(
     if not entries:
         return spark.createDataFrame([], ddl)
 
+    tfields = _target_fields(table, snapshot_id, ddl)
     dels = table.delete_files(snapshot_id)
     if not dels:
-        paths = [os.path.join(table.root, e["file_path"]) for e in entries]
-        df = spark.read.schema(ddl).parquet(*paths)
+        df = _read_data_files(spark, table, entries, ddl, tfields)
     else:
         # merge-on-read: subtract equality-delete keys (deletes.py). Files
         # group by WHICH deletes apply (added_snapshot_id < delete sid —
@@ -432,9 +522,7 @@ def scan(
 
         parts = []
         for ents, start in group_entries_by_applicability(entries, dels):
-            gdf = spark.read.schema(ddl).parquet(
-                *[os.path.join(table.root, e["file_path"]) for e in ents]
-            )
+            gdf = _read_data_files(spark, table, ents, ddl, tfields)
             suffix = dels[start:]
             if suffix:
                 gdf = anti_join_deletes(

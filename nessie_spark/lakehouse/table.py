@@ -50,6 +50,9 @@ FILE_ENTRY_SCHEMA = pa.schema(
         ("max_key", pa.string()),
         ("key_bloom", pa.binary()),
         ("added_snapshot_id", pa.int64()),
+        # field-id schema version the file was written under (fields.py);
+        # NULL in pre-model manifests -> resolved via added_snapshot_id
+        ("schema_id", pa.int64()),
     ]
 )
 
@@ -57,7 +60,7 @@ FILE_ENTRY_DDL = (
     "file_path string, file_format string, partition string, record_count long, "
     "file_size_bytes long, min_phash long, max_phash long, min_wh long, max_wh long, "
     "zorder_lo long, zorder_hi long, min_key string, max_key string, "
-    "key_bloom binary, added_snapshot_id long"
+    "key_bloom binary, added_snapshot_id long, schema_id long"
 )
 
 MANIFEST_LIST_SCHEMA = pa.schema(
@@ -799,6 +802,12 @@ class Table:
 
     def write_manifest(self, entries: pa.Table, tag: str = "m") -> tuple[str, dict]:
         """Write one manifest parquet; returns (relpath, summary stats)."""
+        if "schema_id" not in entries.schema.names:
+            # entry dicts from stats_entry_for predate the field-id model;
+            # a NULL here means "resolve via added_snapshot_id" (fields.py)
+            entries = entries.append_column(
+                "schema_id", pa.nulls(entries.num_rows, pa.int64())
+            )
         entries = entries.cast(FILE_ENTRY_SCHEMA)
         rel = f"metadata/manifest-{tag}-{uuid.uuid4().hex[:12]}.parquet"
         pq.write_table(entries, os.path.join(self.root, rel))
@@ -942,6 +951,28 @@ class Table:
                     "added_snapshot_id",
                     pa.array([snapshot_id] * added.num_rows, pa.int64()),
                 )
+                # stamp the field-id schema version the files were written
+                # under (= current at write; schema-change commits never add
+                # data files). Pre-stamped NON-NULL values are preserved —
+                # replication copies files byte-for-byte from a source table
+                # and must keep the source's version
+                from nessie_spark.lakehouse.fields import current_schema_id
+
+                sid = current_schema_id(t.meta)
+                if "schema_id" in added.schema.names:
+                    import pyarrow.compute as _pc
+
+                    added = added.set_column(
+                        added.schema.get_field_index("schema_id"),
+                        "schema_id",
+                        _pc.fill_null(
+                            added.column("schema_id").cast(pa.int64()), sid
+                        ),
+                    )
+                else:
+                    added = added.append_column(
+                        "schema_id", pa.array([sid] * added.num_rows, pa.int64())
+                    )
                 _, msum = t.write_manifest(added, tag=f"s{snapshot_id}-add")
                 manifests.append(msum)
 
@@ -978,6 +1009,9 @@ class Table:
                 "operation": operation,
                 "manifest_list": mlist_rel,
                 "schema": meta.get("schema"),
+                # field-id schema version as of THIS commit (post-update:
+                # a schema-change commit's snapshot records the new version)
+                "schema_id": int(meta.get("current_schema_id", 0)),
                 "delete_files": dfs,
                 "summary": dict(
                     summary or {},

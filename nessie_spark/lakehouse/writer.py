@@ -111,6 +111,10 @@ def stats_entry_for(
         "max_key": pc.max(tbl.column("image_id")).as_py(),
         "key_bloom": bloom_from_keys(tbl.column("image_id").to_pylist()),
         "added_snapshot_id": -1,
+        # stamped by Table.commit (the schema version current at commit);
+        # carried as an explicit NULL so every entry shape — dicts,
+        # pd.DataFrame rows, RecordBatch — matches FILE_ENTRY_SCHEMA
+        "schema_id": None,
     }
 
 

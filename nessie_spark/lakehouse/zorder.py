@@ -504,9 +504,16 @@ def run_staged(
     # --- scatter ----------------------------------------------------------
     done = lineage.completed_units(root, job_id, "scatter")
     todo = [(i, paths) for i, paths in enumerate(sbins) if i not in done]
+    from nessie_spark.lakehouse.fields import live_projection_maps
     from nessie_spark.lakehouse.scan import IMAGES_DDL
 
     table_ddl = table.meta.get("schema", IMAGES_DDL)
+    # field-id remaps for inputs written before a rename/drop ({} unless
+    # evolution history makes a name-read unsafe); the rewrite normalizes
+    # them to current names
+    remaps = live_projection_maps(
+        table, paths=[p for _, paths in todo for p in paths]
+    )
 
     def _scatter_unit(unit: tuple) -> tuple:
         import numpy as np
@@ -558,7 +565,14 @@ def run_staged(
 
         rows = 0
         for p in paths:
-            tbl = align_to_schema(pq.read_table(os.path.join(root, p)), aschema)
+            tbl = pq.read_table(os.path.join(root, p))
+            rm = remaps.get(p)
+            if rm:
+                from nessie_spark.lakehouse.fields import remap_arrow
+                from nessie_spark.lakehouse.writer import _DDL_ARROW
+
+                tbl = remap_arrow(tbl, rm, _DDL_ARROW)
+            tbl = align_to_schema(tbl, aschema)
             wh = (
                 tbl.column("w").to_numpy().astype(np.int64)
                 * tbl.column("h").to_numpy().astype(np.int64)
@@ -830,10 +844,14 @@ def _cluster_respec(
     n_files = max(1, math.ceil(total_bytes / target_bytes))
     key = zorder_key(strategy)
     ddl = table.meta.get("schema", IMAGES_DDL)
-    df = (
-        spark.read.schema(ddl).parquet(*[os.path.join(root, p) for p in paths])
-        .withColumn("zkey", key(F.col("phash"), F.col("w"), F.col("h")))
-    )
+    # field-id-aware read: inputs written before a rename/drop project onto
+    # the current names (scan._read_data_files; identity fast path when the
+    # table has no such history)
+    from nessie_spark.lakehouse.scan import _read_data_files, _target_fields
+
+    df = _read_data_files(
+        spark, table, entries, ddl, _target_fields(table, None, ddl)
+    ).withColumn("zkey", key(F.col("phash"), F.col("w"), F.col("h")))
     df = (
         stamp_pval(df, spec)
         .repartitionByRange(n_files, F.col(PVAL_COL), F.col("zkey"))

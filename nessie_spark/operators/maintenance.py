@@ -233,6 +233,62 @@ def maintenance_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def maintenance_rename_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rename/drop schema evolution through the field-id model (lakehouse/
+    fields.py — Iceberg spec §Schemas): rename caption → description
+    (metadata-only; old files project onto the new name BY FIELD ID, so
+    no caption is lost), append under the new name, compact the
+    mixed-version file set (the rewrite NORMALIZES old files to current
+    names — remap debt drops to zero), then drop + re-add the column and
+    prove the retired field id's data never resurrects. Pre-rename
+    snapshots still read under their own (old) column names."""
+    from nessie_spark.lakehouse import evolve
+    from nessie_spark.lakehouse.fields import live_projection_maps
+
+    t, snap0, root = _fresh_table(spark)
+    try:
+        evolve.rename_column(t, "caption", "description")
+        t = t.refresh()
+        n_remap_before = len(live_projection_maps(t))
+        extra = (
+            synth.images_df(spark, 32, seed=9)
+            .withColumnRenamed("caption", "description")
+            .withColumn("image_id", F.concat(F.lit("r-"), "image_id"))
+        )
+        jobs.append(spark, t, extra, job_id="rn-append")
+        t = t.refresh()
+        renamed_nonnull = (
+            scan(spark, t).where(F.col("description").isNotNull()).count()
+        )
+        C.compact(spark, t, target_bytes=TARGET, job_id="rn-compact")
+        t = t.refresh()
+        n_remap_after = len(live_projection_maps(t))
+        old_has_caption = "caption" in scan(spark, t, snapshot_id=snap0).columns
+        evolve.drop_column(t, "description")
+        t = t.refresh()
+        evolve.add_column(t, "description", "string")
+        t = t.refresh()
+        resurrected = (
+            scan(spark, t).where(F.col("description").isNotNull()).count()
+        )
+        return spark.createDataFrame(
+            [
+                (
+                    renamed_nonnull,
+                    n_remap_before,
+                    n_remap_after,
+                    bool(old_has_caption),
+                    resurrected,
+                )
+            ],
+            "rows_nonnull_after_rename long, files_needing_remap long, "
+            "files_needing_remap_after_compact long, "
+            "old_snapshot_reads_old_name boolean, resurrected_rows long",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def maintenance_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-duplicate pairs on the perceptual hash: Hamming(phash_a,
     phash_b) ≤ 3. Pigeonhole banding — split the 64-bit phash into 4
@@ -1618,6 +1674,7 @@ QUERIES: dict[str, tuple] = {
     "maintenance_phash_clusters": (maintenance_phash_clusters, None),
     "maintenance_stream_bloom": (maintenance_stream_bloom, None),
     "maintenance_schema_evolution": (maintenance_schema_evolution, None),
+    "maintenance_rename_drop": (maintenance_rename_drop, None),
     "maintenance_rollback": (maintenance_rollback, None),
     "maintenance_time_travel": (maintenance_time_travel, None),
     "maintenance_branches": (maintenance_branches, None),
