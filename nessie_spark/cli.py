@@ -55,7 +55,7 @@ def main(argv: list[str] | None = None) -> int:
             "synth", "compact", "zorder", "hilbert", "zorder-delta",
             "expire", "gc",
             "rewrite-manifests", "merge", "add-column", "rename-column",
-            "drop-column", "incremental",
+            "drop-column", "widen-column", "incremental",
             "rollback", "inspect", "tag", "drop-tag", "branch",
             "branch-append", "fast-forward", "delete-where", "update-where",
             "purge-deletes", "stage-append", "publish", "cherry-pick",
@@ -258,6 +258,14 @@ def main(argv: list[str] | None = None) -> int:
             if not args.column:
                 ap.error("--column name required for drop-column")
             snap = evolve.drop_column(t, args.column)
+            out.update(snapshot_id=snap, schema=t.refresh().meta["schema"])
+        elif args.job == "widen-column":
+            from nessie_spark.lakehouse import evolve
+
+            if not args.column or ":" not in args.column:
+                ap.error("--column name:new_type required for widen-column")
+            name, typ = args.column.split(":", 1)
+            snap = evolve.widen_column(t, name, typ)
             out.update(snapshot_id=snap, schema=t.refresh().meta["schema"])
         elif args.job == "rollback":
             if args.to_snapshot is None:

@@ -137,6 +137,44 @@ def rename_column(table: Table, old: str, new: str) -> int:
     )
 
 
+def widen_column(table: Table, name: str, new_type: str) -> int:
+    """Widen ``name`` to ``new_type`` — metadata-only, lossless by
+    construction (fields.WIDENINGS: int→long, float→double). Old files
+    keep their stored type; readers cast up per file group. Returns the
+    new snapshot id."""
+    from nessie_spark.lakehouse.fields import WIDENINGS
+
+    new_type = new_type.lower()
+
+    def _update(meta: dict) -> dict:
+        _evolvable(meta, name)
+        model = materialized(meta)
+        fields = copy.deepcopy(model["schemas"][str(model["current_schema_id"])])
+        hit = [f for f in fields if f["name"].lower() == name.lower()]
+        if not hit:
+            raise ValueError(f"column {name!r} does not exist")
+        old_type = hit[0]["type"]
+        if (old_type, new_type) not in WIDENINGS:
+            raise ValueError(
+                f"cannot change {name!r} from {old_type!r} to {new_type!r}; "
+                f"legal widenings: {sorted(WIDENINGS)}"
+            )
+        hit[0]["type"] = new_type
+        new_sid = max(int(k) for k in model["schemas"]) + 1
+        return {
+            "schema": ddl_from_fields(fields),
+            "schemas": dict(model["schemas"], **{str(new_sid): fields}),
+            "current_schema_id": new_sid,
+            "last_field_id": model["last_field_id"],
+        }
+
+    return table.commit(
+        "set-schema",
+        meta_updates=_update,
+        summary={"widened_column": f"{name} -> {new_type}"},
+    )
+
+
 def drop_column(table: Table, name: str) -> int:
     """Drop ``name`` — metadata-only; the field id is retired forever (a
     later add_column of the same name gets a fresh id, so this column's

@@ -95,41 +95,57 @@ def entry_schema_id(entry: dict, snap_sids: dict[int, int]) -> int:
     return snap_sids.get(entry.get("added_snapshot_id"), 0)
 
 
+# legal type promotions (Iceberg spec §Schema Evolution: widen only — a
+# widened read is lossless; narrowing or cross-family changes are refused)
+WIDENINGS = {("int", "long"), ("int", "bigint"), ("float", "double")}
+
+
 def projection(meta: dict, source_sid: int, target_fields: list[dict]) -> list[tuple]:
     """How to read a file written under ``source_sid`` as ``target_fields``:
-    [(physical_name | None, current_name, sql_type)] in target order.
-    ``physical_name is None`` -> the field id does not exist in the source
-    schema (added later, or dropped-and-readded) -> NULL-fill."""
-    by_id = {f["id"]: f["name"] for f in schema_fields(meta, source_sid)}
-    return [(by_id.get(f["id"]), f["name"], f["type"]) for f in target_fields]
+    [(physical_name | None, source_type | None, current_name, target_type)]
+    in target order. ``physical_name is None`` -> the field id does not
+    exist in the source schema (added later, or dropped-and-readded) ->
+    NULL-fill. ``source_type != target_type`` -> the field was WIDENED
+    after the file was written -> read at the stored type, cast up."""
+    by_id = {f["id"]: (f["name"], f["type"]) for f in schema_fields(meta, source_sid)}
+    return [
+        (*(by_id.get(f["id"]) or (None, None)), f["name"], f["type"])
+        for f in target_fields
+    ]
 
 
 def is_identity(proj: list[tuple], source_names: set[str]) -> bool:
     """True when a plain NAME-BASED read of this group is exact — the fast
     path: one read, no per-group remap. That requires every target field to
-    either read a physical column of the SAME name, or be a NULL-fill whose
-    name the source schema NEVER carried (files hold exactly their schema's
-    columns, so a name-read then finds nothing and null-fills — the
-    add-column case). A NULL-fill whose name the source DID carry is the
-    dropped-and-readded trap: the file physically stores the OLD field's
-    data under that name, and a name-read would resurrect it."""
+    either read a physical column of the SAME name AND type, or be a
+    NULL-fill whose name the source schema NEVER carried (files hold
+    exactly their schema's columns, so a name-read then finds nothing and
+    null-fills — the add-column case). A NULL-fill whose name the source
+    DID carry is the dropped-and-readded trap: the file physically stores
+    the OLD field's data under that name, and a name-read would resurrect
+    it. A type mismatch (widening) forces the grouped path: the file must
+    be read at its STORED type and cast up."""
     return all(
-        (phys == cur) or (phys is None and cur not in source_names)
-        for phys, cur, _ in proj
+        (phys == cur and styp == ttyp)
+        or (phys is None and cur not in source_names)
+        for phys, styp, cur, ttyp in proj
     )
 
 
 def remap_arrow(tbl: pa.Table, proj: list[tuple], arrow_types: dict) -> pa.Table:
     """Project a pyarrow table read from a raw data file onto the target
-    fields: rename by id, NULL-fill absent ids, drop retired columns.
-    ``arrow_types``: sql type -> pa.DataType (writer._DDL_ARROW)."""
+    fields: rename by id, NULL-fill absent ids, widen stored types, drop
+    retired columns. ``arrow_types``: sql type -> pa.DataType
+    (writer._DDL_ARROW)."""
     cols, names = [], []
     phys_names = set(tbl.schema.names)
-    for phys, cur, sql_type in proj:
+    for phys, _styp, cur, sql_type in proj:
+        want = arrow_types[sql_type]
         if phys is not None and phys in phys_names:
-            cols.append(tbl.column(phys))
+            col = tbl.column(phys)
+            cols.append(col.cast(want) if col.type != want else col)
         else:
-            cols.append(pa.nulls(tbl.num_rows, arrow_types[sql_type]))
+            cols.append(pa.nulls(tbl.num_rows, want))
         names.append(cur)
     return pa.table(dict(zip(names, cols)))
 

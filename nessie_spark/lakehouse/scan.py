@@ -310,8 +310,9 @@ def _read_data_files(
     parts = []
     for sid in sorted(groups):
         proj = projs[sid]
+        # read at the STORED type (widened fields cast up in the select)
         phys_ddl = ", ".join(
-            f"{phys} {typ}" for phys, _cur, typ in proj if phys is not None
+            f"{phys} {styp}" for phys, styp, _cur, _typ in proj if phys is not None
         )
         gdf = spark.read.schema(phys_ddl).parquet(
             *[os.path.join(table.root, p) for p in groups[sid]]
@@ -319,10 +320,12 @@ def _read_data_files(
         parts.append(
             gdf.select(
                 *[
-                    F.col(phys).alias(cur)
+                    (
+                        F.col(phys).cast(typ) if styp != typ else F.col(phys)
+                    ).alias(cur)
                     if phys is not None
                     else F.lit(None).cast(typ).alias(cur)
-                    for phys, cur, typ in proj
+                    for phys, styp, cur, typ in proj
                 ]
             )
         )

@@ -174,3 +174,55 @@ def test_snapshot_isolation_row_sets_across_evolution(spark, tmp_path):
         for r in scan(spark, t, snapshot_id=s1).select("image_id", "caption").collect()
     }
     assert pre == post
+
+
+def test_widen_column_int_to_long(spark, tmp_path):
+    """Widening reads old int32 files as long (per-group cast) and keeps
+    every stored value; illegal changes are refused."""
+    t, _ = make_table(spark, str(tmp_path / "t"), n=48, mean_rows=12)
+    evolve.add_column(t, "quality", "int")
+    t = t.refresh()
+    a = (
+        synth.images_df(spark, 16, seed=5)
+        .withColumn("image_id", F.concat(F.lit("a-"), "image_id"))
+        .withColumn("quality", F.length("caption").cast("int"))
+    )
+    jobs.append(spark, t, a, job_id="wa")
+    t = t.refresh()
+    expected = {r.image_id: r.quality for r in a.select("image_id", "quality").collect()}
+    evolve.widen_column(t, "quality", "long")
+    t = t.refresh()
+    df = scan(spark, t)
+    assert dict(df.dtypes)["quality"] == "bigint"
+    got = {r.image_id: r.quality for r in df.where("quality is not null").collect()}
+    assert got == expected
+    # post-widen appends store long; mixed-width file set reads uniformly
+    b = (
+        synth.images_df(spark, 8, seed=6)
+        .withColumn("image_id", F.concat(F.lit("b-"), "image_id"))
+        .withColumn("quality", (F.length("caption") + F.lit(3_000_000_000)).cast("long"))
+    )
+    jobs.append(spark, t, b, job_id="wb")
+    t = t.refresh()
+    expected.update({r.image_id: r.quality for r in b.select("image_id", "quality").collect()})
+    got = {
+        r.image_id: r.quality
+        for r in scan(spark, t).where("quality is not null").collect()
+    }
+    assert got == expected
+    # compaction normalizes the int32 files to long
+    compact.compact(spark, t, target_bytes=1 << 20, job_id="wc")
+    t = t.refresh()
+    got = {
+        r.image_id: r.quality
+        for r in scan(spark, t).where("quality is not null").collect()
+    }
+    assert got == expected
+    assert live_projection_maps(t) == {}
+    # refusals: narrowing, cross-family, reserved
+    with pytest.raises(ValueError, match="legal widenings"):
+        evolve.widen_column(t.refresh(), "quality", "int")
+    with pytest.raises(ValueError, match="legal widenings"):
+        evolve.widen_column(t.refresh(), "description" if "description" in scan(spark, t).columns else "caption", "long")
+    with pytest.raises(ValueError, match="reserved"):
+        evolve.widen_column(t.refresh(), "w", "long")
