@@ -376,7 +376,7 @@ def one_run(base: str, cores: int, rep: int) -> tuple[float, float, dict]:
 
 def run_scaling(
     low: int, mid: int
-) -> tuple[dict[int, float], list[tuple[float, float]], int, dict[int, dict]]:
+) -> tuple[dict[int, float], list[tuple[float, float]], int, dict[int, dict], list]:
     """Interleaved scaling measurement.
 
     Returns (runs, rep_times, rejected, phases_by_level) — phases_by_level
@@ -414,6 +414,7 @@ def run_scaling(
     # Each rep entry: (t_low, t_high, corrected_eff, s_low, s_high).
     rep_times: list[tuple[float, float, float, float, float]] = []
     phase_best: dict[int, tuple[float, dict]] = {}
+    smt_raw: list = []
     rejected = 0
     max_reps = n_runs + (0 if FAST else 7)
     attempt = 0
@@ -464,16 +465,36 @@ def run_scaling(
     best_high = min(r[1] for r in rep_times)
     runs = {low: best_low, mid: best_high}
     if CPUS > mid:
+        # best-of-3 (1 in FAST mode): the single-run 32c headline swung
+        # 27s..76s across r4 benches purely on host phase; min-of-3 with
+        # per-run host speeds matches the best-run estimator used for the
+        # low/mid levels and pins drift instead of re-litigating it
         try:
-            t_smt, _sp, ph_smt = one_run(base, CPUS, 0)
+            smt_runs = []
+            for k in range(1 if FAST else 3):
+                t_smt, sp_smt, ph_smt = one_run(base, CPUS, k)
+                smt_runs.append((t_smt, sp_smt, ph_smt))
+            smt_raw = [
+                {"sec": round(t, 3), "host_speed": round(s, 1)}
+                for t, s, _ in smt_runs
+            ]
+            t_smt, _sp, ph_smt = min(smt_runs, key=lambda r: r[0])
             runs[CPUS] = t_smt
             if ph_smt:
                 phase_best[CPUS] = (t_smt, ph_smt)
+            print(
+                "[bench] 32c runs "
+                + ", ".join(f"{t:.1f}s@speed{s:.0f}" for t, s, _ in smt_runs),
+                file=sys.stderr,
+            )
         except Exception:
             print("[bench] SMT-regime run failed (secondary; skipped):", file=sys.stderr)
             traceback.print_exc()
     shutil.rmtree(os.path.join(WORK, "base"), ignore_errors=True)
-    return runs, rep_times, rejected, {c: ph for c, (_t, ph) in phase_best.items()}
+    return (
+        runs, rep_times, rejected,
+        {c: ph for c, (_t, ph) in phase_best.items()}, smt_raw,
+    )
 
 
 def main() -> None:
@@ -488,8 +509,9 @@ def main() -> None:
     rep_times: list[tuple[float, float]] = []
     rejected = 0
     phases_by_level: dict[int, dict] = {}
+    smt_raw: list = []
     try:
-        runs, rep_times, rejected, phases_by_level = run_scaling(low, mid)
+        runs, rep_times, rejected, phases_by_level, smt_raw = run_scaling(low, mid)
     except Exception:
         # A dead scaling phase must not zero the whole bench (r1 shipped
         # parsed=null); emit queries + the error instead.
@@ -572,6 +594,7 @@ def main() -> None:
                     "cores": CPUS,
                     "sec": round(runs[CPUS], 3),
                     "images_per_sec": round(thr[CPUS], 1),
+                    "runs": smt_raw,  # best-of-3 with in-run host speeds
                     "efficiency_vs_mid": round(eff_smt, 3) if eff_smt else None,
                     "note": "8->32 spans the SMT/memory-bandwidth ceiling of "
                     "this single host; pure-CPU zlib caps ~0.78 here",
