@@ -26,6 +26,8 @@ _SAMPLE_PRIORITY = [
     # share the same join/agg machinery, are oracle-checkable locally,
     # and rotate into r5's window.
     "rollup_pricing_levels",
+    "cube_year_flag",
+    "events_time_rolling",
     "events_rolling_windows",
     "events_user_deciles",
     "events_user_deciles_distributed",

@@ -64,6 +64,8 @@ os.environ.setdefault("NESSIE_SPARK_DRIVER_MEM", "24g")
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "rollup_pricing_levels",
+    "cube_year_flag",
+    "events_time_rolling",
     "events_rolling_windows",
     "events_user_deciles",
     "events_user_deciles_distributed",

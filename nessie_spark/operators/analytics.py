@@ -285,9 +285,62 @@ ORDER BY lvl, returnflag, linestatus
 """
 
 
+def cube_year_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(ship_year, l_returnflag): ALL FOUR grouping sets — detail,
+    both one-dimension marginals, and the grand total — in one pass
+    (rollup_pricing_levels evidences the ROLLUP lattice; this completes
+    the grouping-sets family with the full cube). Same bit-order-proof
+    ``grouping()`` arithmetic; the int year uses a -1 sentinel, the flag
+    'ALL'.
+
+    Scale: one Expand (4 sets) + one shuffle of |distinct(year,flag)| × 4
+    partial rows — the two marginal breakdowns cost nothing beyond the
+    detail pass. Money stays decimal end-to-end."""
+    li = T(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate").cast("int")
+    )
+    disc_price = _money("l_extendedprice") * (1 - _rate("l_discount"))
+    lvl = (F.grouping("ship_year") * 2 + F.grouping("l_returnflag")).cast("int")
+    return (
+        li.cube("ship_year", "l_returnflag")
+        .agg(
+            lvl.alias("lvl"),
+            F.sum(F.col("l_quantity").cast(D202)).alias("qty"),
+            F.sum(disc_price).alias("rev"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            F.coalesce("ship_year", F.lit(-1)).alias("ship_year"),
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            "lvl",
+            F.col("qty").cast("double").alias("sum_qty"),
+            F.col("rev").cast("double").alias("sum_disc_price"),
+            "count_order",
+        )
+        .orderBy("lvl", "ship_year", "returnflag")
+    )
+
+
+CUBE_YEAR_FLAG_SQL = """
+WITH li AS (
+  SELECT *, CAST(year(l_shipdate) AS INT) AS ship_year FROM lineitem
+)
+SELECT COALESCE(ship_year, -1) AS ship_year,
+       COALESCE(l_returnflag, 'ALL') AS returnflag,
+       CAST(GROUPING(ship_year) * 2 + GROUPING(l_returnflag) AS INT) AS lvl,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM li
+GROUP BY CUBE(ship_year, l_returnflag)
+ORDER BY lvl, ship_year, returnflag
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "rollup_pricing_levels": (rollup_pricing_levels, ROLLUP_PRICING_SQL),
+    "cube_year_flag": (cube_year_flag, CUBE_YEAR_FLAG_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q5_local_supplier_volume": (q5_local_supplier_volume, Q5_SQL),
     "top_customers_per_nation": (top_customers_per_nation, TOP_CUSTOMERS_SQL),

@@ -659,6 +659,57 @@ ORDER BY user_id
 """
 
 
+def events_time_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per-user trailing ONE-HOUR event count and value
+    sum at every event — the time-based sibling of
+    `events_rolling_windows`' ROWS frames (completing SURVEY §2.5's window
+    coverage: rows frames, rank family, and now value-range frames).
+
+    Cross-engine exactness: the order key is integer epoch MICROseconds
+    and the frame bound is the integer 3_600_000_000, so the frame
+    membership test is pure integer arithmetic; values are fixed-pointed
+    to micro-units before the in-frame sum. RANGE frames include ALL
+    peers of the current order value on both engines, so ties need no
+    tie-break — the frame is a pure function of t_us.
+
+    Scale: one shuffle on user_id; the running frame is O(window span)
+    state per stream, evaluated in a single Window node."""
+    ev = T(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        F.round(F.col("value") * 1e6, 0).cast("long").alias("v_micro"),
+    )
+    HOUR_US = 3_600_000_000
+    w = Window.partitionBy("user_id").orderBy("t_us").rangeBetween(-HOUR_US, 0)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "t_us",
+            F.count(F.lit(1)).over(w).alias("n_1h"),
+            F.sum("v_micro").over(w).alias("sum_1h_micro"),
+        )
+        .orderBy("user_id", "t_us", "event_id")
+    )
+
+
+EVENTS_TIME_ROLLING_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t_us,
+         CAST(ROUND(value * 1e6) AS BIGINT) AS v_micro
+  FROM events
+)
+SELECT user_id, event_id, t_us,
+       CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY t_us
+            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_1h,
+       CAST(SUM(v_micro) OVER (PARTITION BY user_id ORDER BY t_us
+            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum_1h_micro
+FROM ev
+ORDER BY user_id, t_us, event_id
+"""
+
+
 def events_user_deciles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`events_user_deciles` on the 10^9-user plan: the single-task global
     window is replaced by plans/rank.global_row_number (range-partitioned
@@ -709,6 +760,7 @@ def events_user_deciles_distributed(spark: SparkSession, sf_dir: str) -> DataFra
 QUERIES: dict[str, tuple] = {
     "events_rolling_windows": (events_rolling_windows, EVENTS_ROLLING_SQL),
     "events_user_deciles": (events_user_deciles, EVENTS_USER_DECILES_SQL),
+    "events_time_rolling": (events_time_rolling, EVENTS_TIME_ROLLING_SQL),
     "events_user_deciles_distributed": (
         events_user_deciles_distributed,
         EVENTS_USER_DECILES_SQL,

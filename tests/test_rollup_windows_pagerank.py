@@ -124,3 +124,48 @@ def test_user_deciles_semantics(spark):
     # cume is rank/n in ppm (floor division)
     for i, r in enumerate(ordered):
         assert r.cume_ppm == (i + 1) * 1_000_000 // n
+
+
+def test_cube_marginals_reconcile(spark):
+    """CUBE: both marginals and the grand total must each sum the detail
+    rows exactly (decimal discipline)."""
+    from nessie_spark.operators.analytics import cube_year_flag
+
+    rows = cube_year_flag(spark, SF).collect()
+    detail = [r for r in rows if r.lvl == 0]
+    by_year = [r for r in rows if r.lvl == 1]   # grouping(flag)=1: year marginal
+    by_flag = [r for r in rows if r.lvl == 2]   # grouping(year)=1: flag marginal
+    grand = [r for r in rows if r.lvl == 3]
+    assert len(grand) == 1
+    assert grand[0].count_order == sum(r.count_order for r in detail)
+    for m in by_year:
+        mine = [r for r in detail if r.ship_year == m.ship_year]
+        assert m.count_order == sum(r.count_order for r in mine)
+        assert m.sum_qty == pytest.approx(sum(r.sum_qty for r in mine))
+    for m in by_flag:
+        mine = [r for r in detail if r.returnflag == m.returnflag]
+        assert m.count_order == sum(r.count_order for r in mine)
+        assert m.sum_disc_price == pytest.approx(sum(r.sum_disc_price for r in mine))
+
+
+def test_time_rolling_frame_membership(spark):
+    """RANGE frame: n_1h at each event equals the brute-force count of the
+    user's events in [t-1h, t] for a sample of users (the in-frame SUM is
+    hash-checked against DuckDB by the oracle gate)."""
+    from collections import defaultdict
+
+    from nessie_spark.operators.events import events_time_rolling
+
+    rows = events_time_rolling(spark, SF).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    HOUR = 3_600_000_000
+    checked = 0
+    for uid in sorted(by_user)[:5]:
+        evs = sorted(by_user[uid], key=lambda r: r.t_us)
+        for r in evs:
+            frame = [e for e in evs if r.t_us - HOUR <= e.t_us <= r.t_us]
+            assert r.n_1h == len(frame), (uid, r.event_id)
+            checked += 1
+    assert checked > 20
