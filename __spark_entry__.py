@@ -40,6 +40,7 @@ _SAMPLE_PRIORITY = [
     "multimodal_quality_screen",
     "multimodal_dhash_consensus",
     "maintenance_rename_drop",
+    "ann_pq_topk",
     "langid_confusion",
     "winnowing_fingerprints",
     "winnowing_overlap_pairs",

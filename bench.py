@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "dedup_simhash_pairs",
     "ngram_jaccard_top1",
     "ann_cosine_topk",
+    "ann_pq_topk",
     "dedup_embedding_cosine",
     "token_featurizer",
     "dawid_skene_labels",

@@ -347,8 +347,173 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_M = 8  # subspaces (d=64 -> 8 dims each)
+PQ_SUB = 8
+PQ_K = 16  # centroids per subspace -> 4-bit codes, 8 B/vector vs 256 B raw
+PQ_ITERS = 4
+PQ_RERANK = 100  # ADC shortlist size before exact re-ranking
+
+
+def _pq_codes_udf(cents: list[list[list[float]]]):
+    """codes[m] = argmin_k ||slice_m(e) - cents[m][k]||², one Arrow-batched
+    numpy pass (n·M·K subspace distances as a single einsum-shaped
+    broadcast). The expression-tree formulation (M·K=128 aggregate/zip_with
+    folds per row) spent more time in Catalyst codegen than in data — the
+    same lesson as band_keys_udf above; numpy argmin takes the FIRST
+    minimum, so ties break to the lowest k deterministically."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(cents, dtype=np.float64)  # (M, K, SUB)
+
+    def _codes(e):
+        import pandas as pd
+
+        if len(e) == 0:
+            return pd.Series([], dtype=object)
+        E = np.stack(e.to_numpy()).reshape(len(e), PQ_M, 1, PQ_SUB)
+        d = ((E - C[None, :, :, :]) ** 2).sum(axis=3)  # (n, M, K)
+        return pd.Series(list(d.argmin(axis=2).astype(np.int32)))
+
+    return pandas_udf(_codes, "array<int>")
+
+
+def _pq_codebooks(emb: DataFrame) -> list[list[list[float]]]:
+    """Per-subspace Lloyd iterations, all M subspaces updated in ONE Spark
+    job per iteration: assign codes row-wise (expression argmin), then a
+    single posexplode→groupBy(m, k, dim) average. Driver traffic per iter
+    is M·K·SUB floats (the codebooks), never rows — the same contract as
+    the IVF trainer. Seeds follow the engine's seeded-random rule
+    (smallest h64('pq|'||vec_id))."""
+    seeds = (
+        emb.withColumn(
+            "hk", h64(F.concat(F.lit("pq|"), F.col("vec_id").cast("string")))
+        )
+        .orderBy("hk", "vec_id")
+        .limit(PQ_K)
+        .select("e")
+        .collect()
+    )
+    cents = [
+        [list(r["e"])[m * PQ_SUB : (m + 1) * PQ_SUB] for r in seeds]
+        for m in range(PQ_M)
+    ]
+    for _ in range(PQ_ITERS):
+        assigned = emb.withColumn("codes", _pq_codes_udf(cents)(F.col("e")))
+        rows = (
+            assigned.select(F.posexplode("codes").alias("m", "k"), "e")
+            .select(
+                "m",
+                "k",
+                F.posexplode(
+                    F.slice("e", F.col("m") * PQ_SUB + 1, F.lit(PQ_SUB))
+                ).alias("d", "v"),
+            )
+            .groupBy("m", "k", "d")
+            .agg(F.avg("v").alias("mu"))
+            .collect()
+        )
+        upd: dict = {}
+        for r in rows:
+            upd.setdefault((r["m"], r["k"]), [None] * PQ_SUB)[r["d"]] = r["mu"]
+        cents = [
+            [
+                [
+                    x if x is not None else cents[m][k][d]
+                    for d, x in enumerate(upd.get((m, k), cents[m][k]))
+                ]
+                for k in range(PQ_K)
+            ]
+            for m in range(PQ_M)
+        ]
+    return cents
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN — the 10^9-vector memory path (Jégou et al.
+    2011, the IndexPQ+refine shape): train M=8 per-subspace codebooks of
+    K=16 centroids (distributed Lloyd), encode every vector to an 8-byte
+    code (32× smaller than the float32 vector — the corpus codes fit in
+    RAM where the vectors never could), scan CODES with asymmetric
+    distance (ADC: per-query lookup table of M·K precomputed subspace
+    distances, so a candidate costs M table lookups, zero float math on
+    the vector), shortlist PQ_RERANK candidates, then exact-L2 re-rank
+    ONLY the shortlist against the true vectors.
+
+    Scale shape: the ADC scan touches only the 8-byte codes column
+    (broadcast LUTs, one projection, no shuffle until top-k); the
+    re-rank join pulls full vectors for 50·|queries| rows, not the
+    corpus. Rows-only gate (float codebooks); recall@5 vs brute-force
+    L2 is gated in tests/test_pq.py."""
+    emb = _emb(spark, sf_dir)
+    cents = _pq_codebooks(emb)
+    codes = emb.select(
+        F.col("vec_id").alias("nid"), _pq_codes_udf(cents)(F.col("e")).alias("codes")
+    )
+    # per-query flattened LUT[m*K + k] = ||slice_m(q) - cents[m][k]||²
+    qrows = emb.where(F.col("vec_id") < N_QUERIES).select("vec_id", "e").collect()
+    luts = []
+    for r in qrows:
+        qe = list(r["e"])
+        lut = []
+        for m in range(PQ_M):
+            s = qe[m * PQ_SUB : (m + 1) * PQ_SUB]
+            for k in range(PQ_K):
+                c = cents[m][k]
+                lut.append(sum((a - b) * (a - b) for a, b in zip(s, c)))
+        luts.append((r["vec_id"], lut))
+    qdf = spark.createDataFrame(luts, "qid long, lut array<double>")
+    adc = (
+        F.broadcast(qdf)
+        .crossJoin(codes)
+        .where(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                    lambda c, m: F.element_at(
+                        F.col("lut"), (m * PQ_K + c + 1).cast("int")
+                    ),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("adc"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("adc"), F.asc("nid"))
+    shortlist = adc.withColumn("rk0", F.row_number().over(w)).where(
+        F.col("rk0") <= PQ_RERANK
+    )
+    # exact re-rank: true vectors for the shortlist only
+    qe = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    ne = emb.select(F.col("vec_id").alias("nid"), F.col("e").alias("ne"))
+    l2 = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("ne"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    exact = (
+        shortlist.join(F.broadcast(qe), "qid")
+        .join(ne, "nid")
+        .select("qid", "nid", F.round(l2, 6).alias("l2"))
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.asc("l2"), F.asc("nid"))
+    return (
+        exact.withColumn("rk", F.row_number().over(w2))
+        .where(F.col("rk") <= TOP_K)
+        .select("qid", "rk", "nid", "l2")
+        .orderBy("qid", "rk")
+    )
+
+
 QUERIES: dict[str, tuple] = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_COSINE_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
     "ann_ivf_topk": (ann_ivf_topk, None),
+    "ann_pq_topk": (ann_pq_topk, None),
 }
