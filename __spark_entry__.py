@@ -19,12 +19,12 @@ from pyspark.sql import DataFrame, SparkSession
 # CORRECTNESS_r02/r03 = registry order truncated at 50), so ordering is the
 # sampling rotation — see the allocation note at the top of the list.
 _SAMPLE_PRIORITY = [
-    # First 50 = the driver's sample window. Allocation rule:
-    # this round's 4 new queries + the prior red row up front, then
-    # every never-driver-sampled NON-TPC-H query (45 — each a distinct
-    # operator family). The q-series (q2/q4/q8/q9 at 51-54 and below)
-    # share the same join/agg machinery, are oracle-checkable locally,
-    # and rotate into r5's window.
+    # First 50 = the driver's sample window. Allocation rule: this
+    # round's new queries (incl. the prior red row) and every rows-only
+    # query whose ONLY durable evidence is a driver row come first, then
+    # never-driver-sampled oracle queries (each a distinct operator
+    # family). Oracle-backed entries below the fold are locally
+    # checkable (tools/check_oracle.py) and rotate into r5's window.
     "rollup_pricing_levels",
     "cube_year_flag",
     "events_time_rolling",
@@ -76,12 +76,12 @@ _SAMPLE_PRIORITY = [
     "maintenance_stream_bloom",
     "doclen_quantiles",
     "events_retention_cohorts",
-    "events_funnel",
+    "model_zoo_crf_tagger_cv",  # rows-only: a driver row is its only durable evidence
     "knn_exact_topk",
+    "events_funnel",
     "mean_distance_lof_exact_scores",
     "doc_pack_sequences",
     "stratified_sample",
-    "model_zoo_crf_tagger_cv",
     "maintenance_cluster_delta",
     "maintenance_partition_pruning",
     "dropout_original_scores",
