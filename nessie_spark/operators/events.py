@@ -757,6 +757,60 @@ def events_user_deciles_distributed(spark: SparkSession, sf_dir: str) -> DataFra
     ).orderBy("user_id")
 
 
+
+def events_bucketed_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join (plans/bucket.py): views and purchases are
+    each written hash-bucketed by ``user_id`` (the one shuffle, paid at
+    write time), then the per-user attribution join AND the follow-up
+    aggregation both run with ZERO Exchange — plan-asserted in
+    tests/test_bucketed_join.py. The recurring-pipeline shape: at 100 TB,
+    re-used bucketed layouts turn every daily join on the same key into a
+    shuffle-free map-side merge.
+
+    Output: one row per user with at least one view and one purchase —
+    n_views, n_buys, and n_pairs (the join cardinality |views|x|buys|),
+    which the DuckDB oracle reproduces with a plain join."""
+    import uuid as _uuid
+
+    from nessie_spark.plans.bucket import bucketed_join, write_bucketed
+
+    ev = T(spark, sf_dir, "events")
+    tag = _uuid.uuid4().hex[:8]
+    vt = write_bucketed(
+        ev.where("event_type = 'view'").select("user_id", "event_id"),
+        f"views_b_{tag}", "user_id", 8,
+    )
+    bt = write_bucketed(
+        ev.where("event_type = 'purchase'").select(
+            "user_id", F.col("event_id").alias("buy_id")
+        ),
+        f"buys_b_{tag}", "user_id", 8,
+    )
+    return (
+        bucketed_join(spark, vt, bt, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("event_id").alias("n_views"),
+            F.countDistinct("buy_id").alias("n_buys"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_BUCKETED_JOIN_SQL = """
+WITH v AS (SELECT user_id, event_id FROM events WHERE event_type = 'view'),
+     b AS (SELECT user_id, event_id AS buy_id FROM events WHERE event_type = 'purchase')
+SELECT v.user_id,
+       COUNT(DISTINCT v.event_id) AS n_views,
+       COUNT(DISTINCT b.buy_id) AS n_buys,
+       COUNT(*) AS n_pairs
+FROM v JOIN b ON v.user_id = b.user_id
+GROUP BY v.user_id
+ORDER BY v.user_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "events_rolling_windows": (events_rolling_windows, EVENTS_ROLLING_SQL),
     "events_user_deciles": (events_user_deciles, EVENTS_USER_DECILES_SQL),
@@ -773,4 +827,5 @@ QUERIES: dict[str, tuple] = {
     "events_asof_order": (events_asof_order, EVENTS_ASOF_SQL),
     "events_hourly_anomalies": (events_hourly_anomalies, EVENTS_ANOMALY_SQL),
     "events_markov_transitions": (events_markov_transitions, EVENTS_MARKOV_SQL),
+    "events_bucketed_user_join": (events_bucketed_user_join, EVENTS_BUCKETED_JOIN_SQL),
 }
