@@ -296,3 +296,53 @@ def start_bloom_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def join_streams_attributed(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    max_delay_s: int = 1800,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream event-time interval join — the attribution shape
+    (view → purchase within ``max_delay_s``), completing §2.8's stateful
+    roster (dedup / rollup / sessionize / upsert / bloom / and now
+    two-stream joins).
+
+    Both sides carry a watermark and the join predicate bounds the
+    event-time distance (``r.ts BETWEEN l.ts AND l.ts + max_delay``), so
+    Structured Streaming can evict BOTH state stores: a buffered left row
+    dies once the right watermark passes ``l.ts + max_delay``, a right row
+    once the left watermark passes ``r.ts``. Without the time bound the
+    left buffer is immortal — the stream-stream analog of the unbounded
+    dropDuplicates failure mode this module documents.
+
+    Scale: one shuffle per side on ``key``; per-key state is
+    O(arrival rate × (watermark + max_delay)) independent of stream
+    length. Inner join → append mode, rows finalize exactly once.
+
+    Works identically on batch frames (watermarks are no-ops there) — the
+    parity contract tests rely on that."""
+    l = left.select(
+        F.col(key),
+        F.col("event_id").alias("l_event_id"),
+        F.col("ts").alias("l_ts"),
+    ).withWatermark("l_ts", watermark)
+    r = right.select(
+        F.col(key).alias("_rk"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("ts").alias("r_ts"),
+    ).withWatermark("r_ts", watermark)
+    cond = (
+        (l[key] == r["_rk"])
+        & (r["r_ts"] >= l["l_ts"])
+        & (r["r_ts"] <= l["l_ts"] + F.expr(f"INTERVAL {max_delay_s} SECONDS"))
+    )
+    return l.join(r, cond, "inner").select(
+        key,
+        "l_event_id",
+        "r_event_id",
+        F.unix_timestamp("l_ts").alias("l_epoch"),
+        (F.unix_timestamp("r_ts") - F.unix_timestamp("l_ts")).alias("delay_s"),
+    )
