@@ -16,7 +16,9 @@ Every operation is a METADATA-ONLY commit — no data file is touched:
 Snapshots record the schema (and schema_id) current as of the commit, so
 pinned / time-travel reads use the names their data was written under.
 
-Not supported (raise): type-change. Reserved engine columns
+Type changes: WIDENING only (int→long, float→double — lossless reads;
+the Iceberg promotion matrix). Narrowing and cross-family changes raise.
+Reserved engine columns
 (fields.RESERVED_FIELDS — stats/zorder/merge/codec dependencies) and
 active partition-spec sources cannot be renamed or dropped.
 

@@ -64,6 +64,8 @@ def test_queries_registry_shape(spark):
         "model_zoo_fasttext_cv_flags",
         # IVF ANN (tests/test_ivf.py): float centroids; recall-gated
         "ann_ivf_topk",
+        # PQ ANN (tests/test_pq.py): float codebooks; recall@5-gated
+        "ann_pq_topk",
         # CRF tagger (tests/test_crf_tagger.py): parameter-mixing average
         # is no DuckDB one-liner — accuracy/transition/noise-recall gated
         "model_zoo_crf_tagger_cv",
