@@ -86,9 +86,10 @@ _SAMPLE_PRIORITY = [
     "maintenance_partition_pruning",
     "dropout_original_scores",
     "dropout_variance_scores",
-    "q2_min_cost_supplier",
+    "events_bucketed_user_join",  # r4's newest op: zero-Exchange bucketed join
     # --- below the fold (position 51+): remaining TPC-H, then the refresh
     # rotation over previously driver-certified rows
+    "q2_min_cost_supplier",
     "q4_order_priority",
     "q8_market_share",
     "q9_product_profit",
