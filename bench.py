@@ -382,10 +382,12 @@ def run_scaling(
 ) -> tuple[dict[int, float], list[tuple[float, float]], int, dict[int, dict], list]:
     """Interleaved scaling measurement.
 
-    Returns (runs, rep_times, rejected, phases_by_level) — phases_by_level
-    carries the compact/zorder split of the FASTEST run at each level, so a
-    round-over-round wall regression can be pinned to a phase instead of
-    re-litigating host drift from one end-to-end number (r3 postmortem)."""
+    Returns (runs, rep_times, rejected, phases_by_level, smt_raw) —
+    phases_by_level carries the compact/zorder split of the FASTEST run at
+    each level, so a round-over-round wall regression can be pinned to a
+    phase instead of re-litigating host drift from one end-to-end number
+    (r3 postmortem); smt_raw is the per-rep (sec, speed) list for the
+    SMT-regime 32-core point."""
     os.makedirs(WORK, exist_ok=True)
     base = os.path.join(WORK, "base", "images")
 

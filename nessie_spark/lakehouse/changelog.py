@@ -168,10 +168,18 @@ def scan_changelog(
         )
 
         def _file_entries(mpaths: set) -> dict:
+            # pass schema= so missing columns null-fill (same pattern as
+            # Table.file_entries): a bare columns= select raises
+            # ArrowInvalid on manifests written before the field-id model,
+            # which fields.py promises to keep readable
+            from nessie_spark.lakehouse.table import FILE_ENTRY_SCHEMA
+
             out: dict = {}
             for mp in sorted(mpaths):
                 for e in pq.read_table(
-                    mp, columns=["file_path", "added_snapshot_id", "schema_id"]
+                    mp,
+                    schema=FILE_ENTRY_SCHEMA,
+                    columns=["file_path", "added_snapshot_id", "schema_id"],
                 ).to_pylist():
                     out[e["file_path"]] = e
             return out

@@ -229,7 +229,13 @@ def _plan_files_distributed(
             & (F.col("min_key") <= F.lit(key_range[1]))
         )
     rows = df.select(
-        "file_path", "added_snapshot_id", "record_count", "file_size_bytes"
+        # schema_id must survive: _read_data_files resolves each file's
+        # field-id projection from the STAMPED id when present (cherry-
+        # picked/replicated entries keep their original stamp even though
+        # added_snapshot_id points at the replaying snapshot); dropping it
+        # here would silently fall back to the snapshot's schema.
+        "file_path", "added_snapshot_id", "schema_id",
+        "record_count", "file_size_bytes",
     ).collect()
     return [r.asDict() for r in rows]
 

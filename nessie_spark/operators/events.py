@@ -770,21 +770,29 @@ def events_bucketed_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: one row per user with at least one view and one purchase —
     n_views, n_buys, and n_pairs (the join cardinality |views|x|buys|),
     which the DuckDB oracle reproduces with a plain join."""
-    import uuid as _uuid
+    import os as _os
+    import tempfile as _tempfile
 
     from nessie_spark.plans.bucket import bucketed_join, write_bucketed
 
     ev = T(spark, sf_dir, "events")
-    tag = _uuid.uuid4().hex[:8]
+    # FIXED table names + path, overwritten in place: the result is lazy
+    # (the caller collects after we return), so a try/finally cleanup here
+    # would delete the data before it is read — instead each invocation
+    # replaces the previous one's files/catalog entries, keeping repeated
+    # gate/bench runs bounded at one copy instead of leaking per call
+    base = _os.path.join(_tempfile.gettempdir(), "nessie-bucketed-reg")
     vt = write_bucketed(
         ev.where("event_type = 'view'").select("user_id", "event_id"),
-        f"views_b_{tag}", "user_id", 8,
+        "nessie_reg_views_b", "user_id", 8,
+        path=_os.path.join(base, "views_b"),
     )
     bt = write_bucketed(
         ev.where("event_type = 'purchase'").select(
             "user_id", F.col("event_id").alias("buy_id")
         ),
-        f"buys_b_{tag}", "user_id", 8,
+        "nessie_reg_buys_b", "user_id", 8,
+        path=_os.path.join(base, "buys_b"),
     )
     return (
         bucketed_join(spark, vt, bt, "user_id")

@@ -380,7 +380,9 @@ def _pq_codes_udf(cents: list[list[list[float]]]):
 
 def _pq_codebooks(emb: DataFrame) -> list[list[list[float]]]:
     """Per-subspace Lloyd iterations, all M subspaces updated in ONE Spark
-    job per iteration: assign codes row-wise (expression argmin), then a
+    job per iteration: assign codes row-wise (_pq_codes_udf numpy argmin —
+    same Arrow-batched kernel as the encode path; the Catalyst
+    expression-tree formulation was abandoned, see _pq_codes_udf), then a
     single posexplode→groupBy(m, k, dim) average. Driver traffic per iter
     is M·K·SUB floats (the codebooks), never rows — the same contract as
     the IVF trainer. Seeds follow the engine's seeded-random rule
@@ -442,8 +444,8 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the ADC scan touches only the 8-byte codes column
     (broadcast LUTs, one projection, no shuffle until top-k); the
-    re-rank join pulls full vectors for 50·|queries| rows, not the
-    corpus. Rows-only gate (float codebooks); recall@5 vs brute-force
+    re-rank join pulls full vectors for PQ_RERANK·|queries| rows, not
+    the corpus. Rows-only gate (float codebooks); recall@5 vs brute-force
     L2 is gated in tests/test_pq.py."""
     emb = _emb(spark, sf_dir)
     cents = _pq_codebooks(emb)

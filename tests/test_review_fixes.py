@@ -488,3 +488,70 @@ def test_tokenizer_dialect_parity_on_hostile_whitespace(spark, tmp_path):
         got = sorted(map(str, map(tuple, qs[name](spark, d).collect())))
         want = sorted(map(str, map(tuple, con.execute(sqls[name]).fetchall())))
         assert got == want, f"{name} diverges on hostile whitespace"
+
+
+def test_changelog_reads_legacy_manifests_without_schema_id(spark, tmp_path):
+    """r4 review: the changelog's overwrite-diff path read manifests with a
+    bare columns= select, which raises ArrowInvalid on manifests written
+    before the field-id model. Strip schema_id from every manifest on disk
+    (what a pre-model table looks like), then diff across a CoW merge."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from nessie_spark.lakehouse.changelog import scan_changelog
+
+    t, snap0 = make_table(spark, str(tmp_path / "tb"), n=64)
+    for mp in glob.glob(os.path.join(t.root, "metadata", "**", "*.parquet"),
+                        recursive=True):
+        tb = pq.read_table(mp)
+        if "schema_id" in tb.column_names:
+            pq.write_table(tb.drop_columns(["schema_id"]), mp)
+    t = t.refresh()
+    upd = (
+        synth.images_df(spark, 4, seed=42)
+        .withColumn("caption", F.concat(F.lit("edited: "), F.col("caption")))
+    )
+    merge.merge_into(spark, t, upd, job_id="legacy-m1")
+    t = t.refresh()
+    cl = scan_changelog(spark, t, from_snapshot_id=snap0)
+    got = {(r.image_id, r._change_type) for r in cl.collect()}
+    upd_ids = {f"img_{i:012d}" for i in range(4)}
+    assert got == {(i, "delete") for i in upd_ids} | {
+        (i, "insert") for i in upd_ids
+    }
+
+
+def test_distributed_planner_keeps_stamped_schema_id(spark, tmp_path):
+    """r4 review: _plan_files_distributed dropped schema_id from its
+    survivor select, so cherry-picked entries (stamped with their ORIGINAL
+    schema id, added_snapshot_id pointing at the replay snapshot) resolved
+    to the head schema and read the renamed column as NULL. Stage under
+    schema A, rename to schema B, cherry-pick, then force the distributed
+    planner and demand parity with the driver planner."""
+    from nessie_spark.lakehouse import evolve
+
+    t, _ = make_table(spark, str(tmp_path / "tb"), n=32)
+    staged = jobs.append(
+        spark, t,
+        synth.images_df(spark, 40, seed=9).where(
+            F.col("image_id") >= "img_000000000032"
+        ).withColumn("image_id", F.concat(F.lit("wap-"), F.col("image_id"))),
+        job_id="sidstamp-stage", stage_only=True,
+    )
+    t = t.refresh()
+    evolve.rename_column(t, "caption", "title")
+    t = t.refresh()
+    t.cherrypick_snapshot(staged)
+    t = t.refresh()
+    drv = {
+        r.image_id: r.title
+        for r in scan(spark, t, planner="driver").select("image_id", "title").collect()
+    }
+    dist = {
+        r.image_id: r.title
+        for r in scan(spark, t, planner="distributed").select("image_id", "title").collect()
+    }
+    assert dist == drv
+    wap = {k: v for k, v in dist.items() if k.startswith("wap-")}
+    assert len(wap) == 8 and all(v is not None for v in wap.values())
