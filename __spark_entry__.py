@@ -84,6 +84,7 @@ _SAMPLE_PRIORITY = [
     # — including events_bucketed_user_join, deliberately below the fold
     # because its zero-Exchange claim is plan-asserted in
     # tests/test_bucketed_join.py, not something a driver row can witness.
+    "dup_span_removal",  # ExactSubstr transform twin of dup_ngram_coverage
     "events_funnel",
     "mean_distance_lof_exact_scores",
     "doc_pack_sequences",

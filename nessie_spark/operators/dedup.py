@@ -1021,6 +1021,116 @@ ORDER BY d.doc_id
 """
 
 
+def dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRANSFORM complement of ``dup_ngram_coverage``: actually emit
+    each document's text with cross-document duplicated spans removed —
+    the Lee et al. 2022 ExactSubstr *dedup* step (their §3.2 cut, at the
+    same 5-token window granularity as the coverage signal). A token is
+    cut when any 5-gram window covering it also occurs in at least one
+    other document; what survives is the document's unique contribution
+    to the corpus. Mirrors the reference's flag→correct pairing (Retag
+    flags, Retag.correct rewrites — detectors.py's P1/P2): coverage
+    scores, removal rewrites.
+
+    Scale shape: positional grams are pure Catalyst (sequence + slice —
+    zero UDF); the duplicated-gram set is min≠max per gram (no
+    countDistinct Expand, map-side partial agg); ONLY duplicated gram
+    occurrences explode into covered positions (5 rows each — bounded by
+    dup mass, not corpus mass); the rebuild is one groupBy(doc_id) whose
+    collect_list holds a single document's tokens — the same per-doc
+    bound every mapInPandas op already assumes. The anti-join side
+    (tokens ⋈ covered positions) is an equi-join on (doc_id, p) — AQE
+    splits any hot document."""
+    docs = _spread(spark, T(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"[ \t\n\f\r]+").alias("ts")
+    )
+    n = N_COVER_GRAM
+    pg = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("ts") >= n,
+                F.expr(
+                    f"transform(sequence(1, size(ts) - {n - 1}),"
+                    f" i -> struct(i, concat_ws(' ', slice(ts, i, {n})) as g))"
+                ),
+            ).otherwise(F.expr("array()").cast("array<struct<i:int,g:string>>"))
+        ).alias("pg"),
+    ).select("doc_id", F.col("pg.i").alias("i"), F.col("pg.g").alias("g"))
+    # two consumers (dup-gram agg + covered-position join) — materialize
+    # once instead of re-running the split/slice/concat tree per consumer
+    pg = pg.localCheckpoint(eager=True)
+    dup_g = (
+        pg.groupBy("g")
+        .agg((F.min("doc_id") != F.max("doc_id")).alias("dup"))
+        .where("dup")
+        .select("g")
+    )
+    cov = (
+        pg.join(dup_g, "g")
+        .select("doc_id", F.explode(F.expr(f"sequence(i, i + {n - 1})")).alias("p"))
+        .distinct()
+    )
+    tp = toks.select(
+        "doc_id", F.posexplode("ts").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    marked = tp.join(cov.withColumn("cut", F.lit(True)), ["doc_id", "p"], "left")
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("cut"), 1).otherwise(0)).alias("n_removed"),
+            F.concat_ws(
+                " ",
+                F.expr(
+                    # collect_list skips NULLs -> only kept tokens survive;
+                    # sort by position restores document order
+                    "transform(array_sort(collect_list("
+                    "  CASE WHEN cut IS NULL THEN struct(p, tok) END)),"
+                    " x -> x.tok)"
+                ),
+            ).alias("cleaned_text"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_removed").cast("long").alias("n_removed"),
+            "cleaned_text",
+        )
+        .orderBy("doc_id")
+    )
+
+
+DUP_SPAN_REMOVAL_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\f\\r]+') AS ts
+  FROM documents
+), pg AS (
+  SELECT doc_id, i, array_to_string(ts[i:i + {N_COVER_GRAM - 1}], ' ') AS g
+  FROM toks, UNNEST(range(1, len(ts) - {N_COVER_GRAM - 2})) AS t(i)
+), dup_g AS (
+  SELECT g FROM (
+    SELECT g, (MIN(doc_id) <> MAX(doc_id)) AS dup FROM pg GROUP BY g
+  ) WHERE dup
+), cov AS (
+  SELECT DISTINCT pg.doc_id, pg.i + o AS p
+  FROM pg JOIN dup_g USING (g), UNNEST(range(0, {N_COVER_GRAM})) AS t(o)
+), tp AS (
+  SELECT doc_id, p, ts[p] AS tok
+  FROM toks, UNNEST(range(1, len(ts) + 1)) AS t(p)
+)
+SELECT tp.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(cov.p) AS BIGINT) AS n_removed,
+       COALESCE(STRING_AGG(CASE WHEN cov.p IS NULL THEN tp.tok END, ' '
+                           ORDER BY tp.p), '') AS cleaned_text
+FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.p = cov.p
+GROUP BY tp.doc_id
+ORDER BY tp.doc_id
+"""
+
+
 IB_M = 1 << 18   # bits in the historical-corpus gram bloom
 IB_K = 2         # hash functions per gram
 IB_NEW_MOD = 5   # doc_id % 5 == 0 plays the "newly arrived batch"
@@ -1397,6 +1507,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
     "dedup_keep_best": (dedup_keep_best, DEDUP_KEEP_BEST_SQL),
     "dup_ngram_coverage": (dup_ngram_coverage, DUP_NGRAM_COVERAGE_SQL),
+    "dup_span_removal": (dup_span_removal, DUP_SPAN_REMOVAL_SQL),
     "dedup_incremental_bloom": (dedup_incremental_bloom, DEDUP_INCREMENTAL_BLOOM_SQL),
     "dedup_embedding_clusters": (dedup_embedding_clusters, DEDUP_EMBEDDING_CLUSTERS_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),

@@ -174,3 +174,35 @@ def test_cc_distributed_path_matches_driver_union_find(spark):
     assert all(drv[i] == 0 for i in range(41))
     assert all(drv[x] == 100 for x in (100, 101, 102, 103))
     assert all(drv[x] == 200 for x in (200, 201, 202))
+
+
+def test_dup_span_removal_cuts_covered_tokens_only(spark, tmp_path):
+    """The transform twin of the coverage signal: a shared 8-token prefix
+    is cut from both docs (all 8 positions sit under a duplicated 5-gram
+    window), the unique tails survive verbatim, exact copies empty out,
+    unique and sub-5-token docs pass through untouched."""
+    shared = "a b c d e f g h"
+    rows = [
+        (1, shared + " u1 u2 u3", "en", "s", 0),
+        (2, shared + " v1 v2 v3 v4", "en", "s", 0),
+        (3, "q w e r t y p s k j m n", "en", "s", 0),
+        (4, "copy copy one two three four five", "en", "s", 0),
+        (5, "copy copy one two three four five", "en", "s", 0),
+        (6, "x y z", "en", "s", 0),
+    ]
+    d = str(tmp_path / "spanrm")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {r.doc_id: r for r in D.dup_span_removal(spark, d).collect()}
+    assert len(got) == 6
+    assert (got[1].n_tokens, got[1].n_removed, got[1].cleaned_text) == (
+        11, 8, "u1 u2 u3"
+    )
+    assert (got[2].n_tokens, got[2].n_removed, got[2].cleaned_text) == (
+        12, 8, "v1 v2 v3 v4"
+    )
+    assert got[3].n_removed == 0 and got[3].cleaned_text == rows[2][1]
+    assert got[4].cleaned_text == "" and got[4].n_removed == 7
+    assert got[5].cleaned_text == "" and got[5].n_removed == 7
+    assert got[6].n_removed == 0 and got[6].cleaned_text == "x y z"
