@@ -77,13 +77,14 @@ _SAMPLE_PRIORITY = [
     "doclen_quantiles",
     "events_retention_cohorts",
     "model_zoo_crf_tagger_cv",  # rows-only: a driver row is its only durable evidence
-    "knn_exact_topk",
+    "bpe_vocab_merges",  # rows-only (iterative; pytest twin proves the table)
     # --- below the fold (position 51+): everything past here is outside
     # the driver's 50-entry sample window. First: oracle-backed r4 ops that
     # are locally checkable (tools/check_oracle.py) and plan/pytest-pinned
     # — including events_bucketed_user_join, deliberately below the fold
     # because its zero-Exchange claim is plan-asserted in
     # tests/test_bucketed_join.py, not something a driver row can witness.
+    "knn_exact_topk",
     "dup_span_removal",  # ExactSubstr transform twin of dup_ngram_coverage
     "events_funnel",
     "mean_distance_lof_exact_scores",

@@ -489,10 +489,107 @@ ORDER BY docs.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Distributed BPE tokenizer training
+
+BPE_MERGES = 12  # merge operations learned per run
+
+
+def bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn byte-pair-encoding merges from the corpus, distributed — the
+    tokenizer-training job a 100 TB pipeline runs before anything is
+    tokenized (Sennrich et al. 2016). Classic algorithm: words start as
+    character sequences (+ ``</w>`` terminator); each round counts
+    adjacent symbol pairs weighted by word frequency, merges the most
+    frequent pair everywhere (greedy left-to-right, non-overlapping), and
+    repeats.
+
+    Scale shape — the key trick is WHERE the loop runs: the corpus is
+    touched ONCE (word count); every merge round then operates on the
+    DISTINCT-WORD table (vocabulary-sized, millions of rows at web scale
+    — not the trillions of corpus tokens), so each of the M rounds is one
+    pair-count shuffle over the vocab plus a map-side fold that applies
+    the merge. Driver traffic per round is one (pair, count) scalar —
+    picked by count DESC with a lexicographic tie-break so the learned
+    table is deterministic across partitionings. The merge application is
+    a Catalyst ``aggregate`` fold over each word's symbol array (built
+    with column args, never string interpolation — corpus tokens may
+    contain quotes); localCheckpoint per round truncates the 12-round
+    lineage exactly like the other iterative ops (Dawid–Skene, PageRank,
+    connected components).
+
+    Not SQL-expressible (iterative argmax + re-segmentation) → rows-only
+    gate; tests/test_bpe.py proves the merge table equals a pure-Python
+    reference BPE on planted corpora and on real testdata."""
+    docs = T(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.trim(F.col("text")), r"[ \t\n\f\r]+")).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "freq",
+            F.expr("concat(split(w, ''), array('</w>'))").alias("s"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    out = []
+    for rank in range(BPE_MERGES):
+        pairs = words.select(
+            "freq",
+            F.explode(
+                # guard: sequence(1, 0) DESCENDS on fully-merged
+                # single-symbol words, driving element_at to index 0
+                F.expr(
+                    "CASE WHEN size(s) >= 2 THEN"
+                    " transform(sequence(1, size(s) - 1),"
+                    "  j -> struct(element_at(s, j) as a,"
+                    "              element_at(s, j + 1) as b))"
+                    " ELSE cast(array() as array<struct<a:string,b:string>>)"
+                    " END"
+                )
+            ).alias("p"),
+        ).select("freq", "p.a", "p.b")
+        best = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, cnt = best[0].a, best[0].b, best[0].cnt
+        la, lb, lab = F.lit(a), F.lit(b), F.lit(a + b)
+        words = words.select(
+            "freq",
+            F.aggregate(
+                "s",
+                F.expr("cast(array() as array<string>)"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == la)
+                    & (x == lb),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(lab)
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ).alias("s"),
+        ).localCheckpoint(eager=True)
+        out.append((rank, a, b, a + b, int(cnt)))
+    return spark.createDataFrame(
+        out, "rank int, left string, right string, merged string, pair_freq long"
+    ).orderBy("rank")
+
+
+
 QUERIES: dict[str, tuple] = {
     "doc_pack_sequences": (doc_pack_sequences, DOC_PACK_SQL),
     "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
     "domain_mixture_sample": (domain_mixture_sample, DOMAIN_MIXTURE_SQL),
     "trigram_lm_quality": (trigram_lm_quality, TRIGRAM_LM_SQL),
     "dsir_importance_score": (dsir_importance_score, DSIR_SQL),
+    "bpe_vocab_merges": (bpe_vocab_merges, None),
 }

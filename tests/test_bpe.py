@@ -1,0 +1,99 @@
+"""Distributed BPE tokenizer training (operators/curation.bpe_vocab_merges):
+the merge table must equal a pure-Python reference implementation of
+Sennrich et al. 2016 (count pairs weighted by word freq, merge the argmax
+greedily left-to-right, count-desc / lexicographic tie-break) — on planted
+corpora that force ties and overlap chains, and on real testdata."""
+
+import collections
+import re
+
+import duckdb
+
+from nessie_spark.operators import curation as C
+
+_WS = re.compile(r"[ \t\n\f\r]+")
+
+
+def _ref_bpe(texts: list[str], m: int) -> list[tuple]:
+    wf = collections.Counter()
+    for t in texts:
+        for w in _WS.split(t.strip()):
+            if w:
+                wf[w] += 1
+    seqs = [[list(w) + ["</w>"], f] for w, f in sorted(wf.items())]
+    merges = []
+    for rank in range(m):
+        pc = collections.Counter()
+        for s, f in seqs:
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rank, a, b, a + b, cnt))
+        for s, _ in seqs:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            s[:] = out
+    return merges
+
+
+def _write_docs(spark, d, texts):
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+
+def _got(spark, d):
+    return [
+        (r.rank, r.left, r.right, r.merged, r.pair_freq)
+        for r in C.bpe_vocab_merges(spark, d).collect()
+    ]
+
+
+def test_bpe_matches_reference_on_planted_corpus(spark, tmp_path):
+    """Overlap chains (aaaa), repeated-merge symbols (low/lower/lowest:
+    'lo' then 'low' merging a previously merged symbol), and count ties
+    broken lexicographically — the classic Sennrich worked example."""
+    texts = [
+        "low low low low low lower lower newest newest",
+        "newest newest newest newest widest widest widest",
+        "aaaa aaaa baab",
+    ]
+    want = _ref_bpe(texts, C.BPE_MERGES)
+    d = str(tmp_path / "bpe1")
+    _write_docs(spark, d, texts)
+    assert _got(spark, d) == want
+
+
+def test_bpe_tie_break_is_lexicographic(spark, tmp_path):
+    """'xy' and 'pq' tie on count: the lexicographically smaller pair
+    must win every round, on both engines."""
+    texts = ["xy xy pq pq"]
+    want = _ref_bpe(texts, C.BPE_MERGES)
+    d = str(tmp_path / "bpe2")
+    _write_docs(spark, d, texts)
+    got = _got(spark, d)
+    assert got == want
+    # the round-1 winner is the lexicographically smaller of the tied pairs
+    assert got[0][1:3] == ("p", "q")
+
+
+def test_bpe_matches_reference_on_testdata(spark):
+    """Full-table equality against the Python reference on the real
+    sf0.001 documents table (the corpus the rows-only gate runs on)."""
+    sf = "/root/testdata/sf0.001"
+    texts = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT text FROM '{sf}/documents.parquet'"
+        ).fetchall()
+    ]
+    assert _got(spark, sf) == _ref_bpe(texts, C.BPE_MERGES)

@@ -69,6 +69,9 @@ def test_queries_registry_shape(spark):
         # CRF tagger (tests/test_crf_tagger.py): parameter-mixing average
         # is no DuckDB one-liner — accuracy/transition/noise-recall gated
         "model_zoo_crf_tagger_cv",
+        # BPE merge learning (tests/test_bpe.py): iterative argmax +
+        # re-segmentation — full-table equality vs a pure-Python reference
+        "bpe_vocab_merges",
     }
     no_oracle = {k for k in qs if k not in oracles} - PYTEST_GATED
     assert all(k.startswith(("maintenance_", "multimodal_")) for k in no_oracle)
