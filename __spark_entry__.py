@@ -86,6 +86,7 @@ _SAMPLE_PRIORITY = [
     # tests/test_bucketed_join.py, not something a driver row can witness.
     "knn_exact_topk",
     "dup_span_removal",  # ExactSubstr transform twin of dup_ngram_coverage
+    "doclen_quantiles_sampled",  # self-grading sampled-quantile sketch
     "events_funnel",
     "mean_distance_lof_exact_scores",
     "doc_pack_sequences",

@@ -713,6 +713,111 @@ ORDER BY source
 """
 
 
+DLQ_SAMPLE_MOD = 8  # deterministic 1/8 row sample for the sketch path
+
+
+def doclen_quantiles_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPROXIMATE path next to ``doclen_quantiles``' exact one: a
+    deterministic hash sample (keep doc when ``h64('dlq|'||doc_id) %
+    DLQ_SAMPLE_MOD == 0``) bounds per-source state to ~n/8 rows, then the
+    SAME integer rank rule runs on the sample. Emits est vs exact per
+    percent point plus ``rel_err`` so the sketch grades itself in the gate
+    (the same honesty contract as ``distinct_ngrams_theta``).
+
+    Scale shape: the sample predicate is a pure per-row filter (no
+    sampling state, deterministic under task re-execution — the
+    ``stratified_sample`` discipline) and composes under union: yesterday's
+    sample plus today's IS the sample of the union, so incremental corpora
+    never resample history. The exact leg exists to grade the estimate;
+    a 100 TB deployment runs only the sample leg (window over ~n/8 rows).
+    Both legs are one source-partitioned window each."""
+    from pyspark.sql.window import Window
+
+    docs = T(spark, sf_dir, "documents").select("source", "n_chars", "doc_id")
+
+    def leg(df: DataFrame, tag: str) -> DataFrame:
+        w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+        counts = df.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+        ranked = df.withColumn("r", F.row_number().over(w)).join(
+            F.broadcast(counts), "source"
+        )
+        keep = None
+        for p in QUANTILES:
+            cond = F.col("r") == (F.lit(1) + F.expr(f"((n - 1) * {p}) DIV 100"))
+            keep = cond if keep is None else (keep | cond)
+        return (
+            ranked.where(keep)
+            .groupBy("source")
+            .agg(
+                *[
+                    F.max(
+                        F.when(
+                            F.col("r")
+                            == (F.lit(1) + F.expr(f"((n - 1) * {p}) DIV 100")),
+                            F.col("n_chars"),
+                        )
+                    ).alias(f"{tag}_p{p}")
+                    for p in QUANTILES
+                ]
+            )
+        )
+
+    samp = docs.where(
+        F.pmod(
+            h64(F.concat(F.lit("dlq|"), F.col("doc_id").cast("string"))),
+            F.lit(DLQ_SAMPLE_MOD),
+        )
+        == 0
+    )
+    est, exact = leg(samp, "est"), leg(docs, "exact")
+    cols = [F.col("source")]
+    for p in QUANTILES:
+        cols += [
+            F.col(f"est_p{p}"),
+            F.col(f"exact_p{p}"),
+            F.round(
+                F.abs(F.col(f"est_p{p}") - F.col(f"exact_p{p}"))
+                / F.greatest(F.col(f"exact_p{p}"), F.lit(1)).cast("double"),
+                6,
+            ).alias(f"rel_err_p{p}"),
+        ]
+    return exact.join(est, "source", "left").select(*cols).orderBy("source")
+
+
+_DLQ_H = h64_sql("'dlq|' || CAST(doc_id AS VARCHAR)")
+
+DOCLEN_QUANTILES_SAMPLED_SQL = f"""
+WITH ranked_all AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS r,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+), exact AS (
+  SELECT source,
+         {", ".join(f"MAX(CASE WHEN r = 1 + ((n - 1) * {p}) // 100 THEN n_chars END) AS exact_p{p}" for p in QUANTILES)}
+  FROM ranked_all
+  WHERE {" OR ".join(f"r = 1 + ((n - 1) * {p}) // 100" for p in QUANTILES)}
+  GROUP BY source
+), ranked_s AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS r,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+  WHERE {_DLQ_H} % {DLQ_SAMPLE_MOD} = 0
+), est AS (
+  SELECT source,
+         {", ".join(f"MAX(CASE WHEN r = 1 + ((n - 1) * {p}) // 100 THEN n_chars END) AS est_p{p}" for p in QUANTILES)}
+  FROM ranked_s
+  WHERE {" OR ".join(f"r = 1 + ((n - 1) * {p}) // 100" for p in QUANTILES)}
+  GROUP BY source
+)
+SELECT exact.source,
+       {", ".join(f"est_p{p}, exact_p{p}, ROUND(ABS(est_p{p} - exact_p{p}) / CAST(GREATEST(exact_p{p}, 1) AS DOUBLE), 6) AS rel_err_p{p}" for p in QUANTILES)}
+FROM exact LEFT JOIN est USING (source)
+ORDER BY exact.source
+"""
+
+
 PMI_MIN_COUNT = 5
 PMI_TOP_K = 50
 _PMI_SCALE = 1_000_000
@@ -897,6 +1002,10 @@ QUERIES: dict[str, tuple] = {
     "c4_filter_flags": (c4_filter_flags, C4_FILTER_SQL),
     "pmi_collocations": (pmi_collocations, PMI_SQL),
     "doclen_quantiles": (doclen_quantiles, DOCLEN_QUANTILES_SQL),
+    "doclen_quantiles_sampled": (
+        doclen_quantiles_sampled,
+        DOCLEN_QUANTILES_SAMPLED_SQL,
+    ),
     "distinct_ngrams_theta": (distinct_ngrams_theta, DISTINCT_THETA_SQL),
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),
     "token_entropy": (token_entropy, TOKEN_ENTROPY_SQL),

@@ -162,3 +162,40 @@ def test_doclen_quantiles_rank_semantics(spark, tmp_path):
     r = TS.doclen_quantiles(spark, d).collect()[0]
     # n=10: rank(p) = 1 + 9p//100 -> p25:3rd=30, p50:5th=50, p75:7th=70, p90:9th=90
     assert (r.p25, r.p50, r.p75, r.p90) == (30, 50, 70, 90)
+
+
+def test_doclen_quantiles_sampled_matches_python_sample(spark, tmp_path):
+    """The sketch leg keeps exactly the docs whose h64('dlq|'||doc_id) is
+    0 mod 8 (computed independently here with hashlib); its quantiles obey
+    the same rank rule over that sample, and rel_err grades est vs exact."""
+    import hashlib
+
+    from nessie_spark.operators import textstats as TS
+
+    rows = [(i, "t", "en", "s", (i + 1) * 10) for i in range(64)]
+    d = str(tmp_path / "qs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    def h64py(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    kept = sorted(
+        (i + 1) * 10
+        for i in range(64)
+        if h64py(f"dlq|{i}") % TS.DLQ_SAMPLE_MOD == 0
+    )
+    assert kept, "fixture must sample at least one doc"
+    n = len(kept)
+    want = {p: kept[(n - 1) * p // 100] for p in TS.QUANTILES}
+    full = [(i + 1) * 10 for i in range(64)]
+    want_exact = {p: full[63 * p // 100] for p in TS.QUANTILES}
+    r = TS.doclen_quantiles_sampled(spark, d).collect()[0]
+    for p in TS.QUANTILES:
+        assert getattr(r, f"est_p{p}") == want[p]
+        assert getattr(r, f"exact_p{p}") == want_exact[p]
+        expect_err = round(
+            abs(want[p] - want_exact[p]) / max(want_exact[p], 1), 6
+        )
+        assert getattr(r, f"rel_err_p{p}") == expect_err
