@@ -298,6 +298,166 @@ def start_bloom_dedup(
     return writer.start()
 
 
+_CMS_STATE_HDR = "<qii"  # last_batch, d, w (counters + candidates follow)
+
+
+def load_cms_state(state_dir: str):
+    """(last_batch, counters|None, candidates) from the single atomic CMS
+    state file; (-1, None, []) before the first commit. ``counters`` is a
+    d×w int64 numpy matrix; ``candidates`` is the tracked token list."""
+    import json
+    import os
+    import struct
+
+    import numpy as np
+
+    p = os.path.join(state_dir, "cms_state.bin")
+    if not os.path.exists(p):
+        return -1, None, []
+    raw = open(p, "rb").read()
+    hdr = struct.calcsize(_CMS_STATE_HDR)
+    last, d, w = struct.unpack(_CMS_STATE_HDR, raw[:hdr])
+    body = raw[hdr:]
+    counters = np.frombuffer(body[: d * w * 8], dtype=np.int64).reshape(d, w).copy()
+    cands = json.loads(body[d * w * 8 :].decode("utf-8"))
+    return last, counters, cands
+
+
+def _commit_cms_state(state_dir: str, batch_id: int, counters, cands: list) -> None:
+    import json
+    import os
+    import struct
+
+    p = os.path.join(state_dir, "cms_state.bin")
+    tmp = p + ".tmp"
+    d, w = counters.shape
+    with open(tmp, "wb") as fh:
+        fh.write(struct.pack(_CMS_STATE_HDR, batch_id, d, w))
+        fh.write(counters.tobytes())
+        fh.write(json.dumps(cands, ensure_ascii=False).encode("utf-8"))
+    os.replace(tmp, p)
+
+
+CMS_STREAM_CAND = 256  # tracked candidate tokens (Misra-Gries-style heap)
+
+
+def cms_fold_and_rank(
+    bdf: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    batch_id: int,
+    k: int = 20,
+    cand_cap: int = CMS_STREAM_CAND,
+) -> None:
+    """foreachBatch body: fold the micro-batch's token counts into the
+    persisted count-min sketch and write the running top-``k`` heavy
+    hitters under ``out_dir/batch_id=<id>`` — the continuous twin of
+    operators/textstats.heavy_hitters_cms (same d×w geometry, same
+    seeded-h64 hash family, so the folded counters equal the batch
+    sketch's EXACTLY: CMS addition is linear).
+
+    State discipline mirrors bloom_screen_and_fold: marker + counters +
+    candidate list live in ONE atomically-replaced file, the output subdir
+    is batch-keyed overwrite — a crash-replay either short-circuits or
+    redoes identical work. Counter traffic per batch is the ≤ d·w
+    aggregated (row, bucket) cells (bounded regardless of batch size, one
+    map-side-combining groupBy); candidates are the tracked set ∪ the
+    batch's top-``cand_cap`` tokens, estimated driver-side from the folded
+    matrix (≤ 2·cand_cap scalars). Approximation contract (the standard
+    sketch+heap one): a token never inside any batch's top-``cand_cap``
+    can be missed even if its lifetime sum qualifies; est counts
+    themselves are exact-CMS (overestimate-only) whenever reported."""
+    import os
+
+    import numpy as np
+
+    from nessie_spark.functions.core import h64_seeded
+    from nessie_spark.operators.textstats import CMS_D, CMS_W
+
+    os.makedirs(state_dir, exist_ok=True)
+    last, counters, cands = load_cms_state(state_dir)
+    if batch_id <= last:  # replayed micro-batch: fully committed already
+        return
+    if counters is None:
+        counters = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+
+    toks = bdf.select(
+        F.explode(F.split(F.trim("text"), r"[ \t\n\f\r]+")).alias("tok")
+    )
+    rb = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                F.pmod(h64_seeded(F.col("tok"), f"cms{r}"), F.lit(CMS_W)).alias(
+                    "bucket"
+                ),
+            )
+            for r in range(CMS_D)
+        ]
+    )
+    cells = (
+        toks.select(F.explode(rb).alias("rb"))
+        .groupBy(F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    for row in cells:
+        counters[row.r, row.bucket] += row.cnt
+    batch_top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(cand_cap)
+        .collect()
+    )
+    tracked = sorted(set(cands) | {r.tok for r in batch_top})
+
+    def est(tok: str) -> int:
+        import hashlib
+
+        vals = []
+        for r in range(CMS_D):
+            h = int(hashlib.md5(f"cms{r}|{tok}".encode()).hexdigest()[:15], 16)
+            vals.append(int(counters[r, h % CMS_W]))
+        return min(vals)
+
+    scored = sorted(((t, est(t)) for t in tracked), key=lambda kv: (-kv[1], kv[0]))
+    new_cands = [t for t, _ in scored[:cand_cap]]
+    import pandas as pd
+
+    top = pd.DataFrame(scored[:k], columns=["tok", "est_count"])
+    top["rank"] = range(len(top))
+    sdf = bdf.sparkSession.createDataFrame(
+        top[["rank", "tok", "est_count"]],
+        "rank int, tok string, est_count long",
+    )
+    sdf.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"batch_id={batch_id}")
+    )
+    _commit_cms_state(state_dir, batch_id, counters, new_cands)
+
+
+def start_cms_heavy_hitters(
+    stream_df: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Start the streaming heavy-hitter tracker over a documents stream
+    (same drain semantics as start_bloom_dedup)."""
+    writer = (
+        stream_df.writeStream.foreachBatch(
+            lambda b, bid: cms_fold_and_rank(b, state_dir, out_dir, bid)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def join_streams_attributed(
     left: DataFrame,
     right: DataFrame,
