@@ -50,6 +50,9 @@ _SAMPLE_PRIORITY = [
     "embedding_norm_outliers",
     "maintenance_time_travel",
     "maintenance_branches",
+    # rows-only: multi-table atomic txn demo — driver row is its only
+    # durable evidence (crash-recovery protocol isn't SQL-expressible)
+    "maintenance_txn_atomic",
     "events_asof_order",
     "events_hourly_anomalies",
     "events_markov_transitions",
@@ -72,7 +75,6 @@ _SAMPLE_PRIORITY = [
     "maintenance_phash_clusters",
     "events_top_paths",
     "tfidf_top_terms",
-    "token_entropy",
     "maintenance_stream_bloom",
     "doclen_quantiles",
     "events_retention_cohorts",
@@ -84,6 +86,7 @@ _SAMPLE_PRIORITY = [
     # — including events_bucketed_user_join, deliberately below the fold
     # because its zero-Exchange claim is plan-asserted in
     # tests/test_bucketed_join.py, not something a driver row can witness.
+    "token_entropy",  # oracle-backed; rotated out to make room for txn demo
     "knn_exact_topk",
     "dup_span_removal",  # ExactSubstr transform twin of dup_ngram_coverage
     "doclen_quantiles_sampled",  # self-grading sampled-quantile sketch

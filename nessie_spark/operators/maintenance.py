@@ -1353,6 +1353,91 @@ def maintenance_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def maintenance_txn_atomic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table atomic transaction end-to-end (lakehouse/transaction.py):
+    stage appends on TWO tables inside one transaction, prove isolation
+    (neither visible while staged), then drive all three crash outcomes —
+    (a) crash before the commit point → ``recover`` rolls BOTH back,
+    (b) crash after the commit point with zero publishes → ``recover``
+    rolls BOTH forward, (c) a concurrent commit lands on one table between
+    crash and recovery → the staged append is cherry-picked over it and
+    both writes survive. Finally the committed txn's pinned snapshots give
+    a torn-read-free cross-table view. All counts derive from the seeded
+    layout → deterministic rows-only check."""
+    import os as _os
+
+    from nessie_spark.lakehouse import transaction as TX
+
+    base = tempfile.mkdtemp(prefix="nessie-txn-")
+    log = base + "/txnlog"
+    roots = [base + "/ta", base + "/tb"]
+    try:
+        tabs = []
+        for i, r in enumerate(roots):
+            t = jobs.create_images_table(r)
+            jobs.append(spark, t, synth.images_df(spark, N, seed=42), job_id="ingest")
+            tabs.append(t.refresh())
+        ta, tb = tabs
+
+        def _extra(n, seed, prefix):
+            return synth.images_df(spark, n, seed=seed).withColumn(
+                "image_id", F.concat(F.lit(prefix), F.col("image_id"))
+            )
+
+        # (a) staged but never committed → rolled back
+        t1 = TX.Transaction(log, txn_id="demo-abort")
+        t1.stage_append(spark, ta, _extra(16, 7, "a1-"), job_id="x-a1")
+        t1.stage_append(spark, tb, _extra(8, 9, "b1-"), job_id="x-b1")
+        isolated = (
+            scan(spark, ta.refresh()).count() == N
+            and scan(spark, tb.refresh()).count() == N
+        )
+        rb = TX.recover(log)
+        rolled_back_clean = (
+            rb["rolled_back"] == ["demo-abort"]
+            and scan(spark, ta.refresh()).count() == N
+            and scan(spark, tb.refresh()).count() == N
+        )
+
+        # (b) commit point reached, crash before any publish → rolled forward
+        t2 = TX.Transaction(log, txn_id="demo-commit")
+        t2.stage_append(spark, ta.refresh(), _extra(16, 11, "a2-"), job_id="x-a2")
+        t2.stage_append(spark, tb.refresh(), _extra(8, 13, "b2-"), job_id="x-b2")
+        _os.replace(
+            _os.path.join(log, "txn-demo-commit.pending.json"),
+            _os.path.join(log, "txn-demo-commit.commit.json"),
+        )
+        # (c) concurrent commit on tb between "crash" and recovery
+        jobs.append(spark, tb.refresh(), _extra(4, 17, "mid-"), job_id="x-mid")
+        fwd = TX.recover(log)
+        rows_a = scan(spark, ta.refresh()).count()
+        rows_b = scan(spark, tb.refresh()).count()
+        rolled_forward = fwd["rolled_forward"] == ["demo-commit"]
+        pins = TX.consistent_snapshots(log, "demo-commit")
+        pin_a = scan(spark, ta.refresh(), snapshot_id=pins[ta.root]).count()
+        pin_b = scan(spark, tb.refresh(), snapshot_id=pins[tb.root]).count()
+        return spark.createDataFrame(
+            [
+                (
+                    isolated,
+                    rolled_back_clean,
+                    rolled_forward,
+                    int(rows_a),
+                    int(rows_b),
+                    rows_a == N + 16,
+                    rows_b == N + 8 + 4,
+                    pin_a == N + 16 and pin_b == N + 8,
+                )
+            ],
+            "staged_isolated boolean, rolled_back_clean boolean, "
+            "rolled_forward boolean, rows_a long, rows_b long, "
+            "a_has_txn_rows boolean, b_has_txn_and_concurrent boolean, "
+            "pinned_view_consistent boolean",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 TILE = 8  # fixed 8x8-pixel blocks at absolute offsets (crop-alignment unit)
 TILE_MIN_SHARED = 4  # pairs need >= this many blocks agreeing on ONE offset
 TILE_DF_CAP = 24  # stop-tiles: block hashes seen in more images are dropped
@@ -1678,6 +1763,7 @@ QUERIES: dict[str, tuple] = {
     "maintenance_rollback": (maintenance_rollback, None),
     "maintenance_time_travel": (maintenance_time_travel, None),
     "maintenance_branches": (maintenance_branches, None),
+    "maintenance_txn_atomic": (maintenance_txn_atomic, None),
     "maintenance_data_skipping": (maintenance_data_skipping, None),
     "maintenance_partition_pruning": (maintenance_partition_pruning, None),
     "maintenance_mor_delete": (maintenance_mor_delete, None),
