@@ -87,6 +87,7 @@ _SAMPLE_PRIORITY = [
     # because its zero-Exchange claim is plan-asserted in
     # tests/test_bucketed_join.py, not something a driver row can witness.
     "token_entropy",  # oracle-backed; rotated out to make room for txn demo
+    "bpe_tokenize_stats",  # rows-only; pytest twin proves per-doc counts
     "knn_exact_topk",
     "dup_span_removal",  # ExactSubstr transform twin of dup_ngram_coverage
     "doclen_quantiles_sampled",  # self-grading sampled-quantile sketch

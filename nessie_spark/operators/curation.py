@@ -495,6 +495,30 @@ ORDER BY docs.doc_id
 BPE_MERGES = 12  # merge operations learned per run
 
 
+def _fold_merge(a: str, b: str):
+    """Column transform applying ONE learned merge (a,b)→ab to a symbol
+    array, greedy left-to-right non-overlapping — a Catalyst ``aggregate``
+    fold, JVM-side, built with column args (never string interpolation:
+    corpus tokens may contain quotes). Equivalent to the textbook two-index
+    scan: a token just produced by this merge can never immediately
+    re-merge, because that would need ``a == a+b`` (empty ``b``)."""
+    la, lb, lab = F.lit(a), F.lit(b), F.lit(a + b)
+
+    def _apply(col):
+        return F.aggregate(
+            col,
+            F.expr("cast(array() as array<string>)"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == la)
+                & (x == lb),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(lab)),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+
+    return _apply
+
+
 def bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn byte-pair-encoding merges from the corpus, distributed — the
     tokenizer-training job a 100 TB pipeline runs before anything is
@@ -562,27 +586,83 @@ def bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not best:
             break
         a, b, cnt = best[0].a, best[0].b, best[0].cnt
-        la, lb, lab = F.lit(a), F.lit(b), F.lit(a + b)
         words = words.select(
-            "freq",
-            F.aggregate(
-                "s",
-                F.expr("cast(array() as array<string>)"),
-                lambda acc, x: F.when(
-                    (F.size(acc) > 0)
-                    & (F.element_at(acc, -1) == la)
-                    & (x == lb),
-                    F.concat(
-                        F.slice(acc, 1, F.size(acc) - 1), F.array(lab)
-                    ),
-                ).otherwise(F.concat(acc, F.array(x))),
-            ).alias("s"),
+            "freq", _fold_merge(a, b)(F.col("s")).alias("s")
         ).localCheckpoint(eager=True)
         out.append((rank, a, b, a + b, int(cnt)))
     return spark.createDataFrame(
         out, "rank int, left string, right string, merged string, pair_freq long"
     ).orderBy("rank")
 
+
+
+def bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the learned BPE merges to tokenize the whole corpus — the
+    second half of the tokenizer pipeline (train → encode) that turns a
+    cleaned corpus into token-budget facts: per-document word count, BPE
+    token count, and compression (chars per token).
+
+    Scale shape — same vocabulary trick as training: merges are applied on
+    the DISTINCT-WORD table (millions of rows at web scale), never on the
+    corpus tokens (trillions); the per-doc counts then come from ONE
+    equi-join of (doc_id, word, k) against (word, n_tokens) and a groupBy.
+    The merge table itself is a ~vocab-size driver constant (12 rows
+    here), folded into the plan as chained Catalyst ``aggregate`` lambdas
+    — JVM-side, zero Python in the hot path — with a localCheckpoint
+    every 4 merges to keep the expression tree and lineage bounded at
+    production merge counts (32k merges = 8k checkpointed stages of pure
+    map work, no shuffles). Token counts include the ``</w>`` terminator
+    symbol when unmerged, faithful to the Sennrich representation.
+
+    Not SQL-expressible (the merge table comes from iterative training) →
+    rows-only gate; tests/test_bpe.py proves per-doc token counts equal a
+    pure-Python reference encoder on planted corpora and real testdata."""
+    docs = T(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"]) for r in bpe_vocab_merges(spark, sf_dir).collect()
+    ]
+    doc_words = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.trim(F.col("text")), r"[ \t\n\f\r]+")
+            ).alias("w"),
+        )
+        .where(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint(eager=True)  # two consumers: vocab + the join
+    )
+    vocab = doc_words.select("w").distinct().select(
+        "w", F.expr("concat(split(w, ''), array('</w>'))").alias("s")
+    )
+    for i, (a, b) in enumerate(merges):
+        vocab = vocab.select("w", _fold_merge(a, b)(F.col("s")).alias("s"))
+        if (i + 1) % 4 == 0:
+            vocab = vocab.localCheckpoint(eager=True)
+    vocab = vocab.select("w", F.size("s").alias("n_tok"))
+    stats = (
+        doc_words.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_words"),
+            F.sum(F.col("k") * F.col("n_tok")).alias("n_tokens"),
+            F.sum(F.col("k") * F.length("w")).alias("n_chars"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.round(
+                F.col("n_chars").cast("double") / F.col("n_tokens"), 4
+            ).alias("chars_per_token"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 QUERIES: dict[str, tuple] = {
@@ -592,4 +672,5 @@ QUERIES: dict[str, tuple] = {
     "trigram_lm_quality": (trigram_lm_quality, TRIGRAM_LM_SQL),
     "dsir_importance_score": (dsir_importance_score, DSIR_SQL),
     "bpe_vocab_merges": (bpe_vocab_merges, None),
+    "bpe_tokenize_stats": (bpe_tokenize_stats, None),
 }

@@ -5,6 +5,7 @@ greedily left-to-right, count-desc / lexicographic tie-break) — on planted
 corpora that force ties and overlap chains, and on real testdata."""
 
 import collections
+import decimal
 import re
 
 import duckdb
@@ -97,3 +98,78 @@ def test_bpe_matches_reference_on_testdata(spark):
         ).fetchall()
     ]
     assert _got(spark, sf) == _ref_bpe(texts, C.BPE_MERGES)
+
+
+def _ref_encode_counts(texts: list[str], m: int) -> dict[int, tuple]:
+    """Pure-Python twin of bpe_tokenize_stats: per-doc (n_words, n_tokens,
+    chars_per_token) after applying the trained merges."""
+    merges = [(a, b) for _, a, b, _, _ in _ref_bpe(texts, m)]
+    enc: dict[str, int] = {}
+
+    def n_tok(w):
+        if w not in enc:
+            s = list(w) + ["</w>"]
+            for a, b in merges:
+                out, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                s = out
+            enc[w] = len(s)
+        return enc[w]
+
+    out = {}
+    for i, t in enumerate(texts):
+        ws = [w for w in _WS.split(t.strip()) if w]
+        toks = sum(n_tok(w) for w in ws)
+        chars = sum(len(w) for w in ws)
+        # Spark F.round is HALF_UP over the double's shortest decimal
+        # repr (BigDecimal.valueOf); Python round is banker's — mirror
+        # Spark exactly
+        cpt = (
+            float(
+                decimal.Decimal(repr(chars / toks)).quantize(
+                    decimal.Decimal("0.0001"), rounding=decimal.ROUND_HALF_UP
+                )
+            )
+            if toks
+            else None
+        )
+        out[i] = (len(ws), toks, cpt)
+    return out
+
+
+def test_bpe_apply_matches_reference(spark, tmp_path):
+    texts = [
+        "low low low low low lower lower newest newest",
+        "newest newest newest newest widest widest widest",
+        "aaaa aaaa baab",
+        "low",
+    ]
+    d = str(tmp_path / "bpe3")
+    _write_docs(spark, d, texts)
+    got = {
+        r.doc_id: (r.n_words, r.n_tokens, r.chars_per_token)
+        for r in C.bpe_tokenize_stats(spark, d).collect()
+    }
+    assert got == _ref_encode_counts(texts, C.BPE_MERGES)
+
+
+def test_bpe_apply_matches_reference_on_testdata(spark):
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    texts = [t for _, t in rows]
+    want = _ref_encode_counts(texts, C.BPE_MERGES)
+    # re-key the reference by the real doc_id
+    want = {rows[i][0]: v for i, v in want.items()}
+    got = {
+        r.doc_id: (r.n_words, r.n_tokens, r.chars_per_token)
+        for r in C.bpe_tokenize_stats(spark, sf).collect()
+    }
+    assert got == want
