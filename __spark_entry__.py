@@ -53,6 +53,8 @@ _SAMPLE_PRIORITY = [
     # rows-only: multi-table atomic txn demo — driver row is its only
     # durable evidence (crash-recovery protocol isn't SQL-expressible)
     "maintenance_txn_atomic",
+    # rows-only: positional-delete lifecycle — same reasoning
+    "maintenance_pos_delete",
     "events_asof_order",
     "events_hourly_anomalies",
     "events_markov_transitions",
@@ -74,7 +76,6 @@ _SAMPLE_PRIORITY = [
     "distinct_ngrams_theta",
     "maintenance_phash_clusters",
     "events_top_paths",
-    "tfidf_top_terms",
     "maintenance_stream_bloom",
     "doclen_quantiles",
     "events_retention_cohorts",
@@ -87,6 +88,7 @@ _SAMPLE_PRIORITY = [
     # because its zero-Exchange claim is plan-asserted in
     # tests/test_bucketed_join.py, not something a driver row can witness.
     "token_entropy",  # oracle-backed; rotated out to make room for txn demo
+    "tfidf_top_terms",  # oracle-backed; rotated out for the posdel demo
     "bpe_tokenize_stats",  # rows-only; pytest twin proves per-doc counts
     "knn_exact_topk",
     "dup_span_removal",  # ExactSubstr transform twin of dup_ngram_coverage

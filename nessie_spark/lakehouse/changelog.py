@@ -49,7 +49,12 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nessie_spark.lakehouse.deletes import BROADCAST_KEYS_MAX, delete_keys_df
+from nessie_spark.lakehouse.deletes import (
+    BROADCAST_KEYS_MAX,
+    delete_keys_df,
+    pos_delete_pairs_df,
+    split_delete_kinds,
+)
 from nessie_spark.lakehouse.scan import (
     _REWRITE_OPS,
     IMAGES_DDL,
@@ -137,20 +142,39 @@ def scan_changelog(
             dels_here = [d for d in table.delete_files(sid) if d["snapshot_id"] == sid]
             if not dels_here:
                 continue
-            keys = delete_keys_df(spark, table, dels_here)
-            total = sum(d["n_keys"] for d in dels_here)
-            key_lo = min(d["min_key"] for d in dels_here)
-            key_hi = max(d["max_key"] for d in dels_here)
-            # full deleted rows = parent-visible rows matching the keys;
-            # key_range prunes the parent scan to candidate files via
-            # manifest stats before the semi-join
-            parent_rows = scan(
-                spark, table, snapshot_id=snap["parent_id"],
-                key_range=(key_lo, key_hi),
-            )
-            side = F.broadcast(keys) if total <= BROADCAST_KEYS_MAX else keys
-            deleted = parent_rows.join(side, "image_id", "left_semi")
-            parts.append(_tag(deleted, CHANGE_TYPE_DELETE, snap, ordinal))
+            eq_here, pos_here = split_delete_kinds(dels_here)
+            if eq_here:
+                keys = delete_keys_df(spark, table, eq_here)
+                total = sum(d["n_keys"] for d in eq_here)
+                key_lo = min(d["min_key"] for d in eq_here)
+                key_hi = max(d["max_key"] for d in eq_here)
+                # full deleted rows = parent-visible rows matching the keys;
+                # key_range prunes the parent scan to candidate files via
+                # manifest stats before the semi-join
+                parent_rows = scan(
+                    spark, table, snapshot_id=snap["parent_id"],
+                    key_range=(key_lo, key_hi),
+                )
+                side = F.broadcast(keys) if total <= BROADCAST_KEYS_MAX else keys
+                deleted = parent_rows.join(side, "image_id", "left_semi")
+                parts.append(_tag(deleted, CHANGE_TYPE_DELETE, snap, ordinal))
+            if pos_here:
+                # positional: deleted rows = parent-visible rows at the
+                # recorded (file, pos) addresses — a semi-join on the
+                # provenance columns the parent scan exposes
+                pairs = pos_delete_pairs_df(spark, table, pos_here).select(
+                    F.col("file_path").alias("__fp"),
+                    F.col("pos").alias("__pos"),
+                )
+                total = sum(d["n_keys"] for d in pos_here)
+                parent_rows = scan(
+                    spark, table, snapshot_id=snap["parent_id"], with_pos=True
+                )
+                side = F.broadcast(pairs) if total <= BROADCAST_KEYS_MAX else pairs
+                deleted = parent_rows.join(
+                    side, ["__fp", "__pos"], "left_semi"
+                ).drop("__fp", "__pos")
+                parts.append(_tag(deleted, CHANGE_TYPE_DELETE, snap, ordinal))
             continue
         # merge / any other row-changing rewrite: file diff vs parent,
         # carried rows cancelled by (key, row-hash) in both directions.

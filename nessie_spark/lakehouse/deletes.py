@@ -46,10 +46,20 @@ from nessie_spark.lakehouse.table import Table
 from nessie_spark.lakehouse.writer import stats_entry_for, write_table_file
 
 DELETE_KEY_DDL = "image_id string"
+# Iceberg v2 position-delete layout: (target data file, row position)
+POS_DELETE_DDL = "file_path string, pos long"
 # keys per delete file: 4M string keys ≈ 60-120 MB parquet — one task each
 KEYS_PER_FILE = 4_000_000
 # scan-side anti-join broadcasts the key set below this total (metadata sum)
 BROADCAST_KEYS_MAX = 4_000_000
+
+
+def split_delete_kinds(dels: list[dict]) -> tuple[list[dict], list[dict]]:
+    """(equality_deletes, position_deletes) — entries default to equality
+    for backward compatibility with pre-positional snapshots."""
+    eq = [d for d in dels if d.get("kind", "eq") != "pos"]
+    pos = [d for d in dels if d.get("kind") == "pos"]
+    return eq, pos
 
 
 @dataclass
@@ -243,6 +253,121 @@ def _commit_delete_keys(
     return DeleteResult(snap, job_id, n_keys, len(new_entries))
 
 
+def pos_delete_pairs_df(
+    spark: SparkSession, table: Table, dels: list[dict]
+) -> DataFrame:
+    """All (file_path, pos) pairs of the given position-delete entries."""
+    if not dels:
+        return spark.createDataFrame([], POS_DELETE_DDL)
+    paths = [os.path.join(table.root, d["file_path"]) for d in dels]
+    return spark.read.schema(POS_DELETE_DDL).parquet(*paths)
+
+
+def delete_positions_where(
+    spark: SparkSession,
+    table: Table,
+    predicate,
+    job_id: str | None = None,
+    rows_per_file: int = KEYS_PER_FILE,
+) -> DeleteResult:
+    """Commit a merge-on-read POSITIONAL delete (Iceberg v2 position
+    deletes) of every currently visible row matching ``predicate``.
+
+    Where an equality delete records the row's KEY, a positional delete
+    records its physical address — ``(data file path, row position)`` —
+    which is what a row-level DELETE needs when keys are not unique, when
+    only *some* copies of a key must go, or when the engine wants
+    deletion vectors it can later turn into a stencil at scan time.
+
+    Applicability is by explicit file path, not snapshot window: a delete
+    can only name files that existed when it committed, and every rewrite
+    gives rows new file paths (uuid-named, never reused), so position
+    deletes can never shadow re-inserted or rewritten rows. The same
+    ``require_no_pending_deletes`` guard keeps maintenance rewrites from
+    stranding pending positions (the named file would disappear without
+    its rows being dropped) — ``purge_deletes`` folds them in first.
+
+    Scale shape: positions come straight from the parquet reader's
+    ``_metadata.row_index`` pseudo-column (zero extra IO), the predicate
+    runs on the ordinary distributed scan, and the pairs are written
+    range-partitioned and sorted by (file_path, pos) so both the scan-side
+    anti-join and the purge-side per-file lookup prune on footer stats.
+    """
+    job_id = job_id or f"posdel-{uuid.uuid4().hex[:8]}"
+    root = table.root
+    prev = lineage.committed_snapshot(root, job_id)
+    if prev is not None:
+        return DeleteResult(prev, job_id, 0, 0)
+
+    from nessie_spark.lakehouse.scan import scan
+
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    # with_pos exposes (__fp, __pos) provenance; scan() subtracts PRIOR
+    # deletes of both kinds, so only rows a reader would see are recorded
+    pairs = (
+        scan(spark, table, with_pos=True)
+        .where(cond)
+        .select(F.col("__fp").alias("file_path"), F.col("__pos").alias("pos"))
+    )
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return DeleteResult(None, job_id, 0, 0)
+    n_files = max(1, -(-n_pairs // rows_per_file))
+
+    def _write(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        rows = [b for b in batches]
+        if not rows:
+            return
+        tbl = pa.Table.from_batches(rows)
+        if tbl.num_rows == 0:
+            return
+        rel = f"data/{job_id}-posdel-p{pid:05d}.parquet"
+        size = write_table_file(tbl, os.path.join(root, rel))
+        yield pa.RecordBatch.from_pylist(
+            [{
+                "file_path": rel,
+                "n_keys": tbl.num_rows,
+                # min/max over the TARGET path: purge prunes per-file reads
+                "min_key": pc.min(tbl.column("file_path")).as_py(),
+                "max_key": pc.max(tbl.column("file_path")).as_py(),
+                "file_size_bytes": size,
+            }],
+            schema=pa.schema([
+                ("file_path", pa.string()), ("n_keys", pa.int64()),
+                ("min_key", pa.string()), ("max_key", pa.string()),
+                ("file_size_bytes", pa.int64()),
+            ]),
+        )
+
+    stats = (
+        pairs.repartitionByRange(n_files, "file_path", "pos")
+        .sortWithinPartitions("file_path", "pos")
+        .mapInArrow(
+            _write,
+            "file_path string, n_keys long, min_key string, max_key string, "
+            "file_size_bytes long",
+        )
+        .collect()
+    )
+    new_entries = [dict(r.asDict(), kind="pos") for r in stats]
+    lineage.write_unit(
+        root, job_id, "delete", 0,
+        input_files=[], output_files=[e["file_path"] for e in new_entries],
+        rows=n_pairs,
+        nbytes=int(sum(e["file_size_bytes"] for e in new_entries)),
+    )
+    snap = table.commit(
+        "delete",
+        summary={"job_id": job_id, "deleted_positions": n_pairs},
+        new_delete_entries=new_entries,
+    )
+    lineage.mark_committed(root, job_id, snap)
+    return DeleteResult(snap, job_id, n_pairs, len(new_entries))
+
+
 def purge_deletes(
     spark: SparkSession,
     table: Table,
@@ -296,28 +421,42 @@ def purge_deletes(
                 "units — rerun purge_deletes with a NEW job_id"
             )
         dels = [d for d in dels if d["file_path"] in set(del_paths_rel)]
-        sids = [d["snapshot_id"] for d in dels]
+        eq_dels, pos_dels = split_delete_kinds(dels)
+        sids = [d["snapshot_id"] for d in eq_dels]
     else:
-        sids = [d["snapshot_id"] for d in dels]
-        # candidate files: ≥1 delete key inside [min_key, max_key]
+        eq_dels, pos_dels = split_delete_kinds(dels)
+        sids = [d["snapshot_id"] for d in eq_dels]
+        # equality candidates: ≥1 delete key inside [min_key, max_key]
         # (conservative superset — a file matched only by a non-applicable
         # delete's key is rewritten to identical rows, wasted work but
         # never wrong rows)
-        stats_df = spark.createDataFrame(
-            [(e["file_path"], e["min_key"], e["max_key"]) for e in entries],
-            "file_path string, min_key string, max_key string",
-        )
-        src_keys = delete_keys_df(spark, table, dels).select(
-            F.col("image_id").alias("_k")
-        ).distinct()
-        matched = {
-            r.file_path for r in matched_files_df(src_keys, stats_df).collect()
-        }
-        # drop files NO delete applies to (added at/after every delete sid)
-        cand = [
-            p for p in sorted(matched)
+        matched: set[str] = set()
+        if eq_dels:
+            stats_df = spark.createDataFrame(
+                [(e["file_path"], e["min_key"], e["max_key"]) for e in entries],
+                "file_path string, min_key string, max_key string",
+            )
+            src_keys = delete_keys_df(spark, table, eq_dels).select(
+                F.col("image_id").alias("_k")
+            ).distinct()
+            matched = {
+                r.file_path for r in matched_files_df(src_keys, stats_df).collect()
+            }
+        # drop files NO equality delete applies to (added at/after every sid)
+        cand_set = {
+            p for p in matched
             if bisect_right(sids, by_path[p]["added_snapshot_id"]) < len(sids)
-        ]
+        }
+        # positional candidates: EXACTLY the live files the pairs name (a
+        # distributed distinct, never a key-range guess)
+        if pos_dels:
+            named = {
+                r.file_path
+                for r in pos_delete_pairs_df(spark, table, pos_dels)
+                .select("file_path").distinct().collect()
+            }
+            cand_set |= named & set(by_path)
+        cand = sorted(cand_set)
         del_paths_rel = [d["file_path"] for d in dels]
         lineage.write_unit(
             root, job_id, "plan", 0,
@@ -341,6 +480,9 @@ def purge_deletes(
 
     remaps = live_projection_maps(table, paths=[p for _, p, _, _ in todo])
 
+    eq_paths_rel = [d["file_path"] for d in eq_dels]
+    pos_paths_rel = [d["file_path"] for d in pos_dels]
+
     def _purge_unit(unit: tuple) -> list[dict]:
         # the rewrite is 1:1 per input file, so the output inherits the
         # input's hidden-partition value (stays prunable on spec'd tables)
@@ -353,23 +495,42 @@ def purge_deletes(
         if rm:
             tbl = remap_arrow(tbl, rm, _DDL_ARROW)
         tbl = align_to_schema(tbl, aschema)
+        out = tbl
+        # positional deletes FIRST: positions index the original file's
+        # row order, which remap/align preserve and the equality filter
+        # below would destroy. Each pos file is sorted by file_path, so
+        # the == filter prunes on footer stats.
+        pos_list: list[int] = []
+        for dp in pos_paths_rel:
+            ptb = pq.read_table(
+                os.path.join(root, dp),
+                filters=[("file_path", "==", path)],
+                columns=["pos"],
+            )
+            if ptb.num_rows:
+                pos_list.extend(ptb.column("pos").to_pylist())
+        if pos_list:
+            drop = set(pos_list)
+            mask = pa.array(
+                [j not in drop for j in range(out.num_rows)], pa.bool_()
+            )
+            out = out.filter(mask)
         mn = pc.min(tbl.column("image_id")).as_py()
         mx = pc.max(tbl.column("image_id")).as_py()
         key_chunks = []
-        for dp in del_paths_rel[suffix:]:
+        for dp in eq_paths_rel[suffix:]:
             kt = pq.read_table(
                 os.path.join(root, dp),
                 filters=[("image_id", ">=", mn), ("image_id", "<=", mx)],
             )
             if kt.num_rows:
                 key_chunks.append(kt.column("image_id").combine_chunks())
-        out = tbl
         if key_chunks:
             keys = pa.concat_arrays(
                 [c.chunk(0) if isinstance(c, pa.ChunkedArray) else c for c in key_chunks]
             )
-            out = tbl.filter(
-                pc.invert(pc.is_in(tbl.column("image_id"), value_set=keys))
+            out = out.filter(
+                pc.invert(pc.is_in(out.column("image_id"), value_set=keys))
             )
         outs: list[dict] = []
         rel = f"data/{job_id}-purge-f{i:05d}.parquet"

@@ -273,12 +273,31 @@ def _target_fields(table: Table, snapshot_id: int | None, ddl: str) -> list[dict
     return FM.fields_from_ddl(ddl)
 
 
+def _pos_provenance_cols() -> list:
+    """Row provenance for positional deletes: the table-relative data-file
+    path and the row's position within it, straight from the parquet
+    reader's ``_metadata`` pseudo-columns (zero extra IO). Data files are
+    always flat under ``<root>/data/`` with slash-free names, so the text
+    after the LAST ``/data/`` in the fully-qualified URI is exactly the
+    relative path manifests store — robust to relative roots, symlinks,
+    and URI schemes (``file:`` vs a bare path)."""
+    rel = F.concat(
+        F.lit("data/"),
+        F.element_at(F.split(F.col("_metadata.file_path"), "/data/"), -1),
+    )
+    return [
+        rel.alias("__fp"),
+        F.col("_metadata.row_index").alias("__pos"),
+    ]
+
+
 def _read_data_files(
     spark: SparkSession,
     table: Table,
     entries: list[dict],
     ddl: str,
     target_fields: list[dict],
+    with_pos: bool = False,
 ) -> DataFrame:
     """Read planned data files projected onto ``target_fields`` by FIELD ID.
 
@@ -312,7 +331,8 @@ def _read_data_files(
         paths = [
             os.path.join(table.root, p) for g in groups.values() for p in g
         ]
-        return spark.read.schema(ddl).parquet(*paths)
+        df = spark.read.schema(ddl).parquet(*paths)
+        return df.select("*", *_pos_provenance_cols()) if with_pos else df
     parts = []
     for sid in sorted(groups):
         proj = projs[sid]
@@ -332,7 +352,8 @@ def _read_data_files(
                     if phys is not None
                     else F.lit(None).cast(typ).alias(cur)
                     for phys, styp, cur, typ in proj
-                ]
+                ],
+                *(_pos_provenance_cols() if with_pos else []),
             )
         )
     out = parts[0]
@@ -476,8 +497,14 @@ def scan(
     key_eq: str | None = None,
     source_eq: dict | None = None,
     planner: str = "auto",
+    with_pos: bool = False,
 ) -> DataFrame:
     """Read a pinned snapshot as a DataFrame, pruning files on stats.
+
+    ``with_pos``: keep the row-provenance columns ``__fp`` (table-relative
+    data-file path) and ``__pos`` (row position within it) on the result —
+    the address a positional delete records (deletes.delete_positions_where
+    is the main consumer). Mutually additive with ``columns``.
 
     ``source_eq``: hidden-partition predicates (``{"fmt": "png"}``) — files
     of other partitions are pruned via the spec (plan_files tier 0) AND the
@@ -517,22 +544,30 @@ def scan(
 
     tfields = _target_fields(table, snapshot_id, ddl)
     dels = table.delete_files(snapshot_id)
-    if not dels:
+    if not dels and not with_pos:
         df = _read_data_files(spark, table, entries, ddl, tfields)
     else:
-        # merge-on-read: subtract equality-delete keys (deletes.py). Files
-        # group by WHICH deletes apply (added_snapshot_id < delete sid —
-        # a key re-inserted after its delete stays visible); each group
-        # anti-joins its delete suffix. Group count ≤ #delete snapshots + 1;
-        # small key sets broadcast, so the data side never shuffles.
+        # merge-on-read: subtract equality-delete keys and positional
+        # (file, pos) pairs (deletes.py). Files group by WHICH equality
+        # deletes apply (added_snapshot_id < delete sid — a key re-inserted
+        # after its delete stays visible); each group anti-joins its delete
+        # suffix. Positional deletes self-scope by explicit file path (a
+        # rewritten file has a new path), so one anti-join on (__fp, __pos)
+        # covers every group. Group count ≤ #delete snapshots + 1; small
+        # delete sets broadcast, so the data side never shuffles.
         from nessie_spark.lakehouse.deletes import (
             anti_join_deletes, delete_keys_df, group_entries_by_applicability,
+            pos_delete_pairs_df, split_delete_kinds,
         )
 
+        eq_dels, pos_dels = split_delete_kinds(dels)
+        need_pos = with_pos or bool(pos_dels)
         parts = []
-        for ents, start in group_entries_by_applicability(entries, dels):
-            gdf = _read_data_files(spark, table, ents, ddl, tfields)
-            suffix = dels[start:]
+        for ents, start in group_entries_by_applicability(entries, eq_dels):
+            gdf = _read_data_files(
+                spark, table, ents, ddl, tfields, with_pos=need_pos
+            )
+            suffix = eq_dels[start:]
             if suffix:
                 gdf = anti_join_deletes(
                     gdf,
@@ -543,6 +578,17 @@ def scan(
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
+        if pos_dels:
+            pairs = pos_delete_pairs_df(spark, table, pos_dels).select(
+                F.col("file_path").alias("__fp"), F.col("pos").alias("__pos")
+            )
+            total = sum(d["n_keys"] for d in pos_dels)
+            from nessie_spark.lakehouse.deletes import BROADCAST_KEYS_MAX
+
+            side = F.broadcast(pairs) if total <= BROADCAST_KEYS_MAX else pairs
+            df = df.join(side, ["__fp", "__pos"], "left_anti")
+        if not with_pos and need_pos:
+            df = df.drop("__fp", "__pos")
     if phash_range:
         df = df.where(F.col("phash").between(*phash_range))
     if wh_range:
@@ -558,5 +604,5 @@ def scan(
             # IS NULL check (== NULL is never true in SQL)
             df = df.where(F.col(c).isNull() if v is None else (F.col(c) == F.lit(v)))
     if columns:
-        df = df.select(*columns)
+        df = df.select(*columns, *(["__fp", "__pos"] if with_pos else []))
     return df

@@ -758,6 +758,68 @@ def maintenance_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def maintenance_pos_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read POSITIONAL-delete lifecycle (lakehouse/deletes.py):
+    ``delete_positions_where`` records (data file, row position) pairs from
+    the parquet reader's row_index — no data file touched — the scan
+    anti-joins the addresses at read time, a duplicate key loses ONLY the
+    addressed copy (the capability equality deletes lack), a re-inserted
+    key stays visible (pos deletes self-scope by file path), and
+    ``purge_deletes`` folds the positions into a CoW rewrite of exactly
+    the named files. All counts derive from the seeded layout →
+    deterministic rows-only check."""
+    from nessie_spark.lakehouse import deletes as D
+
+    t, snap0, root = _fresh_table(spark)
+    try:
+        # plant a duplicate key with a distinguishable caption
+        dup = synth.images_df(spark, 4, seed=42).where(
+            F.col("image_id") == "img_000000000003"
+        ).withColumn("caption", F.lit("dup-copy"))
+        jobs.append(spark, t, dup, job_id="demo-pos-dup")
+        t = t.refresh()
+        files_before = {e["file_path"] for e in t.file_entries().to_pylist()}
+        res = D.delete_positions_where(
+            spark,
+            t,
+            (F.col("image_id") < "img_000000000032")
+            & (F.col("caption") != "dup-copy"),
+            job_id="demo-posdel",
+        )
+        t = t.refresh()
+        metadata_only = (
+            {e["file_path"] for e in t.file_entries().to_pylist()} == files_before
+        )
+        rows_mor = scan(spark, t).count()
+        # the duplicate key: original copy addressed + deleted, dup survives
+        left = scan(spark, t).where(F.col("image_id") == "img_000000000003")
+        dup_survived = left.count() == 1 and left.collect()[0].caption == "dup-copy"
+        pinned_intact = scan(spark, t, snapshot_id=snap0).count() == N
+        purge = D.purge_deletes(spark, t, job_id="demo-pos-purge")
+        t = t.refresh()
+        rows_after = scan(spark, t).count()
+        return spark.createDataFrame(
+            [
+                (
+                    res.n_keys,
+                    res.n_delete_files,
+                    metadata_only,
+                    rows_mor,
+                    dup_survived,
+                    pinned_intact,
+                    purge.rewritten_files,
+                    rows_after == rows_mor and not t.delete_files(),
+                )
+            ],
+            "deleted_positions long, delete_files int, delete_metadata_only boolean, "
+            "rows_after_delete long, duplicate_copy_targeted boolean, "
+            "pinned_snapshot_intact boolean, purge_rewritten_files int, "
+            "purge_preserves_rowset boolean",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def maintenance_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-audit-publish ingest (Iceberg WAP): a batch is appended as a
     STAGED snapshot (durable, but the current pointer does not move), the
@@ -1767,6 +1829,7 @@ QUERIES: dict[str, tuple] = {
     "maintenance_data_skipping": (maintenance_data_skipping, None),
     "maintenance_partition_pruning": (maintenance_partition_pruning, None),
     "maintenance_mor_delete": (maintenance_mor_delete, None),
+    "maintenance_pos_delete": (maintenance_pos_delete, None),
     "maintenance_wap": (maintenance_wap, None),
     "maintenance_changelog": (maintenance_changelog, None),
     "maintenance_dedup_pipeline": (maintenance_dedup_pipeline, None),
