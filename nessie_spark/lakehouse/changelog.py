@@ -167,8 +167,15 @@ def scan_changelog(
                     F.col("pos").alias("__pos"),
                 )
                 total = sum(d["n_keys"] for d in pos_here)
+                # the pairs name exactly which data files hold deleted
+                # rows — prune the parent read to those files (bounded by
+                # touched files, ≤ total pairs) instead of the snapshot
+                touched = {
+                    r["__fp"] for r in pairs.select("__fp").distinct().collect()
+                }
                 parent_rows = scan(
-                    spark, table, snapshot_id=snap["parent_id"], with_pos=True
+                    spark, table, snapshot_id=snap["parent_id"],
+                    with_pos=True, file_paths=touched,
                 )
                 side = F.broadcast(pairs) if total <= BROADCAST_KEYS_MAX else pairs
                 deleted = parent_rows.join(

@@ -510,11 +510,11 @@ def purge_deletes(
             if ptb.num_rows:
                 pos_list.extend(ptb.column("pos").to_pylist())
         if pos_list:
-            drop = set(pos_list)
-            mask = pa.array(
-                [j not in drop for j in range(out.num_rows)], pa.bool_()
-            )
-            out = out.filter(mask)
+            import numpy as np
+
+            keep = np.ones(out.num_rows, dtype=bool)
+            keep[np.asarray(pos_list, dtype=np.int64)] = False
+            out = out.filter(pa.array(keep))
         mn = pc.min(tbl.column("image_id")).as_py()
         mx = pc.max(tbl.column("image_id")).as_py()
         key_chunks = []

@@ -277,13 +277,16 @@ def _pos_provenance_cols() -> list:
     """Row provenance for positional deletes: the table-relative data-file
     path and the row's position within it, straight from the parquet
     reader's ``_metadata`` pseudo-columns (zero extra IO). Data files are
-    always flat under ``<root>/data/`` with slash-free names, so the text
-    after the LAST ``/data/`` in the fully-qualified URI is exactly the
-    relative path manifests store — robust to relative roots, symlinks,
-    and URI schemes (``file:`` vs a bare path)."""
+    always flat under ``<root>/data/`` with slash-free basenames (every
+    writer emits ``data/{job_id}-...parquet``), so ``data/<basename>`` IS
+    the relative path manifests store — robust to relative roots,
+    symlinks, URI schemes (``file:`` vs a bare path), and table roots
+    that themselves end in ``/data`` (splitting the URI on ``/data/``
+    mis-parsed that case: ``.../data/data/f.parquet`` lost a segment and
+    purge matched zero files)."""
     rel = F.concat(
         F.lit("data/"),
-        F.element_at(F.split(F.col("_metadata.file_path"), "/data/"), -1),
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
     )
     return [
         rel.alias("__fp"),
@@ -498,6 +501,7 @@ def scan(
     source_eq: dict | None = None,
     planner: str = "auto",
     with_pos: bool = False,
+    file_paths: set | None = None,
 ) -> DataFrame:
     """Read a pinned snapshot as a DataFrame, pruning files on stats.
 
@@ -505,6 +509,12 @@ def scan(
     data-file path) and ``__pos`` (row position within it) on the result —
     the address a positional delete records (deletes.delete_positions_where
     is the main consumer). Mutually additive with ``columns``.
+
+    ``file_paths``: restrict the read to these table-relative data files
+    (post-plan intersection). Callers that already know exactly which
+    files hold their rows — changelog positional-delete replay joins
+    against recorded (file, pos) addresses — prune the read to the named
+    files instead of scanning the snapshot.
 
     ``source_eq``: hidden-partition predicates (``{"fmt": "png"}``) — files
     of other partitions are pruned via the spec (plan_files tier 0) AND the
@@ -538,9 +548,14 @@ def scan(
         key_range=key_range, key_eq=key_eq, source_eq=source_eq,
         spark=spark, planner=planner,
     )
+    if file_paths is not None:
+        entries = [e for e in entries if e["file_path"] in file_paths]
     ddl = _snapshot_ddl(table, snapshot_id)
     if not entries:
-        return spark.createDataFrame([], ddl)
+        # keep the with_pos contract on the empty plan — callers
+        # (deletes.delete_positions_where) select __fp/__pos unconditionally
+        empty_ddl = ddl + ", __fp string, __pos bigint" if with_pos else ddl
+        return spark.createDataFrame([], empty_ddl)
 
     tfields = _target_fields(table, snapshot_id, ddl)
     dels = table.delete_files(snapshot_id)

@@ -180,28 +180,44 @@ def _abort_participants(participants: list[dict]) -> None:
 def recover(log_dir: str) -> dict:
     """Finish every interrupted transaction in ``log_dir``.
 
-    Returns ``{"rolled_forward": [txn_id...], "rolled_back": [txn_id...]}``.
-    Idempotent: a second call is a no-op.  Run at engine startup, exactly
-    like a WAL redo/undo pass.
+    Returns ``{"rolled_forward": [txn_id...], "rolled_back": [txn_id...],
+    "failed": [{"txn_id", "error"}...]}``.  Idempotent: a second call is a
+    no-op.  Run at engine startup, exactly like a WAL redo/undo pass.
+
+    Transactions recover INDEPENDENTLY: one record whose replay raises
+    (expired participant snapshot, conflicting staged rewrite) is reported
+    in ``failed`` and left in the log for a retry after the operator
+    reconciles it — it never blocks the redo/undo of later transactions.
     """
-    rolled_forward, rolled_back = [], []
+    rolled_forward, rolled_back, failed = [], [], []
     if not os.path.isdir(log_dir):
-        return {"rolled_forward": rolled_forward, "rolled_back": rolled_back}
+        return {
+            "rolled_forward": rolled_forward,
+            "rolled_back": rolled_back,
+            "failed": failed,
+        }
     for name in sorted(os.listdir(log_dir)):
         full = os.path.join(log_dir, name)
-        if name.endswith(".commit.json"):
-            with open(full) as fh:
-                rec = json.load(fh)
-            _publish_participants(rec["participants"])
-            os.replace(full, full[: -len(".commit.json")] + ".done.json")
-            rolled_forward.append(rec["txn_id"])
-        elif name.endswith(".pending.json"):
-            with open(full) as fh:
-                rec = json.load(fh)
-            _abort_participants(rec["participants"])
-            os.replace(full, full[: -len(".pending.json")] + ".aborted.json")
-            rolled_back.append(rec["txn_id"])
-    return {"rolled_forward": rolled_forward, "rolled_back": rolled_back}
+        try:
+            if name.endswith(".commit.json"):
+                with open(full) as fh:
+                    rec = json.load(fh)
+                _publish_participants(rec["participants"])
+                os.replace(full, full[: -len(".commit.json")] + ".done.json")
+                rolled_forward.append(rec["txn_id"])
+            elif name.endswith(".pending.json"):
+                with open(full) as fh:
+                    rec = json.load(fh)
+                _abort_participants(rec["participants"])
+                os.replace(full, full[: -len(".pending.json")] + ".aborted.json")
+                rolled_back.append(rec["txn_id"])
+        except Exception as exc:  # noqa: BLE001 — per-txn isolation
+            failed.append({"txn_id": name.split(".")[0], "error": repr(exc)})
+    return {
+        "rolled_forward": rolled_forward,
+        "rolled_back": rolled_back,
+        "failed": failed,
+    }
 
 
 def consistent_snapshots(log_dir: str, txn_id: str) -> dict[str, int]:

@@ -72,6 +72,9 @@ def test_queries_registry_shape(spark):
         # BPE merge learning (tests/test_bpe.py): iterative argmax +
         # re-segmentation — full-table equality vs a pure-Python reference
         "bpe_vocab_merges",
+        # BPE apply/encode stats (tests/test_bpe.py): consumes the learned
+        # merge table — same pure-Python-twin gating as the trainer
+        "bpe_tokenize_stats",
     }
     no_oracle = {k for k in qs if k not in oracles} - PYTEST_GATED
     assert all(k.startswith(("maintenance_", "multimodal_")) for k in no_oracle)

@@ -122,3 +122,46 @@ def test_changelog_emits_pos_delete_rows(spark, tmp_path):
     dels = ch.where(F.col("_change_type") == "delete")
     assert dels.count() == 5
     assert _ids(dels) == {f"img_{i:012d}" for i in range(5)}
+
+
+def test_purge_survives_table_root_ending_in_data(spark, tmp_path):
+    """Provenance-path regression: with a root ending in ``/data`` the data
+    files live at ``.../data/data/f.parquet``; a URI split on ``/data/``
+    mis-derived the relative path, purge matched zero files, and the
+    positionally deleted rows silently RESURRECTED after the delete files
+    were dropped. The relative path now derives from the basename alone."""
+    t, _ = make_table(spark, str(tmp_path / "data"))
+    deletes.delete_positions_where(
+        spark, t, F.col("image_id") < "img_000000000008", job_id="pr1"
+    )
+    t = t.refresh()
+    before = _ids(scan(spark, t))
+    assert len(before) == 248
+    res = deletes.purge_deletes(spark, t, job_id="pr1-purge")
+    t = t.refresh()
+    assert res.rewritten_files > 0
+    assert t.delete_files() == []
+    assert _ids(scan(spark, t)) == before
+
+
+def test_pos_delete_on_empty_plan_is_noop(spark, tmp_path):
+    """delete_positions_where over a predicate whose scan plans zero files
+    (fresh empty table) returns a graceful zero-key no-op like the
+    equality twin — not an unresolved-__fp crash."""
+    t = jobs.create_images_table(str(tmp_path / "tb"))
+    res = deletes.delete_positions_where(
+        spark, t, F.col("image_id") < "img_zzz", job_id="pe1"
+    )
+    assert res.n_keys == 0 and res.snapshot_id is None
+
+
+def test_scan_file_paths_prunes_to_named_files(spark, tmp_path):
+    from nessie_spark.lakehouse.scan import plan_files
+
+    t, _ = make_table(spark, str(tmp_path / "tb"))
+    ents = plan_files(t)
+    one = ents[0]
+    df = scan(spark, t, with_pos=True, file_paths={one["file_path"]})
+    got = {r["__fp"] for r in df.select("__fp").distinct().collect()}
+    assert got == {one["file_path"]}
+    assert df.count() == one["record_count"]

@@ -58,7 +58,9 @@ def test_crash_before_commit_point_rolls_back(spark, tmp_path):
     # the staged marker is cleared → branch is ordinary expirable history
     assert not ta.snapshot(sa).get("staged")
     # recovery is idempotent
-    assert transaction.recover(log) == {"rolled_forward": [], "rolled_back": []}
+    assert transaction.recover(log) == {
+        "rolled_forward": [], "rolled_back": [], "failed": [],
+    }
 
 
 def test_crash_after_commit_point_rolls_forward(spark, tmp_path):
@@ -156,3 +158,24 @@ def test_consistent_snapshots_pin_cross_table_reads(spark, tmp_path):
     pins = transaction.consistent_snapshots(log, "t8")
     assert scan(spark, Table.load(ta.root), snapshot_id=pins[ta.root]).count() == 272
     assert scan(spark, Table.load(tb.root), snapshot_id=pins[tb.root]).count() == 264
+
+
+def test_recover_isolates_failing_transactions(spark, tmp_path):
+    """One unrecoverable record (corrupt JSON here — the cheapest stand-in
+    for an expired participant) is reported in ``failed`` and does NOT
+    block the redo/undo of later transactions."""
+    ta, tb = _two_tables(spark, tmp_path)
+    log = str(tmp_path / "txnlog")
+    os.makedirs(log, exist_ok=True)
+    # txn-a sorts first and cannot be replayed
+    with open(os.path.join(log, "txn-aaa.commit.json"), "w") as fh:
+        fh.write("{not json")
+    txn = transaction.Transaction(log, txn_id="zzz")
+    txn.stage_append(spark, tb, _df(spark, 8, 9, "xb-"), job_id="zzz-b")
+    # crash before commit: txn-zzz must still roll back
+    res = transaction.recover(log)
+    assert res["rolled_back"] == ["zzz"]
+    assert [f["txn_id"] for f in res["failed"]] == ["txn-aaa"]
+    assert scan(spark, tb.refresh()).count() == 256
+    # the failed record stays in the log for a later retry
+    assert os.path.exists(os.path.join(log, "txn-aaa.commit.json"))
