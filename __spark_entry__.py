@@ -55,6 +55,10 @@ _SAMPLE_PRIORITY = [
     "maintenance_txn_atomic",
     # rows-only: positional-delete lifecycle — same reasoning
     "maintenance_pos_delete",
+    # rows-only: format("nessie") Data Source API binding (read parity,
+    # pushdown pruning, append commit) — driver row is its only durable
+    # evidence
+    "maintenance_datasource",
     "events_asof_order",
     "events_hourly_anomalies",
     "events_markov_transitions",
@@ -77,7 +81,6 @@ _SAMPLE_PRIORITY = [
     "maintenance_phash_clusters",
     "events_top_paths",
     "maintenance_stream_bloom",
-    "doclen_quantiles",
     "events_retention_cohorts",
     "model_zoo_crf_tagger_cv",  # rows-only: a driver row is its only durable evidence
     "bpe_vocab_merges",  # rows-only (iterative; pytest twin proves the table)
@@ -88,6 +91,7 @@ _SAMPLE_PRIORITY = [
     # because its zero-Exchange claim is plan-asserted in
     # tests/test_bucketed_join.py, not something a driver row can witness.
     "token_entropy",  # oracle-backed; rotated out to make room for txn demo
+    "doclen_quantiles",  # oracle-backed; rotated out for the datasource demo
     "tfidf_top_terms",  # oracle-backed; rotated out for the posdel demo
     "bpe_tokenize_stats",  # rows-only; pytest twin proves per-doc counts
     "knn_exact_topk",

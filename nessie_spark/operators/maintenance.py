@@ -820,6 +820,71 @@ def maintenance_pos_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def maintenance_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """format("nessie") — the Python Data Source API binding
+    (sources/spark_datasource.py, pyspark 4.1 SPARK-44076) end-to-end:
+    ``spark.read.format("nessie")`` matches the native scan's row set
+    (including merge-on-read delete subtraction), a pushed point-lookup
+    filter plans strictly fewer file partitions than the full read (the
+    three-tier pruning running under Catalyst's pushFilters), and
+    ``df.write.format("nessie").mode("append")`` commits one atomic
+    snapshot through the manifest protocol that the native scan then
+    reads. All counts derive from the seeded layout → deterministic
+    rows-only check."""
+    from pyspark.sql.datasource import EqualTo
+
+    from nessie_spark.lakehouse import deletes as D
+    from nessie_spark.sources import spark_datasource as DS
+
+    t, _snap0, root = _fresh_table(spark)
+    try:
+        DS.register(spark)
+        D.delete_where(
+            spark, t, F.col("image_id") < "img_000000000010", job_id="demo-ds-del"
+        )
+        t = t.refresh()
+        df = spark.read.format("nessie").load(root)
+        native = scan(spark, t)
+        parity = df.count() == native.count() == N - 10
+        # pushdown pruning, asserted at the reader-planning level
+        full = DS.NessieBatchReader({"path": root})
+        pruned = DS.NessieBatchReader({"path": root})
+        unhandled = list(
+            pruned.pushFilters([EqualTo(("image_id",), "img_000000000050")])
+        )
+        n_full, n_pruned = len(full.partitions()), len(pruned.partitions())
+        point_rows = (
+            df.where(F.col("image_id") == "img_000000000050").count()
+        )
+        extra = synth.images_df(spark, 16, seed=9).withColumn(
+            "image_id", F.concat(F.lit("ds-"), F.col("image_id"))
+        )
+        extra.write.format("nessie").mode("append").option(
+            "job_id", "demo-ds-w"
+        ).save(root)
+        t = t.refresh()
+        rows_after_write = scan(spark, t).count()
+        return spark.createDataFrame(
+            [
+                (
+                    parity,
+                    n_full,
+                    n_pruned,
+                    n_pruned < n_full,
+                    len(unhandled) == 1,
+                    point_rows,
+                    int(rows_after_write),
+                    t.snapshot()["operation"] == "append",
+                )
+            ],
+            "read_parity boolean, files_full int, files_pruned int, "
+            "pruned_fewer boolean, filters_reapplied boolean, point_rows int, "
+            "rows_after_write long, write_is_append_snapshot boolean",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def maintenance_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-audit-publish ingest (Iceberg WAP): a batch is appended as a
     STAGED snapshot (durable, but the current pointer does not move), the
@@ -1830,6 +1895,7 @@ QUERIES: dict[str, tuple] = {
     "maintenance_partition_pruning": (maintenance_partition_pruning, None),
     "maintenance_mor_delete": (maintenance_mor_delete, None),
     "maintenance_pos_delete": (maintenance_pos_delete, None),
+    "maintenance_datasource": (maintenance_datasource, None),
     "maintenance_wap": (maintenance_wap, None),
     "maintenance_changelog": (maintenance_changelog, None),
     "maintenance_dedup_pipeline": (maintenance_dedup_pipeline, None),

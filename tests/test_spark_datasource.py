@@ -1,0 +1,164 @@
+"""Python Data Source API binding (sources/spark_datasource.py):
+format("nessie") batch read parity + pushdown pruning + MoR subtraction,
+append-only write through the manifest commit protocol, and the
+snapshot-log streaming source (exactly-once, rewrite-skip, change-commit
+guard)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from nessie_spark import synth
+from nessie_spark.lakehouse import compact, deletes, evolve, jobs
+from nessie_spark.lakehouse.scan import scan
+from nessie_spark.sources import spark_datasource as DS
+from nessie_spark.sources.spark_datasource import NessieBatchReader
+from tests.conftest import make_table
+
+
+def _ids(df):
+    return {r.image_id for r in df.select("image_id").collect()}
+
+
+@pytest.fixture()
+def registered(spark):
+    DS.register(spark)
+    return spark
+
+
+def test_batch_read_parity_with_scan(registered, tmp_path):
+    spark = registered
+    t, _ = make_table(spark, str(tmp_path / "tb"))
+    df = spark.read.format("nessie").load(t.root)
+    assert _ids(df) == _ids(scan(spark, t))
+    assert df.columns == scan(spark, t).columns
+
+
+def test_batch_read_subtracts_mor_deletes(registered, tmp_path):
+    spark = registered
+    t, _ = make_table(spark, str(tmp_path / "tb"))
+    deletes.delete_where(
+        spark, t, F.col("image_id") < "img_000000000010", job_id="e1"
+    )
+    t = t.refresh()
+    deletes.delete_positions_where(
+        spark, t, F.col("image_id") == "img_000000000050", job_id="p1"
+    )
+    t = t.refresh()
+    df = spark.read.format("nessie").load(t.root)
+    assert _ids(df) == _ids(scan(spark, t))
+    assert df.count() == 256 - 10 - 1
+
+
+def test_pushdown_prunes_partitions(registered, tmp_path):
+    spark = registered
+    t, _ = make_table(spark, str(tmp_path / "tb"))
+    # engine-level check: a pushed point lookup plans fewer file partitions
+    full = NessieBatchReader({"path": t.root})
+    n_all = len(full.partitions())
+    pruned = NessieBatchReader({"path": t.root})
+    from pyspark.sql.datasource import EqualTo
+
+    unhandled = list(
+        pruned.pushFilters([EqualTo(("image_id",), "img_000000000005")])
+    )
+    assert len(unhandled) == 1  # every filter re-applied by Spark
+    assert len(pruned.partitions()) < n_all
+    # end-to-end: the lookup still returns exactly its row
+    row = (
+        spark.read.format("nessie").load(t.root)
+        .where(F.col("image_id") == "img_000000000005")
+    )
+    assert row.count() == 1
+
+
+def test_read_after_rename_projects_old_files(registered, tmp_path):
+    spark = registered
+    t, _ = make_table(spark, str(tmp_path / "tb"))
+    evolve.rename_column(t, "caption", "description")
+    t = t.refresh()
+    df = spark.read.format("nessie").load(t.root)
+    assert "description" in df.columns and "caption" not in df.columns
+    assert df.where(F.col("description").isNotNull()).count() == 256
+
+
+def test_write_appends_through_commit_protocol(registered, tmp_path):
+    spark = registered
+    t, _ = make_table(spark, str(tmp_path / "tb"))
+    extra = synth.images_df(spark, 8, seed=9).withColumn(
+        "image_id", F.concat(F.lit("w-"), F.col("image_id"))
+    )
+    extra.write.format("nessie").mode("append").option("job_id", "w1").save(t.root)
+    t = t.refresh()
+    assert scan(spark, t).count() == 264
+    # snapshot log records an ordinary append (usable by every engine op)
+    assert t.snapshot()["operation"] == "append"
+    # committed job_id re-run is a metadata no-op
+    extra.write.format("nessie").mode("append").option("job_id", "w1").save(t.root)
+    assert scan(spark, t.refresh()).count() == 264
+
+
+def test_write_rejects_overwrite_and_unknown_columns(registered, tmp_path):
+    spark = registered
+    t, _ = make_table(spark, str(tmp_path / "tb"))
+    extra = synth.images_df(spark, 4, seed=9)
+    with pytest.raises(Exception, match="append-only"):
+        extra.write.format("nessie").mode("overwrite").save(t.root)
+    with pytest.raises(Exception, match="not in table schema"):
+        extra.withColumn("rogue", F.lit(1)).write.format("nessie").mode(
+            "append"
+        ).save(t.root)
+    assert scan(spark, t.refresh()).count() == 256
+
+
+def _drain(spark, root, out, ckpt, **opts):
+    reader = spark.readStream.format("nessie")
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    sdf = reader.load(root).select("image_id")
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def test_stream_source_exactly_once_and_rewrite_skip(registered, tmp_path):
+    spark = registered
+    t, _ = make_table(spark, str(tmp_path / "tb"))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _drain(spark, t.root, out, ckpt, startingSnapshot="earliest")
+    assert spark.read.parquet(out).count() == 256
+    extra = synth.images_df(spark, 20, seed=9).withColumn(
+        "image_id", F.concat(F.lit("n-"), F.col("image_id"))
+    )
+    jobs.append(spark, t.refresh(), extra, job_id="i2")
+    # a pure rewrite between appends must contribute ZERO stream rows
+    compact.compact(spark, t.refresh(), target_bytes=1 << 20, job_id="c1")
+    _drain(spark, t.root, out, ckpt, startingSnapshot="earliest")
+    got = spark.read.parquet(out)
+    assert got.count() == 276 and got.distinct().count() == 276
+    # replay with no new snapshot drains nothing
+    _drain(spark, t.root, out, ckpt, startingSnapshot="earliest")
+    assert spark.read.parquet(out).count() == 276
+
+
+def test_stream_source_guards_row_changing_commits(registered, tmp_path):
+    spark = registered
+    t, _ = make_table(spark, str(tmp_path / "tb"))
+    deletes.delete_where(
+        spark, t, F.col("image_id") < "img_000000000005", job_id="d1"
+    )
+    with pytest.raises(Exception, match="row-changing"):
+        _drain(
+            spark, t.root, str(tmp_path / "o1"), str(tmp_path / "c1"),
+            startingSnapshot="earliest",
+        )
+    # skipChangeCommits crosses it, emitting only the append snapshots
+    _drain(
+        spark, t.root, str(tmp_path / "o2"), str(tmp_path / "c2"),
+        startingSnapshot="earliest", skipChangeCommits="true",
+    )
+    assert spark.read.parquet(str(tmp_path / "o2")).count() == 256
