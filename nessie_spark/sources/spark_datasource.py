@@ -32,6 +32,13 @@ engine's guarantees:
   ``job_id`` gives the engine's idempotent-rerun contract (a committed
   job_id re-run is a metadata no-op). ``mode("overwrite")`` is refused:
   row-level change goes through MERGE / delete_where, not blind truncate.
+- **Streaming write** (``writeStream.format("nessie")``) is the
+  exactly-once table sink: executors write uniquely-named data files per
+  attempt, ``commit(messages, batchId)`` derives the engine job_id from
+  the batch id and short-circuits when already committed — a replayed
+  micro-batch never doubles rows (stray files from replays are ordinary
+  GC orphans). Composes with the streaming read into a nessie→nessie
+  incremental pipeline with end-to-end exactly-once table state.
 - **Streaming read** exposes the snapshot log as an exactly-once source:
   offsets ARE snapshot ids (monotone along the ancestry chain), each
   micro-batch reads the ``-add`` manifests of append snapshots in
@@ -64,6 +71,7 @@ import pyarrow as pa
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     EqualTo,
@@ -366,6 +374,82 @@ class NessieArrowWriter(DataSourceArrowWriter):
                     pass
 
 
+class NessieStreamArrowWriter(DataSourceStreamArrowWriter):
+    """Exactly-once streaming sink: ``writeStream.format("nessie")``.
+
+    Executors write data files with fresh unique names every attempt; the
+    driver's ``commit(messages, batchId)`` derives the engine job_id from
+    the batch id and SHORT-CIRCUITS when that job_id already committed —
+    so a replayed micro-batch (restart from checkpoint, commit-phase
+    crash) never doubles rows. Replays may leave unreferenced data files;
+    those are ordinary orphans the GC sweep reclaims (the same guarantee
+    foreachBatch ingest documents). Table state is exactly-once."""
+
+    def __init__(self, options: dict, table_ddl: str):
+        self.root = _opt(options, "path")
+        if not self.root:
+            raise ValueError('format("nessie") requires .start(<table root>)')
+        self.prefix = _opt(options, "job_id") or _opt(options, "queryName") or "stream"
+        self.ddl = table_ddl
+
+    def write(self, iterator: Iterator[pa.RecordBatch]) -> _CommitMsg:
+        from pyspark import TaskContext
+
+        from nessie_spark.lakehouse.writer import (
+            align_to_schema,
+            stats_entry_for,
+            write_table_file,
+        )
+
+        batches = [b for b in iterator]
+        if not batches:
+            return _CommitMsg(entries=[])
+        tbl = pa.Table.from_batches(batches)
+        if tbl.num_rows == 0:
+            return _CommitMsg(entries=[])
+        tbl = align_to_schema(tbl, _arrow_schema(self.ddl))
+        pid = TaskContext.get().partitionId()
+        rel = f"data/{self.prefix}-sw-{uuid.uuid4().hex[:8]}-p{pid:05d}.parquet"
+        size = write_table_file(tbl, os.path.join(self.root, rel))
+        return _CommitMsg(entries=[stats_entry_for(tbl, rel, size)])
+
+    def commit(self, messages, batchId: int) -> None:
+        from nessie_spark.lakehouse import lineage
+        from nessie_spark.lakehouse.table import FILE_ENTRY_SCHEMA, Table
+
+        job_id = f"{self.prefix}-b{batchId}"
+        t = Table.load(self.root)
+        if lineage.committed_snapshot(t.root, job_id) is not None:
+            return  # replayed micro-batch: table already holds it
+        entries = [e for m in messages if m is not None for e in m.entries]
+        if not entries:
+            # commit the marker anyway: an empty batch replay must also
+            # short-circuit instead of re-running executor writes
+            lineage.mark_committed(t.root, job_id, t.current_snapshot_id or 0)
+            return
+        added = pa.Table.from_pylist(entries, schema=FILE_ENTRY_SCHEMA)
+        snap_id = t.commit(
+            "append", added=added, summary={"job_id": job_id, "batch_id": batchId}
+        )
+        lineage.write_unit(
+            t.root, job_id, "append", 0,
+            input_files=[], output_files=[e["file_path"] for e in entries],
+            rows=int(sum(e["record_count"] for e in entries)),
+            nbytes=int(sum(e["file_size_bytes"] for e in entries)),
+        )
+        lineage.mark_committed(t.root, job_id, snap_id)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages or []:
+            if m is None:
+                continue
+            for e in m.entries:
+                try:
+                    os.remove(os.path.join(self.root, e["file_path"]))
+                except OSError:
+                    pass
+
+
 class NessieStreamReader(DataSourceStreamReader):
     """Snapshot-log streaming source; offsets are snapshot ids."""
 
@@ -486,6 +570,12 @@ class NessieDataSource(DataSource):
 
     def streamReader(self, schema) -> NessieStreamReader:
         return NessieStreamReader(dict(self.options))
+
+    def streamWriter(self, schema, overwrite: bool) -> NessieStreamArrowWriter:
+        from nessie_spark.lakehouse.table import Table
+
+        t = Table.load(_opt(self.options, "path"))
+        return NessieStreamArrowWriter(dict(self.options), t.meta["schema"])
 
 
 def register(spark) -> None:

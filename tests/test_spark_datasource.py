@@ -162,3 +162,85 @@ def test_stream_source_guards_row_changing_commits(registered, tmp_path):
         startingSnapshot="earliest", skipChangeCommits="true",
     )
     assert spark.read.parquet(str(tmp_path / "o2")).count() == 256
+
+
+def test_stream_sink_nessie_to_nessie_exactly_once(registered, tmp_path):
+    """writeStream.format("nessie"): source table → sink table pipeline;
+    each micro-batch commits one atomic snapshot, replays drain nothing."""
+    spark = registered
+    ts, _ = make_table(spark, str(tmp_path / "src"))
+    td = jobs.create_images_table(str(tmp_path / "dst" / "images"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def pump():
+        sdf = (
+            spark.readStream.format("nessie")
+            .option("startingSnapshot", "earliest")
+            .load(ts.root)
+        )
+        q = (
+            sdf.writeStream.format("nessie")
+            .option("path", td.root)
+            .option("job_id", "repl")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    pump()
+    assert scan(spark, td.refresh()).count() == 256
+    extra = synth.images_df(spark, 15, seed=9).withColumn(
+        "image_id", F.concat(F.lit("n-"), F.col("image_id"))
+    )
+    jobs.append(spark, ts.refresh(), extra, job_id="i2")
+    pump()
+    assert scan(spark, td.refresh()).count() == 271
+    pump()  # nothing new: replay must be a no-op
+    td = td.refresh()
+    assert scan(spark, td).count() == 271
+    assert _ids(scan(spark, td)) == _ids(scan(spark, ts.refresh()))
+
+
+def test_stream_sink_commit_replay_short_circuits(registered, tmp_path):
+    """A re-delivered commit(batchId) (sink-commit crash before the
+    checkpoint recorded it) must not double the rows."""
+    spark = registered
+    td = jobs.create_images_table(str(tmp_path / "dst" / "images"))
+    w = DS.NessieStreamArrowWriter({"path": td.root, "job_id": "s1"}, td.meta["schema"])
+    tbl = synth.images_df(spark, 6, seed=3).toArrow()
+    from nessie_spark.lakehouse.writer import align_to_schema, stats_entry_for, write_table_file
+    from nessie_spark.sources.spark_datasource import _CommitMsg, _arrow_schema
+    import os as _os
+
+    aligned = align_to_schema(tbl, _arrow_schema(td.meta["schema"]))
+    rel = "data/s1-sw-test-p00000.parquet"
+    size = write_table_file(aligned, _os.path.join(td.root, rel))
+    msg = _CommitMsg(entries=[stats_entry_for(aligned, rel, size)])
+    w.commit([msg], 0)
+    assert scan(spark, td.refresh()).count() == 6
+    w.commit([msg], 0)  # replay
+    td = td.refresh()
+    assert scan(spark, td).count() == 6
+    assert len(td.meta["snapshots"]) == 1
+
+
+def test_batch_read_time_travel_options(registered, tmp_path):
+    spark = registered
+    t, snap1 = make_table(spark, str(tmp_path / "tb"))
+    t.create_tag("v1", snap1)
+    extra = synth.images_df(spark, 10, seed=9).withColumn(
+        "image_id", F.concat(F.lit("n-"), F.col("image_id"))
+    )
+    jobs.append(spark, t.refresh(), extra, job_id="i2")
+    assert (
+        spark.read.format("nessie")
+        .option("snapshotId", snap1)
+        .load(t.root)
+        .count()
+        == 256
+    )
+    assert (
+        spark.read.format("nessie").option("ref", "v1").load(t.root).count() == 256
+    )
+    assert spark.read.format("nessie").load(t.root).count() == 266
