@@ -308,6 +308,8 @@ class NessieBatchReader(DataSourceReader):
         return _partitions_for_entries(t, entries, sid, ddl, mor=True)
 
     def read(self, partition: FilePartition) -> Iterator[pa.RecordBatch]:
+        if partition is None:
+            return  # empty plan: Spark probes one default partition
         yield from _read_partition_table(partition, mor=True).to_batches()
 
 
@@ -514,6 +516,8 @@ class NessieStreamReader(DataSourceStreamReader):
         return parts
 
     def read(self, partition: FilePartition) -> Iterator[pa.RecordBatch]:
+        if partition is None:
+            return  # empty window: Spark probes one default partition
         yield from _read_partition_table(partition, mor=False).to_batches()
 
     def commit(self, end: dict) -> None:

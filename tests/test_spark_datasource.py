@@ -244,3 +244,12 @@ def test_batch_read_time_travel_options(registered, tmp_path):
         spark.read.format("nessie").option("ref", "v1").load(t.root).count() == 256
     )
     assert spark.read.format("nessie").load(t.root).count() == 266
+
+
+def test_batch_read_of_empty_table(registered, tmp_path):
+    """Zero planned files: Spark probes one default None partition — the
+    reader must yield nothing, not crash."""
+    spark = registered
+    t = jobs.create_images_table(str(tmp_path / "tb" / "images"))
+    df = spark.read.format("nessie").load(t.root)
+    assert df.count() == 0 and len(df.columns) == 7
