@@ -253,3 +253,23 @@ def test_batch_read_of_empty_table(registered, tmp_path):
     t = jobs.create_images_table(str(tmp_path / "tb" / "images"))
     df = spark.read.format("nessie").load(t.root)
     assert df.count() == 0 and len(df.columns) == 7
+
+
+def test_sql_using_nessie_view(registered, tmp_path):
+    """SQL-only users: CREATE TEMPORARY VIEW ... USING nessie resolves the
+    registered Python data source, with pushdown intact."""
+    spark = registered
+    t, _ = make_table(spark, str(tmp_path / "tb"))
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW nessie_imgs USING nessie "
+        f"OPTIONS (path '{t.root}')"
+    )
+    assert spark.sql("SELECT count(*) c FROM nessie_imgs").collect()[0].c == 256
+    assert (
+        spark.sql(
+            "SELECT caption FROM nessie_imgs "
+            "WHERE image_id = 'img_000000000003'"
+        ).count()
+        == 1
+    )
+    spark.catalog.dropTempView("nessie_imgs")
