@@ -28,17 +28,23 @@ engine's guarantees:
   (min/max/bloom — the same ``stats_entry_for`` every engine writer
   uses), the driver folds the :class:`WriterCommitMessage` stats into ONE
   atomic ``Table.commit`` — all-or-nothing snapshot visibility, and a
-  crashed/aborted job leaves only unreferenced files for GC. An optional
-  ``job_id`` gives the engine's idempotent-rerun contract (a committed
-  job_id re-run is a metadata no-op). ``mode("overwrite")`` is refused:
-  row-level change goes through MERGE / delete_where, not blind truncate.
+  crashed/aborted job leaves only unreferenced uniquely-named files for
+  GC (no attempt can overwrite a committed file). An optional ``job_id``
+  gives the engine's idempotent-rerun contract, checked BEFORE write
+  tasks launch (a committed job_id re-run writes nothing). Tables with a
+  hidden partition spec keep their invariant: the write stamps partition
+  values and splits files per value exactly like ``jobs.append``.
+  ``mode("overwrite")`` is refused: row-level change goes through
+  MERGE / delete_where, not blind truncate.
 - **Streaming write** (``writeStream.format("nessie")``) is the
   exactly-once table sink: executors write uniquely-named data files per
-  attempt, ``commit(messages, batchId)`` derives the engine job_id from
-  the batch id and short-circuits when already committed — a replayed
-  micro-batch never doubles rows (stray files from replays are ordinary
-  GC orphans). Composes with the streaming read into a nessie→nessie
-  incremental pipeline with end-to-end exactly-once table state.
+  attempt, ``commit(messages, batchId)`` derives the engine job_id as
+  ``<job_id>-b<batchId>`` and short-circuits when already committed — a
+  replayed micro-batch never doubles rows (stray files from replays are
+  ordinary GC orphans). The ``job_id`` option is REQUIRED: it is the
+  idempotency namespace, unique per logical stream into the table.
+  Composes with the streaming read into a nessie→nessie incremental
+  pipeline with end-to-end exactly-once table state.
 - **Streaming read** exposes the snapshot log as an exactly-once source:
   offsets ARE snapshot ids (monotone along the ancestry chain), each
   micro-batch reads the ``-add`` manifests of append snapshots in
@@ -136,20 +142,15 @@ def _read_partition_table(p: FilePartition, mor: bool = True) -> pa.Table:
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    aschema = _arrow_schema(p.ddl)
+    from nessie_spark.lakehouse import fields as FM
+    from nessie_spark.lakehouse.writer import _DDL_ARROW
+
     phys_cols = [ph for ph, _s, _c, _t in p.proj if ph is not None]
     tbl = pq.read_table(os.path.join(p.root, p.rel_path), columns=phys_cols)
-    n = tbl.num_rows
-    arrays, names = [], []
-    for phys, _styp, cur, _typ in p.proj:
-        tgt = aschema.field(cur).type
-        if phys is None:
-            arrays.append(pa.chunked_array([pa.nulls(n, tgt)]))
-        else:
-            col = tbl.column(phys)
-            arrays.append(col.cast(tgt) if col.type != tgt else col)
-        names.append(cur)
-    out = pa.Table.from_arrays(arrays, names=names)
+    # field-id projection: rename/NULL-fill/widen — the ONE shared
+    # implementation (fields.remap_arrow), so rename/drop safety rules
+    # never drift between the engine scan and this reader
+    out = FM.remap_arrow(tbl, p.proj, _DDL_ARROW)
     if not mor:
         return out
     # positional deletes FIRST: positions index the file's row order,
@@ -207,13 +208,17 @@ def _partitions_for_entries(
     if mor:
         eq, pos = split_delete_kinds(table.delete_files(snapshot_id))
         eq_dels = [(d["file_path"], d["min_key"], d["max_key"], d["snapshot_id"]) for d in eq]
-        pos_dels = [d["file_path"] for d in pos]
+        # a pos-delete file's min/max_key record its min/max TARGET data
+        # file path (deletes.py) — prune per data file here so a task
+        # opens only the delete files that can name it, not all of them
+        pos_dels = [(d["file_path"], d["min_key"], d["max_key"]) for d in pos]
     parts = []
     for e in entries:
         sid = FM.entry_schema_id(e, snap_sids)
         if sid not in projs:
             projs[sid] = FM.projection(table.meta, sid, tfields)
         added = int(e.get("added_snapshot_id") or 0)
+        e_mn, e_mx = e.get("min_key"), e.get("max_key")
         parts.append(
             FilePartition(
                 root=table.root,
@@ -222,11 +227,20 @@ def _partitions_for_entries(
                 proj=projs[sid],
                 ddl=ddl,
                 # equality deletes apply to files added BEFORE the delete
-                # (a key re-inserted afterwards stays visible — scan.py)
+                # (a key re-inserted afterwards stays visible — scan.py);
+                # key-range-disjoint delete files are dropped when the
+                # entry carries stats (streaming entries may not)
                 eq_dels=[
-                    (dp, mn, mx) for dp, mn, mx, dsid in eq_dels if added < dsid
+                    (dp, mn, mx)
+                    for dp, mn, mx, dsid in eq_dels
+                    if added < dsid
+                    and (e_mn is None or e_mx is None or (mn <= e_mx and mx >= e_mn))
                 ],
-                pos_dels=list(pos_dels),
+                pos_dels=[
+                    dp
+                    for dp, pmn, pmx in pos_dels
+                    if pmn <= e["file_path"] <= pmx
+                ],
             )
         )
     return parts
@@ -313,45 +327,113 @@ class NessieBatchReader(DataSourceReader):
         yield from _read_partition_table(partition, mor=True).to_batches()
 
 
-class NessieArrowWriter(DataSourceArrowWriter):
-    """Append-only sink: executor file writes + one atomic driver commit."""
+def _write_task(
+    iterator: Iterator[pa.RecordBatch], root: str, name_prefix: str, ddl: str,
+    spec: list | None,
+) -> _CommitMsg:
+    """Shared executor write for the batch and streaming sinks: drain the
+    Arrow batches, align to the TABLE schema, honor the hidden partition
+    spec (one file per partition value — the engine invariant that a data
+    file never spans values, with ``partition`` stamped in its stats
+    entry), and write uniquely-named files so no attempt can ever
+    overwrite a committed file (replays/duplicates become GC orphans)."""
+    import pyarrow.compute as pc
 
-    def __init__(self, options: dict, ddl: str):
+    from pyspark import TaskContext
+
+    from nessie_spark.lakehouse.partition import segment_name, transform_py
+    from nessie_spark.lakehouse.writer import (
+        align_to_schema,
+        stats_entry_for,
+        write_table_file,
+    )
+
+    batches = [b for b in iterator]
+    if not batches:
+        return _CommitMsg(entries=[])
+    tbl = pa.Table.from_batches(batches)
+    if tbl.num_rows == 0:
+        return _CommitMsg(entries=[])
+    tbl = align_to_schema(tbl, _arrow_schema(ddl))
+    if spec:
+        seg_cols = [
+            [
+                f"{segment_name(f)}={transform_py(f, v)}"
+                for v in tbl.column(f["source"]).to_pylist()
+            ]
+            for f in spec
+        ]
+        pvals = pa.array(["/".join(parts) for parts in zip(*seg_cols)])
+        slices = [
+            (g.as_py(), tbl.filter(pc.equal(pvals, g)))
+            for g in pc.unique(pvals)
+        ]
+        slices.sort(key=lambda kv: kv[0])
+    else:
+        slices = [("", tbl)]
+    pid = TaskContext.get().partitionId()
+    entries = []
+    for k, (pval, part_tbl) in enumerate(slices):
+        suffix = f"-{k}" if len(slices) > 1 else ""
+        rel = f"data/{name_prefix}-{uuid.uuid4().hex[:8]}-p{pid:05d}{suffix}.parquet"
+        size = write_table_file(part_tbl, os.path.join(root, rel))
+        entries.append(stats_entry_for(part_tbl, rel, size, partition=pval))
+    return _CommitMsg(entries=entries)
+
+
+def _abort_task_files(root: str, messages) -> None:
+    # best-effort cleanup; anything left is unreferenced → orphan GC
+    for m in messages or []:
+        if m is None:
+            continue
+        for e in m.entries:
+            try:
+                os.remove(os.path.join(root, e["file_path"]))
+            except OSError:
+                pass
+
+
+class NessieArrowWriter(DataSourceArrowWriter):
+    """Append-only sink: executor file writes + one atomic driver commit.
+
+    ``already_committed``: the driver checked the job_id's committed
+    marker BEFORE launching write tasks (the jobs.append contract) — a
+    re-run of a committed job_id writes nothing at all, rather than
+    re-writing files and skipping only the commit."""
+
+    def __init__(self, options: dict, ddl: str, spec: list | None,
+                 already_committed: bool = False):
         self.root = _opt(options, "path")
         if not self.root:
             raise ValueError('format("nessie") requires .save(<table root>)')
         self.job_id = _opt(options, "job_id") or f"dsw-{uuid.uuid4().hex[:8]}"
         self.ddl = ddl
+        self.spec = spec
+        self.already_committed = already_committed
 
     def write(self, iterator: Iterator[pa.RecordBatch]) -> _CommitMsg:
-        from pyspark import TaskContext
-
-        from nessie_spark.lakehouse.writer import (
-            align_to_schema,
-            stats_entry_for,
-            write_table_file,
+        if self.already_committed:
+            for _ in iterator:
+                pass  # drain without writing
+            return _CommitMsg(entries=[])
+        return _write_task(
+            iterator, self.root, f"{self.job_id}-dsw", self.ddl, self.spec
         )
-
-        batches = [b for b in iterator]
-        if not batches:
-            return _CommitMsg(entries=[])
-        tbl = pa.Table.from_batches(batches)
-        if tbl.num_rows == 0:
-            return _CommitMsg(entries=[])
-        tbl = align_to_schema(tbl, _arrow_schema(self.ddl))
-        pid = TaskContext.get().partitionId()
-        rel = f"data/{self.job_id}-dsw-p{pid:05d}.parquet"
-        size = write_table_file(tbl, os.path.join(self.root, rel))
-        return _CommitMsg(entries=[stats_entry_for(tbl, rel, size)])
 
     def commit(self, messages) -> None:
         from nessie_spark.lakehouse import lineage
         from nessie_spark.lakehouse.table import FILE_ENTRY_SCHEMA, Table
 
+        if self.already_committed:
+            return
         entries = [e for m in messages if m is not None for e in m.entries]
         t = Table.load(self.root)
         if lineage.committed_snapshot(t.root, self.job_id) is not None:
-            return  # idempotent re-run of a committed job_id
+            # lost a same-job_id race: this attempt's uniquely-named files
+            # are unreferenced; leave them to orphan GC — a re-delivered
+            # commit may carry the COMMITTED files' own paths, so deleting
+            # here would corrupt the table
+            return
         if not entries:
             return
         added = pa.Table.from_pylist(entries, schema=FILE_ENTRY_SCHEMA)
@@ -365,55 +447,46 @@ class NessieArrowWriter(DataSourceArrowWriter):
         lineage.mark_committed(t.root, self.job_id, snap_id)
 
     def abort(self, messages) -> None:
-        # best-effort cleanup; anything left is unreferenced → orphan GC
-        for m in messages or []:
-            if m is None:
-                continue
-            for e in m.entries:
-                try:
-                    os.remove(os.path.join(self.root, e["file_path"]))
-                except OSError:
-                    pass
+        _abort_task_files(self.root, messages)
 
 
 class NessieStreamArrowWriter(DataSourceStreamArrowWriter):
     """Exactly-once streaming sink: ``writeStream.format("nessie")``.
 
     Executors write data files with fresh unique names every attempt; the
-    driver's ``commit(messages, batchId)`` derives the engine job_id from
-    the batch id and SHORT-CIRCUITS when that job_id already committed —
-    so a replayed micro-batch (restart from checkpoint, commit-phase
-    crash) never doubles rows. Replays may leave unreferenced data files;
-    those are ordinary orphans the GC sweep reclaims (the same guarantee
-    foreachBatch ingest documents). Table state is exactly-once."""
+    driver's ``commit(messages, batchId)`` derives the engine job_id as
+    ``<job_id option>-b<batchId>`` and SHORT-CIRCUITS when that job_id
+    already committed — so a replayed micro-batch (restart from
+    checkpoint, commit-phase crash) never doubles rows. Replays may leave
+    unreferenced data files; those are ordinary orphans the GC sweep
+    reclaims (the same guarantee foreachBatch ingest documents). Table
+    state is exactly-once.
 
-    def __init__(self, options: dict, table_ddl: str):
+    The ``job_id`` option is REQUIRED and must be unique per logical
+    stream into the table: it is the idempotency namespace, so two
+    distinct queries sharing a prefix would silently absorb each other's
+    batch ids, and resetting a checkpoint to reprocess from scratch needs
+    a fresh job_id (batch numbering restarts at 0)."""
+
+    def __init__(self, options: dict, table_ddl: str, spec: list | None):
         self.root = _opt(options, "path")
         if not self.root:
-            raise ValueError('format("nessie") requires .start(<table root>)')
-        self.prefix = _opt(options, "job_id") or _opt(options, "queryName") or "stream"
+            raise ValueError('format("nessie") requires .option("path", <table root>)')
+        self.prefix = _opt(options, "job_id")
+        if not self.prefix:
+            raise ValueError(
+                'writeStream.format("nessie") requires .option("job_id", '
+                "<unique stream name>) — it namespaces per-batch "
+                "idempotency; reuse across queries or after a checkpoint "
+                "reset would silently drop batches"
+            )
         self.ddl = table_ddl
+        self.spec = spec
 
     def write(self, iterator: Iterator[pa.RecordBatch]) -> _CommitMsg:
-        from pyspark import TaskContext
-
-        from nessie_spark.lakehouse.writer import (
-            align_to_schema,
-            stats_entry_for,
-            write_table_file,
+        return _write_task(
+            iterator, self.root, f"{self.prefix}-sw", self.ddl, self.spec
         )
-
-        batches = [b for b in iterator]
-        if not batches:
-            return _CommitMsg(entries=[])
-        tbl = pa.Table.from_batches(batches)
-        if tbl.num_rows == 0:
-            return _CommitMsg(entries=[])
-        tbl = align_to_schema(tbl, _arrow_schema(self.ddl))
-        pid = TaskContext.get().partitionId()
-        rel = f"data/{self.prefix}-sw-{uuid.uuid4().hex[:8]}-p{pid:05d}.parquet"
-        size = write_table_file(tbl, os.path.join(self.root, rel))
-        return _CommitMsg(entries=[stats_entry_for(tbl, rel, size)])
 
     def commit(self, messages, batchId: int) -> None:
         from nessie_spark.lakehouse import lineage
@@ -422,7 +495,10 @@ class NessieStreamArrowWriter(DataSourceStreamArrowWriter):
         job_id = f"{self.prefix}-b{batchId}"
         t = Table.load(self.root)
         if lineage.committed_snapshot(t.root, job_id) is not None:
-            return  # replayed micro-batch: table already holds it
+            # replayed micro-batch: already visible. This attempt's files
+            # (fresh unique names) become GC orphans; a re-delivered commit
+            # may reference the committed files themselves, so never delete
+            return
         entries = [e for m in messages if m is not None for e in m.entries]
         if not entries:
             # commit the marker anyway: an empty batch replay must also
@@ -442,14 +518,7 @@ class NessieStreamArrowWriter(DataSourceStreamArrowWriter):
         lineage.mark_committed(t.root, job_id, snap_id)
 
     def abort(self, messages, batchId: int) -> None:
-        for m in messages or []:
-            if m is None:
-                continue
-            for e in m.entries:
-                try:
-                    os.remove(os.path.join(self.root, e["file_path"]))
-                except OSError:
-                    pass
+        _abort_task_files(self.root, messages)
 
 
 class NessieStreamReader(DataSourceStreamReader):
@@ -474,7 +543,16 @@ class NessieStreamReader(DataSourceStreamReader):
             return {"snapshot_id": 0}
         if self.starting == "latest":
             return {"snapshot_id": int(self._table().current_snapshot_id or 0)}
-        return {"snapshot_id": int(self.starting)}
+        # numeric = start AT that snapshot, INCLUSIVE (matching how
+        # "earliest" includes everything): offsets are exclusive-start, so
+        # resolve the named snapshot's parent as the start offset
+        want = int(self.starting)
+        snap = self._table().snapshot(want)
+        if snap is None:
+            raise ValueError(
+                f"startingSnapshot {want} is not in the table history"
+            )
+        return {"snapshot_id": int(snap["parent_id"] or 0)}
 
     def latestOffset(self) -> dict:
         return {"snapshot_id": int(self._table().current_snapshot_id or 0)}
@@ -511,8 +589,10 @@ class NessieStreamReader(DataSourceStreamReader):
             ]
             # append-log semantics: rows AS APPENDED — later deletes are
             # not retro-applied (mor=False), matching Iceberg's streaming
-            # read of append snapshots
-            parts.extend(_partitions_for_entries(t, entries, sid, ddl, mor=False))
+            # read of append snapshots. Target fields resolve at HI (the
+            # batch end): a pre-rename append must project onto the name
+            # the consumer sees, exactly like scan_incremental's to_id
+            parts.extend(_partitions_for_entries(t, entries, hi, ddl, mor=False))
         return parts
 
     def read(self, partition: FilePartition) -> Iterator[pa.RecordBatch]:
@@ -535,11 +615,20 @@ class NessieDataSource(DataSource):
     def name(cls) -> str:
         return FORMAT_NAME
 
+    def _root(self) -> str:
+        root = _opt(self.options, "path")
+        if not root:
+            raise ValueError(
+                'format("nessie") requires a table root: .load(<root>) / '
+                '.save(<root>) / .option("path", <root>)'
+            )
+        return root
+
     def schema(self) -> str:
         from nessie_spark.lakehouse.scan import _snapshot_ddl
         from nessie_spark.lakehouse.table import Table
 
-        t = Table.load(_opt(self.options, "path"))
+        t = Table.load(self._root())
         snap = _opt(self.options, "snapshotId")
         sid = int(snap) if snap else None
         if _opt(self.options, "ref"):
@@ -547,6 +636,7 @@ class NessieDataSource(DataSource):
         return _snapshot_ddl(t, sid)
 
     def reader(self, schema) -> NessieBatchReader:
+        self._root()
         return NessieBatchReader(dict(self.options))
 
     def writer(self, schema, overwrite: bool) -> NessieArrowWriter:
@@ -555,10 +645,12 @@ class NessieDataSource(DataSource):
                 'format("nessie") is an append-only sink; use MERGE INTO '
                 "(lakehouse.merge) or delete_where for row-level change"
             )
+        from nessie_spark.lakehouse import lineage
+        from nessie_spark.lakehouse.partition import table_spec
         from nessie_spark.lakehouse.table import Table
         from nessie_spark.lakehouse.writer import ddl_columns
 
-        t = Table.load(_opt(self.options, "path"))
+        t = Table.load(self._root())
         table_ddl = t.meta["schema"]
         extra = [
             f.name for f in schema.fields if f.name not in ddl_columns(table_ddl)
@@ -568,18 +660,33 @@ class NessieDataSource(DataSource):
                 f"write columns {extra} not in table schema; evolve first "
                 "(lakehouse.evolve.add_column)"
             )
+        # pre-write idempotency (the jobs.append contract): a committed
+        # job_id re-run must not even launch file writes — writing first
+        # and skipping only the commit would still burn IO, and with
+        # deterministic names it would have CORRUPTED live files
+        job_id = _opt(self.options, "job_id")
+        committed = bool(
+            job_id and lineage.committed_snapshot(t.root, job_id) is not None
+        )
         # align/commit against the TABLE's schema (jobs.append contract);
         # columns the frame lacks are NULL-backfilled by align_to_schema
-        return NessieArrowWriter(dict(self.options), table_ddl)
+        return NessieArrowWriter(
+            dict(self.options), table_ddl, table_spec(t),
+            already_committed=committed,
+        )
 
     def streamReader(self, schema) -> NessieStreamReader:
+        self._root()
         return NessieStreamReader(dict(self.options))
 
     def streamWriter(self, schema, overwrite: bool) -> NessieStreamArrowWriter:
+        from nessie_spark.lakehouse.partition import table_spec
         from nessie_spark.lakehouse.table import Table
 
-        t = Table.load(_opt(self.options, "path"))
-        return NessieStreamArrowWriter(dict(self.options), t.meta["schema"])
+        t = Table.load(self._root())
+        return NessieStreamArrowWriter(
+            dict(self.options), t.meta["schema"], table_spec(t)
+        )
 
 
 def register(spark) -> None:

@@ -207,7 +207,9 @@ def test_stream_sink_commit_replay_short_circuits(registered, tmp_path):
     checkpoint recorded it) must not double the rows."""
     spark = registered
     td = jobs.create_images_table(str(tmp_path / "dst" / "images"))
-    w = DS.NessieStreamArrowWriter({"path": td.root, "job_id": "s1"}, td.meta["schema"])
+    w = DS.NessieStreamArrowWriter(
+        {"path": td.root, "job_id": "s1"}, td.meta["schema"], None
+    )
     tbl = synth.images_df(spark, 6, seed=3).toArrow()
     from nessie_spark.lakehouse.writer import align_to_schema, stats_entry_for, write_table_file
     from nessie_spark.sources.spark_datasource import _CommitMsg, _arrow_schema
@@ -273,3 +275,121 @@ def test_sql_using_nessie_view(registered, tmp_path):
         == 1
     )
     spark.catalog.dropTempView("nessie_imgs")
+
+
+def test_write_committed_job_id_never_rewrites_files(registered, tmp_path):
+    """Re-running a committed job_id with DIFFERENT data must not touch
+    the table: no file writes launch (pre-write marker check), no rows
+    change, and the committed files' bytes stay what the first run wrote."""
+    import os as _os
+
+    spark = registered
+    t, _ = make_table(spark, str(tmp_path / "tb"))
+    d1 = synth.images_df(spark, 8, seed=9).withColumn(
+        "image_id", F.concat(F.lit("w-"), F.col("image_id"))
+    )
+    d1.write.format("nessie").mode("append").option("job_id", "w1").save(t.root)
+    t = t.refresh()
+    files_before = {
+        e["file_path"]: _os.path.getsize(_os.path.join(t.root, e["file_path"]))
+        for e in t.file_entries().to_pylist()
+    }
+    d2 = synth.images_df(spark, 30, seed=77).withColumn(
+        "image_id", F.concat(F.lit("other-"), F.col("image_id"))
+    )
+    d2.write.format("nessie").mode("append").option("job_id", "w1").save(t.root)
+    t = t.refresh()
+    assert scan(spark, t).count() == 264  # unchanged
+    files_after = {
+        e["file_path"]: _os.path.getsize(_os.path.join(t.root, e["file_path"]))
+        for e in t.file_entries().to_pylist()
+    }
+    assert files_after == files_before
+
+
+def test_write_honors_partition_spec(registered, tmp_path):
+    """Datasource writes on a spec'd table keep the engine invariant: one
+    file per partition value, pval stamped in the manifest entry."""
+    spark = registered
+    t = jobs.create_images_table(
+        str(tmp_path / "tb" / "images"),
+        properties={"partition-spec": [{"source": "fmt", "transform": "identity"}]},
+    )
+    df = synth.images_df(spark, 48, seed=42)
+    df.write.format("nessie").mode("append").option("job_id", "w1").save(t.root)
+    t = t.refresh()
+    ents = t.file_entries(columns=["file_path", "partition"]).to_pylist()
+    assert ents and all(e["partition"].startswith("fmt=") for e in ents)
+    # partition-pinned scan prunes to the png files only and stays correct
+    png_native = scan(spark, t).where(F.col("fmt") == "png")
+    png_pruned = scan(spark, t, source_eq={"fmt": "png"})
+    assert _ids(png_pruned) == _ids(png_native)
+
+
+def test_stream_sink_requires_job_id(registered, tmp_path):
+    spark = registered
+    ts, _ = make_table(spark, str(tmp_path / "src"))
+    td = jobs.create_images_table(str(tmp_path / "dst" / "images"))
+    sdf = (
+        spark.readStream.format("nessie")
+        .option("startingSnapshot", "earliest")
+        .load(ts.root)
+    )
+    with pytest.raises(Exception, match="job_id"):
+        q = (
+            sdf.writeStream.format("nessie")
+            .option("path", td.root)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+
+def test_stream_source_numeric_starting_snapshot_is_inclusive(
+    registered, tmp_path
+):
+    """option("startingSnapshot", <id>) streams FROM that snapshot
+    inclusive — the same boundary convention as "earliest"."""
+    spark = registered
+    t, snap1 = make_table(spark, str(tmp_path / "tb"))
+    extra = synth.images_df(spark, 10, seed=9).withColumn(
+        "image_id", F.concat(F.lit("n-"), F.col("image_id"))
+    )
+    jobs.append(spark, t.refresh(), extra, job_id="i2")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _drain(spark, t.root, out, ckpt, startingSnapshot=str(snap1))
+    # includes snap1's 256 rows AND the later append
+    assert spark.read.parquet(out).count() == 266
+
+
+def test_stream_source_projects_pre_rename_appends(registered, tmp_path):
+    """Appends that predate a rename must stream under the NEW name
+    (field-id projection at the batch-end snapshot)."""
+    spark = registered
+    t, _ = make_table(spark, str(tmp_path / "tb"))
+    evolve.rename_column(t, "caption", "description")
+    t = t.refresh()
+    extra = (
+        synth.images_df(spark, 10, seed=9)
+        .withColumn("image_id", F.concat(F.lit("n-"), F.col("image_id")))
+        .withColumnRenamed("caption", "description")
+    )
+    jobs.append(spark, t, extra, job_id="i2")
+    sdf = (
+        spark.readStream.format("nessie")
+        .option("startingSnapshot", "earliest")
+        .load(t.root)
+        .select("image_id", "description")
+    )
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(str(tmp_path / "out"))
+    assert got.count() == 266
+    assert got.where(F.col("description").isNotNull()).count() == 266
