@@ -121,6 +121,12 @@ class FilePartition(InputPartition):
     ddl: str
     eq_dels: list = field(default_factory=list)  # [(rel_path, min_key, max_key)]
     pos_dels: list = field(default_factory=list)  # [rel_path]
+    # pushed predicates as (current_name, op, value) pyarrow filter tuples —
+    # row-group/page skipping INSIDE the file, on top of file pruning.
+    # Applied only when no positional delete names the file (pre-filtering
+    # would break the row-position mapping); Spark re-applies every filter
+    # row-wise regardless, so this is purely an IO reduction.
+    arrow_filters: list = field(default_factory=list)
 
 
 @dataclass
@@ -146,7 +152,25 @@ def _read_partition_table(p: FilePartition, mor: bool = True) -> pa.Table:
     from nessie_spark.lakehouse.writer import _DDL_ARROW
 
     phys_cols = [ph for ph, _s, _c, _t in p.proj if ph is not None]
-    tbl = pq.read_table(os.path.join(p.root, p.rel_path), columns=phys_cols)
+    read_filters = None
+    if p.arrow_filters and not p.pos_dels:
+        # translate pushed predicates to the file's PHYSICAL names; a
+        # comparison on a field this file predates can never hold (the
+        # column reads as NULL) — skip the file outright
+        phys_of = {cur: ph for ph, _s, cur, _t in p.proj}
+        read_filters = []
+        for cur, op, val in p.arrow_filters:
+            if cur not in phys_of:
+                continue  # not a projected column; Spark re-applies anyway
+            ph = phys_of[cur]
+            if ph is None:
+                return _arrow_schema(p.ddl).empty_table()
+            read_filters.append((ph, op, val))
+        read_filters = read_filters or None
+    tbl = pq.read_table(
+        os.path.join(p.root, p.rel_path), columns=phys_cols,
+        filters=read_filters,
+    )
     # field-id projection: rename/NULL-fill/widen — the ONE shared
     # implementation (fields.remap_arrow), so rename/drop safety rules
     # never drift between the engine scan and this reader
@@ -258,6 +282,7 @@ class NessieBatchReader(DataSourceReader):
         self._key_lo: str | None = None
         self._key_hi: str | None = None
         self._source_eq: dict = {}
+        self._arrow_filters: list = []
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         """Map pushable predicates onto plan_files pruning args. EVERY
@@ -272,9 +297,20 @@ class NessieBatchReader(DataSourceReader):
             srcs = {f["source"] for f in spec}
         except Exception:
             srcs = set()
+        _OPS = {
+            EqualTo: "==", GreaterThan: ">", GreaterThanOrEqual: ">=",
+            LessThan: "<", LessThanOrEqual: "<=",
+        }
         for f in filters:
             attr = getattr(f, "attribute", None)
             col = attr[0] if attr and len(attr) == 1 else None
+            op = _OPS.get(type(f))
+            if (
+                col is not None
+                and op is not None
+                and isinstance(getattr(f, "value", None), (str, int, float, bool))
+            ):
+                self._arrow_filters.append((col, op, f.value))
             if col == "image_id":
                 if isinstance(f, EqualTo) and isinstance(f.value, str):
                     self._key_eq = f.value
@@ -319,7 +355,10 @@ class NessieBatchReader(DataSourceReader):
 
     def partitions(self) -> list[FilePartition]:
         t, entries, sid, ddl = self._plan()
-        return _partitions_for_entries(t, entries, sid, ddl, mor=True)
+        parts = _partitions_for_entries(t, entries, sid, ddl, mor=True)
+        for p in parts:
+            p.arrow_filters = list(self._arrow_filters)
+        return parts
 
     def read(self, partition: FilePartition) -> Iterator[pa.RecordBatch]:
         if partition is None:

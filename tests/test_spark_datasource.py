@@ -393,3 +393,22 @@ def test_stream_source_projects_pre_rename_appends(registered, tmp_path):
     got = spark.read.parquet(str(tmp_path / "out"))
     assert got.count() == 266
     assert got.where(F.col("description").isNotNull()).count() == 266
+
+
+def test_pushed_filters_correct_with_and_without_pos_deletes(
+    registered, tmp_path
+):
+    """Pushed predicates reach the pyarrow read (row-group skipping) only
+    on files with no positional deletes; results are identical either
+    way because Spark re-applies every filter."""
+    spark = registered
+    t, _ = make_table(spark, str(tmp_path / "tb"))
+    pred = F.col("image_id").between("img_000000000020", "img_000000000080")
+    before = _ids(spark.read.format("nessie").load(t.root).where(pred))
+    assert len(before) == 61
+    deletes.delete_positions_where(
+        spark, t, F.col("image_id") == "img_000000000030", job_id="p1"
+    )
+    t = t.refresh()
+    after = _ids(spark.read.format("nessie").load(t.root).where(pred))
+    assert after == before - {"img_000000000030"}
