@@ -95,6 +95,7 @@ _SAMPLE_PRIORITY = [
     "tfidf_top_terms",  # oracle-backed; rotated out for the posdel demo
     "bpe_tokenize_stats",  # rows-only; pytest twin proves per-doc counts
     "knn_exact_topk",
+    "dedup_soft_weights",  # oracle-backed; soft-dedup policy twin of keep-best
     "dup_span_removal",  # ExactSubstr transform twin of dup_ngram_coverage
     "doclen_quantiles_sampled",  # self-grading sampled-quantile sketch
     "events_funnel",

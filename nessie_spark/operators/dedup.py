@@ -915,6 +915,54 @@ ORDER BY doc_id
 """
 
 
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT dedup (the policy alternative to dropping): keep every
+    document but down-weight near-dup copies by their cluster size —
+    ``weight_ppm = floor(1e6 / cluster_size)`` — so a training pipeline
+    samples each CONTENT once in expectation while retaining all surface
+    variants. Used in production mixes where hard dedup loses useful
+    paraphrase diversity; summing weights per cluster ≈ 1e6 regardless of
+    copy count. Fixed-point integer ppm keeps the gate engine-portable.
+
+    Distributed shape: the same dup-subgraph connected components as
+    ``dedup_clusters`` (shuffles ∝ dup pairs, never corpus size), then ONE
+    count window per cluster — cluster sizes are copies of one document,
+    so no skew at 10^9 docs; singletons cost the window only."""
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("id_a", "id_b")
+    comp = min_label_components(pairs)
+    docs = T(spark, sf_dir, "documents").select("doc_id")
+    labeled = docs.join(
+        comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce("comp", F.col("doc_id")).alias("cluster_id")
+    )
+    w = Window.partitionBy("cluster_id")
+    return (
+        labeled.withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "weight_ppm",
+            F.floor(F.lit(1_000_000) / F.col("cluster_size")).cast("long"),
+        )
+        .select("doc_id", "cluster_id", "cluster_size", "weight_ppm")
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_SOFT_WEIGHTS_SQL = f"""
+WITH cl AS (
+  SELECT doc_id, cluster_id FROM ({DEDUP_CLUSTERS_SQL}) c
+), sized AS (
+  SELECT doc_id, cluster_id,
+         COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+  FROM cl
+)
+SELECT doc_id, cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(FLOOR(1000000.0 / cluster_size) AS BIGINT) AS weight_ppm
+FROM sized
+ORDER BY doc_id
+"""
+
+
 N_COVER_GRAM = 5  # duplicated-span window (tokens)
 
 
@@ -1506,6 +1554,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
     "dedup_keep_best": (dedup_keep_best, DEDUP_KEEP_BEST_SQL),
+    "dedup_soft_weights": (dedup_soft_weights, DEDUP_SOFT_WEIGHTS_SQL),
     "dup_ngram_coverage": (dup_ngram_coverage, DUP_NGRAM_COVERAGE_SQL),
     "dup_span_removal": (dup_span_removal, DUP_SPAN_REMOVAL_SQL),
     "dedup_incremental_bloom": (dedup_incremental_bloom, DEDUP_INCREMENTAL_BLOOM_SQL),

@@ -206,3 +206,26 @@ def test_dup_span_removal_cuts_covered_tokens_only(spark, tmp_path):
     assert got[4].cleaned_text == "" and got[4].n_removed == 7
     assert got[5].cleaned_text == "" and got[5].n_removed == 7
     assert got[6].n_removed == 0 and got[6].cleaned_text == "x y z"
+
+
+def test_dedup_soft_weights_planted(spark, tmp_path):
+    """Soft dedup: a 3-copy cluster carries weight_ppm = 333333 per copy
+    (Σ ≈ 1e6 per content), singletons keep the full 1e6."""
+    t1 = "the quick brown fox jumps over the lazy dog again and again today"
+    t2 = "completely different words about spark shuffles and parquet files"
+    rows = [
+        (4, t1, "en", "s", 0), (2, t1, "en", "s", 0), (9, t1, "en", "s", 0),
+        (1, t2, "en", "s", 0),
+    ]
+    d = str(tmp_path / "soft")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {r.doc_id: r for r in D.dedup_soft_weights(spark, d).collect()}
+    assert len(got) == 4
+    for i in (2, 4, 9):
+        assert got[i].cluster_id == 2
+        assert got[i].cluster_size == 3 and got[i].weight_ppm == 333333
+    assert got[1].cluster_size == 1 and got[1].weight_ppm == 1_000_000
+    # per-cluster weight mass never exceeds 1e6
+    assert sum(got[i].weight_ppm for i in (2, 4, 9)) <= 1_000_000
