@@ -263,6 +263,15 @@ def expire_snapshots(
         for ml in mlists:
             if os.path.exists(ml):
                 os.remove(ml)
+        # metadata version-log retention (Iceberg's
+        # write.metadata.previous-versions-max): commits append v{N}.json
+        # forever; a table with the property set truncates the log here,
+        # alongside the snapshot expiry it belongs with
+        prev_max = (table.meta.get("properties") or {}).get(
+            "write.metadata.previous-versions-max"
+        )
+        if prev_max is not None:
+            table.expire_metadata_versions(keep_last=int(prev_max) + 1)
     return report
 
 

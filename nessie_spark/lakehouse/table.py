@@ -142,15 +142,67 @@ class Table:
 
     @staticmethod
     def load(root: str) -> "Table":
+        """Resolve the latest metadata version.
+
+        Fast path: ``version-hint.text`` (written on every commit) plus a
+        forward walk — O(commits since the hint), not O(total versions).
+        The hint is always ≤ the true latest (it is written AFTER the
+        version file links), so walking ``v+1, v+2, ...`` until a missing
+        file finds the head even after a crash between link and hint.
+        Fallback to the full directory listing when the hint is absent or
+        names a version that metadata retention already deleted — at 10^6
+        commits the listdir alone is the cost the hint path avoids."""
         mdir = os.path.join(root, "metadata")
-        versions = [
-            int(f[1:-5]) for f in os.listdir(mdir) if f.startswith("v") and f.endswith(".json")
-        ]
-        if not versions:
-            raise FileNotFoundError(f"no metadata versions under {mdir}")
-        v = max(versions)
+        v = None
+        hint = os.path.join(mdir, "version-hint.text")
+        try:
+            with open(hint) as fh:
+                h = int(fh.read().strip())
+            if os.path.exists(os.path.join(mdir, f"v{h}.json")):
+                v = h
+                while os.path.exists(os.path.join(mdir, f"v{v + 1}.json")):
+                    v += 1
+        except (OSError, ValueError):
+            v = None
+        if v is None:
+            versions = [
+                int(f[1:-5])
+                for f in os.listdir(mdir)
+                if f.startswith("v") and f.endswith(".json")
+            ]
+            if not versions:
+                raise FileNotFoundError(f"no metadata versions under {mdir}")
+            v = max(versions)
         with open(os.path.join(mdir, f"v{v}.json")) as fh:
             return Table(root, json.load(fh), v)
+
+    def expire_metadata_versions(self, keep_last: int = 100) -> int:
+        """Delete metadata version files older than the newest
+        ``keep_last`` (Iceberg's ``write.metadata.previous-versions-max``
+        behavior): at one commit per table per minute a year leaves ~500k
+        ``v{N}.json`` files per table — pure garbage, since every read
+        path (scans, time travel, refs, the made-current log) resolves
+        from the CURRENT metadata alone; old versions serve only crash
+        forensics. Safe under concurrency: ``load`` picks the max (never
+        deleted — ``keep_last`` ≥ 1 enforced), commits only ever CREATE
+        ``v{N+1}``, and a reader holding an old version object keeps
+        working from memory. Returns the number of files deleted."""
+        keep_last = max(1, int(keep_last))
+        mdir = os.path.join(self.root, "metadata")
+        versions = sorted(
+            int(f[1:-5])
+            for f in os.listdir(mdir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        doomed = [v for v in versions[:-keep_last] if v < self.version]
+        n = 0
+        for v in doomed:
+            try:
+                os.unlink(os.path.join(mdir, f"v{v}.json"))
+                n += 1
+            except OSError:
+                pass
+        return n
 
     def refresh(self) -> "Table":
         return Table.load(self.root)

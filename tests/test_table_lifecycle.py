@@ -202,3 +202,55 @@ def test_time_travel_as_of_timestamp(spark, tmp_path):
         scan(spark, t, as_of_ts_millis=ts1 - 1).count()
     with _pytest.raises(ValueError, match="at most one"):
         scan(spark, t, snapshot_id=s1, as_of_ts_millis=ts1)
+
+
+def test_metadata_version_retention(spark, tmp_path):
+    """The metadata version log truncates (Iceberg
+    write.metadata.previous-versions-max) without breaking load, refresh,
+    time travel, or the version-hint fast path."""
+    import os
+
+    from nessie_spark import synth
+    from nessie_spark.lakehouse import expire, jobs
+    from nessie_spark.lakehouse.scan import scan
+    from nessie_spark.lakehouse.table import Table
+
+    root = str(tmp_path / "tb" / "images")
+    t = jobs.create_images_table(
+        root, properties={"write.metadata.previous-versions-max": 2}
+    )
+    for i in range(6):
+        jobs.append(spark, t.refresh(), synth.images_df(spark, 4, seed=i + 1)
+                    .withColumn("image_id", F.concat(F.lit(f"b{i}-"), F.col("image_id"))),
+                    job_id=f"a{i}")
+    t = t.refresh()
+    mdir = os.path.join(root, "metadata")
+    n_before = len([f for f in os.listdir(mdir) if f.endswith(".json")])
+    assert n_before == 7  # create + 6 appends
+    # explicit truncation
+    deleted = t.expire_metadata_versions(keep_last=3)
+    assert deleted == 4
+    t2 = Table.load(root)
+    assert t2.version == t.version
+    assert scan(spark, t2).count() == 24
+    # snapshot time travel resolves from CURRENT metadata, not old files
+    assert scan(spark, t2, snapshot_id=3).count() == 12
+    # a corrupted/stale hint falls back to the listing
+    with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
+        fh.write("1")  # points at a deleted version
+    t3 = Table.load(root)
+    assert t3.version == t.version
+    # property-driven truncation rides expire_snapshots
+    jobs.append(spark, t3, synth.images_df(spark, 4, seed=99)
+                .withColumn("image_id", F.concat(F.lit("z-"), F.col("image_id"))),
+                job_id="z")
+    t3 = t3.refresh()
+    expire.expire_snapshots(spark, t3)
+    t3 = t3.refresh()
+    vs = sorted(
+        int(f[1:-5]) for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+    assert len(vs) <= 4  # prev-max 2 → keep_last 3, plus expiry's own commit
+    assert Table.load(root).version == max(vs)
+    assert scan(spark, Table.load(root)).count() == 28
