@@ -44,6 +44,7 @@ this is the engine-side counterpart of its ``CallbackList`` orchestration
 
 from __future__ import annotations
 
+import os
 import uuid
 from dataclasses import asdict, dataclass, field
 
@@ -74,6 +75,7 @@ class MaintenancePolicy:
     purge_min_delete_keys: int = 1
     rewrite_manifests_min: int = 8
     expire_retain_last: int | None = 20
+    metadata_versions_max: int | None = 200  # v{N}.json cap before expiry
 
 
 @dataclass
@@ -90,6 +92,7 @@ class HealthReport:
     pending_delete_keys: int
     ancestor_snapshots: int
     manifests: int
+    metadata_versions: int  # v{N}.json count — the commit log's disk tail
 
 
 @dataclass
@@ -183,6 +186,11 @@ def table_health(table: Table, policy: MaintenancePolicy | None = None) -> Healt
         pending_delete_keys=sum(d["n_keys"] for d in dels),
         ancestor_snapshots=depth,
         manifests=len(table.manifest_paths()),
+        metadata_versions=len([
+            f
+            for f in os.listdir(os.path.join(table.root, "metadata"))
+            if f.startswith("v") and f.endswith(".json")
+        ]),
     )
 
 
@@ -220,7 +228,13 @@ def plan_maintenance(
     if (
         policy.expire_retain_last is not None
         and health.ancestor_snapshots > policy.expire_retain_last
+    ) or (
+        policy.metadata_versions_max is not None
+        and health.metadata_versions > policy.metadata_versions_max
     ):
+        # expire also truncates the metadata version log when the table
+        # property write.metadata.previous-versions-max is set; the sweep
+        # applies the policy cap directly for tables without the property
         actions.append("expire")
     return actions
 
@@ -274,6 +288,10 @@ def maintain(
         _expire.expire_snapshots(
             spark, table, retain_last=policy.expire_retain_last
         )
+        if policy.metadata_versions_max is not None:
+            table.refresh().expire_metadata_versions(
+                keep_last=policy.metadata_versions_max
+            )
         table = table.refresh()
         _expire.gc_orphans(spark, table, dry_run=False)
         rep.snapshots["expire"] = table.current_snapshot_id

@@ -106,3 +106,34 @@ def test_clustered_then_appended_decays_overlap(spark, tmp_path):
     jobs.append(spark, t, extra, job_id="m-decay")
     t = t.refresh()
     assert table_health(t, POL).zorder_overlap_pct > 0.0
+
+
+def test_metadata_version_cap_triggers_expire(spark, tmp_path):
+    """A long commit log alone (healthy layout otherwise) trips the
+    metadata_versions_max policy: the sweep expires AND truncates the
+    version log."""
+    import os
+
+    from nessie_spark import synth
+    from nessie_spark.lakehouse.table import Table
+
+    root = str(tmp_path / "tb" / "images")
+    t = jobs.create_images_table(root)
+    for i in range(6):
+        jobs.append(spark, t.refresh(), synth.images_df(spark, 4, seed=i + 1)
+                    .withColumn("image_id", F.concat(F.lit(f"c{i}-"), F.col("image_id"))),
+                    job_id=f"a{i}")
+    t = t.refresh()
+    policy = MaintenancePolicy(
+        metadata_versions_max=3, expire_retain_last=None,
+        compact_min_small_files=10**9,
+    )
+    h = table_health(t, policy)
+    assert h.metadata_versions == 7
+    assert "expire" in plan_maintenance(h, policy)
+    maintain(spark, t, policy=policy, job_id="sweep-mv")
+    mdir = os.path.join(root, "metadata")
+    vs = [f for f in os.listdir(mdir) if f.startswith("v") and f.endswith(".json")]
+    assert len(vs) <= policy.metadata_versions_max + 1  # + expiry's own commit
+    t2 = Table.load(root)
+    assert scan(spark, t2).count() == 24
