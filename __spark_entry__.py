@@ -81,7 +81,9 @@ _SAMPLE_PRIORITY = [
     "maintenance_phash_clusters",
     "events_top_paths",
     "maintenance_stream_bloom",
-    "events_retention_cohorts",
+    # rows-only: metadata version-log retention + stale-hint fallback —
+    # driver row is its only durable evidence
+    "maintenance_metadata_retention",
     "model_zoo_crf_tagger_cv",  # rows-only: a driver row is its only durable evidence
     "bpe_vocab_merges",  # rows-only (iterative; pytest twin proves the table)
     # --- below the fold (position 51+): everything past here is outside
@@ -92,6 +94,7 @@ _SAMPLE_PRIORITY = [
     # tests/test_bucketed_join.py, not something a driver row can witness.
     "token_entropy",  # oracle-backed; rotated out to make room for txn demo
     "doclen_quantiles",  # oracle-backed; rotated out for the datasource demo
+    "events_retention_cohorts",  # oracle-backed; rotated out for the metadata-retention demo
     "tfidf_top_terms",  # oracle-backed; rotated out for the posdel demo
     "bpe_tokenize_stats",  # rows-only; pytest twin proves per-doc counts
     "knn_exact_topk",

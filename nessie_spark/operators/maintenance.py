@@ -484,6 +484,72 @@ def maintenance_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
         shutil.rmtree(root, ignore_errors=True)
 
 
+def maintenance_metadata_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata version-log retention (lakehouse/table.py,
+    expire.py — Iceberg ``write.metadata.previous-versions-max``): commits
+    append ``metadata/v{N}.json`` forever; the retention pass truncates
+    the log while every read path (scan, snapshot time travel, the
+    version-hint O(1) load) keeps working, because reads resolve from
+    CURRENT metadata only. Also exercises the stale-hint fallback: a hint
+    pointing at a deleted version self-heals via the directory listing.
+    All counts derive from the seeded layout → deterministic rows-only
+    check."""
+    import os as _os
+
+    from nessie_spark.lakehouse.table import Table
+
+    root = tempfile.mkdtemp(prefix="nessie-demo-") + "/images"
+    t = jobs.create_images_table(
+        root, properties={"write.metadata.previous-versions-max": 2}
+    )
+    try:
+        for i in range(5):
+            df = synth.images_df(spark, 16, seed=i + 1).withColumn(
+                "image_id", F.concat(F.lit(f"b{i}-"), F.col("image_id"))
+            )
+            jobs.append(spark, t.refresh(), df, job_id=f"mr-a{i}")
+        t = t.refresh()
+        mdir = _os.path.join(root, "metadata")
+
+        def _nvers() -> int:
+            return len(
+                [f for f in _os.listdir(mdir)
+                 if f.startswith("v") and f.endswith(".json")]
+            )
+
+        versions_before = _nvers()
+        mid_snapshot_rows = scan(spark, t, snapshot_id=3).count()
+        from nessie_spark.lakehouse import expire as X
+
+        X.expire_snapshots(spark, t)  # property-driven truncation rides expiry
+        t = t.refresh()
+        versions_after = _nvers()
+        rows_after = scan(spark, t).count()
+        travel_after = scan(spark, t, snapshot_id=3).count()
+        # stale hint (names a deleted version) must fall back cleanly
+        with open(_os.path.join(mdir, "version-hint.text"), "w") as fh:
+            fh.write("1")
+        stale_hint_loads = Table.load(root).version == t.version
+        return spark.createDataFrame(
+            [
+                (
+                    versions_before,
+                    versions_after,
+                    versions_after < versions_before,
+                    int(rows_after),
+                    int(mid_snapshot_rows),
+                    travel_after == mid_snapshot_rows,
+                    stale_hint_loads,
+                )
+            ],
+            "versions_before int, versions_after int, truncated boolean, "
+            "rows_after long, mid_snapshot_rows long, "
+            "time_travel_intact boolean, stale_hint_loads boolean",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def maintenance_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot rollback + metadata tables end-to-end: append (s1) →
     compact (s2) → a second append (s3) → ``rollback(2)`` → the current
@@ -1888,6 +1954,7 @@ QUERIES: dict[str, tuple] = {
     "maintenance_schema_evolution": (maintenance_schema_evolution, None),
     "maintenance_rename_drop": (maintenance_rename_drop, None),
     "maintenance_rollback": (maintenance_rollback, None),
+    "maintenance_metadata_retention": (maintenance_metadata_retention, None),
     "maintenance_time_travel": (maintenance_time_travel, None),
     "maintenance_branches": (maintenance_branches, None),
     "maintenance_txn_atomic": (maintenance_txn_atomic, None),
