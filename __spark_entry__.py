@@ -99,6 +99,7 @@ _SAMPLE_PRIORITY = [
     "bpe_tokenize_stats",  # rows-only; pytest twin proves per-doc counts
     "knn_exact_topk",
     "dedup_soft_weights",  # oracle-backed; soft-dedup policy twin of keep-best
+    "quality_mix_by_source",  # oracle-backed; per-source quality-decile mix report
     "dup_span_removal",  # ExactSubstr transform twin of dup_ngram_coverage
     "doclen_quantiles_sampled",  # self-grading sampled-quantile sketch
     "events_funnel",

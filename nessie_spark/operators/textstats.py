@@ -9,6 +9,7 @@ the shared h64 hash — every operator exactly reproduced by its oracle.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
 from pyspark.sql import functions as F
 
 from nessie_spark.functions.core import h64, h64_seeded
@@ -151,6 +152,57 @@ SELECT doc_id, n_tok AS n_tokens,
        ROUND(least(n_tok / 100.0, 1.0) * 0.4 + least(mean_len / 8.0, 1.0) * 0.2
              + stop_ratio * 0.2 + alpha_ratio * 0.2, 6) AS quality
 FROM m ORDER BY doc_id
+"""
+
+
+def quality_mix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation reporting: the per-source QUALITY DISTRIBUTION — decile
+    buckets of the composite quality score with document counts and
+    integer-ppm shares. The report a pipeline operator reads before
+    setting per-source keep thresholds / mixture weights (pairs with
+    ``stratified_sample`` and ``domain_mixture_sample``).
+
+    Determinism: buckets derive from the SAME round(quality, 6) doubles
+    the oracle-green ``quality_scores`` emits (identical IEEE ops both
+    engines), so floor(quality*10) matches bit-for-bit; shares are
+    floor-ppm integers. One groupBy + one small window over ≤ sources×10
+    rows — metadata-scale output at any corpus size."""
+    q = quality_scores(spark, sf_dir)
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source")
+    bucket = F.least(F.floor(F.col("quality") * 10).cast("int"), F.lit(9))
+    per = (
+        q.join(docs, "doc_id")
+        .select("source", bucket.alias("q_bucket"))
+        .groupBy("source", "q_bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy("source")
+    return (
+        per.withColumn(
+            "share_ppm",
+            F.floor(
+                F.lit(1_000_000) * F.col("n_docs") / F.sum("n_docs").over(w)
+            ).cast("long"),
+        )
+        .select("source", "q_bucket", "n_docs", "share_ppm")
+        .orderBy("source", "q_bucket")
+    )
+
+
+QUALITY_MIX_SQL = f"""
+WITH q AS ({QUALITY_SQL}),
+b AS (
+  SELECT d.source,
+         LEAST(CAST(FLOOR(q.quality * 10) AS INT), 9) AS q_bucket
+  FROM q JOIN documents d USING (doc_id)
+), per AS (
+  SELECT source, q_bucket, COUNT(*) AS n_docs FROM b GROUP BY 1, 2
+)
+SELECT source, q_bucket, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(FLOOR(1000000.0 * n_docs / SUM(n_docs) OVER (PARTITION BY source))
+            AS BIGINT) AS share_ppm
+FROM per
+ORDER BY source, q_bucket
 """
 
 
@@ -1010,6 +1062,7 @@ QUERIES: dict[str, tuple] = {
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),
     "token_entropy": (token_entropy, TOKEN_ENTROPY_SQL),
     "quality_scores": (quality_scores, QUALITY_SQL),
+    "quality_mix_by_source": (quality_mix_by_source, QUALITY_MIX_SQL),
     "token_counts": (token_counts, TOKEN_COUNTS_SQL),
     "doc_fingerprints": (doc_fingerprints, DOC_FINGERPRINT_SQL),
     "repetition_filter_flags": (repetition_filter_flags, REPETITION_FILTER_SQL),

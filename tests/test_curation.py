@@ -169,3 +169,22 @@ def test_dsir_target_like_doc_scores_higher_and_keeps(spark, tmp_path):
     assert all(i not in got for i in range(3))  # target split excluded
     assert got[20].keep and got[20].avg_log_ratio > got[21].avg_log_ratio
     assert not got[21].keep
+
+
+def test_quality_mix_by_source_shares(spark):
+    """Mix report: shares are floor-ppm per source (sum ≤ 1e6), buckets lie
+    in [0, 9], and per-source counts reconcile with the corpus."""
+    from nessie_spark.operators import textstats as TS
+
+    sf = "/root/testdata/sf0.001"
+    rows = TS.quality_mix_by_source(spark, sf).collect()
+    assert rows
+    by_src = {}
+    for r in rows:
+        assert 0 <= r.q_bucket <= 9
+        by_src.setdefault(r.source, []).append(r)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    per_src = {r.source: r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for src, rs in by_src.items():
+        assert sum(r.n_docs for r in rs) == per_src[src]
+        assert sum(r.share_ppm for r in rs) <= 1_000_000
