@@ -198,21 +198,29 @@ def recover(log_dir: str) -> dict:
         }
     for name in sorted(os.listdir(log_dir)):
         full = os.path.join(log_dir, name)
+        # txn_id defaults to the log-file stem ("txn-<id>" → "<id>") and is
+        # upgraded to the record's own txn_id once the JSON parses, so every
+        # entry in all three result lists uses the same identifier space.
+        txn_id = name.split(".")[0]
+        if txn_id.startswith("txn-"):
+            txn_id = txn_id[len("txn-"):]
         try:
             if name.endswith(".commit.json"):
                 with open(full) as fh:
                     rec = json.load(fh)
+                txn_id = rec.get("txn_id", txn_id)
                 _publish_participants(rec["participants"])
                 os.replace(full, full[: -len(".commit.json")] + ".done.json")
-                rolled_forward.append(rec["txn_id"])
+                rolled_forward.append(txn_id)
             elif name.endswith(".pending.json"):
                 with open(full) as fh:
                     rec = json.load(fh)
+                txn_id = rec.get("txn_id", txn_id)
                 _abort_participants(rec["participants"])
                 os.replace(full, full[: -len(".pending.json")] + ".aborted.json")
-                rolled_back.append(rec["txn_id"])
+                rolled_back.append(txn_id)
         except Exception as exc:  # noqa: BLE001 — per-txn isolation
-            failed.append({"txn_id": name.split(".")[0], "error": repr(exc)})
+            failed.append({"txn_id": txn_id, "error": repr(exc)})
     return {
         "rolled_forward": rolled_forward,
         "rolled_back": rolled_back,

@@ -175,7 +175,7 @@ def test_recover_isolates_failing_transactions(spark, tmp_path):
     # crash before commit: txn-zzz must still roll back
     res = transaction.recover(log)
     assert res["rolled_back"] == ["zzz"]
-    assert [f["txn_id"] for f in res["failed"]] == ["txn-aaa"]
+    assert [f["txn_id"] for f in res["failed"]] == ["aaa"]
     assert scan(spark, tb.refresh()).count() == 256
     # the failed record stays in the log for a later retry
     assert os.path.exists(os.path.join(log, "txn-aaa.commit.json"))
