@@ -19,12 +19,62 @@ from pyspark.sql import DataFrame, SparkSession
 # CORRECTNESS_r02/r03 = registry order truncated at 50), so ordering is the
 # sampling rotation — see the allocation note at the top of the list.
 _SAMPLE_PRIORITY = [
-    # First 50 = the driver's sample window. Allocation rule: this
-    # round's new queries (incl. the prior red row) and every rows-only
-    # query whose ONLY durable evidence is a driver row come first, then
-    # never-driver-sampled oracle queries (each a distinct operator
-    # family). Oracle-backed entries below the fold are locally
-    # checkable (tools/check_oracle.py) and rotate into r5's window.
+    # --- r5 window (first 50): every oracle-backed query never yet
+    # driver-sampled (35), the 3 never-sampled rows-only demos, then 12
+    # r02-stale family refreshes. New r5 queries are inserted at the top
+    # as they land, pushing refreshes below the fold.
+    "token_entropy",
+    "doclen_quantiles",
+    "events_retention_cohorts",
+    "tfidf_top_terms",
+    "knn_exact_topk",
+    "dedup_soft_weights",
+    "quality_mix_by_source",
+    "dup_span_removal",
+    "doclen_quantiles_sampled",
+    "events_funnel",
+    "mean_distance_lof_exact_scores",
+    "doc_pack_sequences",
+    "stratified_sample",
+    "dropout_original_scores",
+    "dropout_variance_scores",
+    "events_bucketed_user_join",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q21_waiting_suppliers",
+    "q22_sales_opportunity",
+    "q12_shipmode_priority",
+    "q11_important_stock",
+    "q16_parts_supplier_counts",
+    "q20_potential_promotion",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    "bpe_tokenize_stats",
+    "maintenance_cluster_delta",
+    "maintenance_partition_pruning",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "knn_flagger_flags",
+    "dawid_skene_labels",
+    "span_alignment",
+    "token_featurizer",
+    "calibration_ece",
+    "confident_learning_flags",
+    "majority_label_flags",
+    "variation_ngrams_flags",
+    "q3_shipping_priority",
+    "curriculum_spotter_scores",
+    # --- below the fold (position 51+): r03/r04-certified rows and
+    # locally checkable oracle entries (tools/check_oracle.py).
     "rollup_pricing_levels",
     "cube_year_flag",
     "events_time_rolling",
@@ -32,11 +82,8 @@ _SAMPLE_PRIORITY = [
     "events_user_deciles",
     "events_user_deciles_distributed",
     "pagerank_neardup",
-    "multimodal_frame_sample",  # r3's one RED row — needs a clean r4 row
+    "multimodal_frame_sample",
     "multimodal_tile_cropdup",
-    # rows-only multimodal ops can ONLY get durable evidence via driver
-    # rows (no SQL oracle exists for pixel decode), so the new pixel ops
-    # outrank oracle-backed entries the judge can re-check locally
     "multimodal_quality_screen",
     "multimodal_dhash_consensus",
     "maintenance_rename_drop",
@@ -50,14 +97,8 @@ _SAMPLE_PRIORITY = [
     "embedding_norm_outliers",
     "maintenance_time_travel",
     "maintenance_branches",
-    # rows-only: multi-table atomic txn demo — driver row is its only
-    # durable evidence (crash-recovery protocol isn't SQL-expressible)
     "maintenance_txn_atomic",
-    # rows-only: positional-delete lifecycle — same reasoning
     "maintenance_pos_delete",
-    # rows-only: format("nessie") Data Source API binding (read parity,
-    # pushdown pruning, append commit) — driver row is its only durable
-    # evidence
     "maintenance_datasource",
     "events_asof_order",
     "events_hourly_anomalies",
@@ -81,92 +122,34 @@ _SAMPLE_PRIORITY = [
     "maintenance_phash_clusters",
     "events_top_paths",
     "maintenance_stream_bloom",
-    # rows-only: metadata version-log retention + stale-hint fallback —
-    # driver row is its only durable evidence
     "maintenance_metadata_retention",
-    "model_zoo_crf_tagger_cv",  # rows-only: a driver row is its only durable evidence
-    "bpe_vocab_merges",  # rows-only (iterative; pytest twin proves the table)
-    # --- below the fold (position 51+): everything past here is outside
-    # the driver's 50-entry sample window. First: oracle-backed r4 ops that
-    # are locally checkable (tools/check_oracle.py) and plan/pytest-pinned
-    # — including events_bucketed_user_join, deliberately below the fold
-    # because its zero-Exchange claim is plan-asserted in
-    # tests/test_bucketed_join.py, not something a driver row can witness.
-    "token_entropy",  # oracle-backed; rotated out to make room for txn demo
-    "doclen_quantiles",  # oracle-backed; rotated out for the datasource demo
-    "events_retention_cohorts",  # oracle-backed; rotated out for the metadata-retention demo
-    "tfidf_top_terms",  # oracle-backed; rotated out for the posdel demo
-    "bpe_tokenize_stats",  # rows-only; pytest twin proves per-doc counts
-    "knn_exact_topk",
-    "dedup_soft_weights",  # oracle-backed; soft-dedup policy twin of keep-best
-    "quality_mix_by_source",  # oracle-backed; per-source quality-decile mix report
-    "dup_span_removal",  # ExactSubstr transform twin of dup_ngram_coverage
-    "doclen_quantiles_sampled",  # self-grading sampled-quantile sketch
-    "events_funnel",
-    "mean_distance_lof_exact_scores",
-    "doc_pack_sequences",
-    "stratified_sample",
-    "maintenance_cluster_delta",
-    "maintenance_partition_pruning",
-    "dropout_original_scores",
-    "dropout_variance_scores",
-    "events_bucketed_user_join",  # zero-Exchange bucketed join (plan-asserted)
-    # remaining TPC-H shapes, then the refresh rotation over previously
-    # driver-certified rows
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q8_market_share",
-    "q9_product_profit",
-    "q13_customer_distribution",
-    "q17_small_quantity_revenue",
-    "q21_waiting_suppliers",
-    "q22_sales_opportunity",
-    "q12_shipmode_priority",
-    "q11_important_stock",
-    "q16_parts_supplier_counts",
-    "q20_potential_promotion",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q18_large_volume_customers",
-    "q19_discounted_revenue",
+    "model_zoo_crf_tagger_cv",
+    "bpe_vocab_merges",
     "variation_ngrams_multi",
-    "knn_flagger_flags",
     "dedup_embedding_cosine",
     "knn_entropy_scores",
     "knn_softmax_entropy_scores",
     "knn_softmax_flagger_flags",
-    "q3_shipping_priority",
     "q5_local_supplier_volume",
     "top_customers_per_nation",
     "order_priority_counts",
-    "majority_label_flags",
     "majority_per_surface_flags",
     "label_entropy_scores",
     "weighted_discrepancy_scores",
     "borda_count_scores",
-    "variation_ngrams_flags",
     "calibration_binned_transform",
     "noise_flipped_labels",
     "datamap_confidence_scores",
-    "calibration_ece",
-    "confident_learning_flags",
     "confident_joint_counts",
     "confident_learning_prune_flags",
     "cv_fold_assignment",
     "interval_mutual_best_match",
     "dropout_uncertainty_scores",
-    "span_alignment",
     "span_prob_aggregation",
     "variation_ngrams_span",
     "percentage_flagged",
     "projection_ensemble_flags",
-    "token_featurizer",
     "item_discrimination_flags",
-    "dawid_skene_labels",
-    "curriculum_spotter_scores",
     "leitner_spotter_scores",
     "classification_entropy_scores",
     "prediction_margin_scores",
@@ -175,9 +158,7 @@ _SAMPLE_PRIORITY = [
     "mean_distance_scores",
     "mean_distance_cosine_scores",
     "mean_distance_dot_scores",
-    "dedup_exact",
     "dedup_minhash_signatures",
-    "dedup_minhash_lsh_pairs",
     "dedup_simhash",
     "q1_pricing_summary",
     "calibration_platt_transform",
