@@ -23,6 +23,7 @@ _SAMPLE_PRIORITY = [
     # driver-sampled (35), the 3 never-sampled rows-only demos, then 12
     # r02-stale family refreshes. New r5 queries are inserted at the top
     # as they land, pushing refreshes below the fold.
+    "ann_ivfpq_topk",  # r5-new: IVF-PQ composition (rows-only; recall-gated in test_pq.py)
     "token_entropy",
     "doclen_quantiles",
     "events_retention_cohorts",
@@ -72,9 +73,9 @@ _SAMPLE_PRIORITY = [
     "majority_label_flags",
     "variation_ngrams_flags",
     "q3_shipping_priority",
-    "curriculum_spotter_scores",
     # --- below the fold (position 51+): r03/r04-certified rows and
     # locally checkable oracle entries (tools/check_oracle.py).
+    "curriculum_spotter_scores",
     "rollup_pricing_levels",
     "cube_year_flag",
     "events_time_rolling",

@@ -63,3 +63,79 @@ def test_pq_codebook_shapes_and_code_range(spark):
     for r in codes:
         assert len(r.c) == PQ_M
         assert all(0 <= k < PQ_K for k in r.c)
+
+
+def test_ivfpq_recall_matches_ivf_ceiling(spark):
+    """IVF-PQ (probe cells, ADC within probed lists, exact re-rank) must
+    recover the IVF-L2 ceiling: the best any nprobe=4 IVF index can do is
+    exact L2 within the probed cells — the PQ shortlist + re-rank may not
+    lose recall vs that ceiling at this scale (shortlist covers the probed
+    lists)."""
+    from pyspark.sql import functions as F
+
+    from nessie_spark.operators.similarity import (
+        IVF_K, IVFPQ_NPROBE, N_QUERIES, TOP_K, _emb, _ivf_centroids,
+        ann_ivfpq_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = ann_ivfpq_topk(spark, sf).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.qid, set()).add(r.nid)
+    assert set(got) == set(range(N_QUERIES))
+
+    X, ids = _vectors_at(sf)
+    C = np.array(_ivf_centroids(_emb(spark, sf)), dtype=np.float64)  # (K, d)
+    d2c = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)  # (n, K)
+    cell = d2c.argmin(axis=1)
+    hits_pq = hits_ceiling = total = 0
+    for q in range(N_QUERIES):
+        qi = int(np.where(ids == q)[0][0])
+        probe = np.lexsort((np.arange(IVF_K), d2c[qi]))[:IVFPQ_NPROBE]
+        d = ((X - X[qi]) ** 2).sum(axis=1)
+        d[ids == q] = np.inf
+        true_top = set(ids[np.argsort(d)[:TOP_K]])
+        in_probed = np.isin(cell, probe) & (ids != q)
+        cand = np.where(in_probed)[0]
+        order = cand[np.lexsort((ids[cand], d[cand]))][:TOP_K]
+        ceiling_top = set(ids[order])
+        hits_ceiling += len(true_top & ceiling_top)
+        hits_pq += len(true_top & got[q])
+        total += TOP_K
+    assert hits_pq / total >= hits_ceiling / total, (hits_pq, hits_ceiling)
+
+
+def _vectors_at(sf):
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    X = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    ids = np.array(t.column("vec_id").to_pylist())
+    order = np.argsort(ids)
+    return X[order], ids[order]
+
+
+def test_pq_candidates_never_reach_exchange_unbounded(spark):
+    """The r4 weak-#1 fix, plan-asserted: the ADC candidate set is bounded
+    per-partition INSIDE MapInPandas, so between the kernel and the qid
+    Exchange there is no other Exchange, and the old |Q|x|corpus|
+    crossJoin (CartesianProduct / BroadcastNestedLoopJoin) is gone."""
+    import contextlib
+    import io
+
+    from nessie_spark.operators.similarity import ann_ivfpq_topk, ann_pq_topk
+
+    for fn in (ann_pq_topk, ann_ivfpq_topk):
+        df = fn(spark, SF)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="simple")
+        plan = buf.getvalue()
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+        assert "MapInPandas" in plan, fn.__name__
+        # parent-above-child in the printed tree: the qid Exchange must sit
+        # directly above the kernel with no other Exchange between them
+        ex = plan.index("Exchange hashpartitioning(qid")
+        mp = plan.index("MapInPandas")
+        assert ex < mp, fn.__name__
+        assert "Exchange" not in plan[ex + 10 : mp], fn.__name__
