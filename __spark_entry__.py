@@ -24,6 +24,8 @@ _SAMPLE_PRIORITY = [
     # r02-stale family refreshes. New r5 queries are inserted at the top
     # as they land, pushing refreshes below the fold.
     "ann_ivfpq_topk",  # r5-new: IVF-PQ composition (rows-only; recall-gated in test_pq.py)
+    "detector_eval_ap",  # r5-new: reference evaluation flow (AP vs gold flips)
+    "detector_eval_p_at_k",  # r5-new: precision@k of the same ranking
     "token_entropy",
     "doclen_quantiles",
     "events_retention_cohorts",
@@ -71,10 +73,10 @@ _SAMPLE_PRIORITY = [
     "calibration_ece",
     "confident_learning_flags",
     "majority_label_flags",
-    "variation_ngrams_flags",
-    "q3_shipping_priority",
     # --- below the fold (position 51+): r03/r04-certified rows and
     # locally checkable oracle entries (tools/check_oracle.py).
+    "variation_ngrams_flags",
+    "q3_shipping_priority",
     "curriculum_spotter_scores",
     "rollup_pricing_levels",
     "cube_year_flag",
@@ -215,14 +217,14 @@ _SAMPLE_PRIORITY = [
 def _registry() -> dict[str, tuple]:
     from nessie_spark.operators import (
         analytics, analytics2, analytics3, corpus, curation, dedup, detectors,
-        detectors2, detectors3, events, hygiene, maintenance, modelzoo,
-        probability, retrieval, similarity, textstats,
+        detectors2, detectors3, evaluation, events, hygiene, maintenance,
+        modelzoo, probability, retrieval, similarity, textstats,
     )
 
     reg: dict[str, tuple] = {}
     for mod in (analytics, analytics2, analytics3, detectors, detectors2, detectors3,
                 probability, dedup, similarity, textstats, curation, hygiene,
-                events, maintenance, modelzoo, retrieval, corpus):
+                events, maintenance, modelzoo, retrieval, corpus, evaluation):
         for name, pair in mod.QUERIES.items():
             assert name not in reg, f"duplicate query name {name}"
             reg[name] = pair

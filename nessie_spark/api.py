@@ -993,3 +993,51 @@ def percentage_flagged(df: DataFrame, flag_col: str = "flag") -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         (F.sum(_c(flag_col).cast("int")) / F.count(F.lit(1))).alias("flagged_fraction"),
     )
+
+
+def evaluate(
+    scored: DataFrame,
+    score_col: str = "score",
+    gold_col: str = "gold",
+    id_col: str = "doc_id",
+    ks: tuple[int, ...] = (10, 50, 100),
+) -> DataFrame:
+    """The reference's detector-evaluation flow (its paper workflow over
+    metrics.py's module): rank instances by detector score (ties to id
+    asc), grade the ranking against boolean/0-1 gold error flags, and
+    return ONE row with average precision and precision-at-k in
+    fixed-point ppm. Ranking + gold prefix sum run through
+    plans.rank.global_prefix_rank — range-partitioned, never a
+    single-task window — so grading 10^9 scored instances is a full-width
+    job."""
+    from nessie_spark.plans.rank import global_prefix_rank
+
+    r = global_prefix_rank(
+        scored.select(
+            _c(id_col).alias("_id"),
+            _c(gold_col).cast("int").alias("_gold"),
+            _c(score_col).alias("_score"),
+        ),
+        [F.desc("_score"), F.asc("_id")],
+        "_gold",
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_gold").cast("bigint").alias("n_gold"),
+        F.round(
+            F.lit(1e6)
+            * F.sum(F.when(F.col("_gold") == 1, F.col("cum") / F.col("rn")))
+            / F.sum("_gold")
+        )
+        .cast("bigint")
+        .alias("ap_ppm"),
+    ]
+    for k in ks:
+        aggs.append(
+            F.round(
+                F.lit(1e6) * F.max(F.when(F.col("rn") == k, F.col("cum"))) / k
+            )
+            .cast("bigint")
+            .alias(f"p_at_{k}_ppm")
+        )
+    return r.agg(*aggs)

@@ -68,3 +68,69 @@ def global_row_number(
         col, (F.col("_off") + (F.col("_mid") - F.col("_mn")) + F.lit(1)).cast("long")
     )
     return out.drop("_pid", "_mid", "_mn", "_off")
+
+
+def global_prefix_rank(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    val_col: str | Column,
+    rank_col: str = "rn",
+    cum_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global rank AND running prefix sum of ``val_col`` under
+    ``order_cols`` (must be a total order) — the distributed building
+    block for ranking metrics (AP, precision@k, cumulative-gain families)
+    where both "position i" and "hits up to i" are needed.
+
+    Same two-level shape as global_row_number: range-partition on the
+    order keys, LOCAL cumsum within each partition (a per-partition
+    window — parallel, bounded by partition size), then fold per-partition
+    (count, sum) offsets with a window over ONE ROW PER PARTITION and
+    broadcast them back. No row of data ever crosses a single-task
+    window."""
+    spark = df.sparkSession
+    n_part = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    v = F.col(val_col) if isinstance(val_col, str) else val_col
+    base = (
+        df.withColumn("_v", v.cast("double"))
+        .repartitionByRange(n_part, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .select(
+            "*",
+            F.spark_partition_id().alias("_pid"),
+            F.monotonically_increasing_id().alias("_mid"),
+        )
+        .localCheckpoint()
+    )
+    wloc = (
+        Window.partitionBy("_pid")
+        .orderBy("_mid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = base.withColumn("_lcum", F.sum("_v").over(wloc))
+    stats = base.groupBy("_pid").agg(
+        F.min("_mid").alias("_mn"),
+        F.count(F.lit(1)).alias("_cnt"),
+        F.sum("_v").alias("_sum"),
+    )
+    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = stats.select(
+        "_pid",
+        "_mn",
+        F.coalesce(F.sum("_cnt").over(woff), F.lit(0)).alias("_offc"),
+        F.coalesce(F.sum("_sum").over(woff), F.lit(0.0)).alias("_offs"),
+    )
+    out = (
+        local.join(F.broadcast(offs), "_pid")
+        .withColumn(
+            rank_col,
+            (F.col("_offc") + (F.col("_mid") - F.col("_mn")) + F.lit(1)).cast(
+                "long"
+            ),
+        )
+        .withColumn(cum_col, F.col("_offs") + F.col("_lcum"))
+    )
+    return out.drop("_pid", "_mid", "_mn", "_offc", "_offs", "_lcum", "_v")

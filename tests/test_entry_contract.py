@@ -66,6 +66,9 @@ def test_queries_registry_shape(spark):
         "ann_ivf_topk",
         # PQ ANN (tests/test_pq.py): float codebooks; recall@5-gated
         "ann_pq_topk",
+        # IVF-PQ composition (tests/test_pq.py): recall gated ≥ the
+        # IVF-L2 ceiling; plan-asserted bounded candidate Exchange
+        "ann_ivfpq_topk",
         # CRF tagger (tests/test_crf_tagger.py): parameter-mixing average
         # is no DuckDB one-liner — accuracy/transition/noise-recall gated
         "model_zoo_crf_tagger_cv",
