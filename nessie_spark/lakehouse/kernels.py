@@ -5,14 +5,16 @@ Arrow batches — the per-image loops below execute *inside* a batch UDF, never
 as per-row Spark Python UDFs. This mirrors the reference's batched featurizer
 discipline (/root/reference/nessie/featurizer.py:100-107).
 
-Codec availability: this container has no PIL/libjpeg, so:
+Codec availability: this container has no PIL/libjpeg, so both codecs are
+implemented here from the public specs:
 - ``png``  — a REAL minimal PNG codec (pure numpy + stdlib zlib; filter-0
   scanlines, 8-bit RGB). Bytes are valid PNG files, losslessly round-trip.
-- ``jpeg`` — a clearly-marked deterministic LOSSY STAND-IN ("njpg"):
-  uniform quantization (step 4 → PSNR ≈ 47 dB, above the 40 dB gate) +
-  zlib deflate, with a magic header. If Pillow is importable we use real
-  JPEG instead (gated import below); the Spark-side plumbing (binary column,
-  schema, batch shape, PSNR verification) is identical either way.
+- ``jpeg`` — a REAL baseline JFIF codec (jpegcodec.py: ITU-T T.81 baseline
+  sequential DCT, 4:4:4, Annex-K tables, quality 98 → PSNR ≈ 43 dB, above
+  the 40 dB gate). ``decode_jpeg`` dispatches on the stream magic: FFD8 →
+  the real decoder; the legacy "njpg" stand-in magic from pre-r5 tables is
+  still decodable (clearly marked below); anything else (progressive,
+  subsampled, non-JPEG) raises NotImplementedError.
 
 Everything is a pure function of its inputs — Spark task re-execution safe
 (the reference's seed discipline, /root/reference/nessie/util.py:98-112).
@@ -82,21 +84,34 @@ def decode_png(data: bytes) -> np.ndarray:
     return raw[:, 1:].reshape(h, w, 3).copy()
 
 
+JPEG_QUALITY = 98  # q98 4:4:4 → ~43 dB on the synth fixtures (40 dB gate)
+
+
 def encode_jpeg(pixels: np.ndarray) -> bytes:
-    """Deterministic lossy stand-in codec (see module docstring)."""
+    """REAL baseline JFIF encode (jpegcodec.py; ITU-T T.81)."""
     h, w, c = pixels.shape
     assert c == 3 and pixels.dtype == np.uint8
-    q = (pixels.astype(np.int32) // _NJPG_QSTEP * _NJPG_QSTEP + _NJPG_QSTEP // 2).clip(
-        0, 255
-    ).astype(np.uint8)
-    body = zlib.compress(q.tobytes(), 6)
-    return _NJPG_MAGIC + struct.pack(">HH", h, w) + body
+    from nessie_spark.lakehouse.jpegcodec import encode_jpeg_real
+
+    return encode_jpeg_real(pixels, JPEG_QUALITY)
+
+
+def _decode_njpg(data: bytes) -> np.ndarray:
+    """Legacy pre-r5 stand-in payloads (uniform quant + deflate)."""
+    h, w = struct.unpack(">HH", data[4:8])
+    return np.frombuffer(zlib.decompress(data[8:]), dtype=np.uint8).reshape(h, w, 3).copy()
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    assert data[:4] == _NJPG_MAGIC, "not an njpg payload"
-    h, w = struct.unpack(">HH", data[4:8])
-    return np.frombuffer(zlib.decompress(data[8:]), dtype=np.uint8).reshape(h, w, 3).copy()
+    if data[:2] == b"\xff\xd8":
+        from nessie_spark.lakehouse.jpegcodec import decode_jpeg_real
+
+        return decode_jpeg_real(data)
+    if data[:4] == _NJPG_MAGIC:
+        return _decode_njpg(data)
+    raise NotImplementedError(
+        "not a baseline JPEG (FFD8) or legacy njpg payload"
+    )
 
 
 def decode(data: bytes, fmt: str) -> np.ndarray:
@@ -217,12 +232,19 @@ def encode_video(frames: list[np.ndarray]) -> bytes:
 
 
 def decode_video_frames(data: bytes, every_k: int = 1) -> list[np.ndarray]:
-    """Frame-sample the fake container: every k-th frame, decoded.
-    Real video formats are out of scope in this container:"""
+    """Frame-sample a video payload: every k-th frame, decoded. Dispatch
+    on magic: FFD8 → REAL MJPEG (concatenated baseline JFIF frames,
+    marker-walked and decoded by jpegcodec.py); NVID → the legacy pre-r5
+    stand-in container. Inter-frame-compressed codecs (H.26x, VP9, AV1)
+    stay NotImplementedError-gated — no codec libs in this container."""
+    if data[:2] == b"\xff\xd8":
+        from nessie_spark.lakehouse.jpegcodec import decode_mjpeg_frames
+
+        return decode_mjpeg_frames(data, every_k=every_k)
     if data[:4] != _NVID_MAGIC:
         raise NotImplementedError(
-            "real video codecs unavailable in this container; only the "
-            "deterministic NVID stand-in is decodable"
+            "inter-frame video codecs unavailable in this container; "
+            "MJPEG (FFD8) and the legacy NVID stand-in are decodable"
         )
     (n,) = struct.unpack(">I", data[4:8])
     pos = 8
@@ -236,10 +258,57 @@ def decode_video_frames(data: bytes, every_k: int = 1) -> list[np.ndarray]:
     return out
 
 
+def encode_wav(pcm16: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """(n,) int16 mono PCM -> REAL RIFF/WAVE bytes (canonical 44-byte
+    header + data chunk) — playable by any WAV reader."""
+    assert pcm16.dtype == np.int16 and pcm16.ndim == 1
+    body = pcm16.tobytes()
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                                sample_rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", len(body))
+    )
+    return hdr + body
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """REAL RIFF chunk walk -> ((n,) int16 PCM, sample_rate). Handles
+    extra chunks (LIST, fact, …) and odd-length padding per the RIFF
+    spec; compressed audio formats (format tag ≠ 1, e.g. mp3/ADPCM/float)
+    raise NotImplementedError — no codec libs in this container."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE stream")
+    pos = 12
+    fmt = None
+    pcm = None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + ln]
+        if tag == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            pcm = body
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if fmt is None or pcm is None:
+        raise ValueError("truncated WAV (missing fmt/data chunk)")
+    audio_format, channels, rate, _byterate, _align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"compressed/non-PCM16 WAV (format={audio_format}, bits={bits})"
+        )
+    x = np.frombuffer(pcm, dtype="<i2")
+    if channels > 1:  # downmix to mono: mean of channels
+        x = x[: len(x) - len(x) % channels].reshape(-1, channels)
+        x = x.astype(np.int32).mean(axis=1).astype(np.int16)
+    return x.copy(), rate
+
+
 def audio_features(pcm: np.ndarray) -> tuple[float, int]:
-    """(n,) float32 PCM -> (rms, zero_crossings). Real audio decode (mp3,
-    flac) is NotImplementedError-gated the same way as video; synthetic
-    PCM keeps the feature plumbing testable."""
+    """(n,) float32 PCM -> (rms, zero_crossings). Compressed audio (mp3,
+    flac) is NotImplementedError-gated in decode_wav the same way as
+    inter-frame video."""
     rms = float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2)))
     zc = int(np.sum(np.signbit(pcm[1:]) != np.signbit(pcm[:-1])))
     return rms, zc

@@ -690,17 +690,19 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling plumbing (task brief §multimodal): synthesize
-    deterministic fake NVID containers (real codecs absent — the decode is
-    a CLEARLY-MARKED deterministic stand-in, kernels.decode_video_frames
-    raises NotImplementedError on anything else), then sample every 3rd
-    frame and emit per-frame digests via mapInPandas."""
+    """Video frame-sampling over REAL MJPEG bytes (task brief §multimodal):
+    each video is a genuine MJPEG stream — concatenated baseline JFIF
+    frames from the from-scratch T.81 codec (lakehouse/jpegcodec.py) —
+    and sampling every 3rd frame is a real marker walk + JPEG decode
+    (kernels.decode_video_frames FFD8 path). Inter-frame codecs (H.26x…)
+    remain NotImplementedError-gated; per-frame digests via mapInPandas."""
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
 
     from nessie_spark.lakehouse import kernels as K
+    from nessie_spark.lakehouse.jpegcodec import encode_mjpeg
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -712,7 +714,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
                     for _ in range(n_frames)
                 ]
-                out.append((f"vid-{int(vid):05d}", K.encode_video(frames), n_frames))
+                out.append((f"vid-{int(vid):05d}", encode_mjpeg(frames), n_frames))
             yield pd.DataFrame(out, columns=["video_id", "data", "n_frames"])
 
     vids = spark.range(0, 64, 1, 8).mapInPandas(
@@ -742,9 +744,12 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio feature plumbing (task brief §multimodal): deterministic
-    synthetic PCM per id (real audio decode is NotImplementedError-gated in
-    kernels), RMS + zero-crossing features in one mapInPandas pass."""
+    """Audio features over REAL WAV bytes (task brief §multimodal): each
+    id becomes a genuine RIFF/WAVE PCM16 file (kernels.encode_wav), the
+    feature pass re-parses the container with the real RIFF chunk walk
+    (kernels.decode_wav — compressed formats NotImplementedError-gated)
+    and computes RMS + zero-crossings from the decoded samples. Two
+    mapInPandas stages: synth→bytes, bytes→features."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -752,20 +757,40 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from nessie_spark.lakehouse import kernels as K
 
-    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for aid in pdf["id"]:
                 t = np.arange(4000, dtype=np.float64)
                 freq = 0.01 + (int(aid) % 17) * 0.003
-                pcm = np.sin(2 * np.pi * freq * t) * (0.2 + (int(aid) % 5) * 0.15)
-                rms, zc = K.audio_features(pcm.astype(np.float32))
-                out.append((f"aud-{int(aid):05d}", round(rms, 6), zc))
-            yield pd.DataFrame(out, columns=["audio_id", "rms", "zero_crossings"])
+                amp = 0.2 + (int(aid) % 5) * 0.15
+                pcm = np.round(
+                    np.sin(2 * np.pi * freq * t) * amp * 32767.0
+                ).astype(np.int16)
+                out.append((f"aud-{int(aid):05d}", K.encode_wav(pcm, 16000)))
+            yield pd.DataFrame(out, columns=["audio_id", "data"])
+
+    wavs = spark.range(0, 64, 1, 8).mapInPandas(gen, "audio_id string, data binary")
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for aid, data in zip(pdf["audio_id"], pdf["data"]):
+                pcm, rate = K.decode_wav(bytes(data))
+                rms, zc = K.audio_features(pcm.astype(np.float32) / 32768.0)
+                out.append((aid, int(rate), len(pcm), round(rms, 6), zc))
+            yield pd.DataFrame(
+                out,
+                columns=["audio_id", "sample_rate", "n_samples", "rms",
+                         "zero_crossings"],
+            )
 
     return (
-        spark.range(0, 64, 1, 8)
-        .mapInPandas(feats, "audio_id string, rms double, zero_crossings int")
+        wavs.mapInPandas(
+            feats,
+            "audio_id string, sample_rate int, n_samples int, rms double, "
+            "zero_crossings int",
+        )
         .orderBy("audio_id")
     )
 

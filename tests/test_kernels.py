@@ -26,14 +26,19 @@ def test_jpeg_standin_psnr_above_gate():
     assert K.psnr(px, out) >= 40.0  # BASELINE.json:15 invariant
 
 
-def test_jpeg_standin_idempotent():
-    """Re-encoding an already-quantized image is lossless — the engine's
-    'repeated runs must match' invariant (SURVEY.md §2.9, graft of
-    helper.py:401-410)."""
+def test_jpeg_rewrite_invariants():
+    """The engine's 'repeated runs must match' invariant (SURVEY.md §2.9,
+    graft of helper.py:401-410) under the REAL T.81 codec: (a) encode is
+    deterministic — the same input bytes re-encode to identical output
+    bytes, so re-running a rewrite job is byte-stable; (b) generational
+    recompression loss is far above the 40 dB gate; (c) phash survives
+    recompression (the Z-order key is stable across rewrites)."""
     px = _pixels()
     once = K.decode_jpeg(K.encode_jpeg(px))
+    assert K.encode_jpeg(once) == K.encode_jpeg(once.copy())  # determinism
     twice = K.decode_jpeg(K.encode_jpeg(once))
-    assert (once == twice).all()
+    assert K.psnr(once, twice) >= 55.0
+    assert K.phash64(once) == K.phash64(twice)
 
 
 def test_psnr_identical_is_sentinel():
