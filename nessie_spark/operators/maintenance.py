@@ -1966,6 +1966,60 @@ def multimodal_dhash_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# --- golden-pin oracles for protocol demos (r4 judge task #8) ---------------
+# These demos synthesize their own seeded tables, so their outputs are pure
+# deterministic functions of the protocol (verified identical at local[4] /
+# local[8] / local[32]). The oracle pins those values as SQL literals: the
+# gate then value-hashes the protocol outcome — rows lost in recovery, a
+# version-log truncation miss, or a pruning regression flips the row red.
+# The protocols themselves are behavior-tested in test_transaction.py,
+# test_expire_retention.py, test_pos_deletes.py, test_spark_datasource.py.
+
+METADATA_RETENTION_SQL = """
+SELECT CAST(6 AS INTEGER)  AS versions_before,
+       CAST(3 AS INTEGER)  AS versions_after,
+       TRUE                AS truncated,
+       CAST(80 AS BIGINT)  AS rows_after,
+       CAST(48 AS BIGINT)  AS mid_snapshot_rows,
+       TRUE                AS time_travel_intact,
+       TRUE                AS stale_hint_loads
+"""
+
+TXN_ATOMIC_SQL = """
+SELECT TRUE                 AS staged_isolated,
+       TRUE                 AS rolled_back_clean,
+       TRUE                 AS rolled_forward,
+       CAST(272 AS BIGINT)  AS rows_a,
+       CAST(268 AS BIGINT)  AS rows_b,
+       TRUE                 AS a_has_txn_rows,
+       TRUE                 AS b_has_txn_and_concurrent,
+       TRUE                 AS pinned_view_consistent
+"""
+
+POS_DELETE_SQL = """
+SELECT CAST(32 AS BIGINT)   AS deleted_positions,
+       CAST(1 AS INTEGER)   AS delete_files,
+       TRUE                 AS delete_metadata_only,
+       CAST(225 AS BIGINT)  AS rows_after_delete,
+       TRUE                 AS duplicate_copy_targeted,
+       TRUE                 AS pinned_snapshot_intact,
+       CAST(2 AS INTEGER)   AS purge_rewritten_files,
+       TRUE                 AS purge_preserves_rowset
+"""
+
+DATASOURCE_SQL = """
+SELECT TRUE                 AS read_parity,
+       CAST(11 AS INTEGER)  AS files_full,
+       CAST(1 AS INTEGER)   AS files_pruned,
+       TRUE                 AS pruned_fewer,
+       TRUE                 AS filters_reapplied,
+       CAST(1 AS INTEGER)   AS point_rows,
+       CAST(262 AS BIGINT)  AS rows_after_write,
+       TRUE                 AS write_is_append_snapshot
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "maintenance_compact": (maintenance_compact, None),
     "maintenance_zorder": (maintenance_zorder, None),
@@ -1979,15 +2033,15 @@ QUERIES: dict[str, tuple] = {
     "maintenance_schema_evolution": (maintenance_schema_evolution, None),
     "maintenance_rename_drop": (maintenance_rename_drop, None),
     "maintenance_rollback": (maintenance_rollback, None),
-    "maintenance_metadata_retention": (maintenance_metadata_retention, None),
+    "maintenance_metadata_retention": (maintenance_metadata_retention, METADATA_RETENTION_SQL),
     "maintenance_time_travel": (maintenance_time_travel, None),
     "maintenance_branches": (maintenance_branches, None),
-    "maintenance_txn_atomic": (maintenance_txn_atomic, None),
+    "maintenance_txn_atomic": (maintenance_txn_atomic, TXN_ATOMIC_SQL),
     "maintenance_data_skipping": (maintenance_data_skipping, None),
     "maintenance_partition_pruning": (maintenance_partition_pruning, None),
     "maintenance_mor_delete": (maintenance_mor_delete, None),
-    "maintenance_pos_delete": (maintenance_pos_delete, None),
-    "maintenance_datasource": (maintenance_datasource, None),
+    "maintenance_pos_delete": (maintenance_pos_delete, POS_DELETE_SQL),
+    "maintenance_datasource": (maintenance_datasource, DATASOURCE_SQL),
     "maintenance_wap": (maintenance_wap, None),
     "maintenance_changelog": (maintenance_changelog, None),
     "maintenance_dedup_pipeline": (maintenance_dedup_pipeline, None),
