@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     "ngram_jaccard_top1",
     "ann_cosine_topk",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "detector_eval_ap",
     "dedup_embedding_cosine",
     "token_featurizer",
     "dawid_skene_labels",
@@ -277,6 +279,15 @@ def run_maintenance(spark, root: str) -> tuple[float, dict]:
     return t2 - t0, phases
 
 
+# the r4 watch-item queries: phase splits always recorded for these
+PHASE_FORENSIC = {
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "ngram_jaccard_top1",
+    "dedup_embedding_cosine",
+}
+
+
 def time_queries(spark) -> dict[str, float]:
     import __spark_entry__ as E
 
@@ -287,17 +298,40 @@ def time_queries(spark) -> dict[str, float]:
     warm_up(spark)
     for t in ("lineitem", "documents", "embeddings", "events"):
         spark.read.parquet(f"{SF_DIR}/{t}.parquet").limit(1).collect()
+    from nessie_spark.plans import phases as PH
+
     out = {}
+    qphases: dict[str, dict] = {}
+    PH.drain()  # reset any markers from warm-up
     for name in BENCH_QUERIES:
         t0 = time.time()
         try:
-            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            df = qs[name](spark, SF_DIR)
+            t_build = time.time() - t0  # plan construction incl. eager
+            # subplans: training collects, checkpointed indexes
+            df.write.format("noop").mode("overwrite").save()
         except Exception:  # one bad query must not zero the whole bench
             print(f"[bench] query {name} failed:", file=sys.stderr)
             traceback.print_exc()
             out[name] = -1.0
             continue
-        out[name] = round(time.time() - t0, 3)
+        total = time.time() - t0
+        out[name] = round(total, 3)
+        marked = PH.drain(name)
+        if marked or name in PHASE_FORENSIC:
+            # per-phase forensics (VERDICT r4 #3) for the operator-marked
+            # heavyweights only (ann_pq/ivfpq, ngram_jaccard, …): build =
+            # plan construction incl. eager training/index subplans, exec
+            # = the distributed job — so host drift vs plan regression is
+            # decidable from the artifact alone
+            qphases[name] = {
+                "build": round(t_build, 3),
+                "exec": round(total - t_build, 3),
+                **marked,
+            }
+    PH.drain()
+    if qphases:
+        out["_phases"] = qphases  # type: ignore[assignment]
     return out
 
 
@@ -533,12 +567,17 @@ def main() -> None:
         traceback.print_exc()
         queries = {}
 
+    query_phases = queries.pop("_phases", {}) if isinstance(queries, dict) else {}
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     result = {
         "metric": "images/sec (compaction + Z-order rewrite end-to-end)",
         "value": -1.0,
         "unit": "sec",
         "queries": queries,
+        # per-phase forensics for the heavyweight queries (VERDICT r4 #3):
+        # build = plan construction incl. eager training/index subplans,
+        # exec = the distributed job, plus operator-marked phases
+        "query_phases": query_phases,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "images": N_IMAGES,
     }

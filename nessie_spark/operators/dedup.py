@@ -460,7 +460,12 @@ def ngram_jaccard_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode per consumer measured 4× the pass cost (15.3 s → 6 s total
     # at sf0.1). At 100 TB the index is instead checkpointed to the table
     # store once — same shape, durable medium.
-    inv_all = d.select("doc_id", F.explode("sh").alias("s")).localCheckpoint(eager=True)
+    from nessie_spark.plans.phases import phase_timer
+
+    with phase_timer("ngram_jaccard_top1", "index_materialize"):
+        inv_all = d.select("doc_id", F.explode("sh").alias("s")).localCheckpoint(
+            eager=True
+        )
     keep = (
         inv_all.groupBy("s")
         .agg(F.count(F.lit(1)).alias("df"))  # shingles are distinct per doc

@@ -545,13 +545,17 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_plan_shapes.py). The re-rank join pulls full vectors for
     PQ_RERANK·|queries| rows, not the corpus. Rows-only gate (float
     codebooks); recall@5 vs brute-force L2 is gated in tests/test_pq.py."""
+    from nessie_spark.plans.phases import phase_timer
+
     emb = _emb(spark, sf_dir).persist()
-    cents = _pq_codebooks(emb)
+    with phase_timer("ann_pq_topk", "train_codebooks"):
+        cents = _pq_codebooks(emb)
     codes = emb.select(
         F.col("vec_id").alias("nid"), _pq_codes_udf(cents)(F.col("e")).alias("codes")
     )
-    qrows = emb.where(F.col("vec_id") < N_QUERIES).select("vec_id", "e").collect()
-    qids, lut = _query_luts(cents, qrows)
+    with phase_timer("ann_pq_topk", "query_luts"):
+        qrows = emb.where(F.col("vec_id") < N_QUERIES).select("vec_id", "e").collect()
+        qids, lut = _query_luts(cents, qrows)
     partial = codes.mapInPandas(
         _adc_partial_topk(qids, lut, PQ_RERANK), "qid long, nid long, adc double"
     )
@@ -577,9 +581,13 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows per partition. Rows-only driver gate; recall@5 gated ≥ the plain
     IVF index's recall in tests/test_pq.py (the ADC shortlist covers the
     probed cells, so quantization loss is recovered by the re-rank)."""
+    from nessie_spark.plans.phases import phase_timer
+
     emb = _emb(spark, sf_dir).persist()
-    coarse = _ivf_centroids(emb)
-    cents = _pq_codebooks(emb)
+    with phase_timer("ann_ivfpq_topk", "train_coarse"):
+        coarse = _ivf_centroids(emb)
+    with phase_timer("ann_ivfpq_topk", "train_codebooks"):
+        cents = _pq_codebooks(emb)
     lists = emb.select(
         F.col("vec_id").alias("nid"),
         _nearest_cid(coarse).alias("cid"),
