@@ -745,7 +745,18 @@ downclock existing ones; per_rep raw ratios are reported alongside for
 the uncorrected single-host view.
 
 Headline query timings at sf={r["sf"]} (local[{s["cores_high"]}]): see the
-`queries` object in the driver-recorded BENCH JSON.
+`queries` object in the driver-recorded BENCH JSON; `query_phases` carries
+the build/exec + operator-marked phase splits for the r4 watch-item
+queries (ann_pq_topk, ann_ivfpq_topk, ngram_jaccard_top1,
+dedup_embedding_cosine).
+
+r5 codec note: fmt="jpeg" payloads are REAL baseline T.81 JPEG from r5
+(previously the njpg deflate stand-in), so every decode → re-encode →
+PSNR pass pays a genuine entropy-coded codec (~2.8 ms enc / ~3.7 ms dec
+per image, pure Python+numpy). Absolute images/sec is therefore NOT
+comparable with r4's numbers; the scaling-efficiency gate (a ratio of two
+runs of the same job) is unaffected — the codec work is embarrassingly
+parallel and sits inside the same Arrow-batched kernels.
 """
         )
 
