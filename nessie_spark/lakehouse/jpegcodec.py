@@ -167,8 +167,25 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
     return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
 
 
-def encode_jpeg_real(px: np.ndarray, quality: int = 98) -> bytes:
-    """(h, w, 3) uint8 RGB -> baseline 4:4:4 JFIF bytes."""
+def encode_jpeg_real(px: np.ndarray, quality: int = 98):
+    """(h, w, 3) uint8 RGB -> baseline 4:4:4 JFIF bytes.
+    See ``encode_jpeg_with_recon`` for the (bytes, reconstruction) pair."""
+    return _encode_jpeg_impl(px, quality, want_recon=False)[0]
+
+
+def encode_jpeg_with_recon(px: np.ndarray, quality: int = 98):
+    """(bytes, recon): the JFIF stream AND the decoder's output for it,
+    computed from the encoder's own quantized coefficients (dequantize →
+    IDCT → color convert — the exact arithmetic ``decode_jpeg_real`` runs
+    after entropy decoding, so ``recon`` is BIT-IDENTICAL to
+    ``decode_jpeg_real(bytes)``; pinned by test_real_codecs). Lets the
+    rewrite PSNR gate skip a full entropy re-decode of every fresh
+    stream — the expensive sequential half of the codec — while the
+    bitstream itself stays covered by sampled real decodes."""
+    return _encode_jpeg_impl(px, quality, want_recon=True)
+
+
+def _encode_jpeg_impl(px: np.ndarray, quality: int, want_recon: bool):
     assert px.ndim == 3 and px.shape[2] == 3 and px.dtype == np.uint8
     h, w = px.shape[:2]
     qy, qc = _quality_tables(quality)
@@ -295,7 +312,18 @@ def encode_jpeg_real(px: np.ndarray, quality: int = 98) -> bytes:
     out += b"\x00\x3f\x00"  # Ss=0, Se=63, Ah/Al=0
     out += scan
     out += b"\xff\xd9"  # EOI
-    return bytes(out)
+    if not want_recon:
+        return bytes(out), None
+    planes = []
+    for c in range(3):
+        q = qy if c == 0 else qc
+        qzig = q[_ZIG].astype(np.float64)
+        zz = comp_blocks[c].astype(np.float64) * qzig
+        nat = np.zeros((zz.shape[0], 64))
+        nat[:, _ZIG] = zz
+        planes.append(_idct_blocks(nat.reshape(-1, 8, 8), h8, w8) + 128.0)
+    ycc_r = np.stack([pl[:h, :w] for pl in planes], axis=-1)
+    return bytes(out), _ycbcr_to_rgb(ycc_r)
 
 
 # --- decoder ----------------------------------------------------------------
@@ -484,7 +512,9 @@ def decode_jpeg_real(data: bytes) -> np.ndarray:
     h8, w8 = (h + 7) // 8 * 8, (w + 7) // 8 * 8
     n_mcu = (h8 // 8) * (w8 // 8)
     br = _BitReader(scan_data)
-    d = br.data
+    # pad with 1-fill sentinels so the chunked 4-byte refill never
+    # bounds-checks or branches per byte
+    d = br.data + b"\xff" * 8
     dn = len(d)
     acc = 0
     nbits = 0
@@ -505,10 +535,10 @@ def decode_jpeg_real(data: bytes) -> np.ndarray:
         for ci, dsym, dlen, asym, alen in sc:
             buf = coefs[ci]
             # DC symbol
-            while nbits < 16:
-                acc = (acc << 8) | (d[p] if p < dn else 0xFF)
-                p += 1
-                nbits += 8
+            if nbits < 16:
+                acc = (acc << 32) | int.from_bytes(d[p : p + 4], "big")
+                p += 4
+                nbits += 32
             v = (acc >> (nbits - 16)) & 0xFFFF
             ln = dlen[v]
             if ln == 0:
@@ -516,10 +546,10 @@ def decode_jpeg_real(data: bytes) -> np.ndarray:
             nbits -= ln
             cat = dsym[v]
             if cat:
-                while nbits < cat:
-                    acc = (acc << 8) | (d[p] if p < dn else 0xFF)
-                    p += 1
-                    nbits += 8
+                if nbits < cat:
+                    acc = (acc << 32) | int.from_bytes(d[p : p + 4], "big")
+                    p += 4
+                    nbits += 32
                 nbits -= cat
                 bits = (acc >> nbits) & ((1 << cat) - 1)
                 if bits < (1 << (cat - 1)):
@@ -530,10 +560,10 @@ def decode_jpeg_real(data: bytes) -> np.ndarray:
             # AC run-length loop
             k = 1
             while k < 64:
-                while nbits < 16:
-                    acc = (acc << 8) | (d[p] if p < dn else 0xFF)
-                    p += 1
-                    nbits += 8
+                if nbits < 16:
+                    acc = (acc << 32) | int.from_bytes(d[p : p + 4], "big")
+                    p += 4
+                    nbits += 32
                 v = (acc >> (nbits - 16)) & 0xFFFF
                 ln = alen[v]
                 if ln == 0:
@@ -550,10 +580,10 @@ def decode_jpeg_real(data: bytes) -> np.ndarray:
                 k += rs >> 4
                 if k > 63:
                     raise ValueError("AC index overflow in JPEG stream")
-                while nbits < cat:
-                    acc = (acc << 8) | (d[p] if p < dn else 0xFF)
-                    p += 1
-                    nbits += 8
+                if nbits < cat:
+                    acc = (acc << 32) | int.from_bytes(d[p : p + 4], "big")
+                    p += 4
+                    nbits += 32
                 nbits -= cat
                 bits = (acc >> nbits) & ((1 << cat) - 1)
                 if bits < (1 << (cat - 1)):

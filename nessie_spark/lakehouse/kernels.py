@@ -176,13 +176,29 @@ def reencode_verify(datas, fmts) -> tuple[list[bytes], float]:
     Raises if any image fails the per-row invariant (>= 40 dB lossy,
     exact for lossless). The ONE copy of this loop — compact bins, the
     zorder shuffle writer, and the staged gather all call it, so the gate
-    cannot silently diverge between rewrite paths."""
+    cannot silently diverge between rewrite paths.
+
+    jpeg PSNR is computed against the ENCODER'S OWN reconstruction
+    (encode_jpeg_with_recon) — bit-identical to entropy-decoding the
+    fresh stream (pinned in tests/test_real_codecs.py) but skips the
+    sequential Huffman re-decode, the expensive half of a real codec.
+    Every 16th jpeg additionally round-trips through the REAL decoder and
+    must match the reconstruction exactly, so a bitstream-writer
+    regression still fails the rewrite, not just the test suite."""
+    from nessie_spark.lakehouse.jpegcodec import decode_jpeg_real, encode_jpeg_with_recon
+
     mn = 99.0
     out: list[bytes] = []
-    for data, fmt in zip(datas, fmts):
+    for i, (data, fmt) in enumerate(zip(datas, fmts)):
         px = decode(bytes(data), fmt)
-        enc = encode(px, fmt)
-        p_db = psnr(px, decode(enc, fmt))
+        if fmt == "jpeg":
+            enc, recon = encode_jpeg_with_recon(px, JPEG_QUALITY)
+            if i % 16 == 0:  # sampled bitstream integrity check
+                assert (decode_jpeg_real(enc) == recon).all(), "bitstream"
+            p_db = psnr(px, recon)
+        else:
+            enc = encode(px, fmt)
+            p_db = psnr(px, decode(enc, fmt))
         mn = min(mn, p_db)
         assert p_db >= (40.0 if fmt == "jpeg" else 99.0), "PSNR gate"
         out.append(enc)

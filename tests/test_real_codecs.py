@@ -193,3 +193,25 @@ def test_multimodal_queries_real_bytes(spark):
         i = int(r.audio_id.split("-")[1])
         amp = 0.2 + (i % 5) * 0.15
         assert abs(r.rms - amp / np.sqrt(2)) < 0.02, (r.audio_id, r.rms)
+
+
+def test_encoder_recon_bit_identical_to_decode():
+    """The reencode_verify fast path's contract: the encoder's own
+    reconstruction equals entropy-decoding the stream, bit for bit."""
+    for seed, h, w in ((1, 16, 16), (2, 33, 47), (5, 23, 41), (9, 64, 64)):
+        px = _img(seed, h, w)
+        data, recon = J.encode_jpeg_with_recon(px)
+        assert (J.decode_jpeg_real(data) == recon).all()
+        assert J.encode_jpeg_real(px) == data  # same bytes either way
+
+
+def test_reencode_verify_jpeg_uses_gate():
+    datas, fmts = [], []
+    for s in range(20):
+        px = _img(s, 24, 24)
+        datas.append(K.encode_jpeg(px))
+        fmts.append("jpeg")
+    out, mn = K.reencode_verify(datas, fmts)
+    assert mn >= 40.0 and len(out) == 20
+    for e in out:
+        assert e[:2] == b"\xff\xd8"
