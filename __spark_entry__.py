@@ -19,10 +19,11 @@ from pyspark.sql import DataFrame, SparkSession
 # CORRECTNESS_r02/r03 = registry order truncated at 50), so ordering is the
 # sampling rotation — see the allocation note at the top of the list.
 _SAMPLE_PRIORITY = [
-    # --- r5 window (first 50): every oracle-backed query never yet
-    # driver-sampled (35), the 3 never-sampled rows-only demos, then 12
-    # r02-stale family refreshes. New r5 queries are inserted at the top
-    # as they land, pushing refreshes below the fold.
+    # --- r5 window (first 50): the 3 r5-new queries, every oracle-backed
+    # query never yet driver-sampled (35), the 3 never-sampled rows-only
+    # demos, 5 r02-stale family refreshes, and the 4 rows-only→golden-
+    # oracle upgrades (fresh oracle-green driver rows are the upgrade's
+    # durable evidence).
     "ann_ivfpq_topk",  # r5-new: IVF-PQ composition (rows-only; recall-gated in test_pq.py)
     "detector_eval_ap",  # r5-new: reference evaluation flow (AP vs gold flips)
     "detector_eval_p_at_k",  # r5-new: precision@k of the same ranking
@@ -69,15 +70,23 @@ _SAMPLE_PRIORITY = [
     "knn_flagger_flags",
     "dawid_skene_labels",
     "span_alignment",
-    "token_featurizer",
-    "calibration_ece",
-    "confident_learning_flags",
-    "majority_label_flags",
+    # r5 golden-oracle upgrades: these four were rows-only through r4 and
+    # now carry value-pinned SQL oracles — a driver oracle-green row is the
+    # durable evidence of the upgrade (displacing four r02-stale refreshes
+    # that stay locally gate-checked below the fold)
+    "maintenance_txn_atomic",
+    "maintenance_pos_delete",
+    "maintenance_datasource",
+    "maintenance_metadata_retention",
     # --- below the fold (position 51+): r03/r04-certified rows and
     # locally checkable oracle entries (tools/check_oracle.py).
     "variation_ngrams_flags",
     "q3_shipping_priority",
     "curriculum_spotter_scores",
+    "token_featurizer",
+    "calibration_ece",
+    "confident_learning_flags",
+    "majority_label_flags",
     "rollup_pricing_levels",
     "cube_year_flag",
     "events_time_rolling",
@@ -100,9 +109,6 @@ _SAMPLE_PRIORITY = [
     "embedding_norm_outliers",
     "maintenance_time_travel",
     "maintenance_branches",
-    "maintenance_txn_atomic",
-    "maintenance_pos_delete",
-    "maintenance_datasource",
     "events_asof_order",
     "events_hourly_anomalies",
     "events_markov_transitions",
@@ -125,7 +131,6 @@ _SAMPLE_PRIORITY = [
     "maintenance_phash_clusters",
     "events_top_paths",
     "maintenance_stream_bloom",
-    "maintenance_metadata_retention",
     "model_zoo_crf_tagger_cv",
     "bpe_vocab_merges",
     "variation_ngrams_multi",
