@@ -13,7 +13,7 @@ Prints ONE JSON line; also refreshes BENCH/BASELINE.md with the scaling
 report.
 
 Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (the 4N level, default 32),
-NESSIE_BENCH_N (images, default 49152), NESSIE_BENCH_FAST=1 (CI smoke).
+NESSIE_BENCH_N (images, default 65536), NESSIE_BENCH_FAST=1 (CI smoke).
 """
 
 from __future__ import annotations
@@ -30,17 +30,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 FAST = os.environ.get("NESSIE_BENCH_FAST") == "1"
-# 196608 (not smaller): the 2-core run must be long enough (~3 min) that the
-# per-job serial fraction (plan/commit/driver phases, ~2-3 s per level) stays
-# under ~2% — at 98k the same code measures ~0.79 efficiency on an idle host
-# purely from amortization, at 196k ~0.85 (r1 protocol).
+# The 2-core run must be long enough that the per-job serial fraction
+# (plan/commit/driver phases, ~2-3 s per level) stays under ~2% — that is
+# what sized r1-r4's 196608 default (98k measured ~0.79 efficiency on an
+# idle host purely from amortization; 196k ~0.85).
 # r5: fmt="jpeg" payloads are REAL baseline T.81 JPEG (jpegcodec.py) —
 # per-jpeg rewrite cost is ~27 ms (entropy-coded decode + encode) vs the
-# r4 njpg stand-in's ~1 ms, so the default N is scaled 196608 → 49152 to
-# keep the full 5-rep interleaved protocol inside the same ~45-min wall
-# envelope. 2-core reps still run ~5 min each — far above timing noise —
-# and the efficiency gate is a ratio, unaffected by N.
-N_IMAGES = int(os.environ.get("NESSIE_BENCH_N", "8192" if FAST else "49152"))
+# r4 njpg stand-in's ~1 ms, so the default N is scaled 196608 → 65536 to
+# keep the full 5-rep interleaved protocol inside a ~50-min wall
+# envelope. 2-core reps still run ~5-6 min each — far above timing noise
+# and long enough that per-job serial overhead (~10 s of plan/commit per
+# level) stays a small fraction; the efficiency gate is a ratio,
+# unaffected by N.
+N_IMAGES = int(os.environ.get("NESSIE_BENCH_N", "8192" if FAST else "65536"))
 TARGET = 8 * 1024 * 1024
 CHILD_TIMEOUT = int(os.environ.get("NESSIE_BENCH_CHILD_TIMEOUT", "2400"))
 
