@@ -455,6 +455,24 @@ def run_staged(
     # replays against the SAME plan.)
     import json as _json
 
+    # Gather granularity (r5): one task per OUTPUT FILE (pid) by default.
+    # 64 MB shard-group tasks quantize into ragged waves on small tables —
+    # 18 group-tasks at 8 cores ran as 3 waves with the last 25% occupied
+    # and cost ~0.2 of the 2→8 scaling ratio — while pid units give
+    # n_files-way parallelism at EVERY width over the SAME scatter shards
+    # (plan-identical across widths — the clean-ratio property). Cost:
+    # each pid task re-reads its group's shards with a pid filter; parquet
+    # decode is a few percent of the pixel re-encode work on RAM/SSD.
+    # Object-store-IO-bound deployments set NESSIE_ZORDER_GATHER_UNIT=
+    # group to restore one-read-per-group tasks. Pinned in PLAN.json so a
+    # crash/resume never mixes unit-id namespaces.
+    gather_unit_mode = os.environ.get("NESSIE_ZORDER_GATHER_UNIT", "pid")
+    if gather_unit_mode not in ("pid", "group"):
+        raise ValueError(
+            f"NESSIE_ZORDER_GATHER_UNIT must be 'pid' or 'group' "
+            f"(got {gather_unit_mode!r})"
+        )
+
     plan_path = os.path.join(stage_dir, "PLAN.json")
     if os.path.exists(plan_path):
         with open(plan_path) as fh:
@@ -463,6 +481,8 @@ def run_staged(
         n_files = int(planned["n_files"])
         n_groups = int(planned["n_groups"])
         sbins = [list(b) for b in planned["sbins"]]
+        # pre-r5 plans pinned no gather granularity → resume group-wise
+        gather_unit_mode = planned.get("gather_unit", "group")
         live = {e["file_path"] for e in live_entries}
         plan_set = {p for b in sbins for p in b}
         if subset:
@@ -496,7 +516,8 @@ def run_staged(
         with open(tmp, "w") as fh:
             _json.dump(
                 {"bounds": [int(x) for x in bounds_arr], "n_files": n_files,
-                 "n_groups": n_groups, "sbins": sbins},
+                 "n_groups": n_groups, "sbins": sbins,
+                 "gather_unit": gather_unit_mode},
                 fh,
             )
         os.replace(tmp, plan_path)
@@ -621,7 +642,76 @@ def run_staged(
 
     # --- gather -----------------------------------------------------------
     gdone = lineage.completed_units(root, job_id, "gather")
-    gtodo = [g for g in range(n_groups) if g not in gdone]
+    if gather_unit_mode == "pid":
+        gtodo = [pd for pd in range(n_files) if pd not in gdone]
+    else:
+        gtodo = [g for g in range(n_groups) if g not in gdone]
+
+    def _gather_pid_unit(pid: int) -> list[dict]:
+        """One gather task per output file: read the owning group's shards
+        with a pid filter, sort, re-encode, write data/...-p{pid}.parquet.
+        Unit id = pid (globally unique; lineage namespace pinned by
+        PLAN.json's gather_unit)."""
+        import re
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        pid = int(pid)
+        grp = pid * n_groups // n_files
+        gdir = os.path.join(stage_dir, f"g{grp:04d}")
+        shard_re = re.compile(r"s\d{5}(_\d+)?\.parquet$")
+        shards = (
+            sorted(f for f in os.listdir(gdir) if shard_re.fullmatch(f))
+            if os.path.isdir(gdir)
+            else []
+        )
+        tbl = None
+        if shards:
+            tbl = pa.concat_tables(
+                [
+                    pq.read_table(
+                        os.path.join(gdir, s), filters=[("pid", "=", pid)]
+                    )
+                    for s in shards
+                ]
+            )
+        if tbl is None or tbl.num_rows == 0:
+            lineage.write_unit(
+                root, job_id, "gather", pid,
+                input_files=[], output_files=[], rows=0, nbytes=0,
+            )
+            return []
+        idx = pc.sort_indices(
+            tbl, sort_keys=[("zkey", "ascending"), ("image_id", "ascending")]
+        )
+        tbl = tbl.take(idx)
+        mn_psnr = 99.0
+        if reencode:
+            from nessie_spark.lakehouse import kernels as K
+
+            new_bytes, mn_psnr = K.reencode_verify(
+                tbl.column("bytes").to_pylist(), tbl.column("fmt").to_pylist()
+            )
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index("bytes"), "bytes",
+                pa.array(new_bytes, pa.binary()),
+            )
+        rel = f"data/{job_id}-{strategy}-p{pid:05d}.parquet"
+        from nessie_spark.lakehouse.writer import ddl_columns
+
+        size = write_table_file(
+            tbl.select(ddl_columns(table_ddl)), os.path.join(root, rel)
+        )
+        entry = stats_entry_for(tbl, rel, size)
+        lineage.write_unit(
+            root, job_id, "gather", pid,
+            input_files=[os.path.join(f"g{grp:04d}", s) for s in shards],
+            output_files=[rel], rows=tbl.num_rows, nbytes=int(size),
+            metrics={"min_psnr": mn_psnr} if reencode else None,
+        )
+        return [entry]
 
     def _gather_unit(grp: int) -> list[dict]:
         import re
@@ -694,11 +784,12 @@ def run_staged(
         )
         return out_entries
 
+    _gfn = _gather_pid_unit if gather_unit_mode == "pid" else _gather_unit
     fresh = (
         [
             e
             for part in spark.sparkContext.parallelize(gtodo, len(gtodo))
-            .map(_gather_unit)
+            .map(_gfn)
             .collect()
             for e in part
         ]
@@ -710,7 +801,8 @@ def run_staged(
         print(
             f"[staged-prof] scatter={_t_scatter - _t0:.2f}s "
             f"gather={_time.time() - _t_scatter:.2f}s sbins={len(sbins)} "
-            f"groups={n_groups}",
+            f"groups={n_groups} unit={gather_unit_mode} "
+            f"gunits={len(gtodo)}",
             file=_sys.stderr,
         )
 
