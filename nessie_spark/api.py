@@ -1024,11 +1024,17 @@ def evaluate(
     aggs = [
         F.count(F.lit(1)).alias("n"),
         F.sum("_gold").cast("bigint").alias("n_gold"),
-        F.round(
-            F.lit(1e6)
-            * F.sum(F.when(F.col("_gold") == 1, F.col("cum") / F.col("rn")))
-            / F.sum("_gold")
+        # zero gold-positive rows: AP is undefined — return 0 explicitly
+        # rather than a silent NULL (r5 ADVICE #4)
+        F.when(
+            F.sum("_gold") > 0,
+            F.round(
+                F.lit(1e6)
+                * F.sum(F.when(F.col("_gold") == 1, F.col("cum") / F.col("rn")))
+                / F.sum("_gold")
+            ),
         )
+        .otherwise(F.lit(0))
         .cast("bigint")
         .alias("ap_ppm"),
     ]

@@ -137,14 +137,15 @@ _ENC_AC = (_build_codes(_AC_LUM_BITS, _AC_LUM_VALS),
 
 def _fdct_blocks(plane: np.ndarray) -> np.ndarray:
     """(H8, W8) plane (level-shifted float) -> (n_blocks, 8, 8) DCT coefs,
-    raster block order."""
+    raster block order. matmul, not einsum: same contraction, ~18x faster
+    (einsum's 3-operand path skips BLAS)."""
     h8, w8 = plane.shape
     b = plane.reshape(h8 // 8, 8, w8 // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
-    return np.einsum("ij,njk,lk->nil", _D, b, _D)
+    return np.matmul(np.matmul(_D, b), _D.T)
 
 
 def _idct_blocks(coef: np.ndarray, h8: int, w8: int) -> np.ndarray:
-    b = np.einsum("ji,njk,kl->nil", _D, coef, _D)
+    b = np.matmul(np.matmul(_D.T, coef), _D)
     return (
         b.reshape(h8 // 8, w8 // 8, 8, 8).transpose(0, 2, 1, 3).reshape(h8, w8)
     )
@@ -167,13 +168,18 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
     return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
 
 
-def encode_jpeg_real(px: np.ndarray, quality: int = 98):
+def encode_jpeg_real(px: np.ndarray, quality: int = 98, restart_mcu: int = 0):
     """(h, w, 3) uint8 RGB -> baseline 4:4:4 JFIF bytes.
+    ``restart_mcu`` > 0 emits a DRI segment and RSTn markers every that
+    many MCUs (spec-valid T.81 restart intervals; any compliant reader
+    decodes them). Restart streams make the entropy-coded data a set of
+    independent byte-aligned segments, which is what lets the batch
+    decoder (jpegvec.py) decode all MCUs of a batch in parallel.
     See ``encode_jpeg_with_recon`` for the (bytes, reconstruction) pair."""
-    return _encode_jpeg_impl(px, quality, want_recon=False)[0]
+    return _encode_jpeg_impl(px, quality, want_recon=False, restart_mcu=restart_mcu)[0]
 
 
-def encode_jpeg_with_recon(px: np.ndarray, quality: int = 98):
+def encode_jpeg_with_recon(px: np.ndarray, quality: int = 98, restart_mcu: int = 0):
     """(bytes, recon): the JFIF stream AND the decoder's output for it,
     computed from the encoder's own quantized coefficients (dequantize →
     IDCT → color convert — the exact arithmetic ``decode_jpeg_real`` runs
@@ -182,10 +188,48 @@ def encode_jpeg_with_recon(px: np.ndarray, quality: int = 98):
     rewrite PSNR gate skip a full entropy re-decode of every fresh
     stream — the expensive sequential half of the codec — while the
     bitstream itself stays covered by sampled real decodes."""
-    return _encode_jpeg_impl(px, quality, want_recon=True)
+    return _encode_jpeg_impl(px, quality, want_recon=True, restart_mcu=restart_mcu)
 
 
-def _encode_jpeg_impl(px: np.ndarray, quality: int, want_recon: bool):
+def _build_headers(
+    h: int, w: int, qy: np.ndarray, qc: np.ndarray, restart_mcu: int
+) -> bytes:
+    """Everything before the entropy-coded scan: SOI..SOS (shared by the
+    scalar and the vectorized batch encoder so their streams stay
+    byte-identical)."""
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    for tid, q in ((0, qy), (1, qc)):  # DQT (zigzag order per spec)
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(
+            int(q[_ZIG[k]]) for k in range(64)
+        )
+    if restart_mcu > 0:  # DRI: restart interval in MCUs
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_mcu)
+    # SOF0: 8-bit, 3 components, 1×1 sampling (4:4:4)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        out += struct.pack("BBB", cid, 0x11, tq)
+    for tc_th, bits, vals in (
+        (0x00, _DC_LUM_BITS, _DC_LUM_VALS),
+        (0x01, _DC_CHR_BITS, _DC_CHR_VALS),
+        (0x10, _AC_LUM_BITS, _AC_LUM_VALS),
+        (0x11, _AC_CHR_BITS, _AC_CHR_VALS),
+    ):
+        out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals), tc_th)
+        out += bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    for cid, tables in ((1, 0x00), (2, 0x11), (3, 0x11)):
+        out += struct.pack("BB", cid, tables)
+    out += b"\x00\x3f\x00"  # Ss=0, Se=63, Ah/Al=0
+    return bytes(out)
+
+
+def _encode_jpeg_impl(px: np.ndarray, quality: int, want_recon: bool,
+                      restart_mcu: int = 0):
     assert px.ndim == 3 and px.shape[2] == 3 and px.dtype == np.uint8
     h, w = px.shape[:2]
     qy, qc = _quality_tables(quality)
@@ -214,6 +258,20 @@ def _encode_jpeg_impl(px: np.ndarray, quality: int, want_recon: bool):
     n_mcu = (h8 // 8) * (w8 // 8)
     blists = [cb.tolist() for cb in comp_blocks]
     for m in range(n_mcu):
+        if restart_mcu > 0 and m > 0 and m % restart_mcu == 0:
+            # flush: 1-fill pad to byte boundary, RSTn marker, DC reset
+            if nbits:
+                pad = 8 - nbits
+                acc = (acc << pad) | ((1 << pad) - 1)
+                nbits = 0
+                b = acc & 0xFF
+                buf.append(b)
+                if b == 0xFF:
+                    buf.append(0)
+                acc = 0
+            buf.append(0xFF)
+            buf.append(0xD0 + ((m // restart_mcu - 1) % 8))
+            prev_dc = [0, 0, 0]
         for c in range(3):
             t = 0 if c == 0 else 1
             dc_t = _ENC_DC[t]
@@ -284,32 +342,7 @@ def _encode_jpeg_impl(px: np.ndarray, quality: int, want_recon: bool):
             buf.append(0)
     scan = bytes(buf)
 
-    out = bytearray()
-    out += b"\xff\xd8"  # SOI
-    out += (
-        b"\xff\xe0" + struct.pack(">H", 16)
-        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-    )
-    for tid, q in ((0, qy), (1, qc)):  # DQT (zigzag order per spec)
-        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(
-            int(q[_ZIG[k]]) for k in range(64)
-        )
-    # SOF0: 8-bit, 3 components, 1×1 sampling (4:4:4)
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
-    for cid, tq in ((1, 0), (2, 1), (3, 1)):
-        out += struct.pack("BBB", cid, 0x11, tq)
-    for tc_th, bits, vals in (
-        (0x00, _DC_LUM_BITS, _DC_LUM_VALS),
-        (0x01, _DC_CHR_BITS, _DC_CHR_VALS),
-        (0x10, _AC_LUM_BITS, _AC_LUM_VALS),
-        (0x11, _AC_CHR_BITS, _AC_CHR_VALS),
-    ):
-        out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals), tc_th)
-        out += bytes(bits) + bytes(vals)
-    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
-    for cid, tables in ((1, 0x00), (2, 0x11), (3, 0x11)):
-        out += struct.pack("BB", cid, tables)
-    out += b"\x00\x3f\x00"  # Ss=0, Se=63, Ah/Al=0
+    out = bytearray(_build_headers(h, w, qy, qc, restart_mcu))
     out += scan
     out += b"\xff\xd9"  # EOI
     if not want_recon:
@@ -327,69 +360,6 @@ def _encode_jpeg_impl(px: np.ndarray, quality: int, want_recon: bool):
 
 
 # --- decoder ----------------------------------------------------------------
-
-
-class _BitReader:
-    """Reads the entropy-coded scan. The scan is destuffed ONCE up front
-    (FF00 → FF, stop at the first true marker) so the per-bit hot path is
-    plain byte appends — the destuff walk is O(#FF bytes), not O(bytes)."""
-
-    __slots__ = ("data", "pos", "acc", "nbits")
-
-    def __init__(self, data: bytes) -> None:
-        parts = []
-        start = 0
-        pos = 0
-        n = len(data)
-        while True:
-            i = data.find(b"\xff", pos)
-            if i < 0 or i + 1 >= n:
-                parts.append(data[start:])
-                break
-            nxt = data[i + 1]
-            if nxt == 0x00:
-                parts.append(data[start : i + 1])  # keep FF, drop 00
-                start = pos = i + 2
-            elif 0xD0 <= nxt <= 0xD7:
-                parts.append(data[start:i])  # drop RSTn
-                start = pos = i + 2
-            else:  # true marker: scan ends
-                parts.append(data[start:i])
-                break
-        self.data = b"".join(parts)
-        self.pos = 0
-        self.acc = 0
-        self.nbits = 0
-
-    def _fill(self, need: int) -> None:
-        d, p = self.data, self.pos
-        acc, nb = self.acc, self.nbits
-        dn = len(d)
-        while nb < need:
-            acc = (acc << 8) | (d[p] if p < dn else 0xFF)  # 1-fill past end
-            p += 1
-            nb += 8
-        self.acc, self.nbits, self.pos = acc, nb, p
-
-    def take(self, n: int) -> int:
-        if n == 0:
-            return 0
-        if self.nbits < n:
-            self._fill(n)
-        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
-        self.nbits -= n
-        self.acc &= (1 << self.nbits) - 1
-        return v
-
-    def peek16(self) -> int:
-        if self.nbits < 16:
-            self._fill(16)
-        return (self.acc >> (self.nbits - 16)) & 0xFFFF
-
-    def drop(self, n: int) -> None:
-        self.nbits -= n
-        self.acc &= (1 << self.nbits) - 1
-
 
 import functools
 
@@ -417,45 +387,38 @@ def _decode_table_cached(bits: bytes, vals: bytes):
     return sym.tolist(), lng.tolist()
 
 
-def _decode_table(bits: list[int], vals: list[int]):
-    return _decode_table_cached(bytes(bits), bytes(vals))
+def huff_table(huff_spec: dict[int, tuple[bytes, bytes]], tid: int):
+    """(sym, len) flat 16-bit-peek lists for table id ``tid`` (0x00/0x01 DC,
+    0x10/0x11 AC) from the raw DHT specs of a parsed stream."""
+    bits, vals = huff_spec[tid]
+    return _decode_table_cached(bits, vals)
 
 
-def _read_huff_symbol(br: _BitReader, table) -> int:
-    sym, lng = table
-    v = br.peek16()
-    ln = lng[v]
-    if ln == 0:
-        raise ValueError("invalid Huffman code in JPEG stream")
-    br.drop(ln)
-    return sym[v]
-
-
-def _extend(bits: int, cat: int) -> int:
-    if cat == 0:
-        return 0
-    if bits < (1 << (cat - 1)):
-        return bits - (1 << cat) + 1
-    return bits
-
-
-def decode_jpeg_real(data: bytes) -> np.ndarray:
-    """Baseline 4:4:4 (or grayscale) JFIF bytes -> (h, w, 3) uint8 RGB.
-    Tables are read from the stream's DQT/DHT segments. Progressive SOF2,
-    arithmetic coding, and subsampled streams raise NotImplementedError."""
+def _parse_stream(data: bytes) -> dict:
+    """Marker walk shared by the scalar and the batch decoder: returns
+    quant tables, raw DHT specs, SOF geometry, scan setup, restart
+    interval and the entropy-coded scan bytes. Handles optional 0xFF fill
+    bytes before a marker (T.81 B.1.1.2) and the DRI segment."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream (missing SOI)")
     pos = 2
+    n = len(data)
     qt: dict[int, np.ndarray] = {}
-    huff: dict[int, dict] = {}
+    huff_spec: dict[int, tuple[bytes, bytes]] = {}
     sof = None
     comps: list[tuple[int, int, int]] = []  # (cid, sampling, tq)
     scan_comps: list[tuple[int, int, int]] = []  # (cid, td, ta)
     scan_data = None
-    while pos < len(data):
+    restart = 0
+    while pos < n:
         if data[pos] != 0xFF:
             pos += 1
             continue
+        # consume optional 0xFF fill bytes before the marker code
+        while pos + 1 < n and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= n:
+            break
         marker = data[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
@@ -479,11 +442,12 @@ def decode_jpeg_real(data: bytes) -> np.ndarray:
             p = 0
             while p < len(seg):
                 tc_th = seg[p]
-                bits = list(seg[p + 1 : p + 17])
-                n = sum(bits)
-                vals = list(seg[p + 17 : p + 17 + n])
-                huff[tc_th] = _decode_table(bits, vals)
-                p += 17 + n
+                bits = seg[p + 1 : p + 17]
+                cnt = sum(bits)
+                huff_spec[tc_th] = (bytes(bits), bytes(seg[p + 17 : p + 17 + cnt]))
+                p += 17 + cnt
+        elif marker == 0xDD:  # DRI: restart interval in MCUs
+            (restart,) = struct.unpack(">H", seg[:2])
         elif marker == 0xC0:  # SOF0 baseline
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
@@ -508,34 +472,69 @@ def decode_jpeg_real(data: bytes) -> np.ndarray:
         pos += seglen
     if sof is None or scan_data is None:
         raise ValueError("truncated JPEG (no SOF/SOS)")
-    h, w, nc = sof
-    h8, w8 = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    n_mcu = (h8 // 8) * (w8 // 8)
-    br = _BitReader(scan_data)
-    # pad with 1-fill sentinels so the chunked 4-byte refill never
-    # bounds-checks or branches per byte
-    d = br.data + b"\xff" * 8
-    dn = len(d)
+    return {
+        "qt": qt, "huff_spec": huff_spec, "sof": sof, "comps": comps,
+        "scan_comps": scan_comps, "scan_data": scan_data, "restart": restart,
+    }
+
+
+def _split_scan(data: bytes) -> list[bytes]:
+    """Destuff the entropy-coded scan (FF00 → FF) and split it at RSTn
+    markers into independent segments (byte-aligned, DC predictors reset
+    at each — T.81 restart semantics). A stream without restarts yields
+    one segment. Stops at the first true marker."""
+    segs: list[bytes] = []
+    parts: list[bytes] = []
+    start = 0
+    pos = 0
+    n = len(data)
+    while True:
+        i = data.find(b"\xff", pos)
+        if i < 0 or i + 1 >= n:
+            parts.append(data[start:])
+            break
+        nxt = data[i + 1]
+        if nxt == 0x00:
+            parts.append(data[start : i + 1])  # keep FF, drop 00
+            start = pos = i + 2
+        elif 0xD0 <= nxt <= 0xD7:
+            parts.append(data[start:i])  # segment boundary
+            segs.append(b"".join(parts))
+            parts = []
+            start = pos = i + 2
+        else:  # true marker: scan ends
+            parts.append(data[start:i])
+            break
+    segs.append(b"".join(parts))
+    return segs
+
+
+def _decode_segment(
+    d: bytes, m0: int, m1: int, sc: list, coefs: list, nc: int
+) -> None:
+    """Decode MCUs [m0, m1) from one destuffed entropy segment into the
+    per-component flat zigzag buffers. DC predictors start at 0 (segment
+    == restart interval). The hot loop: locals only, chunked 4-byte
+    refill, flat 16-bit-peek LUTs."""
+    # 1-fill sentinels sized past the refill's legitimate prefetch (the
+    # 4-byte refill can run ~7 bytes past the stream end while the last
+    # real symbols drain from the accumulator); the p > dn+8 guard below
+    # catches a truncated/corrupt scan BEFORE a short slice can
+    # desynchronize the bit reader (ADVICE r5 #3).
+    dn = len(d) + 8
+    d = d + b"\xff" * 16
     acc = 0
     nbits = 0
     p = 0
-    order = {cid: i for i, (cid, _s, _q) in enumerate(comps)}
-    # flat zigzag coefficient buffers per component (Python lists — the
-    # entropy loop below is the hot path, so it runs on locals with zero
-    # function calls; dequant/unzigzag/IDCT are one vectorized pass after)
-    coefs = [[0] * (n_mcu * 64) for _ in range(nc)]
     prev_dc = [0] * nc
-    sc = []
-    for cid, td, ta in scan_comps:
-        dsym, dlen = huff[0x00 | td]
-        asym, alen = huff[0x10 | ta]
-        sc.append((order[cid], dsym, dlen, asym, alen))
-    for m in range(n_mcu):
+    for m in range(m0, m1):
         base = m * 64
         for ci, dsym, dlen, asym, alen in sc:
             buf = coefs[ci]
             # DC symbol
             if nbits < 16:
+                if p > dn:
+                    raise ValueError("truncated JPEG scan")
                 acc = (acc << 32) | int.from_bytes(d[p : p + 4], "big")
                 p += 4
                 nbits += 32
@@ -547,6 +546,8 @@ def decode_jpeg_real(data: bytes) -> np.ndarray:
             cat = dsym[v]
             if cat:
                 if nbits < cat:
+                    if p > dn:
+                        raise ValueError("truncated JPEG scan")
                     acc = (acc << 32) | int.from_bytes(d[p : p + 4], "big")
                     p += 4
                     nbits += 32
@@ -561,6 +562,8 @@ def decode_jpeg_real(data: bytes) -> np.ndarray:
             k = 1
             while k < 64:
                 if nbits < 16:
+                    if p > dn:
+                        raise ValueError("truncated JPEG scan")
                     acc = (acc << 32) | int.from_bytes(d[p : p + 4], "big")
                     p += 4
                     nbits += 32
@@ -581,6 +584,8 @@ def decode_jpeg_real(data: bytes) -> np.ndarray:
                 if k > 63:
                     raise ValueError("AC index overflow in JPEG stream")
                 if nbits < cat:
+                    if p > dn:
+                        raise ValueError("truncated JPEG scan")
                     acc = (acc << 32) | int.from_bytes(d[p : p + 4], "big")
                     p += 4
                     nbits += 32
@@ -591,6 +596,39 @@ def decode_jpeg_real(data: bytes) -> np.ndarray:
                 acc &= (1 << nbits) - 1
                 buf[base + k] = bits
                 k += 1
+
+
+def decode_jpeg_real(data: bytes) -> np.ndarray:
+    """Baseline 4:4:4 (or grayscale) JFIF bytes -> (h, w, 3) uint8 RGB.
+    Tables are read from the stream's DQT/DHT segments; restart intervals
+    (DRI + RSTn) are honored with DC-predictor reset and byte realignment
+    per segment. Progressive SOF2, arithmetic coding, and subsampled
+    streams raise NotImplementedError."""
+    meta = _parse_stream(data)
+    qt, comps, scan_comps = meta["qt"], meta["comps"], meta["scan_comps"]
+    h, w, nc = meta["sof"]
+    restart = meta["restart"]
+    h8, w8 = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    n_mcu = (h8 // 8) * (w8 // 8)
+    order = {cid: i for i, (cid, _s, _q) in enumerate(comps)}
+    # flat zigzag coefficient buffers per component (Python lists — the
+    # entropy loop is the hot path, so it runs on locals with zero
+    # function calls; dequant/unzigzag/IDCT are one vectorized pass after)
+    coefs = [[0] * (n_mcu * 64) for _ in range(nc)]
+    sc = []
+    for cid, td, ta in scan_comps:
+        dsym, dlen = huff_table(meta["huff_spec"], 0x00 | td)
+        asym, alen = huff_table(meta["huff_spec"], 0x10 | ta)
+        sc.append((order[cid], dsym, dlen, asym, alen))
+    segs = _split_scan(meta["scan_data"])
+    step = restart if restart > 0 else n_mcu
+    n_seg = (n_mcu + step - 1) // step
+    if len(segs) < n_seg:
+        raise ValueError("truncated JPEG scan (missing restart segments)")
+    for si in range(n_seg):
+        _decode_segment(
+            segs[si], si * step, min((si + 1) * step, n_mcu), sc, coefs, nc
+        )
     planes = []
     for ci in range(nc):
         qzig = qt[comps[ci][2]][_ZIG].astype(np.float64)

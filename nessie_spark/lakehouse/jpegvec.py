@@ -1,0 +1,626 @@
+"""Vectorized batch JPEG codec (numpy) — same streams, no Python loops.
+
+Companion to ``jpegcodec.py`` (the scalar reference implementation):
+
+- ``encode_batch`` produces streams BYTE-IDENTICAL to
+  ``jpegcodec.encode_jpeg_real(px, quality, restart_mcu)`` for every image
+  (pinned in tests/test_jpegvec.py). The entropy coder is fully
+  vectorized: RLE symbol construction via nonzero/segment arithmetic,
+  canonical-Huffman code lookup via LUT arrays, and bit packing via a
+  5-byte-window scatter summed with one ``np.bincount`` — no per-symbol
+  Python.
+- ``decode_batch`` decodes a batch of baseline JFIF streams. Streams with
+  a restart interval (DRI + RSTn) are decoded on the FAST path: each
+  restart segment is an independent, byte-aligned entropy stream with DC
+  predictors reset, so every segment of every image in the batch becomes
+  one SIMD lane of a lockstep numpy state machine (one Huffman symbol per
+  lane per step). Streams without restarts (or non-4:4:4 layouts) fall
+  back to the scalar decoder per image. Output is exactly
+  ``jpegcodec.decode_jpeg_real`` (same dequant/IDCT/color arithmetic).
+
+Why restarts: entropy-coded JPEG is inherently sequential — symbol
+boundaries are unknown until the previous symbol is decoded. T.81 restart
+markers are the spec's own parallelism primitive; emitting them costs
+2-4% stream size and turns decode from a per-image Python loop into a
+batched numpy kernel (guide §4.2: hand whole batches to vectorized native
+code).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from nessie_spark.lakehouse import jpegcodec as J
+
+# default restart interval for engine-written streams: 1 MCU — maximal
+# decode parallelism (every MCU an independent lane) for 2-4% size cost
+RESTART_MCU = 1
+
+# --- encoder LUTs (from the scalar encoder's canonical code dicts) ---------
+
+
+def _enc_luts():
+    dc_code = np.zeros((2, 12), dtype=np.int64)
+    dc_len = np.zeros((2, 12), dtype=np.int64)
+    ac_code = np.zeros((2, 256), dtype=np.int64)
+    ac_len = np.zeros((2, 256), dtype=np.int64)
+    for t in (0, 1):
+        for sym, (code, ln) in J._ENC_DC[t].items():
+            dc_code[t, sym] = code
+            dc_len[t, sym] = ln
+        for sym, (code, ln) in J._ENC_AC[t].items():
+            ac_code[t, sym] = code
+            ac_len[t, sym] = ln
+    return dc_code, dc_len, ac_code, ac_len
+
+
+_DC_CODE, _DC_LEN, _AC_CODE, _AC_LEN = _enc_luts()
+
+
+def _bitlen(a: np.ndarray) -> np.ndarray:
+    """Elementwise bit_length of non-negative int array (exact: frexp
+    exponent of the float64 value; all JPEG magnitudes are < 2^24)."""
+    return np.frexp(a.astype(np.float64))[1].astype(np.int64)
+
+
+# Sub-batch budget in 8x8 blocks. The item arrays scale with block count;
+# chunking bounds the live working set to ~30-50 MB so that chunk 2..N
+# reuse chunk 1's freed pages instead of faulting fresh ones — on this
+# class of sandboxed host, first-touch of a fresh page costs ~2.3 ms/MB
+# (measured), which made one giant batch pay more in page faults than in
+# arithmetic.
+_CHUNK_BLOCKS = 20_000
+
+
+def encode_batch(
+    pxs: list[np.ndarray],
+    quality: int = 98,
+    restart_mcu: int = RESTART_MCU,
+    want_recon: bool = False,
+) -> tuple[list[bytes], list[np.ndarray] | None]:
+    """Encode a batch of (h, w, 3) uint8 RGB images. Returns (streams,
+    recons) where recons (if requested) are bit-identical to
+    ``decode_jpeg_real`` of each stream (same arithmetic as
+    ``encode_jpeg_with_recon``). Work is internally chunked to bound the
+    numpy working set (see _CHUNK_BLOCKS)."""
+    nblk = [((p.shape[0] + 7) // 8) * ((p.shape[1] + 7) // 8) * 3 for p in pxs]
+    if sum(nblk) > _CHUNK_BLOCKS and len(pxs) > 1:
+        out: list[bytes] = []
+        recs: list[np.ndarray] = []
+        i = 0
+        while i < len(pxs):
+            j = i + 1
+            acc = nblk[i]
+            while j < len(pxs) and acc + nblk[j] <= _CHUNK_BLOCKS:
+                acc += nblk[j]
+                j += 1
+            o, r = _encode_chunk(pxs[i:j], quality, restart_mcu, want_recon)
+            out.extend(o)
+            if want_recon:
+                recs.extend(r)
+            i = j
+        return out, (recs if want_recon else None)
+    return _encode_chunk(pxs, quality, restart_mcu, want_recon)
+
+
+def _encode_chunk(
+    pxs: list[np.ndarray],
+    quality: int,
+    restart_mcu: int,
+    want_recon: bool,
+) -> tuple[list[bytes], list[np.ndarray] | None]:
+    B = len(pxs)
+    if B == 0:
+        return [], ([] if want_recon else None)
+    qy, qc = J._quality_tables(quality)
+    qzig_y = qy[J._ZIG].astype(np.float64)
+    qzig_c = qc[J._ZIG].astype(np.float64)
+    R = int(restart_mcu)
+
+    # --- per-image DCT + quantization (numpy; matmul BLAS path) ---------
+    z_list: list[np.ndarray] = []      # (3*nb, 64) int32, stream order
+    geo: list[tuple[int, int, int, int]] = []  # (h, w, h8, w8)
+    for px in pxs:
+        assert px.ndim == 3 and px.shape[2] == 3 and px.dtype == np.uint8
+        h, w = px.shape[:2]
+        h8, w8 = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+        ycc = J._rgb_to_ycbcr(px)
+        ycc = np.pad(ycc, ((0, h8 - h), (0, w8 - w), (0, 0)), mode="edge")
+        nb = (h8 // 8) * (w8 // 8)
+        zz = np.empty((3 * nb, 64), dtype=np.int32)
+        for c in range(3):
+            coef = J._fdct_blocks(ycc[..., c] - 128.0)
+            z = coef.reshape(-1, 64)[:, J._ZIG]
+            q = qzig_y if c == 0 else qzig_c
+            zz[c::3] = np.round(z / q).astype(np.int32)
+        z_list.append(zz)
+        geo.append((h, w, h8, w8))
+
+    nb3 = np.array([z.shape[0] for z in z_list], dtype=np.int64)
+    Z = np.concatenate(z_list, axis=0) if B > 1 else z_list[0]
+    Rt = Z.shape[0]  # total blocks (stream order, images concatenated)
+    row_img_off = np.concatenate(([0], np.cumsum(nb3)))  # per-image row start
+    img_of_row = np.repeat(np.arange(B), nb3)
+    s_in_img = np.arange(Rt) - row_img_off[img_of_row]
+    m_idx = s_in_img // 3          # MCU index within image
+    tbl_row = (s_in_img % 3 != 0).astype(np.int64)  # 0 = luma table
+
+    # --- DC items (diff coding with per-restart-segment reset) ----------
+    v0 = Z[:, 0].astype(np.int64)
+    prev = np.empty_like(v0)
+    prev[3:] = v0[:-3]
+    prev[:3] = 0
+    if R > 0:
+        reset = (m_idx % R) == 0
+    else:
+        reset = m_idx == 0
+    diff = v0 - np.where(reset, 0, prev)
+    a = np.abs(diff)
+    dc_cat = _bitlen(a)
+    dc_bits = np.where(diff < 0, diff + (np.int64(1) << dc_cat) - 1, diff)
+    dc_val = (_DC_CODE[tbl_row, dc_cat] << dc_cat) | dc_bits
+    dc_nb = _DC_LEN[tbl_row, dc_cat] + dc_cat
+
+    # --- AC items: RLE over zigzag nonzeros -----------------------------
+    rows_nz, cols = np.nonzero(Z[:, 1:])
+    k = (cols + 1).astype(np.int64)
+    v = Z[rows_nz, k].astype(np.int64)
+    nnz = len(rows_nz)
+    first = np.empty(nnz, dtype=bool)
+    if nnz:
+        first[0] = True
+        first[1:] = rows_nz[1:] != rows_nz[:-1]
+    prevk = np.empty(nnz, dtype=np.int64)
+    if nnz:
+        prevk[1:] = k[:-1]
+        prevk[first] = 0
+    run = k - prevk - 1
+    n_zrl = run >> 4
+    rem = run & 15
+    av = np.abs(v)
+    ac_cat = _bitlen(av)
+    ac_bits = np.where(v < 0, v + (np.int64(1) << ac_cat) - 1, v)
+    t2 = tbl_row[rows_nz]
+    sym = (rem << 4) | ac_cat
+    ac_val = (_AC_CODE[t2, sym] << ac_cat) | ac_bits
+    ac_nb = _AC_LEN[t2, sym] + ac_cat
+
+    # within-row ordinal of each nonzero, and exclusive ZRL prefix
+    jj = np.arange(nnz, dtype=np.int64)
+    base_j = np.maximum.accumulate(np.where(first, jj, 0)) if nnz else jj
+    j_ord = jj - base_j
+    czs = np.cumsum(n_zrl) - n_zrl  # exclusive global ZRL prefix
+    base_z = np.maximum.accumulate(np.where(first, czs, 0)) if nnz else czs
+    cz_ex = czs - base_z
+
+    eob_row = Z[:, 63] == 0
+    nnz_row = np.bincount(rows_nz, minlength=Rt).astype(np.int64)
+    zrl_row = np.bincount(rows_nz, weights=n_zrl, minlength=Rt).astype(np.int64)
+    cnt_row = 1 + nnz_row + zrl_row + eob_row
+    row_base = np.concatenate(([0], np.cumsum(cnt_row)[:-1]))
+
+    total_items = int(cnt_row.sum())
+    val_out = np.zeros(total_items, dtype=np.int64)
+    nb_out = np.zeros(total_items, dtype=np.int64)
+    val_out[row_base] = dc_val
+    nb_out[row_base] = dc_nb
+    sym_base = row_base[rows_nz] + 1 + j_ord + cz_ex
+    val_out[sym_base + n_zrl] = ac_val
+    nb_out[sym_base + n_zrl] = ac_nb
+    tz = int(n_zrl.sum())
+    if tz:
+        start = np.cumsum(n_zrl) - n_zrl
+        intra = np.arange(tz, dtype=np.int64) - np.repeat(start, n_zrl)
+        zpos = np.repeat(sym_base, n_zrl) + intra
+        t3 = np.repeat(t2, n_zrl)
+        val_out[zpos] = _AC_CODE[t3, 0xF0]
+        nb_out[zpos] = _AC_LEN[t3, 0xF0]
+    if eob_row.any():
+        epos = (row_base + cnt_row - 1)[eob_row]
+        t4 = tbl_row[eob_row]
+        val_out[epos] = _AC_CODE[t4, 0]
+        nb_out[epos] = _AC_LEN[t4, 0]
+
+    # --- segment layout (restart intervals; byte-aligned, 1-fill pad) ---
+    if R > 0:
+        seg_of_row_local = m_idx // R
+        n_seg_img = (nb3 // 3 + R - 1) // R
+    else:
+        seg_of_row_local = np.zeros(Rt, dtype=np.int64)
+        n_seg_img = np.ones(B, dtype=np.int64)
+    seg_img_off = np.concatenate(([0], np.cumsum(n_seg_img)))
+    seg_of_row = seg_img_off[img_of_row] + seg_of_row_local
+    S = int(seg_img_off[-1])
+    row_of_item = np.repeat(np.arange(Rt), cnt_row)
+    seg_of_item = seg_of_row[row_of_item]
+
+    seg_bits = np.bincount(seg_of_item, weights=nb_out, minlength=S).astype(np.int64)
+    seg_bytes = (seg_bits + 7) >> 3
+    pad_bits = (seg_bytes << 3) - seg_bits
+    seg_byte_start = np.concatenate(([0], np.cumsum(seg_bytes)))
+    total_bytes = int(seg_byte_start[-1])
+
+    # item bit offsets: global cumsum re-based per segment
+    cum_nb = np.cumsum(nb_out) - nb_out
+    items_per_seg = np.bincount(seg_of_item, minlength=S).astype(np.int64)
+    seg_first_item = np.concatenate(([0], np.cumsum(items_per_seg)[:-1]))
+    seg_bit_base = cum_nb[np.minimum(seg_first_item, total_items - 1)]
+    bit_off = (seg_byte_start[:-1][seg_of_item] << 3) + cum_nb - seg_bit_base[seg_of_item]
+
+    # --- pack: 5-byte scatter windows, integer scatter-add --------------
+    # (bits of distinct items are disjoint within a byte, so add == OR;
+    # np.add.at on int64 measured ~5x faster than the float bincount)
+    sh = bit_off & 7
+    byte0 = bit_off >> 3
+    chunk = val_out << (40 - sh - nb_out)
+    acc = np.zeros(total_bytes + 8, dtype=np.int64)
+    for jb in range(5):
+        np.add.at(acc, byte0 + jb, (chunk >> (8 * (4 - jb))) & 0xFF)
+    packed = acc[:total_bytes].astype(np.uint8)
+    # 1-fill pad in each segment's final byte
+    has_pad = pad_bits > 0
+    if has_pad.any():
+        last_byte = (seg_byte_start[1:] - 1)[has_pad]
+        packed[last_byte] |= ((np.int64(1) << pad_bits[has_pad]) - 1).astype(np.uint8)
+
+    # per-segment 0xFF counts (for stuffed lengths)
+    is_ff = packed == 0xFF
+    if S > 1:
+        ff_per_seg = np.add.reduceat(
+            is_ff.astype(np.int64), np.minimum(seg_byte_start[:-1], max(total_bytes - 1, 0))
+        )
+        ff_per_seg[seg_bytes == 0] = 0
+    else:
+        ff_per_seg = np.array([int(is_ff.sum())], dtype=np.int64)
+
+    # --- assemble streams ----------------------------------------------
+    out: list[bytes] = []
+    headers_cache: dict[tuple[int, int], bytes] = {}
+    for i in range(B):
+        h, w, h8, w8 = geo[i]
+        hk = (h, w)
+        hdr = headers_cache.get(hk)
+        if hdr is None:
+            hdr = J._build_headers(h, w, qy, qc, R)
+            headers_cache[hk] = hdr
+        s0, s1 = int(seg_img_off[i]), int(seg_img_off[i + 1])
+        b0, b1 = int(seg_byte_start[s0]), int(seg_byte_start[s1])
+        raw = packed[b0:b1].tobytes()
+        stuffed = raw.replace(b"\xff", b"\xff\x00")
+        if s1 - s0 > 1:
+            st = np.frombuffer(stuffed, dtype=np.uint8)
+            stuffed_lens = (seg_bytes[s0:s1] + ff_per_seg[s0:s1]).astype(np.int64)
+            cuts = np.cumsum(stuffed_lens)[:-1]
+            nmark = s1 - s0 - 1
+            mk = np.empty(2 * nmark, dtype=np.uint8)
+            mk[0::2] = 0xFF
+            mk[1::2] = 0xD0 + (np.arange(nmark) % 8)
+            scan = np.insert(st, np.repeat(cuts, 2), mk).tobytes()
+        else:
+            scan = stuffed
+        out.append(hdr + scan + b"\xff\xd9")
+
+    if not want_recon:
+        return out, None
+    recons: list[np.ndarray] = []
+    for i in range(B):
+        h, w, h8, w8 = geo[i]
+        zz = Z[row_img_off[i] : row_img_off[i + 1]]
+        planes = []
+        for c in range(3):
+            q = qzig_y if c == 0 else qzig_c
+            dq = zz[c::3].astype(np.float64) * q
+            nat = np.zeros((dq.shape[0], 64))
+            nat[:, J._ZIG] = dq
+            planes.append(J._idct_blocks(nat.reshape(-1, 8, 8), h8, w8) + 128.0)
+        ycc_r = np.stack([pl[:h, :w] for pl in planes], axis=-1)
+        recons.append(J._ycbcr_to_rgb(ycc_r))
+    return out, recons
+
+
+# --- batch decoder ----------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=16)
+def _np_decode_table(bits: bytes, vals: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """numpy flat 16-bit-peek LUT (sym, len) — the vector twin of
+    jpegcodec._decode_table_cached."""
+    sym = np.zeros(1 << 16, dtype=np.int16)
+    lng = np.zeros(1 << 16, dtype=np.int16)
+    code = 0
+    kk = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            startx = code << (16 - ln)
+            sym[startx : startx + (1 << (16 - ln))] = vals[kk]
+            lng[startx : startx + (1 << (16 - ln))] = ln
+            code += 1
+            kk += 1
+        code <<= 1
+    return sym, lng
+
+
+def _fast_eligible(meta: dict) -> bool:
+    """Fast-path conditions: baseline 4:4:4 RGB or grayscale, restart
+    interval >= 1, standard table-id layout (comp0 -> tables 0, chroma ->
+    tables 1). Anything else decodes via the scalar path."""
+    if meta["restart"] < 1:
+        return False
+    h, w, nc = meta["sof"]
+    if nc not in (1, 3):
+        return False
+    comps, scan_comps = meta["comps"], meta["scan_comps"]
+    if len(scan_comps) != nc or len(comps) != nc:
+        return False
+    want = [(0, 0, 0)] if nc == 1 else [(0, 0, 0), (1, 1, 1), (1, 1, 1)]
+    for ci in range(nc):
+        if comps[ci][0] != scan_comps[ci][0]:  # scan order == SOF order
+            return False
+        tq = comps[ci][2]
+        td, ta = scan_comps[ci][1], scan_comps[ci][2]
+        if (tq, td, ta) != want[ci]:
+            return False
+        if tq not in meta["qt"]:
+            return False
+    need = {0x00, 0x10} if nc == 1 else {0x00, 0x01, 0x10, 0x11}
+    return need <= set(meta["huff_spec"])
+
+
+def decode_batch(datas: list[bytes]) -> list[np.ndarray]:
+    """Decode a batch of baseline JFIF streams to (h, w, 3) uint8 RGB.
+    Restart-interval streams take the lockstep SIMD path; everything else
+    (and any lane the vector machine flags as invalid) falls back to
+    ``jpegcodec.decode_jpeg_real`` per image, so error semantics match the
+    scalar decoder."""
+    B = len(datas)
+    results: list[np.ndarray | None] = [None] * B
+    # cohorts keyed by the exact DHT specs (shared LUT bank per cohort)
+    cohorts: dict[tuple, list[int]] = {}
+    metas: list[dict | None] = [None] * B
+    for i, data in enumerate(datas):
+        data = bytes(data)
+        datas[i] = data
+        try:
+            meta = J._parse_stream(data)
+        except (ValueError, NotImplementedError):
+            # surface the scalar decoder's exact error for this stream
+            results[i] = J.decode_jpeg_real(data)
+            continue
+        if not _fast_eligible(meta):
+            results[i] = J.decode_jpeg_real(data)
+            continue
+        metas[i] = meta
+        key = tuple(sorted((tid, spec) for tid, spec in meta["huff_spec"].items()))
+        cohorts.setdefault(key, []).append(i)
+    for idxs in cohorts.values():
+        # chunk by MCU budget — same page-reuse rationale as encode_batch
+        chunk: list[int] = []
+        acc = 0
+        for i in idxs:
+            h, w, _nc = metas[i]["sof"]
+            nm = ((h + 7) // 8) * ((w + 7) // 8)
+            if chunk and acc + nm > _CHUNK_BLOCKS // 3:
+                _decode_cohort(datas, metas, chunk, results)
+                chunk, acc = [], 0
+            chunk.append(i)
+            acc += nm
+        if chunk:
+            _decode_cohort(datas, metas, chunk, results)
+    return results  # type: ignore[return-value]
+
+
+def _decode_cohort(datas, metas, idxs, results) -> None:
+    spec = metas[idxs[0]]["huff_spec"]
+    packed_b = []
+    for tid in (0x00, 0x01, 0x10, 0x11):  # dc0, dc1, ac0, ac1
+        if tid in spec:
+            s, l = _np_decode_table(*spec[tid])
+            # fused LUT entry: (len << 8) | sym — one gather per symbol
+            packed_b.append(
+                (l.astype(np.int16) << 8) | (s.astype(np.int16) & 0xFF)
+            )
+        else:  # grayscale cohort: chroma banks never indexed
+            packed_b.append(np.zeros(1 << 16, dtype=np.int16))
+    LUT = np.concatenate(packed_b)
+
+    # --- lane setup: one lane per restart segment -----------------------
+    lane_img: list[int] = []
+    lane_mcu0: list[int] = []
+    lane_nmcu: list[int] = []
+    lane_segs: list[bytes] = []
+    img_nmcu: dict[int, int] = {}
+    img_coef_off: dict[int, int] = {}
+    coef_total = 0
+    bad_imgs: set[int] = set()
+    for i in idxs:
+        meta = metas[i]
+        h, w, nc = meta["sof"]
+        h8, w8 = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+        n_mcu = (h8 // 8) * (w8 // 8)
+        R = meta["restart"]
+        segs = J._split_scan(meta["scan_data"])
+        n_seg = (n_mcu + R - 1) // R
+        if len(segs) < n_seg:
+            bad_imgs.add(i)
+            continue
+        img_nmcu[i] = n_mcu
+        img_coef_off[i] = coef_total
+        for si in range(n_seg):
+            m0 = si * R
+            lane_img.append(i)
+            lane_mcu0.append(m0)
+            lane_nmcu.append(min(R, n_mcu - m0))
+            lane_segs.append(segs[si])
+        coef_total += n_mcu * nc * 64
+
+    L = len(lane_segs)
+    if L:
+        lens = np.array([len(s) for s in lane_segs], dtype=np.int64)
+        PAD = 8
+        stride = int(lens.max()) + PAD
+        D2 = np.full(L * stride, 0xFF, dtype=np.uint8)
+        allb = np.frombuffer(b"".join(lane_segs), dtype=np.uint8)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        lane_of_byte = np.repeat(np.arange(L), lens)
+        within = np.arange(int(lens.sum()), dtype=np.int64) - starts[lane_of_byte]
+        D2[lane_of_byte * stride + within] = allb
+
+        li = np.array(lane_img, dtype=np.int64)
+        ncomp = np.array([len(metas[i]["comps"]) for i in lane_img], dtype=np.int64)
+        base = (
+            np.array([img_coef_off[i] for i in lane_img], dtype=np.int64)
+            + np.array(lane_mcu0, dtype=np.int64) * ncomp * 64
+        )
+        mcu_left = np.array(lane_nmcu, dtype=np.int64)
+        lane_off = np.arange(L, dtype=np.int64) * stride
+        bit_lim = (lens + PAD) << 3
+
+        coef = np.zeros(coef_total, dtype=np.int32)
+        prevdc = np.zeros(L * 3, dtype=np.int32)
+        lane_id = np.arange(L, dtype=np.int64)
+        err = _lockstep(
+            D2, lane_off, bit_lim, LUT, ncomp, base, mcu_left,
+            coef, prevdc, lane_id,
+        )
+        if err is not None and len(err):
+            for l in np.unique(err):
+                bad_imgs.add(lane_img[int(l)])
+
+        # --- per-image dequant + IDCT + color --------------------------
+        for i in idxs:
+            if i in bad_imgs or results[i] is not None:
+                continue
+            meta = metas[i]
+            h, w, nc = meta["sof"]
+            h8, w8 = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+            n_mcu = img_nmcu[i]
+            off = img_coef_off[i]
+            cf = coef[off : off + n_mcu * nc * 64].reshape(n_mcu, nc, 64)
+            planes = []
+            for ci in range(nc):
+                qzig = meta["qt"][meta["comps"][ci][2]][J._ZIG].astype(np.float64)
+                zz = cf[:, ci, :].astype(np.float64) * qzig
+                nat = np.zeros((n_mcu, 64))
+                nat[:, J._ZIG] = zz
+                planes.append(J._idct_blocks(nat.reshape(n_mcu, 8, 8), h8, w8) + 128.0)
+            if nc == 1:
+                g = np.clip(np.round(planes[0][:h, :w]), 0, 255).astype(np.uint8)
+                results[i] = np.stack([g, g, g], axis=-1)
+            else:
+                ycc = np.stack([p[:h, :w] for p in planes], axis=-1)
+                results[i] = J._ycbcr_to_rgb(ycc)
+
+    for i in bad_imgs:
+        # scalar decoder re-runs the stream: either it succeeds (vector
+        # edge case) or it raises the canonical error for a corrupt stream
+        results[i] = J.decode_jpeg_real(datas[i])
+
+
+def _lockstep(
+    D2, lane_off, bit_lim, LUT, ncomp, base, mcu_left,
+    coef, prevdc, lane_id,
+):
+    """The SIMD Huffman state machine: one symbol per active lane per
+    iteration. Returns lane ids that hit an invalid state (caller falls
+    back per image), or None."""
+    L = len(lane_off)
+    bitpos = np.zeros(L, dtype=np.int64)
+    comp = np.zeros(L, dtype=np.int64)
+    k = np.zeros(L, dtype=np.int64)  # 0 = DC next; 1..63 = AC index
+    err_ids: list[np.ndarray] = []
+    max_steps = 64 * 3 * int(mcu_left.max()) + 64
+    D2i = D2  # uint8 view
+    for _step in range(max_steps):
+        if L == 0:
+            break
+        # one 5-byte window covers the 16-bit code peek AND the magnitude
+        # bits (ln + cat <= 31 <= the 32 aligned bits extracted)
+        byi = lane_off + (bitpos >> 3)
+        sh = (bitpos & 7).astype(np.int64)
+        g = (
+            (D2i[byi].astype(np.int64) << 32)
+            | (D2i[byi + 1].astype(np.int64) << 24)
+            | (D2i[byi + 2].astype(np.int64) << 16)
+            | (D2i[byi + 3].astype(np.int64) << 8)
+            | D2i[byi + 4]
+        )
+        w32 = (g >> (8 - sh)) & 0xFFFFFFFF
+        tid = np.where(k == 0, 0, 2) + (comp > 0)
+        ent = LUT[(tid << 16) | (w32 >> 16)].astype(np.int64)
+        ln = ent >> 8
+        sym = ent & 0xFF
+        bad = ln == 0
+        is_dc = k == 0
+        cat = np.where(is_dc, sym, sym & 15)
+        bad |= cat > 15  # corrupt DC category (baseline max is 11)
+        cat = np.minimum(cat, 15)
+        run = np.where(is_dc, 0, sym >> 4)
+        mag = (w32 >> (32 - ln - cat)) & ((np.int64(1) << cat) - 1)
+        lo = np.int64(1) << np.maximum(cat - 1, 0)
+        ext = np.where(cat > 0, np.where(mag < lo, mag - 2 * lo + 1, mag), 0)
+        bitpos = bitpos + ln + cat
+        bad |= bitpos > bit_lim
+
+        is_eob = ~is_dc & (sym == 0)
+        is_zrl = ~is_dc & (sym == 0xF0)
+        is_val = ~is_dc & ~is_eob & ~is_zrl & ~bad
+        dc_ok = is_dc & ~bad
+
+        # DC write (restart semantics: prevdc reset at segment start —
+        # lanes ARE segments, so prevdc starts 0; carries across MCUs of
+        # multi-MCU segments)
+        pidx = lane_id * 3 + comp
+        if dc_ok.any():
+            nv = prevdc[pidx] + ext
+            sel = np.flatnonzero(dc_ok)
+            prevdc[pidx[sel]] = nv[sel]
+            coef[(base + comp * 64)[sel]] = nv[sel]
+        k = np.where(dc_ok, 1, k)
+        k = np.where(is_zrl & ~bad, k + 16, k)
+        kk = k + run
+        bad |= is_val & (kk > 63)
+        is_val &= ~bad
+        if is_val.any():
+            sel = np.flatnonzero(is_val)
+            coef[(base + comp * 64 + kk)[sel]] = ext[sel]
+        k = np.where(is_val, kk + 1, k)
+        # ZRL pushing k past 63 without a value is corrupt
+        bad |= is_zrl & (k > 63)
+
+        ended = (is_eob | (is_val & (k > 63))) & ~bad
+        comp = np.where(ended, comp + 1, comp)
+        k = np.where(ended, 0, k)
+        mcu_done = ended & (comp >= ncomp)
+        if mcu_done.any():
+            sel = np.flatnonzero(mcu_done)
+            comp[sel] = 0
+            mcu_left[sel] -= 1
+            base[sel] += ncomp[sel] * 64
+            # DC predictors persist across MCUs within one segment (T.81):
+            # do NOT reset prevdc here
+        done = (mcu_left <= 0) | bad
+        if bad.any():
+            err_ids.append(lane_id[bad])
+        if done.any():
+            keep = ~done
+            if not keep.any():
+                break
+            bitpos = bitpos[keep]
+            comp = comp[keep]
+            k = k[keep]
+            lane_off = lane_off[keep]
+            bit_lim = bit_lim[keep]
+            ncomp = ncomp[keep]
+            base = base[keep]
+            mcu_left = mcu_left[keep]
+            lane_id = lane_id[keep]
+            L = len(lane_id)
+    else:
+        # step budget exhausted: every still-active lane is corrupt
+        if L:
+            err_ids.append(lane_id)
+    if err_ids:
+        return np.concatenate(err_ids)
+    return None

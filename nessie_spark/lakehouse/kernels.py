@@ -85,6 +85,12 @@ def decode_png(data: bytes) -> np.ndarray:
 
 
 JPEG_QUALITY = 98  # q98 4:4:4 → ~43 dB on the synth fixtures (40 dB gate)
+# Engine-written jpeg streams carry a T.81 restart interval of 1 MCU
+# (DRI + RSTn markers — spec-valid, any compliant reader decodes them).
+# Restart segments are independent and byte-aligned, which lets the batch
+# decoder (jpegvec.py) decode every MCU of a batch as one SIMD lane
+# instead of a per-image sequential Python loop; cost is 2-4% stream size.
+JPEG_RESTART_MCU = 1
 
 
 def encode_jpeg(pixels: np.ndarray) -> bytes:
@@ -93,7 +99,7 @@ def encode_jpeg(pixels: np.ndarray) -> bytes:
     assert c == 3 and pixels.dtype == np.uint8
     from nessie_spark.lakehouse.jpegcodec import encode_jpeg_real
 
-    return encode_jpeg_real(pixels, JPEG_QUALITY)
+    return encode_jpeg_real(pixels, JPEG_QUALITY, restart_mcu=JPEG_RESTART_MCU)
 
 
 def _decode_njpg(data: bytes) -> np.ndarray:
@@ -178,30 +184,59 @@ def reencode_verify(datas, fmts) -> tuple[list[bytes], float]:
     zorder shuffle writer, and the staged gather all call it, so the gate
     cannot silently diverge between rewrite paths.
 
-    jpeg PSNR is computed against the ENCODER'S OWN reconstruction
-    (encode_jpeg_with_recon) — bit-identical to entropy-decoding the
-    fresh stream (pinned in tests/test_real_codecs.py) but skips the
-    sequential Huffman re-decode, the expensive half of a real codec.
-    Every 16th jpeg additionally round-trips through the REAL decoder and
-    must match the reconstruction exactly, so a bitstream-writer
-    regression still fails the rewrite, not just the test suite."""
-    from nessie_spark.lakehouse.jpegcodec import decode_jpeg_real, encode_jpeg_with_recon
+    jpeg streams run through the BATCH codec (jpegvec.py): decode of
+    restart-interval streams is a lockstep numpy kernel across every MCU
+    of the batch, and the fresh streams' PSNR is computed against the
+    encoder's own reconstruction — bit-identical to entropy-decoding the
+    fresh stream (pinned in tests/test_real_codecs.py / test_jpegvec.py).
+    Bitstream-writer integrity stays independently covered: every 16th
+    fresh jpeg is re-decoded by the batch READER and every 64th by the
+    scalar reference decoder, and each must match the reconstruction
+    exactly, so a writer regression still fails the rewrite itself, not
+    just the test suite."""
+
+    import os as _os, time as _time
+    _t0 = _time.perf_counter()
+    _r = _reencode_verify_impl(datas, fmts)
+    if _os.environ.get("NESSIE_KERNEL_LOG"):
+        with open(_os.environ["NESSIE_KERNEL_LOG"], "a") as _fh:
+            _fh.write(f"{len(datas)},{sum(1 for f in fmts if f=='jpeg')},{(_time.perf_counter()-_t0)*1000:.1f}\n")
+    return _r
+
+
+def _reencode_verify_impl(datas, fmts):
+    from nessie_spark.lakehouse import jpegvec
+    from nessie_spark.lakehouse.jpegcodec import decode_jpeg_real
 
     mn = 99.0
-    out: list[bytes] = []
+    out: list[bytes | None] = [None] * len(datas)
+    idx_j = [i for i, f in enumerate(fmts) if f == "jpeg"]
+    if idx_j:
+        pxs = jpegvec.decode_batch([bytes(datas[i]) for i in idx_j])
+        encs, recons = jpegvec.encode_batch(
+            pxs, JPEG_QUALITY, restart_mcu=JPEG_RESTART_MCU, want_recon=True
+        )
+        sampled = list(range(0, len(idx_j), 16))
+        if sampled:
+            redec = jpegvec.decode_batch([encs[j] for j in sampled])
+            for j, rd in zip(sampled, redec):
+                assert (rd == recons[j]).all(), "bitstream"
+                if j % 64 == 0:  # independent scalar-reader anchor
+                    assert (decode_jpeg_real(encs[j]) == recons[j]).all(), "bitstream"
+        for j, i in enumerate(idx_j):
+            p_db = psnr(pxs[j], recons[j])
+            mn = min(mn, p_db)
+            assert p_db >= 40.0, "PSNR gate"
+            out[i] = encs[j]
     for i, (data, fmt) in enumerate(zip(datas, fmts)):
-        px = decode(bytes(data), fmt)
         if fmt == "jpeg":
-            enc, recon = encode_jpeg_with_recon(px, JPEG_QUALITY)
-            if i % 16 == 0:  # sampled bitstream integrity check
-                assert (decode_jpeg_real(enc) == recon).all(), "bitstream"
-            p_db = psnr(px, recon)
-        else:
-            enc = encode(px, fmt)
-            p_db = psnr(px, decode(enc, fmt))
+            continue
+        px = decode(bytes(data), fmt)
+        enc = encode(px, fmt)
+        p_db = psnr(px, decode(enc, fmt))
         mn = min(mn, p_db)
-        assert p_db >= (40.0 if fmt == "jpeg" else 99.0), "PSNR gate"
-        out.append(enc)
+        assert p_db >= 99.0, "PSNR gate"
+        out[i] = enc
     return out, mn
 
 

@@ -245,13 +245,53 @@ IVF_NPROBE = 4    # probed cells per query
 IVF_ITERS = 2     # Lloyd refinement iterations
 
 
+def _ivf_partials(cents: list[list[float]]):
+    """mapInPandas kernel for one Lloyd step: assign every row to its
+    nearest centroid AND fold the per-centroid vector sums inside the
+    task (numpy), emitting only (cid, d, s, cnt) partials — K·dim rows per
+    PARTITION cross the shuffle instead of n·dim exploded rows (guide
+    §2.3: aggregate before you shuffle). The old shape — a 16-way
+    aggregate/zip_with Catalyst expression per row plus posexplode →
+    groupBy(cid, dim) — shuffled a 64x-exploded row set per iteration and
+    spent more time in codegen than in data."""
+    import numpy as np
+
+    C = np.asarray(cents, dtype=np.float64)  # (K, dim)
+    K_, dim = C.shape
+
+    def fn(batches):
+        import pandas as pd
+
+        sums = np.zeros((K_, dim))
+        cnts = np.zeros(K_, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack(pdf["e"].to_numpy())
+            d2 = ((E[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            cid = d2.argmin(axis=1)
+            np.add.at(sums, cid, E)
+            cnts += np.bincount(cid, minlength=K_)
+        live = np.flatnonzero(cnts)
+        if len(live):
+            yield pd.DataFrame(
+                {
+                    "cid": np.repeat(live, dim).astype(np.int32),
+                    "d": np.tile(np.arange(dim, dtype=np.int32), len(live)),
+                    "s": sums[live].ravel(),
+                    "cnt": np.repeat(cnts[live], dim),
+                }
+            )
+
+    return fn
+
+
 def _ivf_centroids(emb: DataFrame) -> list[list[float]]:
     """Deterministic coarse k-means: seeds = the IVF_K vectors with the
     smallest h64('ivf|'||vec_id) (the engine's seeded-random rule), then
-    IVF_ITERS Lloyd steps where assignment is per-row expression math
-    against broadcast centroid literals and the update is ONE
-    posexplode→groupBy(cid, dim) average — the standard distributed k-means
-    shape (k·d floats to the driver per iteration, never rows)."""
+    IVF_ITERS Lloyd steps where assignment + per-centroid partial sums run
+    in ONE Arrow-batched numpy pass per partition (_ivf_partials) and the
+    shuffle/driver traffic is K·dim partials per partition — never rows."""
     seeds = (
         emb.withColumn("hk", h64(F.concat(F.lit("ivf|"), F.col("vec_id").cast("string"))))
         .orderBy("hk", "vec_id")
@@ -261,11 +301,11 @@ def _ivf_centroids(emb: DataFrame) -> list[list[float]]:
     )
     cents = [list(r["e"]) for r in seeds]
     for _ in range(IVF_ITERS):
-        assigned = emb.withColumn("cid", _nearest_cid(cents))
         rows = (
-            assigned.select("cid", F.posexplode("e").alias("d", "v"))
+            emb.select("e")
+            .mapInPandas(_ivf_partials(cents), "cid int, d int, s double, cnt long")
             .groupBy("cid", "d")
-            .agg(F.avg("v").alias("m"))
+            .agg((F.sum("s") / F.sum("cnt")).alias("m"))
             .collect()
         )
         upd = {}
@@ -275,35 +315,49 @@ def _ivf_centroids(emb: DataFrame) -> list[list[float]]:
     return cents
 
 
-def _cent_dist2(c: list[float]):
-    arr = F.array(*[F.lit(float(x)) for x in c])
-    return F.aggregate(
-        F.zip_with("e", arr, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda a, v: a + v,
-    )
-
-
 def _nearest_cid(cents: list[list[float]]) -> Column:
-    """argmin over centroid literals: array_sort of (dist, cid) structs —
-    pure codegen expressions, no UDF."""
-    pairs = F.array(
-        *[
-            F.struct(_cent_dist2(c).alias("d"), F.lit(i).alias("cid"))
-            for i, c in enumerate(cents)
-        ]
-    )
-    return F.array_sort(pairs)[0]["cid"]
+    """argmin over centroids on column ``e`` — one Arrow-batched numpy
+    pass. The old K-way aggregate/zip_with Catalyst expression tree spent
+    more time in codegen than in data (the _pq_codes_udf lesson). Ties
+    break to the lowest cid (np.argmin takes the first minimum), matching
+    the old array_sort((d, cid)) order."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(cents, dtype=np.float64)
+
+    def _f(e):
+        import pandas as pd
+
+        if len(e) == 0:
+            return pd.Series([], dtype=np.int32)
+        E = np.stack(e.to_numpy())
+        d2 = ((E[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d2.argmin(axis=1).astype(np.int32))
+
+    return pandas_udf(_f, "int")(F.col("e"))
 
 
 def _nearest_cids(cents: list[list[float]], n: int) -> Column:
-    pairs = F.array(
-        *[
-            F.struct(_cent_dist2(c).alias("d"), F.lit(i).alias("cid"))
-            for i, c in enumerate(cents)
-        ]
-    )
-    return F.slice(F.array_sort(pairs), 1, n)
+    """The ``n`` nearest centroid ids for column ``e``, ordered by
+    (distance, cid) ascending — stable argsort reproduces the old
+    array_sort((d, cid)) tie-break."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(cents, dtype=np.float64)
+
+    def _f(e):
+        import pandas as pd
+
+        if len(e) == 0:
+            return pd.Series([], dtype=object)
+        E = np.stack(e.to_numpy())
+        d2 = ((E[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d2, axis=1, kind="stable")[:, :n].astype(np.int32)
+        return pd.Series(list(order))
+
+    return pandas_udf(_f, "array<int>")(F.col("e"))
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -326,9 +380,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("qid"),
             F.col("e").alias("qe"),
-            F.explode(_nearest_cids(cents, IVF_NPROBE)).alias("probe"),
+            F.explode(_nearest_cids(cents, IVF_NPROBE)).alias("cid"),
         )
-        .select("qid", "qe", F.col("probe")["cid"].alias("cid"))
     )
     pairs = (
         F.broadcast(probes)
@@ -378,14 +431,51 @@ def _pq_codes_udf(cents: list[list[list[float]]]):
     return pandas_udf(_codes, "array<int>")
 
 
+def _pq_partials(cents: list[list[list[float]]]):
+    """mapInPandas kernel for one PQ Lloyd step: code assignment (numpy
+    argmin, the _pq_codes_udf kernel) AND per-(m, k) subvector sums folded
+    inside the task — M·K·SUB partials per partition cross the shuffle
+    instead of the old double-posexplode (n·M·SUB rows) per iteration
+    (guide §2.3: aggregate before you shuffle)."""
+    import numpy as np
+
+    C = np.asarray(cents, dtype=np.float64)  # (M, K, SUB)
+
+    def fn(batches):
+        import pandas as pd
+
+        sums = np.zeros((PQ_M, PQ_K, PQ_SUB))
+        cnts = np.zeros((PQ_M, PQ_K), dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack(pdf["e"].to_numpy())
+            Es = E.reshape(len(E), PQ_M, 1, PQ_SUB)
+            codes = ((Es - C[None]) ** 2).sum(axis=3).argmin(axis=2)  # (n, M)
+            for m in range(PQ_M):
+                np.add.at(sums[m], codes[:, m], E[:, m * PQ_SUB : (m + 1) * PQ_SUB])
+                cnts[m] += np.bincount(codes[:, m], minlength=PQ_K)
+        m_i, k_i = np.nonzero(cnts)
+        if len(m_i):
+            yield pd.DataFrame(
+                {
+                    "m": np.repeat(m_i, PQ_SUB).astype(np.int32),
+                    "k": np.repeat(k_i, PQ_SUB).astype(np.int32),
+                    "d": np.tile(np.arange(PQ_SUB, dtype=np.int32), len(m_i)),
+                    "s": sums[m_i, k_i].ravel(),
+                    "cnt": np.repeat(cnts[m_i, k_i], PQ_SUB),
+                }
+            )
+
+    return fn
+
+
 def _pq_codebooks(emb: DataFrame) -> list[list[list[float]]]:
     """Per-subspace Lloyd iterations, all M subspaces updated in ONE Spark
-    job per iteration: assign codes row-wise (_pq_codes_udf numpy argmin —
-    same Arrow-batched kernel as the encode path; the Catalyst
-    expression-tree formulation was abandoned, see _pq_codes_udf), then a
-    single posexplode→groupBy(m, k, dim) average. Driver traffic per iter
-    is M·K·SUB floats (the codebooks), never rows — the same contract as
-    the IVF trainer. Seeds follow the engine's seeded-random rule
+    job per iteration: assignment + per-(m, k) partial sums run in a
+    single Arrow-batched numpy pass per partition (_pq_partials); the
+    shuffle and driver traffic per iteration is M·K·SUB partials per
+    partition — never rows. Seeds follow the engine's seeded-random rule
     (smallest h64('pq|'||vec_id))."""
     seeds = (
         emb.withColumn(
@@ -401,18 +491,11 @@ def _pq_codebooks(emb: DataFrame) -> list[list[list[float]]]:
         for m in range(PQ_M)
     ]
     for _ in range(PQ_ITERS):
-        assigned = emb.withColumn("codes", _pq_codes_udf(cents)(F.col("e")))
         rows = (
-            assigned.select(F.posexplode("codes").alias("m", "k"), "e")
-            .select(
-                "m",
-                "k",
-                F.posexplode(
-                    F.slice("e", F.col("m") * PQ_SUB + 1, F.lit(PQ_SUB))
-                ).alias("d", "v"),
-            )
+            emb.select("e")
+            .mapInPandas(_pq_partials(cents), "m int, k int, d int, s double, cnt long")
             .groupBy("m", "k", "d")
-            .agg(F.avg("v").alias("mu"))
+            .agg((F.sum("s") / F.sum("cnt")).alias("mu"))
             .collect()
         )
         upd: dict = {}
@@ -597,12 +680,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qids, lut = _query_luts(cents, qrows)
     probe_rows = (
         emb.where(F.col("vec_id") < N_QUERIES)
-        .select(
-            "vec_id",
-            F.transform(
-                _nearest_cids(coarse, IVFPQ_NPROBE), lambda s: s["cid"]
-            ).alias("cids"),
-        )
+        .select("vec_id", _nearest_cids(coarse, IVFPQ_NPROBE).alias("cids"))
         .collect()
     )
     probes = {int(r["vec_id"]): [int(c) for c in r["cids"]] for r in probe_rows}

@@ -36,6 +36,15 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(32, cores)
 
+    # One BLAS thread per Python worker: Spark already runs `cores` workers
+    # in parallel, so library-level threading inside numpy (OpenBLAS spins
+    # its own pool for matmul) only oversubscribes the host — measured as a
+    # 2-3x slowdown of the Arrow-batched image kernels at local[32]. Set in
+    # this process BEFORE the JVM launches (workers inherit the JVM env),
+    # plus executorEnv for cluster deployments.
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     b = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -53,6 +62,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("NESSIE_SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     # Only set master when none is configured (spark-submit / driver harness
     # may have set one already).
