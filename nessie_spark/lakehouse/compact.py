@@ -317,12 +317,23 @@ def _execute_bins(
             raise RuntimeError(
                 f"injected failure after {len(allowed)} bin(s)"
             )
+        import time as _time
+
+        _t0 = _time.time()
         fresh_stats = (
             spark.sparkContext.parallelize(todo, len(todo)).map(_rewrite_unit).collect()
         )
+        if os.environ.get("NESSIE_MAINT_PROF") == "1":
+            import sys as _sys
+
+            print(f"[compact-prof] rewrite_job={_time.time() - _t0:.2f}s "
+                  f"bins={len(todo)}", file=_sys.stderr)
     else:
         fresh_stats = None
 
+    import time as _time
+
+    _t1 = _time.time()
     # gather all units (including ones done before a crash) from lineage
     units = lineage.read_phase(root, job_id, "compact").to_pylist()
     deleted = {p for u in units for p in u["input_files"]}
@@ -351,6 +362,7 @@ def _execute_bins(
         )
     added = pa.Table.from_pylist(added_entries) if added_entries else None
 
+    _t2 = _time.time()
     snap = table.commit(
         "compact",
         added=added,
@@ -358,6 +370,11 @@ def _execute_bins(
         summary={"job_id": job_id, "bins": len(bin_paths)},
     )
     lineage.mark_committed(root, job_id, snap)
+    if os.environ.get("NESSIE_MAINT_PROF") == "1":
+        import sys as _sys
+
+        print(f"[compact-prof] lineage={_t2 - _t1:.2f}s "
+              f"commit={_time.time() - _t2:.2f}s", file=_sys.stderr)
     rows = sum(u["rows"] for u in units)
     return CompactionResult(
         snap, job_id, len(bin_paths), len(todo), len(deleted), len(out_paths), rows, hist

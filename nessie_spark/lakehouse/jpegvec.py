@@ -460,12 +460,18 @@ def _decode_cohort(datas, metas, idxs, results) -> None:
         lens = np.array([len(s) for s in lane_segs], dtype=np.int64)
         PAD = 8
         stride = int(lens.max()) + PAD
-        D2 = np.full(L * stride, 0xFF, dtype=np.uint8)
+        D2 = np.full(L * stride + 8, 0xFF, dtype=np.uint8)
         allb = np.frombuffer(b"".join(lane_segs), dtype=np.uint8)
         starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
         lane_of_byte = np.repeat(np.arange(L), lens)
         within = np.arange(int(lens.sum()), dtype=np.int64) - starts[lane_of_byte]
         D2[lane_of_byte * stride + within] = allb
+        # sliding big-endian 64-bit window: U[i] = bytes i..i+7 — turns the
+        # per-symbol bit peek into ONE gather instead of five
+        n_u = L * stride
+        U = np.zeros(n_u, dtype=np.uint64)
+        for kk in range(8):
+            U |= D2[kk : n_u + kk].astype(np.uint64) << np.uint64(8 * (7 - kk))
 
         li = np.array(lane_img, dtype=np.int64)
         ncomp = np.array([len(metas[i]["comps"]) for i in lane_img], dtype=np.int64)
@@ -481,7 +487,7 @@ def _decode_cohort(datas, metas, idxs, results) -> None:
         prevdc = np.zeros(L * 3, dtype=np.int32)
         lane_id = np.arange(L, dtype=np.int64)
         err = _lockstep(
-            D2, lane_off, bit_lim, LUT, ncomp, base, mcu_left,
+            U, lane_off, bit_lim, LUT, ncomp, base, mcu_left,
             coef, prevdc, lane_id,
         )
         if err is not None and len(err):
@@ -519,7 +525,7 @@ def _decode_cohort(datas, metas, idxs, results) -> None:
 
 
 def _lockstep(
-    D2, lane_off, bit_lim, LUT, ncomp, base, mcu_left,
+    U, lane_off, bit_lim, LUT, ncomp, base, mcu_left,
     coef, prevdc, lane_id,
 ):
     """The SIMD Huffman state machine: one symbol per active lane per
@@ -531,22 +537,15 @@ def _lockstep(
     k = np.zeros(L, dtype=np.int64)  # 0 = DC next; 1..63 = AC index
     err_ids: list[np.ndarray] = []
     max_steps = 64 * 3 * int(mcu_left.max()) + 64
-    D2i = D2  # uint8 view
     for _step in range(max_steps):
         if L == 0:
             break
-        # one 5-byte window covers the 16-bit code peek AND the magnitude
-        # bits (ln + cat <= 31 <= the 32 aligned bits extracted)
+        # one 64-bit window gather covers the 16-bit code peek AND the
+        # magnitude bits (ln + cat <= 31 <= the 32 aligned bits extracted)
         byi = lane_off + (bitpos >> 3)
-        sh = (bitpos & 7).astype(np.int64)
-        g = (
-            (D2i[byi].astype(np.int64) << 32)
-            | (D2i[byi + 1].astype(np.int64) << 24)
-            | (D2i[byi + 2].astype(np.int64) << 16)
-            | (D2i[byi + 3].astype(np.int64) << 8)
-            | D2i[byi + 4]
-        )
-        w32 = (g >> (8 - sh)) & 0xFFFFFFFF
+        sh = (bitpos & 7)
+        w32 = ((U[byi] >> (np.uint64(32) - sh.astype(np.uint64))).astype(np.int64)
+               & 0xFFFFFFFF)
         tid = np.where(k == 0, 0, 2) + (comp > 0)
         ent = LUT[(tid << 16) | (w32 >> 16)].astype(np.int64)
         ln = ent >> 8
