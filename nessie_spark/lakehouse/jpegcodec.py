@@ -596,6 +596,20 @@ def _decode_segment(
                 acc &= (1 << nbits) - 1
                 buf[base + k] = bits
                 k += 1
+    # Segment-exact consumption check (T.81 B.2.1/F.1.2.3): after the last
+    # MCU of a restart segment (or the scan), only 0-7 bits of 1-fill
+    # padding to the byte boundary may remain. A flipped byte inside the
+    # entropy data almost always shifts the symbol boundaries and breaks
+    # this invariant even when every individual code happened to stay
+    # decodable — without the check such corruption decodes to silently
+    # wrong pixels confined to one MCU (restart_mcu=1 streams localize
+    # damage, so a perceptual-hash flagger alone can no longer see it).
+    seg_len = dn - 8  # real (destuffed) segment bytes, before sentinels
+    rem = seg_len * 8 - (p * 8 - nbits)
+    if rem < 0 or rem >= 8:
+        raise ValueError("corrupt JPEG segment (code/padding length mismatch)")
+    if rem and (d[seg_len - 1] & ((1 << rem) - 1)) != (1 << rem) - 1:
+        raise ValueError("corrupt JPEG segment (padding bits not 1-filled)")
 
 
 def decode_jpeg_real(data: bytes) -> np.ndarray:

@@ -486,12 +486,28 @@ def _decode_cohort(datas, metas, idxs, results) -> None:
         coef = np.zeros(coef_total, dtype=np.int32)
         prevdc = np.zeros(L * 3, dtype=np.int32)
         lane_id = np.arange(L, dtype=np.int64)
+        end_bitpos = np.full(L, -1, dtype=np.int64)
         err = _lockstep(
             U, lane_off, bit_lim, LUT, ncomp, base, mcu_left,
-            coef, prevdc, lane_id,
+            coef, prevdc, lane_id, end_bitpos,
         )
         if err is not None and len(err):
             for l in np.unique(err):
+                bad_imgs.add(lane_img[int(l)])
+        # Segment-exact consumption check — vector twin of the scalar
+        # decoder's T.81 padding validation: a finished lane must leave
+        # 0-7 bits of 1-fill to its segment's byte boundary. Violating
+        # lanes fall back to the scalar decoder, which raises the
+        # canonical "corrupt JPEG segment" error.
+        rem = (lens << 3) - end_bitpos
+        clipped = np.clip(rem, 0, 7)
+        mask = (np.int64(1) << clipped) - 1
+        last = D2[np.arange(L, dtype=np.int64) * stride + lens - 1].astype(np.int64)
+        pad_bad = (end_bitpos >= 0) & (
+            (rem < 0) | (rem >= 8) | ((last & mask) != mask)
+        )
+        if pad_bad.any():
+            for l in np.flatnonzero(pad_bad):
                 bad_imgs.add(lane_img[int(l)])
 
         # --- per-image dequant + IDCT + color --------------------------
@@ -526,7 +542,7 @@ def _decode_cohort(datas, metas, idxs, results) -> None:
 
 def _lockstep(
     U, lane_off, bit_lim, LUT, ncomp, base, mcu_left,
-    coef, prevdc, lane_id,
+    coef, prevdc, lane_id, end_bitpos=None,
 ):
     """The SIMD Huffman state machine: one symbol per active lane per
     iteration. Returns lane ids that hit an invalid state (caller falls
@@ -602,6 +618,11 @@ def _lockstep(
         done = (mcu_left <= 0) | bad
         if bad.any():
             err_ids.append(lane_id[bad])
+        if end_bitpos is not None:
+            fin = done & ~bad
+            if fin.any():
+                sel = np.flatnonzero(fin)
+                end_bitpos[lane_id[sel]] = bitpos[sel]
         if done.any():
             keep = ~done
             if not keep.any():

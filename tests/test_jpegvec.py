@@ -157,3 +157,33 @@ def test_grayscale_stream_batch_decode():
     px = np.stack([g, g, g], axis=-1)
     enc, _ = V.encode_batch([px], 98, restart_mcu=1)
     assert (V.decode_batch([enc[0]])[0] == J.decode_jpeg_real(enc[0])).all()
+
+
+def test_segment_padding_validation_catches_structural_flips():
+    """T.81 segment-exact consumption check: a byte flip that shifts the
+    symbol boundaries inside a restart segment must raise on BOTH decoders
+    (scalar and batch fall-back agree); pixel-valid streams are unaffected."""
+    import pytest
+
+    r = synth.row_for(42, 220, hot_pct=0)  # known structural-flip fixture
+    corrupt = synth.corrupt_bytes(bytes(r["bytes"]), seed=9, i=220)
+    with pytest.raises(ValueError, match="corrupt JPEG segment"):
+        J.decode_jpeg_real(corrupt)
+    with pytest.raises(ValueError, match="corrupt JPEG segment"):
+        V.decode_batch([corrupt])
+    # clearing a 1-fill padding bit is also a violation: find a segment
+    # whose final byte has padding and flip its lowest bit
+    data = bytearray(r["bytes"])
+    meta = J._parse_stream(bytes(data))
+    scan_off = bytes(data).find(meta["scan_data"][:32])
+    # first RST marker ends segment 1; its last byte precedes the marker
+    rst = bytes(data).find(b"\xff\xd0", scan_off)
+    assert rst > 0
+    data[rst - 1] ^= 0x01  # flip the lowest (padding) bit
+    try:
+        px = J.decode_jpeg_real(bytes(data))
+        # only acceptable escape: that byte had no padding bits AND the
+        # stream still parses to the same pixels
+        assert (px == J.decode_jpeg_real(bytes(r["bytes"]))).all()
+    except ValueError as e:
+        assert "corrupt JPEG segment" in str(e)
