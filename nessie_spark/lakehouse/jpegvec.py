@@ -66,12 +66,17 @@ def _bitlen(a: np.ndarray) -> np.ndarray:
 
 
 # Sub-batch budget in 8x8 blocks. The item arrays scale with block count;
-# chunking bounds the live working set to ~30-50 MB so that chunk 2..N
-# reuse chunk 1's freed pages instead of faulting fresh ones — on this
-# class of sandboxed host, first-touch of a fresh page costs ~2.3 ms/MB
-# (measured), which made one giant batch pay more in page faults than in
-# arithmetic.
-_CHUNK_BLOCKS = 20_000
+# chunking bounds the live working set so that chunk 2..N reuse chunk 1's
+# freed pages instead of faulting fresh ones (first-touch measured at
+# ~2.3 ms/MB on this host class), and — just as important — so the many
+# codec instances running concurrently (one per Spark worker) fit the
+# shared last-level cache together. Measured at 460-image mixed batches:
+# single-thread cost is flat from 20k down to ~6k blocks (~730 ms/call)
+# and rises below ~2k (per-chunk numpy dispatch overhead), while UNDER
+# 32-WAY PROCESS CONCURRENCY 20k-block chunks (~40 MB live) thrash to
+# 2.5-4.4 s/call vs 1.2-1.4 s at 6k (~12 MB live) — cache working-set
+# contention, not page faults. 6k is the flat-region knee at both widths.
+_CHUNK_BLOCKS = 6_000
 
 
 def encode_batch(
