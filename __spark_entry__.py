@@ -19,14 +19,27 @@ from pyspark.sql import DataFrame, SparkSession
 # CORRECTNESS_r02/r03 = registry order truncated at 50), so ordering is the
 # sampling rotation — see the allocation note at the top of the list.
 _SAMPLE_PRIORITY = [
-    # --- r5 window (first 50): the 3 r5-new queries, every oracle-backed
-    # query never yet driver-sampled (35), the 3 never-sampled rows-only
-    # demos, 5 r02-stale family refreshes, and the 4 rows-only→golden-
-    # oracle upgrades (fresh oracle-green driver rows are the upgrade's
-    # durable evidence).
-    "ann_ivfpq_topk",  # r5-new: IVF-PQ composition (rows-only; recall-gated in test_pq.py)
-    "detector_eval_ap",  # r5-new: reference evaluation flow (AP vs gold flips)
-    "detector_eval_p_at_k",  # r5-new: precision@k of the same ranking
+    # --- r6 window (first 50): staleness-driven rotation — every query
+    # whose IMPLEMENTATION changed in the r6 optimization round is
+    # front-loaded so its newest driver row postdates the change (ANN
+    # Lloyd-training rewrite in operators/similarity.py; the evaluate()
+    # zero-gold AP definition in api.py; the restart-interval batch
+    # codec + segment-validation in lakehouse/jpegvec.py+jpegcodec.py,
+    # which every multimodal demo decodes through). Nine r5-certified,
+    # r6-untouched TPC-H rows rotate below the fold to make room (still
+    # locally gate-checked every round by tools/check_oracle.py).
+    "ann_ivfpq_topk",  # r6-changed: map-side Lloyd training (rows-only; recall-gated in test_pq.py)
+    "ann_pq_topk",  # r6-changed: same training rewrite (rows-only)
+    "ann_ivf_topk",  # r6-changed: same training rewrite (rows-only)
+    "detector_eval_ap",  # r6-changed: AP defined as 0 on zero gold positives
+    "detector_eval_p_at_k",  # shares evaluate() with the AP fix
+    "multimodal_pixel_stats",  # r6 codec path: decode() now restart-validating
+    "multimodal_frame_sample",  # r6 codec path: MJPEG frames through batch decode
+    "multimodal_quality_screen",  # r6 codec path
+    "multimodal_resize",  # r6 codec path
+    "multimodal_tile_cropdup",  # r6 codec path
+    "multimodal_dhash_consensus",  # r6 codec path
+    "multimodal_audio_features",  # WAV decode (kernels touched this round)
     "token_entropy",
     "doclen_quantiles",
     "events_retention_cohorts",
@@ -51,17 +64,8 @@ _SAMPLE_PRIORITY = [
     "q17_small_quantity_revenue",
     "q21_waiting_suppliers",
     "q22_sales_opportunity",
-    "q12_shipmode_priority",
-    "q11_important_stock",
     "q16_parts_supplier_counts",
     "q20_potential_promotion",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q18_large_volume_customers",
-    "q19_discounted_revenue",
     "bpe_tokenize_stats",
     "maintenance_cluster_delta",
     "maintenance_partition_pruning",
@@ -78,8 +82,17 @@ _SAMPLE_PRIORITY = [
     "maintenance_pos_delete",
     "maintenance_datasource",
     "maintenance_metadata_retention",
-    # --- below the fold (position 51+): r03/r04-certified rows and
+    # --- below the fold (position 51+): r03-r05-certified rows and
     # locally checkable oracle entries (tools/check_oracle.py).
+    "q12_shipmode_priority",
+    "q11_important_stock",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
     "variation_ngrams_flags",
     "q3_shipping_priority",
     "curriculum_spotter_scores",
@@ -94,12 +107,7 @@ _SAMPLE_PRIORITY = [
     "events_user_deciles",
     "events_user_deciles_distributed",
     "pagerank_neardup",
-    "multimodal_frame_sample",
-    "multimodal_tile_cropdup",
-    "multimodal_quality_screen",
-    "multimodal_dhash_consensus",
     "maintenance_rename_drop",
-    "ann_pq_topk",
     "langid_confusion",
     "winnowing_fingerprints",
     "winnowing_overlap_pairs",
@@ -177,7 +185,6 @@ _SAMPLE_PRIORITY = [
     "ngram_jaccard_top1",
     "ann_cosine_topk",
     "ann_lsh_topk",
-    "ann_ivf_topk",
     "lang_id_markers",
     "quality_scores",
     "token_counts",
@@ -202,9 +209,6 @@ _SAMPLE_PRIORITY = [
     "maintenance_matview",
     "maintenance_replica",
     "maintenance_scheduler",
-    "multimodal_pixel_stats",
-    "multimodal_resize",
-    "multimodal_audio_features",
     "model_zoo_dummy_cv",
     "model_zoo_maxent_cv_flags",
     "model_zoo_bow_nb_cv_flags",
